@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect) — measuring the distributed plan, not Arrow
+transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "scan_filter_project",
+    "window_dedup_latest",
+    "cdc_router",
+    "join_dim_broadcast",
+    "scd2_merge",
+    "validity_flag",
+    "latest_version_per_key",
+    "dim_prep_lookup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pyspark_etl_project_spark.plans import all_queries
+    from pyspark_etl_project_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # plan, not first-touch overheads.
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

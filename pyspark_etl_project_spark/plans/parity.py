@@ -1,0 +1,484 @@
+"""Reference-parity operators (SURVEY.md §2) expressed over the driver's
+TPC-H-ish testdata, each with a DuckDB oracle twin.
+
+Cross-engine determinism rules used throughout:
+- Monetary aggregates go through DECIMAL(18,6) (exact math, identical in
+  Spark and DuckDB) and are cast back to double at the end.
+- md5 fingerprints hash only string/integer-cast columns (float→string
+  formatting differs between engines).
+- All output columns are lowercase-aliased on BOTH sides (DuckDB lowers
+  unquoted identifiers; the driver sorts columns by name).
+- No wall-clock: SCD2 stamps are fixed literals per run (reference H9 is
+  a single driver-side datetime.now(); here a lit constant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_etl_project_spark.functions.hashing import row_fingerprint
+from pyspark_etl_project_spark.functions.normalize import duration_to_seconds, validity_flag
+from pyspark_etl_project_spark.operators.audit import load_audit_metrics
+from pyspark_etl_project_spark.operators.cdc import cdc_classify
+from pyspark_etl_project_spark.operators.dedup import keep_latest
+from pyspark_etl_project_spark.operators.lookup import lookup_join, prepare_dimension
+from pyspark_etl_project_spark.operators.scd2 import scd2_merge
+from pyspark_etl_project_spark.operators.watermark import latest_version_per_key
+from pyspark_etl_project_spark.plans.tables import load
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name, sql=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# --- A1/A4/B2/B6: scan + filter + projection (pushdown-checked) ---------
+
+@_q("scan_filter_project", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+""")
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+              .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+
+
+# --- A5: schema-typed empty relation ------------------------------------
+
+@_q("empty_relation", """
+SELECT l_orderkey, l_quantity FROM lineitem WHERE 1 = 0
+""")
+def empty_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference: spark.sparkContext.emptyRDD() wrapped in a schema
+    # (ETL/CSV_Batch_Processing.py:34-43); idiomatic: createDataFrame([], s).
+    return spark.createDataFrame([], "l_orderkey bigint, l_quantity double")
+
+
+# --- E1/D1/B3/B4: keep-latest dedup via window --------------------------
+
+@_q("window_dedup_latest", """
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = keep_latest(ev, keys="user_id", order_by=["ts", "event_id"], descending=True)
+    return out.select("user_id", "event_id", "ts", "event_type")
+
+
+# --- C1-C3/B5/H1: CDC hash-compare router -------------------------------
+
+@_q("cdc_router", """
+WITH batch AS (
+  SELECT 'ORD - ' || CAST(o_orderkey AS VARCHAR) AS ssi,
+         md5(concat_ws('||',
+             coalesce(o_orderstatus, 'NULL'),
+             coalesce(o_orderpriority, 'NULL'))) AS hashkey
+  FROM orders
+), hist AS (
+  SELECT 'ORD - ' || CAST(o_orderkey AS VARCHAR) AS historic_ssi,
+         md5(concat_ws('||',
+             coalesce(o_orderstatus, 'NULL'),
+             coalesce(CASE WHEN o_orderkey % 6 = 0 THEN 'CHANGED'
+                           ELSE o_orderpriority END, 'NULL'))) AS historic_hashkey
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT ssi, hashkey, router_group FROM (
+  SELECT b.ssi, b.hashkey,
+         CASE WHEN h.historic_ssi IS NULL THEN 'INSERT'
+              WHEN b.hashkey = h.historic_hashkey THEN 'DUPLICATE'
+              ELSE 'UPDATE' END AS router_group
+  FROM batch b LEFT JOIN hist h ON b.ssi = h.historic_ssi
+) WHERE router_group <> 'DUPLICATE'
+""")
+def cdc_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    batch = orders.select(
+        F.concat(F.lit("ORD - "), F.col("o_orderkey").cast("string")).alias("ssi"),
+        row_fingerprint(["o_orderstatus", "o_orderpriority"]).alias("hashkey"),
+    )
+    hist = (orders.filter(F.col("o_orderkey") % 3 == 0)
+            .withColumn("o_orderpriority",
+                        F.when(F.col("o_orderkey") % 6 == 0, F.lit("CHANGED"))
+                         .otherwise(F.col("o_orderpriority")))
+            .select(
+                F.concat(F.lit("ORD - "), F.col("o_orderkey").cast("string")).alias("historic_ssi"),
+                row_fingerprint(["o_orderstatus", "o_orderpriority"]).alias("historic_hashkey"),
+            ))
+    routed = cdc_classify(batch, hist, key="ssi", hash_col="hashkey",
+                          historic_key="historic_ssi", historic_hash="historic_hashkey")
+    return routed.select("ssi", "hashkey", F.col("ROUTER_GROUP").alias("router_group"))
+
+
+# --- C4: dimension chain as broadcast joins (revenue by region) ---------
+
+@_q("join_dim_broadcast", """
+SELECT r.r_name AS region_name,
+       CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,6))) * 100)
+            AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    dim = (sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+              .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+              .select("s_suppkey", "r_name"))
+    # Exact decimal math end-to-end: the decimal→double cast rounds
+    # differently across engines, so the money total ships as int cents.
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
+    return (li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+              .groupBy(F.col("r_name").alias("region_name"))
+              .agg(F.floor(F.sum(rev) * 100).cast("long").alias("revenue_cents"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+# --- C5/F2: scalar top-1 lookup -----------------------------------------
+
+@_q("scalar_lookup_top1", """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1
+""")
+def scalar_lookup_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return (cust.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+                .limit(1).select("c_custkey", "c_name", "c_acctbal"))
+
+
+# --- A9/D4: load-audit conditional aggregation --------------------------
+
+@_q("load_audit_metrics", """
+SELECT o_orderstatus,
+       COUNT(*) AS total_upsert_count,
+       CAST(SUM(iv) AS BIGINT) AS valid_count,
+       CAST(COUNT(*) - SUM(iv) AS BIGINT) AS invalid_count,
+       CAST(SUM(iv) AS BIGINT) / COUNT(*) * 100 AS data_valid_percentage
+FROM (SELECT o_orderstatus,
+             CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS iv
+      FROM orders)
+GROUP BY o_orderstatus
+""")
+def load_audit_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    flagged = orders.withColumn(
+        "IS_VALID_DATA", F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+    out = load_audit_metrics(flagged, group_by=["o_orderstatus"])
+    return out.select(
+        "o_orderstatus",
+        F.col("TOTAL_UPSERT_COUNT").alias("total_upsert_count"),
+        F.col("VALID_COUNT").alias("valid_count"),
+        F.col("INVALID_COUNT").alias("invalid_count"),
+        (F.col("VALID_COUNT") / F.col("TOTAL_UPSERT_COUNT") * 100).alias("data_valid_percentage"),
+    )
+
+
+# --- D2: MAX watermark ----------------------------------------------------
+
+@_q("max_watermark", """
+SELECT MAX(event_id) AS max_event_id FROM events
+""")
+def max_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(F.max("event_id").alias("max_event_id"))
+
+
+# --- A7/D3: incremental latest-version-per-key ---------------------------
+
+@_q("latest_version_per_key", """
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id > 500
+) WHERE rn = 1
+""")
+def latest_version_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = latest_version_per_key(ev, key="user_id", version_col="event_id",
+                                 watermark=500, watermark_col="event_id")
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+# --- D5: DISTINCT projection ---------------------------------------------
+
+@_q("distinct_projection", """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""")
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --- F1: global sort ------------------------------------------------------
+
+@_q("global_sort", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_name
+""")
+def global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "nation").orderBy("n_name")
+
+
+# --- F2: top-k -------------------------------------------------------------
+
+@_q("topk_limit", """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+""")
+def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "part")
+            .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+            .limit(10).select("p_partkey", "p_name", "p_retailprice"))
+
+
+# --- H4/H11/H12: when/otherwise normalization chains ----------------------
+
+@_q("case_when_normalize", """
+SELECT o_orderkey,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+            WHEN o_orderpriority = '2-HIGH' THEN 2
+            WHEN o_orderpriority = '3-MEDIUM' THEN 3
+            WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 4
+            WHEN o_orderpriority = '5-LOW' THEN 5
+            ELSE NULL END AS priority_rank,
+       CASE WHEN UPPER(o_orderstatus) = 'O' THEN 1
+            WHEN UPPER(o_orderstatus) = 'F' THEN 0
+            ELSE NULL END AS open_flag
+FROM orders
+""")
+def case_when_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    pr = F.col("o_orderpriority")
+    rank = (F.when(pr == "1-URGENT", 1).when(pr == "2-HIGH", 2)
+             .when(pr == "3-MEDIUM", 3).when(pr == "4-NOT SPECIFIED", 4)
+             .when(pr == "5-LOW", 5).otherwise(F.lit(None).cast("int")))
+    flag = (F.when(F.upper(F.col("o_orderstatus")) == "O", 1)
+             .when(F.upper(F.col("o_orderstatus")) == "F", 0)
+             .otherwise(F.lit(None).cast("int")))
+    return orders.select("o_orderkey", rank.alias("priority_rank"), flag.alias("open_flag"))
+
+
+# --- H3: per-source timestamp format parse (round-trip) -------------------
+
+@_q("timestamp_parse_roundtrip", """
+SELECT event_id,
+       strftime(ts, '%m%d%Y%H%M%S') AS ts_str,
+       strptime(strftime(ts, '%m%d%Y%H%M%S'), '%m%d%Y%H%M%S') AS ts_parsed
+FROM events
+""")
+def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference CSV format MMddyyyyHHmmss (ETL/CSV_Batch_Processing.py:170).
+    ev = load(spark, sf_dir, "events")
+    s = F.date_format(F.col("ts"), "MMddyyyyHHmmss")
+    return ev.select(
+        "event_id", s.alias("ts_str"),
+        F.to_timestamp(s, "MMddyyyyHHmmss").alias("ts_parsed"))
+
+
+# --- I4/H7: H:MM:SS duration → seconds, as pure columns -------------------
+
+@_q("duration_to_seconds", """
+SELECT p_partkey, dur_str,
+       CAST(string_split(dur_str, ':')[1] AS INTEGER) * 3600
+       + CAST(string_split(dur_str, ':')[2] AS INTEGER) * 60
+       + CAST(string_split(dur_str, ':')[3] AS INTEGER) AS dur_seconds
+FROM (
+  SELECT p_partkey,
+         printf('%d:%02d:%02d', p_size % 3, p_size % 60, (p_size * 7) % 60) AS dur_str
+  FROM part)
+""")
+def duration_to_seconds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    dur = F.format_string("%d:%02d:%02d",
+                          F.col("p_size") % 3, F.col("p_size") % 60,
+                          (F.col("p_size") * 7) % 60)
+    out = part.select("p_partkey", dur.alias("dur_str"))
+    return out.withColumn("dur_seconds", duration_to_seconds("dur_str"))
+
+
+# --- H1/H8: null-safe md5 row fingerprint ---------------------------------
+
+@_q("hash_fingerprint", """
+SELECT n_nationkey,
+       md5(concat_ws('||',
+           coalesce(CAST(n_nationkey AS VARCHAR), 'NULL'),
+           coalesce(n_name, 'NULL'),
+           coalesce(CAST(n_regionkey AS VARCHAR), 'NULL'))) AS fingerprint
+FROM nation
+""")
+def hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    return nat.select(
+        "n_nationkey",
+        row_fingerprint(["n_nationkey", "n_name", "n_regionkey"]).alias("fingerprint"))
+
+
+# --- A8/H9: SCD2 merge (the flagship custom operator) ---------------------
+
+SCD2_RUN_TS = "2024-06-01 00:00:00"
+
+@_q("scd2_merge", """
+WITH mart AS (
+  SELECT c_custkey AS csd_id,
+         'CUST - ' || CAST(c_custkey AS VARCHAR) AS ssi,
+         c_name, c_mktsegment,
+         1 AS active_flag,
+         TIMESTAMP '2020-01-01 00:00:00' AS start_date,
+         TIMESTAMP '2099-12-31 00:00:00' AS end_date
+  FROM customer
+), arrivals AS (
+  SELECT 'CUST - ' || CAST(c_custkey AS VARCHAR) AS ssi,
+         c_name, 'MOVED-' || c_mktsegment AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 'CUST - ' || CAST(c_custkey + 1000000 AS VARCHAR) AS ssi,
+         c_name, c_mktsegment
+  FROM customer WHERE c_custkey % 17 = 0
+), offs AS (SELECT MAX(csd_id) AS o FROM mart),
+expired AS (
+  SELECT csd_id, ssi, c_name, c_mktsegment, 0 AS active_flag, start_date,
+         TIMESTAMP '2024-06-01 00:00:00' AS end_date
+  FROM mart WHERE ssi IN (SELECT ssi FROM arrivals)
+), survivors AS (
+  SELECT * FROM mart WHERE ssi NOT IN (SELECT ssi FROM arrivals)
+), fresh AS (
+  SELECT (SELECT o FROM offs) + ROW_NUMBER() OVER (ORDER BY ssi) AS csd_id,
+         ssi, c_name, c_mktsegment, 1 AS active_flag,
+         TIMESTAMP '2024-06-01 00:00:00' AS start_date,
+         TIMESTAMP '2099-12-31 00:00:00' AS end_date
+  FROM arrivals
+)
+SELECT * FROM survivors
+UNION ALL SELECT * FROM expired
+UNION ALL SELECT * FROM fresh
+""")
+def scd2_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    mart = cust.select(
+        F.col("c_custkey").cast("long").alias("csd_id"),
+        F.concat(F.lit("CUST - "), F.col("c_custkey").cast("string")).alias("ssi"),
+        F.col("c_name"), F.col("c_mktsegment"),
+        F.lit(1).alias("active_flag"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("start_date"),
+        F.lit("2099-12-31 00:00:00").cast("timestamp").alias("end_date"),
+    )
+    updates = (cust.filter(F.col("c_custkey") % 10 == 0)
+               .select(F.concat(F.lit("CUST - "), F.col("c_custkey").cast("string")).alias("ssi"),
+                       F.col("c_name"),
+                       F.concat(F.lit("MOVED-"), F.col("c_mktsegment")).alias("c_mktsegment")))
+    inserts = (cust.filter(F.col("c_custkey") % 17 == 0)
+               .select(F.concat(F.lit("CUST - "),
+                                (F.col("c_custkey") + 1000000).cast("string")).alias("ssi"),
+                       F.col("c_name"), F.col("c_mktsegment")))
+    arrivals = updates.unionByName(inserts)
+    merged = scd2_merge(
+        mart.withColumnRenamed("active_flag", "ACTIVE_FLAG")
+            .withColumnRenamed("start_date", "START_DATE")
+            .withColumnRenamed("end_date", "END_DATE"),
+        arrivals,
+        run_ts=SCD2_RUN_TS, key="ssi", surrogate_col="csd_id", dense_ids=True)
+    return merged.select(
+        "csd_id", "ssi", "c_name", "c_mktsegment",
+        F.col("ACTIVE_FLAG").alias("active_flag"),
+        F.col("START_DATE").alias("start_date"),
+        F.col("END_DATE").alias("end_date"))
+
+
+# --- H10: IS_VALID_DATA null-disjunction flag -----------------------------
+
+@_q("validity_flag", """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN nullif(l_returnflag, 'N') IS NULL
+              OR nullif(l_linestatus, 'F') IS NULL
+            THEN 0 ELSE 1 END AS is_valid_data
+FROM lineitem
+""")
+def validity_flag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = (li.withColumn("ret", F.nullif(F.col("l_returnflag"), F.lit("N")))
+             .withColumn("st", F.nullif(F.col("l_linestatus"), F.lit("F"))))
+    return out.select("l_orderkey", "l_linenumber",
+                      validity_flag(["ret", "st"]).alias("is_valid_data"))
+
+
+# --- H6: 1-10 → 1-5 rating floor quirk ------------------------------------
+
+@_q("rating_floor_scale", """
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(FLOOR(l_quantity) / 2) AS INTEGER) AS rating_five
+FROM lineitem
+""")
+def rating_floor_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # floor(r/2) — reproduces the reference's rating-1→0 quirk (JSON:209).
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.floor(F.floor(F.col("l_quantity")) / 2).cast("int").alias("rating_five"))
+
+
+# --- H13: derived arithmetic column ---------------------------------------
+
+@_q("derived_arithmetic", """
+SELECT o_orderkey, o_totalprice,
+       o_totalprice * CAST(0.96 AS DOUBLE) AS net_price
+FROM orders
+""")
+def derived_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 0.96 literal enters both engines as the same nearest-double, so
+    # the per-row product is bit-identical across Spark and DuckDB.
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_totalprice") * F.lit(0.96)).alias("net_price"))
+
+
+# --- C4 full semantics: dim prep (top-1 by date) + lookup join ------------
+
+@_q("dim_prep_lookup", """
+WITH dim AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END AS active_flag
+  FROM orders
+), prepared AS (
+  SELECT o_custkey, o_orderkey FROM (
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM dim WHERE active_flag = 1
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey, c.c_name, p.o_orderkey AS latest_order
+FROM customer c LEFT JOIN prepared p ON c.c_custkey = p.o_custkey
+""")
+def dim_prep_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    dim = orders.select(
+        F.col("o_custkey"), F.col("o_orderkey"),
+        F.col("o_orderdate").alias("START_DATE"),
+        F.when(F.col("o_orderstatus") != "F", 1).otherwise(0).alias("ACTIVE_FLAG"))
+    prepared = prepare_dimension(dim, key_col="o_custkey", id_col="o_orderkey")
+    out = lookup_join(cust, prepared, fact_key="c_custkey", dim_key="o_custkey",
+                      id_col="o_orderkey", out_col="latest_order")
+    return out.select("c_custkey", "c_name", "latest_order")

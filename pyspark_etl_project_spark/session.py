@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+Replaces the reference's per-pipeline session builders
+(/root/reference/ETL/CSV_Batch_Processing.py:355 and siblings) with one
+shared, scale-tuned factory.
+
+Local-mode testing defaults; on a real cluster the same configs hold
+(AQE, adaptive skew join, Arrow) while master/memory come from
+spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "pyspark_etl_project_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    - UTC session timezone: deterministic timestamps, comparable with the
+      DuckDB oracle (UTC-naive).
+    - AQE on: runtime shuffle-partition coalescing + skew-join splitting,
+      which is what makes the same plan survive a 100x scale-up.
+    - Arrow on: fast pandas interchange for the Pandas-UDF extensions.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    parts = str(shuffle_partitions or _DEFAULT_SHUFFLE_PARTITIONS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The driver's events table stores TIMESTAMP(NANOS) which Spark
+        # rejects; read as long and convert in plans.tables.load_events.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

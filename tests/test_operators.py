@@ -1,0 +1,117 @@
+"""Unit tests for the core operators (SURVEY.md §2 semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_etl_project_spark.operators.audit import load_audit_metrics
+from pyspark_etl_project_spark.operators.cdc import cdc_classify
+from pyspark_etl_project_spark.operators.dedup import keep_latest
+from pyspark_etl_project_spark.operators.lookup import lookup_join, prepare_dimension
+from pyspark_etl_project_spark.operators.scd2 import scd2_merge
+from pyspark_etl_project_spark.operators.watermark import latest_version_per_key, max_watermark
+
+
+def test_keep_latest_window_and_maxby(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k int, ord int, v string")
+    for use_max_by in (False, True):
+        out = {r["k"]: r["v"] for r in
+               keep_latest(df, "k", "ord", use_max_by=use_max_by).collect()}
+        assert out == {1: "b", 2: "c"}
+
+
+def test_cdc_classify_routes(spark):
+    batch = spark.createDataFrame(
+        [("k1", "h1"), ("k2", "h2x"), ("k3", "h3")],
+        "SOURCE_SYSTEM_IDENTIFIER string, SOURCE_HASH_KEY string")
+    hist = spark.createDataFrame(
+        [("k1", "h1"), ("k2", "h2")], "HISTORIC_SSI string, HISTORIC_HASHKEY string")
+    routed = cdc_classify(batch, hist, drop_duplicates=False)
+    groups = {r["SOURCE_SYSTEM_IDENTIFIER"]: r["ROUTER_GROUP"] for r in routed.collect()}
+    assert groups == {"k1": "DUPLICATE", "k2": "UPDATE", "k3": "INSERT"}
+    kept = cdc_classify(batch, hist, drop_duplicates=True)
+    assert {r["SOURCE_SYSTEM_IDENTIFIER"] for r in kept.collect()} == {"k2", "k3"}
+
+
+def test_scd2_merge_invariants(spark):
+    mart = spark.createDataFrame(
+        [(1, "A", "v1", 1, "2020-01-01 00:00:00", "2099-12-31 00:00:00"),
+         (2, "B", "v1", 1, "2020-01-01 00:00:00", "2099-12-31 00:00:00")],
+        "CSD_ID long, SOURCE_SYSTEM_IDENTIFIER string, val string, "
+        "ACTIVE_FLAG int, START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    arrivals = spark.createDataFrame(
+        [("A", "v2"), ("C", "v1")], "SOURCE_SYSTEM_IDENTIFIER string, val string")
+    out = scd2_merge(mart, arrivals, run_ts="2024-01-01 00:00:00", dense_ids=True)
+    rows = out.collect()
+    assert len(rows) == 4  # B survivor, A expired, A v2, C v1
+    active = [r for r in rows if r["ACTIVE_FLAG"] == 1]
+    # invariant 1: exactly one active row per key
+    assert sorted(r["SOURCE_SYSTEM_IDENTIFIER"] for r in active) == ["A", "B", "C"]
+    # invariant 2: expired END_DATE == successor START_DATE
+    expired_a = next(r for r in rows if r["ACTIVE_FLAG"] == 0)
+    new_a = next(r for r in active if r["SOURCE_SYSTEM_IDENTIFIER"] == "A")
+    assert expired_a["END_DATE"] == new_a["START_DATE"]
+    assert new_a["val"] == "v2"
+    # surrogate ids continue past the old max
+    assert {r["CSD_ID"] for r in rows if r["START_DATE"] == new_a["START_DATE"]} == {3, 4}
+
+
+def test_scd2_merge_idempotent_keys_never_double_active(spark):
+    mart = spark.createDataFrame(
+        [(1, "A", "v1", 1, "2020-01-01 00:00:00", "2099-12-31 00:00:00")],
+        "CSD_ID long, SOURCE_SYSTEM_IDENTIFIER string, val string, "
+        "ACTIVE_FLAG int, START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    arrivals = spark.createDataFrame([("A", "v2")],
+                                     "SOURCE_SYSTEM_IDENTIFIER string, val string")
+    once = scd2_merge(mart, arrivals, run_ts="2024-01-01 00:00:00", dense_ids=True)
+    twice = scd2_merge(once, arrivals.withColumn("val", F.lit("v3")),
+                       run_ts="2024-02-01 00:00:00", dense_ids=True)
+    rows = twice.collect()
+    actives = [r for r in rows if r["ACTIVE_FLAG"] == 1]
+    assert len(actives) == 1 and actives[0]["val"] == "v3"
+    assert len(rows) == 3  # full history preserved
+
+
+def test_prepare_dimension_collapses_duplicates(spark):
+    dim = spark.createDataFrame(
+        [(1, "X", 1, "2020-01-01"), (2, "X", 1, "2021-01-01"),
+         (3, "X", 0, "2022-01-01"), (4, "Y", 1, "2020-01-01")],
+        "ID int, NAME string, ACTIVE_FLAG int, START_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp"))
+    prepared = prepare_dimension(dim, key_col="NAME", id_col="ID")
+    out = {r["NAME"]: r["ID"] for r in prepared.collect()}
+    # newest active START_DATE wins; inactive id=3 ignored
+    assert out == {"X": 2, "Y": 4}
+
+
+def test_lookup_join_miss_is_null(spark):
+    fact = spark.createDataFrame([("X",), ("Z",)], "NAME string")
+    prepared = spark.createDataFrame([("X", 7)], "NAME string, ID int")
+    out = lookup_join(fact, prepared, "NAME", "NAME", "ID", "DIM_ID")
+    got = {r["NAME"]: r["DIM_ID"] for r in out.collect()}
+    assert got == {"X": 7, "Z": None}
+
+
+def test_watermark_and_latest_version(spark):
+    df = spark.createDataFrame(
+        [(1, 100, "a"), (1, 101, "b"), (2, 50, "c"), (2, 200, "d")],
+        "key int, ver int, v string")
+    assert max_watermark(df, "ver") == 200
+    out = latest_version_per_key(df, key="key", version_col="ver",
+                                 watermark=60, watermark_col="ver")
+    got = {r["key"]: r["v"] for r in out.collect()}
+    assert got == {1: "b", 2: "d"}  # key 2's ver=50 filtered by watermark
+
+
+def test_load_audit_metrics(spark):
+    df = spark.createDataFrame([(1,), (1,), (0,), (1,)], "IS_VALID_DATA int")
+    row = load_audit_metrics(df).first()
+    assert row["TOTAL_UPSERT_COUNT"] == 4
+    assert row["VALID_COUNT"] == 3
+    assert row["INVALID_COUNT"] == 1
+    assert row["DATA_VALID_PERCENTAGE"] == 75.0

@@ -1,0 +1,132 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs each __spark_entry__.queries() entry on Spark and its oracle_sql()
+twin on DuckDB over the same parquet tables, then compares row count,
+sorted column names, and an order-insensitive value hash. Strict about
+values: floats compared via repr (bit-exact), timestamps normalized to
+'YYYY-MM-DD HH:MM:SS.ffffff'. If this passes, a looser driver compare
+passes too.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    if hasattr(v, "isoformat"):  # datetime/date
+        s = v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+        return s
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_digest(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    row_hashes = sorted(
+        hashlib.md5("\x1f".join(norm_value(r[i]) for i in order).encode()).hexdigest()
+        for r in rows
+    )
+    return hashlib.md5("\n".join(row_hashes).encode()).hexdigest()
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pyspark_etl_project_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            sh = frame_digest(scols, [tuple(r) for r in srows])
+            dh = frame_digest(dcols, drows)
+            if sh != dh:
+                problems.append("value-hash mismatch")
+                _diff_sample(scols, srows, dcols, drows)
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok   {name}: {len(srows)} rows hash-match [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+def _diff_sample(scols, srows, dcols, drows, n=3):
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
+    skeys = {"\x1f".join(norm_value(r[i]) for i in sorder) for r in [tuple(x) for x in srows]}
+    dkeys = {"\x1f".join(norm_value(r[i]) for i in dorder) for r in drows}
+    only_s = list(skeys - dkeys)[:n]
+    only_d = list(dkeys - skeys)[:n]
+    cols = [scols[i] for i in sorder]
+    print(f"    columns: {cols}")
+    for r in only_s:
+        print(f"    spark-only: {r.split(chr(31))}")
+    for r in only_d:
+        print(f"    duck-only:  {r.split(chr(31))}")
+
+
+if __name__ == "__main__":
+    main()
