@@ -1,0 +1,148 @@
+"""Corpus deduplication operators: exact, n-gram Jaccard, MinHash-LSH,
+SimHash — generalizing the reference's md5-identity CDC (H1) to fuzzy
+identity at corpus scale.
+
+Scale design:
+- Exact dedup: hash-groupBy (one shuffle on the 32-char digest, salted
+  automatically by AQE if a boilerplate doc dominates).
+- MinHash-LSH: shingle→signature is a per-row map (no shuffle);
+  candidate generation shuffles on (band_id, band_hash) buckets only —
+  never the full cross join; verification joins only candidate pairs.
+- SimHash: per-row signature, near-dup = same signature bucket (or
+  Hamming probing by re-bucketing on signature halves).
+- All hashes are md5-derived (stable across engines/runs — no
+  seed-dependent xxhash), so results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+    Documents shorter than n words yield an empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.split(F.trim(c), r"\s+")
+    sh = F.transform(F.sequence(F.lit(0), F.size(w) - n),
+                     lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    # sequence(0, negative) counts DOWN in Spark — guard short docs to an
+    # empty shingle set instead.
+    return F.when(F.size(w) >= n, F.array_distinct(sh)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature: for seed k, min over md5(k||shingle) (string
+    order). Min over a pseudo-random permutation of the shingle universe —
+    the classic MinHash estimator, built from engine-portable md5.
+
+    Returns array<string> of length num_hashes (empty-shingle docs get
+    nulls)."""
+    def hasher(k: int):
+        # NB: must close over k via a factory — a `lambda s, k=k:` two-arg
+        # lambda is treated by F.transform as the (element, index) variant
+        # and k silently becomes the array index.
+        prefix = F.lit(f"{k}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    return F.array(*[
+        F.array_min(F.transform(shingles, hasher(k)))
+        for k in range(num_hashes)
+    ])
+
+
+def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs; docs
+    sharing any band bucket are near-dup candidates."""
+    bands = []
+    for b in range(num_bands):
+        piece = F.slice(signature, b * rows_per_band + 1, rows_per_band)
+        bands.append(F.struct(F.lit(b).alias("band_id"),
+                              F.md5(F.concat_ws("|", piece)).alias("band_hash")))
+    return F.array(*bands)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id document per exact text hash; returns
+    (id, content_hash, group size)."""
+    h = F.md5(F.col(text_col))
+    return (df.select(F.col(id_col), h.alias("content_hash"))
+              .groupBy("content_hash")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, shingle_col: str,
+                  threshold_num: int, threshold_den: int) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+    Shuffles on the shingle (inverted index), not the doc cross join.
+    Returns (id_a, id_b, inter_n, union_n) with id_a < id_b and
+    Jaccard ≥ threshold_num/threshold_den. The threshold is an integer
+    ratio so the cut is exact integer math (float thresholds round
+    differently across engines at the boundary)."""
+    sizes = df.select(F.col(id_col).alias("_id"), F.size(shingle_col).alias("_sz"))
+    inv = df.select(F.col(id_col).alias("_id"),
+                    F.explode(shingle_col).alias("_sh"))
+    pairs = (inv.alias("a").join(inv.alias("b"), on="_sh")
+             .filter(F.col("a._id") < F.col("b._id"))
+             .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter_n")))
+    out = (pairs
+           .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "sz_a"), "id_a")
+           .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "sz_b"), "id_b")
+           .withColumn("union_n", F.col("sz_a") + F.col("sz_b") - F.col("inter_n"))
+           .filter(F.col("inter_n") * threshold_den >= F.col("union_n") * threshold_num)
+           .select("id_a", "id_b", "inter_n", "union_n"))
+    return out
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 8, num_bands: int = 4,
+                           shingle_n: int = 3) -> DataFrame:
+    """MinHash + banded LSH candidate pairs: (id_a, id_b, n_shared_bands).
+    Only docs colliding in ≥1 band bucket pair up — the shuffle key is the
+    band bucket, so cost scales with bucket occupancy, not n²."""
+    rows_per_band = num_hashes // num_bands
+    sig = (df.select(F.col(id_col).alias("_id"),
+                     word_shingles(text_col, shingle_n).alias("_sh"))
+             .filter(F.size("_sh") > 0)
+             .select("_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")))
+    banded = sig.select("_id", F.explode(
+        lsh_bands(F.col("_sig"), num_bands, rows_per_band)).alias("b"))
+    flat = banded.select("_id", F.col("b.band_id").alias("band_id"),
+                         F.col("b.band_hash").alias("band_hash"))
+    pairs = (flat.alias("x").join(flat.alias("y"), on=["band_id", "band_hash"])
+             .filter(F.col("x._id") < F.col("y._id"))
+             .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+    return pairs
+
+
+def simhash_bits(df: DataFrame, id_col: str, text_col: str,
+                 num_bits: int = 16) -> DataFrame:
+    """SimHash signature as a bit string: per token, md5-derived bits
+    vote +1/-1 per position; the sign of each position's sum is the
+    signature bit. Identical/near-identical token multisets converge to
+    the same signature.
+
+    Row-local except one groupBy on (id, bit position) — at corpus scale
+    the token explode is the cost; positions are a constant factor."""
+    toks = df.select(F.col(id_col).alias("_id"),
+                     F.explode(F.split(F.trim(text_col), r"\s+")).alias("_t"))
+    hashed = toks.select("_id", F.md5(F.col("_t")).alias("_h"))
+    pos = hashed.select(
+        "_id", F.posexplode(F.array(*[
+            # bit b of the token hash: hex nibble b, low bit
+            (F.conv(F.substring(F.col("_h"), b + 1, 1), 16, 10)
+              .cast("int") % 2 * 2 - 1)
+            for b in range(num_bits)
+        ])).alias("_bit", "_vote"))
+    votes = pos.groupBy("_id", "_bit").agg(F.sum("_vote").alias("_s"))
+    bits = votes.groupBy("_id").agg(
+        F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(F.struct("_bit", "_s"))),
+            lambda x: F.when(x["_s"] > 0, F.lit("1")).otherwise(F.lit("0"))
+        )).alias("simhash"))
+    return bits.select(F.col("_id").alias(id_col), "simhash")

@@ -1,0 +1,74 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed via Arrow-batched mapInPandas.
+
+The image/audio decode libraries are not in this container, so the
+decode step is STUBBED (NotImplementedError for real media;
+deterministic fake features for testing). The Spark-side plumbing —
+schema, batching, partitioning, UDF signatures — is real and tested:
+swapping the stub for PIL/ffmpeg is a local change inside the batch
+iterator.
+
+Scale notes: payloads stay in executor memory one Arrow batch at a
+time (spark.sql.execution.arrow.maxRecordsPerBatch bounds peak);
+feature extraction is embarrassingly parallel — no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, payload binary"
+)
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, features array<double>"
+
+
+def to_media_column(df: DataFrame, id_col: str, text_col: str,
+                    media_type: str = "text/plain") -> DataFrame:
+    """Pack a column as an opaque binary payload with typed metadata —
+    the storage contract for image/audio/video blobs."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(media_type).alias("media_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        payload.alias("payload"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Decode a real media payload. STUB: the decode libraries (PIL,
+    torchaudio, ffmpeg) are not installed in this environment."""
+    if media_type.startswith("text/"):
+        return payload.decode("utf-8", errors="replace")
+    raise NotImplementedError(
+        f"decode for {media_type!r} requires media libraries not present "
+        "in this container; plug in PIL/ffmpeg here")
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over media payloads.
+
+    Features here are a deterministic fake (length + first/last byte)
+    standing in for an image embedding; the mapInPandas batch shape,
+    schema, and null handling are the real contract."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            feats = payloads.map(
+                lambda b: [float(len(b)),
+                           float(b[0]) if len(b) else 0.0,
+                           float(b[-1]) if len(b) else 0.0])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "features": feats,
+            })
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)

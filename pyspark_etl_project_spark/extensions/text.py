@@ -1,0 +1,101 @@
+"""Text analysis column builders (all JVM-side built-ins — no Python in
+the hot path; a 100 TB corpus scan stays in whole-stage codegen).
+
+Generalizes the reference's normalization surface (SURVEY.md §2.H) to
+corpus statistics: token counting, quality scoring, language-ID
+heuristics, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists for the n-gram language heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "de", "la"],
+}
+
+# BPE-ish tokenizer: word pieces, numbers, or single non-space symbols.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens (empty-string safe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Count of regex word-piece tokens — a cheap stand-in for a BPE
+    tokenizer's pre-tokenization pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def avg_token_length(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(t)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation characters / total characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return p.cast("double") / F.length(c)
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(F.lower(c))
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return hits.cast("double") / F.size(t)
+
+
+def quality_score(col: Column | str,
+                  stopwords: list[str] | None = None) -> Column:
+    """Composite 0..1 quality heuristic: length band + stopword presence
+    + low punctuation. Deterministic, SQL-expressible (oracle twin in
+    plans.extensions)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    len_ok = F.when((n >= 20) & (n <= 10000), F.lit(0.5)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(c, stopwords or LANG_MARKERS["en"])
+    sw_ok = F.when(sw > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) < 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    return len_ok + sw_ok + punct_ok
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-marker language guess; 'und' (undetermined) when no
+    marker list matches."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    t = tokens(c)
+    expr = F.lit("und")
+    for lang, markers in reversed(list(LANG_MARKERS.items())):
+        sw = F.array(*[F.lit(w) for w in markers])
+        hit = F.size(F.filter(t, lambda x: F.array_contains(sw, x))) > 0
+        expr = F.when(hit, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_fingerprint(col: Column | str) -> Column:
+    """Canonical-form document fingerprint: lowercase, collapse
+    whitespace, md5. Whitespace-variant copies collide (intentionally),
+    generalizing the reference's H1 exact row hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(norm)

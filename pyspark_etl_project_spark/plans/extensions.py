@@ -1,0 +1,297 @@
+"""Training-data-pipeline extension operators over documents/embeddings,
+each with a DuckDB oracle twin (except the mapInPandas stub, rows-only).
+
+Cross-engine rules (same as parity.py): integer math at decision
+boundaries, md5-derived hashing only, lowercase aliases, doubles only
+when produced by an identical single-expression computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_etl_project_spark.extensions import text as X
+from pyspark_etl_project_spark.extensions.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_bits,
+    word_shingles,
+)
+from pyspark_etl_project_spark.extensions.multimodal import extract_features, to_media_column
+from pyspark_etl_project_spark.extensions.similarity import brute_force_topk, lsh_bucketed_topk
+from pyspark_etl_project_spark.plans.tables import load
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name, sql=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# --- exact dedup: hash-groupBy -------------------------------------------
+
+@_q("dedup_exact", """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+# --- n-gram Jaccard near-dup pairs ---------------------------------------
+
+@_q("dedup_ngram_jaccard", """
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(w) - 2),
+                       i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id < 300)
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_n
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(sh) AS sz FROM docs)
+SELECT id_a, id_b, inter_n,
+       (sa.sz + sb.sz - inter_n) AS union_n
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE inter_n * 20 >= (sa.sz + sb.sz - inter_n) * 1
+""")
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300)
+            .select("doc_id", word_shingles("text", 3).alias("sh")))
+    return jaccard_pairs(docs, "doc_id", "sh", threshold_num=1, threshold_den=20)
+
+
+# --- MinHash + banded LSH candidates -------------------------------------
+
+_MINHASH_SIG_SQL = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{k}|' || s)))" for k in range(8))
+
+@_q("dedup_minhash_lsh", f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extratoken'
+  FROM documents WHERE doc_id < 200
+), docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(w) - 2),
+                       i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM base)
+), sig AS (
+  SELECT doc_id, [{_MINHASH_SIG_SQL}] AS sg
+  FROM docs WHERE len(sh) > 0
+), bands AS (
+  SELECT doc_id, b AS band_id,
+         md5(sg[2*b+1] || '|' || sg[2*b+2]) AS band_hash
+  FROM sig, unnest(range(4)) AS t(b)
+), pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared_bands
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+              AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared_bands FROM pairs
+""")
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    near = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" extratoken")).alias("text"))
+    base = docs.select("doc_id", "text").unionByName(near)
+    return minhash_lsh_candidates(base, "doc_id", "text",
+                                  num_hashes=8, num_bands=4, shingle_n=3)
+
+
+# --- SimHash signatures ----------------------------------------------------
+
+@_q("dedup_simhash", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE doc_id < 300
+), h AS (SELECT doc_id, md5(t) AS hh FROM toks),
+pos AS (
+  SELECT doc_id, b,
+         CASE WHEN (strpos('0123456789abcdef', substr(hh, b+1, 1)) - 1) % 2 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM h, unnest(range(16)) AS t(b)
+), votes AS (SELECT doc_id, b, SUM(vote) AS s FROM pos GROUP BY 1, 2)
+SELECT doc_id,
+       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+FROM votes GROUP BY doc_id
+""")
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return simhash_bits(docs, "doc_id", "text", num_bits=16)
+
+
+# --- text statistics -------------------------------------------------------
+
+@_q("text_stats", """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars_measured
+FROM documents
+""")
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.distinct_token_count("text").alias("n_distinct_tokens"),
+        X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_measured"))
+
+
+# --- quality score (integer-exact decision boundaries) --------------------
+
+@_q("text_quality_score", """
+SELECT doc_id,
+       (CASE WHEN n BETWEEN 20 AND 10000 THEN 5 ELSE 0 END
+        + CASE WHEN sw_hits > 0 THEN 3 ELSE 0 END
+        + CASE WHEN punct_n * 10 < length(text) THEN 2 ELSE 0 END) AS quality_tenths
+FROM (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             x -> list_contains(['the', 'and', 'of'], x))) AS sw_hits,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_n
+  FROM documents)
+""")
+def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sw = F.array(*[F.lit(w) for w in X.LANG_MARKERS["en"]])
+    n = X.token_count("text")
+    sw_hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    punct_n = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    score = (F.when((n >= 20) & (n <= 10000), 5).otherwise(0)
+             + F.when(sw_hits > 0, 3).otherwise(0)
+             + F.when(punct_n * 10 < F.length("text"), 2).otherwise(0))
+    return docs.select("doc_id", score.alias("quality_tenths"))
+
+
+# --- language-ID heuristic -------------------------------------------------
+
+@_q("lang_id_heuristic", """
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN list_has_any(w, ['the', 'and', 'of']) THEN 'en'
+            WHEN list_has_any(w, ['der', 'und', 'die']) THEN 'de'
+            WHEN list_has_any(w, ['el', 'de', 'la']) THEN 'es'
+            ELSE 'und' END AS guessed_lang
+FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents)
+""")
+def lang_id_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.col("lang").alias("labeled_lang"),
+                       X.lang_id("text").alias("guessed_lang"))
+
+
+# --- canonical-form document fingerprint ----------------------------------
+
+@_q("doc_fingerprint", """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""")
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.normalized_fingerprint("text").alias("fingerprint"))
+
+
+# --- brute-force cosine top-k ---------------------------------------------
+
+_COS_SQL = """
+  round(
+    list_sum(list_transform(range(len(e.embedding)),
+      i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qe[i+1] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(len(e.embedding)),
+        i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(len(q.qe)),
+        i -> CAST(q.qe[i+1] AS DOUBLE) * CAST(q.qe[i+1] AS DOUBLE)))))
+  , 6)"""
+
+@_q("embedding_cosine_topk", f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, {_COS_SQL} AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT vec_id, cos_sim FROM (
+  SELECT vec_id, cos_sim,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored) WHERE rn <= 10
+""")
+def embedding_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return brute_force_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+# --- LSH-bucketed ANN top-k ------------------------------------------------
+
+@_q("embedding_lsh_topk", f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT array_to_string(list_transform(range(4),
+         i -> CASE WHEN qe[i+1] >= 0 THEN '1' ELSE '0' END), '') AS b FROM q),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e, qb
+  WHERE array_to_string(list_transform(range(4),
+          i -> CASE WHEN e.embedding[i+1] >= 0 THEN '1' ELSE '0' END), '') = qb.b
+    AND e.vec_id <> 0),
+scored AS (
+  SELECT e.vec_id, {_COS_SQL} AS cos_sim
+  FROM cand e, q)
+SELECT vec_id, cos_sim FROM (
+  SELECT vec_id, cos_sim,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored) WHERE rn <= 10
+""")
+def embedding_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return lsh_bucketed_topk(emb.filter(F.col("vec_id") != 0), list(qvec),
+                             k=10, num_bits=4)
+
+
+# --- multimodal: binary payload column + metadata -------------------------
+
+@_q("multimodal_binary_stats", """
+SELECT doc_id, 'text/plain' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+""")
+def multimodal_binary_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = to_media_column(docs, "doc_id", "text")
+    return media.select("doc_id", "media_type",
+                        F.col("n_bytes"),
+                        F.md5("payload").alias("content_md5"))
+
+
+# --- multimodal: Arrow-batched feature extraction (rows-only check) -------
+
+@_q("multimodal_feature_extract")  # no SQL oracle: mapInPandas operator
+def multimodal_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = to_media_column(docs, "doc_id", "text")
+    return extract_features(media)

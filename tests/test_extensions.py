@@ -1,0 +1,119 @@
+"""Unit tests for the training-data-pipeline extensions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_etl_project_spark.extensions.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_bits,
+    word_shingles,
+)
+from pyspark_etl_project_spark.extensions.multimodal import (
+    decode_media,
+    extract_features,
+    to_media_column,
+)
+from pyspark_etl_project_spark.extensions.similarity import brute_force_topk, lsh_bucketed_topk
+from pyspark_etl_project_spark.extensions.text import lang_id, normalized_fingerprint, token_count
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "t string")
+    out = [r["sh"] for r in df.select(word_shingles("t", 3).alias("sh")).collect()]
+    assert out[0] == []
+    assert out[1] == ["a b c", "b c d"]
+
+
+def test_exact_dedup_groups_copies(spark):
+    df = spark.createDataFrame([(1, "same"), (2, "same"), (3, "other")],
+                               "doc_id long, text string")
+    out = {r["keep_id"]: r["n_copies"] for r in
+           exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_jaccard_pairs_exact_math(spark):
+    # doc1/doc2 share 2 of 3 shingles each → union 4, inter 2, J = 0.5
+    df = spark.createDataFrame(
+        [(1, ["s1", "s2", "s3"]), (2, ["s2", "s3", "s4"]), (3, ["zz"])],
+        "doc_id long, sh array<string>")
+    out = jaccard_pairs(df, "doc_id", "sh", threshold_num=1, threshold_den=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"], r["inter_n"], r["union_n"]) == (1, 2, 2, 4)
+    # threshold just above 0.5 excludes the pair
+    assert jaccard_pairs(df, "doc_id", "sh", 51, 100).count() == 0
+
+
+def test_minhash_lsh_finds_near_duplicate(spark):
+    text = " ".join(f"w{i}" for i in range(40))
+    near = text + " extra"
+    far = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame([(1, text), (2, near), (3, far)],
+                               "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_candidates(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "completely different words here")],
+        "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            simhash_bits(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 16 and set(sigs[1]) <= {"0", "1"}
+    assert sigs[1] != sigs[3]
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, [1.0, 0.0], k=2)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert ids == [1, 2]
+
+
+def test_lsh_bucketed_topk_prunes_other_bucket(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [0.5, 0.5]), (3, [-1.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    out = lsh_bucketed_topk(df, [1.0, 1.0], k=5, num_bits=2)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert ids == {1, 2}  # vec 3 is in the other sign bucket
+
+
+def test_text_funcs(spark):
+    df = spark.createDataFrame([("The cat and the hat",)], "t string")
+    row = df.select(token_count("t").alias("n"),
+                    lang_id("t").alias("lang"),
+                    normalized_fingerprint("t").alias("fp")).first()
+    assert row["n"] == 5
+    assert row["lang"] == "en"
+    df2 = spark.createDataFrame([("the  CAT and THE hat ",)], "t string")
+    fp2 = df2.select(normalized_fingerprint("t").alias("fp")).first()["fp"]
+    assert fp2 == row["fp"]  # case/whitespace-insensitive collision by design
+
+
+def test_multimodal_media_column_and_features(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    media = to_media_column(df, "doc_id", "text")
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert rows[1]["n_bytes"] == 5 and rows[1]["payload"] == b"hello"
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["features"] == [5.0, float(b"h"[0]), float(b"o"[0])]
+    assert feats[2]["features"] == [0.0, 0.0, 0.0]
+
+
+def test_decode_media_stub_contract():
+    assert decode_media(b"abc", "text/plain") == "abc"
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
