@@ -26,6 +26,13 @@ HEADLINE = [
     "validity_flag",
     "latest_version_per_key",
     "dim_prep_lookup",
+    "etl_csv_pipeline_full",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_cosine_topk",
+    "text_stats",
+    "streaming_window_agg",
 ]
 
 

@@ -9,14 +9,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from pyspark_etl_project_spark.plans import parity
-    mods = [parity]
-    try:
-        from pyspark_etl_project_spark.plans import extensions
-        mods.append(extensions)
-    except ImportError:
-        pass
-    return mods
+    from pyspark_etl_project_spark.plans import (
+        extensions,
+        parity,
+        pipeline_plans,
+        streaming_plans,
+    )
+    return [parity, extensions, streaming_plans, pipeline_plans]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,150 @@
+"""Streaming-surface queries. Both run a REAL Structured Streaming query
+(file source, synchronous drain) whose final state is deterministic —
+so even the streaming path gets a DuckDB oracle.
+
+Reference parity: J1-J3 (SURVEY.md §2.J) — trigger-driven ingest,
+source-offset watermarks, idempotent merge downstream.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_etl_project_spark.streaming.ingest import (
+    foreach_batch_scd2,
+    run_stream_to_memory,
+    stream_events,
+    windowed_event_agg,
+)
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name, sql=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# --- streaming windowed aggregation (tumbling day windows) ----------------
+
+@_q("streaming_window_agg", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""")
+def streaming_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir)
+    agg = windowed_event_agg(stream, window_len="1 day", watermark="1 day")
+    out = run_stream_to_memory(agg, output_mode="complete")
+    # Tumbling 1-day windows are epoch-aligned == date_trunc('day') in UTC.
+    return out.select(F.col("window.start").alias("window_start"),
+                      "event_type", "n_events", "value_cents")
+
+
+# --- streaming foreachBatch SCD2 merge ------------------------------------
+
+_STREAM_RUN_TS = "2024-06-01 00:00:00"
+
+@_q("streaming_scd2_merge", """
+WITH latest AS (
+  SELECT user_id, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id <= 500) WHERE rn = 1
+), mart AS (
+  SELECT user_id AS csd_id, 'USR - ' || CAST(user_id AS VARCHAR) AS ssi,
+         event_id, event_type, 1 AS active_flag,
+         TIMESTAMP '2020-01-01 00:00:00' AS start_date,
+         TIMESTAMP '2099-12-31 00:00:00' AS end_date
+  FROM latest
+), arrivals AS (
+  SELECT 'USR - ' || CAST(user_id AS VARCHAR) AS ssi, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id > 500) WHERE rn = 1
+), offs AS (SELECT MAX(csd_id) AS o FROM mart),
+expired AS (
+  SELECT csd_id, ssi, event_id, event_type, 0 AS active_flag, start_date,
+         TIMESTAMP '2024-06-01 00:00:00' AS end_date
+  FROM mart WHERE ssi IN (SELECT ssi FROM arrivals)
+), survivors AS (
+  SELECT * FROM mart WHERE ssi NOT IN (SELECT ssi FROM arrivals)
+), fresh AS (
+  SELECT (SELECT o FROM offs) + ROW_NUMBER() OVER (ORDER BY ssi) AS csd_id,
+         ssi, event_id, event_type, 1 AS active_flag,
+         TIMESTAMP '2024-06-01 00:00:00' AS start_date,
+         TIMESTAMP '2099-12-31 00:00:00' AS end_date
+  FROM arrivals
+)
+SELECT * FROM survivors
+UNION ALL SELECT * FROM expired
+UNION ALL SELECT * FROM fresh
+""")
+def streaming_scd2_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.dedup import keep_latest
+    from pyspark_etl_project_spark.operators.scd2 import scd2_merge
+    from pyspark_etl_project_spark.plans.tables import load
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return keep_latest(df, keys="user_id", order_by="event_id")
+
+    batch_events = load(spark, sf_dir, "events")
+    historic = latest_per_user(batch_events.filter(F.col("event_id") <= 500))
+    initial_mart = historic.select(
+        F.col("user_id").cast("long").alias("csd_id"),
+        F.concat(F.lit("USR - "), F.col("user_id").cast("string")).alias("ssi"),
+        "event_id", "event_type",
+        F.lit(1).alias("ACTIVE_FLAG"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("START_DATE"),
+        F.lit("2099-12-31 00:00:00").cast("timestamp").alias("END_DATE"))
+
+    # The streaming side: arrivals flow through a real foreachBatch merge.
+    stream = stream_events(spark, sf_dir).filter(F.col("event_id") > 500)
+    workdir = tempfile.mkdtemp(prefix="scd2_stream_")
+    mart_path = os.path.join(workdir, "mart")
+
+    # A micro-batch may contain several versions of one key; pre-collapse
+    # to latest-per-key inside the batch (the reference's E1 dedup before
+    # CDC). foreachBatch hands us a plain batch DataFrame, so the exact
+    # batch operators are reused unchanged.
+    def merge_ready(batch: DataFrame) -> DataFrame:
+        return latest_per_user(batch).select(
+            F.concat(F.lit("USR - "), F.col("user_id").cast("string")).alias("ssi"),
+            "event_id", "event_type")
+
+    initial_mart.write.mode("overwrite").parquet(mart_path)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        arrivals = merge_ready(batch)
+        mart = spark.read.parquet(mart_path)
+        merged = scd2_merge(mart, arrivals, run_ts=_STREAM_RUN_TS,
+                            key="ssi", surrogate_col="csd_id", dense_ids=True)
+        staged = merged.persist()
+        staged.count()
+        staged.write.mode("overwrite").parquet(mart_path)
+        staged.unpersist()
+
+    q = (stream.writeStream.outputMode("append")
+         .foreachBatch(merge_batch)
+         .option("checkpointLocation", os.path.join(workdir, "chk"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.read.parquet(mart_path)
+    return final.select("csd_id", "ssi", "event_id", "event_type",
+                        F.col("ACTIVE_FLAG").alias("active_flag"),
+                        F.col("START_DATE").alias("start_date"),
+                        F.col("END_DATE").alias("end_date"))

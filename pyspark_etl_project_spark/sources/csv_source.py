@@ -1,0 +1,23 @@
+"""CSV feed scan (A1): pipe-delimited, header row, explicit 13-col schema.
+
+Reference: /root/reference/ETL/CSV_Batch_Processing.py:48-67. Identical
+semantics; the explicit schema keeps the scan inference-free and lets
+Catalyst prune columns at the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_etl_project_spark.schemas import CSV_TICKETS_SCHEMA
+
+
+def read_csv_tickets(spark: SparkSession, path: str) -> DataFrame:
+    """Read the AT&T ticket feed. Adds _ingest_order (file position) as
+    the deterministic keep-latest tiebreaker — the reference's window
+    ordered by the partition key itself, which is nondeterministic among
+    duplicates (SURVEY.md §2.E quirk); the generator appends updates
+    later in the file, so file position IS arrival order."""
+    df = (spark.read.csv(path, header=True, schema=CSV_TICKETS_SCHEMA, sep="|"))
+    return df.withColumn("_ingest_order", F.monotonically_increasing_id())

@@ -1,0 +1,42 @@
+"""XML record parsing (A3): one <RECORD> string per row, 14 child tags.
+
+Reference: /root/reference/ETL/XML_Batch_Processing.py:111-137 — a
+driver-side ElementTree loop over collected strings. Here parsing runs
+ON EXECUTORS via Spark 4's native from_xml; the archive's
+(ARCHIVE_ID, STREAM_RECORD_ID, STREAMING_DATA) rows keep their ids as
+watermark/version columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_etl_project_spark.schemas import XML_RECORD_FIELDS
+
+_XML_SCHEMA_DDL = ", ".join(f"{f} STRING" for f in XML_RECORD_FIELDS)
+
+
+def parse_xml_records(df: DataFrame, xml_col: str = "STREAMING_DATA",
+                      keep_cols: list[str] | None = None) -> DataFrame:
+    """Parse <RECORD> XML strings into 14 string columns (typed later by
+    the pipeline's casts, same as the reference)."""
+    parsed = df.withColumn("_rec", _from_xml(F.col(xml_col)))
+    keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != xml_col]
+    return parsed.select(*keep, "_rec.*")
+
+
+def _from_xml(col: Column) -> Column:
+    return F.from_xml(col, F.lit(f"STRUCT<{_XML_SCHEMA_DDL}>"))
+
+
+def xml_record_string(values: dict[str, str | None]) -> str:
+    """Serialize a RECORD element (fixture/generator helper, mirroring
+    Data_Generators/XML_data_generator.py:83-119 tag layout)."""
+    parts = ["<RECORD>"]
+    for f in XML_RECORD_FIELDS:
+        v = values.get(f)
+        if v is not None:
+            parts.append(f"<{f}>{v}</{f}>")
+    parts.append("</RECORD>")
+    return "".join(parts)

@@ -1,0 +1,13 @@
+from pyspark_etl_project_spark.streaming.ingest import (
+    stream_events,
+    windowed_event_agg,
+    run_stream_to_memory,
+    foreach_batch_scd2,
+)
+
+__all__ = [
+    "stream_events",
+    "windowed_event_agg",
+    "run_stream_to_memory",
+    "foreach_batch_scd2",
+]

@@ -1,0 +1,218 @@
+"""Golden-fixture ETL tests (SURVEY.md §5): deterministic mini-feeds per
+source, hand-computed expected mart states across load sequences,
+asserting the FIXTURES.md §5 invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_etl_project_spark.dims import seed_agents, seed_customer_types, seed_support_areas
+from pyspark_etl_project_spark.pipelines.common import empty_mart, run_load
+from pyspark_etl_project_spark.pipelines.csv_pipeline import csv_transform
+from pyspark_etl_project_spark.pipelines.json_pipeline import json_transform
+from pyspark_etl_project_spark.pipelines.xml_pipeline import xml_transform
+from pyspark_etl_project_spark.sources.json_source import json_records_df
+from pyspark_etl_project_spark.sources.xml_source import parse_xml_records, xml_record_string
+
+T1, T2, T3 = "2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    return {
+        "agents": seed_agents(spark),
+        "support_areas": seed_support_areas(spark),
+        "customer_types": seed_customer_types(spark),
+    }
+
+
+def _csv_df(spark, rows):
+    """rows: list of 13-tuples matching CSV_TICKETS_SCHEMA order."""
+    from pyspark_etl_project_spark.schemas import CSV_TICKETS_SCHEMA
+    df = spark.createDataFrame(rows, CSV_TICKETS_SCHEMA)
+    return df.withColumn("_ingest_order", F.monotonically_increasing_id())
+
+
+def _ticket(tid, rating="GOOD", agent="ATT-AGENT-01", area="BILLING",
+            ctype="PREPAID", date="01152024103000", status="COMPLETED",
+            ctype_null=False, agent_null=False):
+    return (tid, area, None if agent_null else agent, date, status, "CALL",
+            None if ctype_null else ctype, 300, 200,
+            "RESOLVED", 1, "SELF-HELP OPTION", rating)
+
+
+def _active(mart):
+    return {r["SOURCE_SYSTEM_IDENTIFIER"]: r
+            for r in mart.filter(F.col("ACTIVE_FLAG") == 1).collect()}
+
+
+class TestCsvLoadSequence:
+    def test_three_load_scd2_history(self, spark, dims):
+        mart = empty_mart(spark)
+
+        # Load 1: three inserts (one with a trailing duplicate id — the
+        # later occurrence must win per keep-latest).
+        load1 = _csv_df(spark, [
+            _ticket(1, rating="BAD"),
+            _ticket(2),
+            _ticket(3),
+            _ticket(1, rating="BEST"),  # update appended later in file
+        ])
+        mart, audit1 = run_load(mart, csv_transform(load1, dims, 101), T1)
+        mart = mart.persist(); mart.count()
+        act = _active(mart)
+        assert len(act) == 3
+        assert act["AT&T - 1"]["CUSTOMER_RATING"] == 5  # BEST won, not BAD
+        a1 = audit1.first()
+        assert a1["TOTAL_UPSERT_COUNT"] == 3 and a1["VALID_COUNT"] == 3
+        assert a1["DATA_VALID_PERCENTAGE"] == 100.0
+
+        # Load 2: t1 identical (DUPLICATE → dropped), t2 changed (UPDATE),
+        # t4 new (INSERT).
+        load2 = _csv_df(spark, [
+            _ticket(1, rating="BEST"),
+            _ticket(2, rating="WORST"),
+            _ticket(4),
+        ])
+        mart, audit2 = run_load(mart, csv_transform(load2, dims, 102), T2)
+        mart = mart.persist(); mart.count()
+        rows = mart.collect()
+        act = _active(mart)
+        assert len(act) == 4
+        # Invariant 1: exactly one active row per key.
+        by_key = {}
+        for r in rows:
+            if r["ACTIVE_FLAG"] == 1:
+                assert r["SOURCE_SYSTEM_IDENTIFIER"] not in by_key
+                by_key[r["SOURCE_SYSTEM_IDENTIFIER"]] = r
+        # t1 was a DUPLICATE: untouched, START_DATE still T1.
+        assert str(act["AT&T - 1"]["START_DATE"]) == T1
+        # t2 was an UPDATE: expired old + fresh active.
+        t2_rows = [r for r in rows if r["SOURCE_SYSTEM_IDENTIFIER"] == "AT&T - 2"]
+        assert len(t2_rows) == 2
+        old = next(r for r in t2_rows if r["ACTIVE_FLAG"] == 0)
+        new = next(r for r in t2_rows if r["ACTIVE_FLAG"] == 1)
+        # Invariant 2: expired END_DATE == successor START_DATE.
+        assert old["END_DATE"] == new["START_DATE"]
+        assert new["CUSTOMER_RATING"] == 1
+        assert audit2.first()["TOTAL_UPSERT_COUNT"] == 2  # duplicate dropped
+
+        # Load 3: null-heavy row → IS_VALID_DATA = 0.
+        load3 = _csv_df(spark, [_ticket(5, agent_null=True)])
+        mart, audit3 = run_load(mart, csv_transform(load3, dims, 103), T3)
+        act = _active(mart)
+        assert act["AT&T - 5"]["IS_VALID_DATA"] == 0
+        assert act["AT&T - 5"]["AGENT_ID"] is None
+        a3 = audit3.first()
+        assert a3["VALID_COUNT"] == 0 and a3["INVALID_COUNT"] == 1
+
+    def test_unknown_dim_value_is_invalid(self, spark, dims):
+        mart = empty_mart(spark)
+        load = _csv_df(spark, [_ticket(9, area="NO SUCH AREA")])
+        mart, _ = run_load(mart, csv_transform(load, dims, 110), T1)
+        r = _active(mart)["AT&T - 9"]
+        assert r["SUPPORT_AREA_ID"] is None and r["IS_VALID_DATA"] == 0
+
+
+class TestJsonPipeline:
+    def _records(self, spark, specs):
+        recs = [
+            {"key": k, "value": {
+                "INTERACTION_ID": iid,
+                "SUPPORT_CATEGORY": "PAYMENTS",
+                "AGENT_PSEUDO_NAME": "AMZ-AGENT-02",
+                "CONTACT_DATE": "15/01/2024 10:30:00",
+                "INTERACTION_STATUS": "COMPLETED",
+                "INTERACTION_TYPE": "CHAT",
+                "TYPE_OF_CUSTOMER": ctype,
+                "INTERACTION_DURATION": 120,
+                "TOTAL_TIME": 300,
+                "STATUS_OF_CUSTOMER_INCIDENT": "RESOLVED",
+                "RESOLVED_IN_FIRST_CONTACT": fcr,
+                "SOLUTION_TYPE": "SELF-HELP OPTION",
+                "RATING": rating,
+            }} for (k, iid, ctype, fcr, rating) in specs
+        ]
+        return json_records_df(spark, recs)
+
+    def test_normalizations_and_duplicate_dim_collapse(self, spark, dims):
+        df = self._records(spark, [(1, 1, "PROMO-SEEKER", "YES", 1),
+                                   (2, 2, "PRIME", "no", 10)])
+        staged = json_transform(df, dims, 201)
+        rows = {r["SOURCE_SYSTEM_IDENTIFIER"]: r for r in staged.collect()}
+        r1, r2 = rows["AMAZON - 1"], rows["AMAZON - 2"]
+        assert r1["CUSTOMER_RATING"] == 0          # floor(1/2) quirk kept
+        assert r2["CUSTOMER_RATING"] == 5
+        assert r1["FIRST_CONTACT_RESOLUTION"] == 1 and r2["FIRST_CONTACT_RESOLUTION"] == 0
+        assert r1["WORK_TIME"] == 180              # TOTAL - DURATION
+        # duplicate PROMO-SEEKER rows: newest START_DATE id (13) must win
+        assert r1["CUSTOMER_TYPE_ID"] == 13
+
+    def test_watermark_range_scan(self, spark, dims):
+        from pyspark_etl_project_spark.sources.json_source import json_records_df as mk
+        recs = [{"key": k, "value": {"INTERACTION_ID": k, "SUPPORT_CATEGORY": None,
+                                     "AGENT_PSEUDO_NAME": None, "CONTACT_DATE": None,
+                                     "INTERACTION_STATUS": None, "INTERACTION_TYPE": None,
+                                     "TYPE_OF_CUSTOMER": None, "INTERACTION_DURATION": None,
+                                     "TOTAL_TIME": None, "STATUS_OF_CUSTOMER_INCIDENT": None,
+                                     "RESOLVED_IN_FIRST_CONTACT": None, "SOLUTION_TYPE": None,
+                                     "RATING": None}} for k in range(1, 6)]
+        assert mk(spark, recs, watermark=3).count() == 2  # keys 4, 5
+
+
+class TestXmlPipeline:
+    def _archive(self, spark, rows):
+        return spark.createDataFrame(rows, "ARCHIVE_ID long, STREAM_RECORD_ID long, "
+                                           "STREAMING_DATA string")
+
+    def _rec(self, sid, ts="2024/01/15 10:30:00", dur="0:05:00", work="0:03:20",
+             solve="TRUE", rating="4"):
+        return xml_record_string({
+            "SUPPORT_IDENTIFIER": str(sid),
+            "CONTACT_REGARDING": "RIDE ISSUES",
+            "AGENT_CODE": "UBR-AGENT-03",
+            "DATE_OF_INTERACTION": "20240115103000",
+            "STATUS_OF_INTERACTION": "INTERACTION COMPLETED",
+            "TYPE_OF_INTERACTION": "CALL",
+            "CUSTOMER_TYPE": "LONG-TERM CUSTOMER",
+            "CONTACT_DURATION": dur,
+            "AFTER_CONTACT_WORK_TIME": work,
+            "INCIDENT_STATUS": "RESOLVED",
+            "FIRST_CONTACT_SOLVE": solve,
+            "TYPE_OF_RESOLUTION": "SELF-HELP OPTION",
+            "SUPPORT_RATING": rating,
+            "TIME_STAMP": ts,
+        })
+
+    def test_parse_durations_and_redelivery_is_update(self, spark, dims):
+        arch1 = self._archive(spark, [(1, 1, self._rec(1, ts="2024/01/15 10:30:00"))])
+        parsed1 = parse_xml_records(arch1)
+        mart = empty_mart(spark)
+        mart, _ = run_load(mart, xml_transform(parsed1, dims, 301), T1)
+        mart = mart.persist(); mart.count()
+        r = _active(mart)["UBER - 1"]
+        assert r["HANDLE_TIME"] == 300 and r["WORK_TIME"] == 200
+        assert r["FIRST_CONTACT_RESOLUTION"] == 1
+        assert r["CUSTOMER_TYPE_ID"] == 14  # duplicate dim row, newest wins
+        assert r["IS_VALID_DATA"] == 1
+
+        # Identical record re-delivered with a fresh TIME_STAMP: the hash
+        # includes TIME_STAMP, so this routes UPDATE (not DUPLICATE) —
+        # reference XML:163-168 behavior preserved.
+        arch2 = self._archive(spark, [(2, 1, self._rec(1, ts="2024/01/16 09:00:00"))])
+        mart2, audit = run_load(mart, xml_transform(parse_xml_records(arch2), dims, 302), T2)
+        assert audit.first()["TOTAL_UPSERT_COUNT"] == 1
+        rows = [r for r in mart2.collect() if r["SOURCE_SYSTEM_IDENTIFIER"] == "UBER - 1"]
+        assert len(rows) == 2
+        assert {r["ACTIVE_FLAG"] for r in rows} == {0, 1}
+
+    def test_latest_archive_version_wins(self, spark, dims):
+        arch = self._archive(spark, [
+            (1, 1, self._rec(1, rating="2")),
+            (2, 1, self._rec(1, rating="5")),  # same record id, newer archive row
+        ])
+        staged = xml_transform(parse_xml_records(arch), dims, 303)
+        rows = staged.collect()
+        assert len(rows) == 1
+        assert rows[0]["CUSTOMER_RATING"] == 5
