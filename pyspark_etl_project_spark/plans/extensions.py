@@ -295,3 +295,109 @@ def multimodal_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = to_media_column(docs, "doc_id", "text")
     return extract_features(media)
+
+
+# --- J5 retention: keep newest N per group --------------------------------
+
+@_q("retention_latest_per_group", """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id DESC) AS rn
+  FROM events) WHERE rn <= 100
+""")
+def retention_latest_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-store retention (reference J5: keep newest 5000 records,
+    Setup/Streaming_API_Setup.py:50) generalized to per-group top-N — the
+    scalable form: one shuffle on the group key, no global sort."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 100)
+              .select("event_id", "event_type"))
+
+
+# --- sessionization: gap-based session ids --------------------------------
+
+@_q("sessionize_events", """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN gap_us IS NULL OR gap_us > 3600000000 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(ts) AS session_start
+FROM sess GROUP BY user_id, session_idx
+""")
+def sessionize_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1 h inactivity): lag + running sum over
+    one user-partitioned window — single shuffle on user_id, both window
+    passes reuse the same partitioning."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 3600 * 1_000_000), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_idx")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.min("ts").alias("session_start")))
+
+
+# --- embedding near-dup pairs (cosine threshold in LSH buckets) ----------
+
+@_q("dedup_embedding_threshold", """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 25 = 0
+), bucketed AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(range(4),
+           i -> CASE WHEN embedding[i+1] >= 0 THEN '1' ELSE '0' END), '') AS b
+  FROM base
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(len(x.embedding)),
+             i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(len(x.embedding)),
+               i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(x.embedding[i+1] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(len(y.embedding)),
+               i -> CAST(y.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))))
+         , 6) AS cos_sim
+  FROM bucketed x JOIN bucketed y ON x.b = y.b AND x.vec_id < y.vec_id
+) WHERE cos_sim >= 0.999
+""")
+def dedup_embedding_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed: candidate pairs come
+    from a sign-bucket equi-join (prunes ~2^-bits of the n^2 space), then
+    exact cosine filters. Exact duplicates (synthesized id+1000000 copies)
+    land at cos=1.0."""
+    from pyspark_etl_project_spark.extensions.similarity import cosine, sign_bucket
+
+    emb = load(spark, sf_dir, "embeddings")
+    copies = (emb.filter(F.col("vec_id") % 25 == 0)
+                 .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+    base = emb.select("vec_id", "embedding").unionByName(copies)
+    bucketed = base.withColumn("b", sign_bucket(F.col("embedding"), 4))
+    x = bucketed.alias("x")
+    y = bucketed.alias("y")
+    pairs = (x.join(y, (F.col("x.b") == F.col("y.b"))
+                    & (F.col("x.vec_id") < F.col("y.vec_id")))
+             .select(F.col("x.vec_id").alias("id_a"),
+                     F.col("y.vec_id").alias("id_b"),
+                     F.round(cosine(F.col("x.embedding"), F.col("y.embedding")), 6)
+                      .alias("cos_sim")))
+    return pairs.filter(F.col("cos_sim") >= 0.999)
