@@ -12,7 +12,40 @@ from pyspark.sql import functions as F
 from pyspark_etl_project_spark.dims import seed_agents, seed_customer_types, seed_support_areas
 from pyspark_etl_project_spark.pipelines.common import empty_mart, run_load
 from pyspark_etl_project_spark.pipelines.csv_pipeline import csv_transform
+from pyspark_etl_project_spark.pipelines.json_pipeline import json_transform
+from pyspark_etl_project_spark.pipelines.xml_pipeline import xml_transform
 from pyspark_etl_project_spark.plans.tables import load
+
+
+def _seed_dims(spark: SparkSession) -> dict[str, DataFrame]:
+    return {
+        "agents": seed_agents(spark),
+        "support_areas": seed_support_areas(spark),
+        "customer_types": seed_customer_types(spark),
+    }
+
+
+def _mart_lower(mart: DataFrame) -> DataFrame:
+    """Final mart projection with stable lowercase names shared by the
+    oracle twins (driver compare sorts columns by name)."""
+    pairs = [
+        ("CSD_ID", "csd_id"), ("SOURCE_ID", "source_id"),
+        ("SOURCE_SYSTEM_IDENTIFIER", "ssi"), ("AGENT_ID", "agent_id"),
+        ("INTERACTION_DATE", "interaction_date"),
+        ("SUPPORT_AREA_ID", "support_area_id"),
+        ("INTERACTION_STATUS", "interaction_status"),
+        ("INTERACTION_TYPE", "interaction_type"),
+        ("CUSTOMER_TYPE_ID", "customer_type_id"),
+        ("HANDLE_TIME", "handle_time"), ("WORK_TIME", "work_time"),
+        ("FIRST_CONTACT_RESOLUTION", "first_contact_resolution"),
+        ("QUERY_STATUS", "query_status"), ("SOLUTION_TYPE", "solution_type"),
+        ("CUSTOMER_RATING", "customer_rating"),
+        ("SOURCE_HASH_KEY", "source_hash_key"),
+        ("DATA_LOAD_ID", "data_load_id"), ("IS_VALID_DATA", "is_valid_data"),
+        ("ACTIVE_FLAG", "active_flag"), ("START_DATE", "start_date"),
+        ("END_DATE", "end_date"),
+    ]
+    return mart.select(*[F.col(a).alias(b) for a, b in pairs])
 
 QUERIES = {}
 ORACLE = {}
@@ -159,3 +192,252 @@ def etl_csv_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ACTIVE_FLAG").alias("active_flag"),
         F.col("START_DATE").alias("start_date"),
         F.col("END_DATE").alias("end_date"))
+
+
+# --- AMAZON JSON pipeline, end to end -------------------------------------
+# Beyond the CSV query this one exercises keep-latest dedup (10% of keys
+# re-emitted with fresh values and a later ingest id), the duplicate
+# customer-type dimension rows (PROMO-SEEKER must resolve to the NEWER id
+# 13 — reference Setup/SQL_DML_Script.sql:425-429 + ETL/DB_Lookup.py:48-54),
+# the floor(r/2) rating quirk (H6), YES/NO normalization with a third
+# unknown token driving IS_VALID_DATA=0 (H10/H12), and the JSON hash rule
+# of fingerprinting the TYPED timestamp (§3.2).
+
+@_q("etl_json_pipeline_full", f"""
+WITH feed AS (
+  SELECT CAST(o_orderkey AS INTEGER) AS iid,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 'ORDER ISSUES'
+              WHEN '2-HIGH' THEN 'PAYMENTS'
+              WHEN '3-MEDIUM' THEN 'RETURNS & REFUNDS'
+              WHEN '4-NOT SPECIFIED' THEN 'PRIME MEMBERSHIP'
+              ELSE 'MARKETPLACE & THIRD-PARTY SELLERS' END AS support_category,
+         'AMZ-AGENT-0' || CAST(o_orderkey % 5 + 1 AS VARCHAR) AS agent_name,
+         CAST(o_orderdate AS TIMESTAMP) AS contact_ts,
+         CASE o_orderstatus WHEN 'O' THEN 'COMPLETED'
+              WHEN 'F' THEN 'DROPPED' ELSE 'TRANSFERRED' END AS interaction_status,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'CALL' ELSE 'CHAT' END AS interaction_type,
+         CASE o_orderkey % 4 WHEN 0 THEN 'REGULAR' WHEN 1 THEN 'PRIME'
+              WHEN 2 THEN 'BUSINESS' ELSE 'PROMO-SEEKER' END AS type_of_customer,
+         CAST(o_orderkey % 580 + 20 AS INTEGER) AS duration,
+         CAST(o_orderkey % 580 + 20 + o_orderkey % 100 + 10
+              + CASE WHEN o_orderkey % 10 = 0 THEN 60 ELSE 0 END AS INTEGER) AS total_time,
+         'RESOLVED' AS incident_status,
+         CASE o_orderkey % 3 WHEN 0 THEN 'YES' WHEN 1 THEN 'NO'
+              ELSE 'UNKNOWN' END AS resolved_fc,
+         'SELF-HELP OPTION' AS solution_type,
+         CAST(CASE WHEN o_orderkey % 10 = 0 THEN 10
+              ELSE o_orderkey % 10 + 1 END AS INTEGER) AS rating
+  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000),
+staged AS (
+  SELECT 'AMAZON - ' || CAST(iid AS VARCHAR) AS ssi,
+         CAST(iid % 5 + 1 AS INTEGER) AS agent_id,
+         contact_ts AS interaction_date,
+         CASE support_category WHEN 'ORDER ISSUES' THEN 1 WHEN 'PAYMENTS' THEN 2
+              WHEN 'RETURNS & REFUNDS' THEN 3 WHEN 'PRIME MEMBERSHIP' THEN 4
+              ELSE 5 END AS support_area_id,
+         interaction_status, interaction_type,
+         CASE type_of_customer WHEN 'REGULAR' THEN 1 WHEN 'PRIME' THEN 2
+              WHEN 'BUSINESS' THEN 3 ELSE 13 END AS customer_type_id,
+         duration AS handle_time,
+         total_time - duration AS work_time,
+         CASE resolved_fc WHEN 'YES' THEN 1 WHEN 'NO' THEN 0
+              ELSE NULL END AS first_contact_resolution,
+         incident_status AS query_status,
+         solution_type,
+         CAST(FLOOR(rating / 2.0) AS INTEGER) AS customer_rating,
+         md5(concat_ws('||',
+             coalesce(CAST(iid AS VARCHAR), 'NULL'),
+             coalesce(support_category, 'NULL'),
+             coalesce(agent_name, 'NULL'),
+             coalesce(CAST(contact_ts AS VARCHAR), 'NULL'),
+             coalesce(interaction_status, 'NULL'),
+             coalesce(interaction_type, 'NULL'),
+             coalesce(type_of_customer, 'NULL'),
+             coalesce(CAST(duration AS VARCHAR), 'NULL'),
+             coalesce(CAST(total_time AS VARCHAR), 'NULL'),
+             coalesce(incident_status, 'NULL'),
+             coalesce(resolved_fc, 'NULL'),
+             coalesce(solution_type, 'NULL'),
+             coalesce(CAST(rating AS VARCHAR), 'NULL'))) AS source_hash_key
+  FROM feed)
+SELECT ROW_NUMBER() OVER (ORDER BY ssi) AS csd_id,
+       1 AS source_id, ssi, agent_id, interaction_date, support_area_id,
+       interaction_status, interaction_type, customer_type_id, handle_time,
+       work_time, first_contact_resolution, query_status, solution_type,
+       customer_rating, source_hash_key,
+       CAST(77 AS BIGINT) AS data_load_id,
+       CASE WHEN first_contact_resolution IS NULL THEN 0 ELSE 1 END AS is_valid_data,
+       1 AS active_flag,
+       TIMESTAMP '{_RUN_TS}' AS start_date,
+       TIMESTAMP '2099-12-31 00:00:00' AS end_date
+FROM staged
+""")
+def etl_json_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+    k = F.col("o_orderkey")
+    pr = F.col("o_orderpriority")
+    base = orders.select(
+        k.cast("int").alias("INTERACTION_ID"),
+        (F.when(pr == "1-URGENT", "ORDER ISSUES")
+          .when(pr == "2-HIGH", "PAYMENTS")
+          .when(pr == "3-MEDIUM", "RETURNS & REFUNDS")
+          .when(pr == "4-NOT SPECIFIED", "PRIME MEMBERSHIP")
+          .otherwise("MARKETPLACE & THIRD-PARTY SELLERS")).alias("SUPPORT_CATEGORY"),
+        F.concat(F.lit("AMZ-AGENT-0"), (k % 5 + 1).cast("string")).alias("AGENT_PSEUDO_NAME"),
+        F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss").alias("CONTACT_DATE"),
+        (F.when(F.col("o_orderstatus") == "O", "COMPLETED")
+          .when(F.col("o_orderstatus") == "F", "DROPPED")
+          .otherwise("TRANSFERRED")).alias("INTERACTION_STATUS"),
+        F.when(k % 2 == 0, "CALL").otherwise("CHAT").alias("INTERACTION_TYPE"),
+        (F.when(k % 4 == 0, "REGULAR").when(k % 4 == 1, "PRIME")
+          .when(k % 4 == 2, "BUSINESS").otherwise("PROMO-SEEKER")).alias("TYPE_OF_CUSTOMER"),
+        (k % 580 + 20).cast("int").alias("INTERACTION_DURATION"),
+        (k % 580 + 20 + k % 100 + 10).cast("int").alias("TOTAL_TIME"),
+        F.lit("RESOLVED").alias("STATUS_OF_CUSTOMER_INCIDENT"),
+        (F.when(k % 3 == 0, "YES").when(k % 3 == 1, "NO")
+          .otherwise("UNKNOWN")).alias("RESOLVED_IN_FIRST_CONTACT"),
+        F.lit("SELF-HELP OPTION").alias("SOLUTION_TYPE"),
+        (k % 10 + 1).cast("int").alias("RATING"),
+        k.cast("long").alias("_ingest_order"),
+    )
+    # 10% of keys arrive again later with fresh values (higher rating,
+    # longer total time, later ingest id) — keep-latest dedup must keep
+    # exactly these versions.
+    reemit = (base.filter(F.col("INTERACTION_ID") % 10 == 0)
+                  .withColumn("RATING", F.lit(10).cast("int"))
+                  .withColumn("TOTAL_TIME", (F.col("TOTAL_TIME") + 60).cast("int"))
+                  .withColumn("_ingest_order", F.col("_ingest_order") + F.lit(1000000)))
+    feed = base.unionByName(reemit)
+    staged = json_transform(feed, _seed_dims(spark), data_load_id=77)
+    mart, _audit = run_load(empty_mart(spark), staged, _RUN_TS, source_id=1)
+    return _mart_lower(mart)
+
+
+# --- UBER XML pipeline, end to end ----------------------------------------
+# Exercises: ARCHIVE_ID keep-latest over a re-delivered subset whose only
+# change is TIME_STAMP (the §3.3 quirk — TIME_STAMP participates in the
+# hash, so a re-delivery is a real new version), 'H:MM:SS' durations to
+# seconds as pure column math (I4 without the UDF), TRUE/FALSE boolean
+# normalization with an N/A token driving IS_VALID_DATA=0, and the
+# LONG-TERM CUSTOMER duplicate-dimension row (newer id 14).
+
+@_q("etl_xml_pipeline_full", f"""
+WITH feed AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS sid_str,
+         CAST(o_orderkey AS INTEGER) AS k,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 'RIDE ISSUES'
+              WHEN '2-HIGH' THEN 'DRIVER FEEDBACK'
+              WHEN '3-MEDIUM' THEN 'FARE DISPUTES'
+              WHEN '4-NOT SPECIFIED' THEN 'ACCOUNT & APP'
+              ELSE 'SAFETY CONCERNS' END AS contact_regarding,
+         'UBR-AGENT-0' || CAST(o_orderkey % 5 + 1 AS VARCHAR) AS agent_code,
+         strftime(o_orderdate, '%Y%m%d%H%M%S') AS date_str,
+         CASE o_orderstatus WHEN 'O' THEN 'COMPLETED'
+              WHEN 'F' THEN 'DROPPED' ELSE 'TRANSFERRED' END AS status_of_interaction,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'CALL' ELSE 'CHAT' END AS type_of_interaction,
+         CASE o_orderkey % 4 WHEN 0 THEN 'RIDER' WHEN 1 THEN 'DRIVER'
+              WHEN 2 THEN 'UBER-ONE' ELSE 'LONG-TERM CUSTOMER' END AS customer_type,
+         CAST(o_orderkey % 3 AS VARCHAR) || ':'
+             || lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST(o_orderkey * 7 % 60 AS VARCHAR), 2, '0') AS contact_duration,
+         '0:' || lpad(CAST(o_orderkey % 30 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST(o_orderkey * 3 % 60 AS VARCHAR), 2, '0') AS after_contact_work_time,
+         'RESOLVED' AS incident_status,
+         CASE o_orderkey % 3 WHEN 0 THEN 'TRUE' WHEN 1 THEN 'FALSE'
+              ELSE 'N/A' END AS first_contact_solve,
+         'SELF-HELP OPTION' AS type_of_resolution,
+         CAST(o_orderkey % 5 + 1 AS VARCHAR) AS support_rating,
+         CASE WHEN o_orderkey % 7 = 0 THEN CAST(o_orderkey * 10 + 1 AS VARCHAR)
+              ELSE CAST(o_orderkey * 10 AS VARCHAR) END AS time_stamp
+  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000),
+staged AS (
+  SELECT 'UBER - ' || sid_str AS ssi,
+         CAST(k % 5 + 6 AS INTEGER) AS agent_id,
+         strptime(date_str, '%Y%m%d%H%M%S') AS interaction_date,
+         CASE contact_regarding WHEN 'RIDE ISSUES' THEN 6
+              WHEN 'DRIVER FEEDBACK' THEN 7 WHEN 'FARE DISPUTES' THEN 8
+              WHEN 'ACCOUNT & APP' THEN 9 ELSE 10 END AS support_area_id,
+         status_of_interaction AS interaction_status,
+         type_of_interaction AS interaction_type,
+         CASE customer_type WHEN 'RIDER' THEN 5 WHEN 'DRIVER' THEN 6
+              WHEN 'UBER-ONE' THEN 7 ELSE 14 END AS customer_type_id,
+         CAST((k % 3) * 3600 + (k % 60) * 60 + k * 7 % 60 AS INTEGER) AS handle_time,
+         CAST((k % 30) * 60 + k * 3 % 60 AS INTEGER) AS work_time,
+         CASE first_contact_solve WHEN 'TRUE' THEN 1 WHEN 'FALSE' THEN 0
+              ELSE NULL END AS first_contact_resolution,
+         incident_status AS query_status,
+         type_of_resolution AS solution_type,
+         CAST(k % 5 + 1 AS INTEGER) AS customer_rating,
+         md5(concat_ws('||',
+             coalesce(sid_str, 'NULL'),
+             coalesce(contact_regarding, 'NULL'),
+             coalesce(agent_code, 'NULL'),
+             coalesce(date_str, 'NULL'),
+             coalesce(status_of_interaction, 'NULL'),
+             coalesce(type_of_interaction, 'NULL'),
+             coalesce(customer_type, 'NULL'),
+             coalesce(contact_duration, 'NULL'),
+             coalesce(after_contact_work_time, 'NULL'),
+             coalesce(incident_status, 'NULL'),
+             coalesce(first_contact_solve, 'NULL'),
+             coalesce(type_of_resolution, 'NULL'),
+             coalesce(support_rating, 'NULL'),
+             coalesce(time_stamp, 'NULL'))) AS source_hash_key
+  FROM feed)
+SELECT ROW_NUMBER() OVER (ORDER BY ssi) AS csd_id,
+       2 AS source_id, ssi, agent_id, interaction_date, support_area_id,
+       interaction_status, interaction_type, customer_type_id, handle_time,
+       work_time, first_contact_resolution, query_status, solution_type,
+       customer_rating, source_hash_key,
+       CAST(88 AS BIGINT) AS data_load_id,
+       CASE WHEN first_contact_resolution IS NULL THEN 0 ELSE 1 END AS is_valid_data,
+       1 AS active_flag,
+       TIMESTAMP '{_RUN_TS}' AS start_date,
+       TIMESTAMP '2099-12-31 00:00:00' AS end_date
+FROM staged
+""")
+def etl_xml_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000))
+    k = F.col("o_orderkey")
+    pr = F.col("o_orderpriority")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    base = orders.select(
+        k.cast("string").alias("SUPPORT_IDENTIFIER"),
+        (F.when(pr == "1-URGENT", "RIDE ISSUES")
+          .when(pr == "2-HIGH", "DRIVER FEEDBACK")
+          .when(pr == "3-MEDIUM", "FARE DISPUTES")
+          .when(pr == "4-NOT SPECIFIED", "ACCOUNT & APP")
+          .otherwise("SAFETY CONCERNS")).alias("CONTACT_REGARDING"),
+        F.concat(F.lit("UBR-AGENT-0"), (k % 5 + 1).cast("string")).alias("AGENT_CODE"),
+        F.date_format("o_orderdate", "yyyyMMddHHmmss").alias("DATE_OF_INTERACTION"),
+        (F.when(F.col("o_orderstatus") == "O", "COMPLETED")
+          .when(F.col("o_orderstatus") == "F", "DROPPED")
+          .otherwise("TRANSFERRED")).alias("STATUS_OF_INTERACTION"),
+        F.when(k % 2 == 0, "CALL").otherwise("CHAT").alias("TYPE_OF_INTERACTION"),
+        (F.when(k % 4 == 0, "RIDER").when(k % 4 == 1, "DRIVER")
+          .when(k % 4 == 2, "UBER-ONE").otherwise("LONG-TERM CUSTOMER")).alias("CUSTOMER_TYPE"),
+        F.concat((k % 3).cast("string"), F.lit(":"), two(k % 60),
+                 F.lit(":"), two(k * 7 % 60)).alias("CONTACT_DURATION"),
+        F.concat(F.lit("0:"), two(k % 30), F.lit(":"),
+                 two(k * 3 % 60)).alias("AFTER_CONTACT_WORK_TIME"),
+        F.lit("RESOLVED").alias("INCIDENT_STATUS"),
+        (F.when(k % 3 == 0, "TRUE").when(k % 3 == 1, "FALSE")
+          .otherwise("N/A")).alias("FIRST_CONTACT_SOLVE"),
+        F.lit("SELF-HELP OPTION").alias("TYPE_OF_RESOLUTION"),
+        (k % 5 + 1).cast("string").alias("SUPPORT_RATING"),
+        (k * 10).cast("string").alias("TIME_STAMP"),
+        k.cast("long").alias("ARCHIVE_ID"),
+    )
+    # Re-delivery of a subset: identical content, fresh TIME_STAMP, later
+    # ARCHIVE_ID — keep-latest keeps the re-delivery, whose hash DIFFERS
+    # because TIME_STAMP is hashed (reference XML:163-168 quirk).
+    redeliver = (base.filter(F.col("ARCHIVE_ID") % 7 == 0)
+                     .withColumn("TIME_STAMP",
+                                 (F.col("ARCHIVE_ID") * 10 + 1).cast("string"))
+                     .withColumn("ARCHIVE_ID", F.col("ARCHIVE_ID") + F.lit(1000000)))
+    feed = base.unionByName(redeliver)
+    staged = xml_transform(feed, _seed_dims(spark), data_load_id=88)
+    mart, _audit = run_load(empty_mart(spark), staged, _RUN_TS, source_id=2)
+    return _mart_lower(mart)
