@@ -27,8 +27,10 @@ Scale notes:
   only that partition (dynamic partition overwrite).
 - Surrogate ids: default is unique-but-sparse (monotonically_increasing_id
   + offset) which needs no global sort; ``dense_ids=True`` gives
-  autoincrement-faithful dense ids via a global row_number (single-point
-  ordering — test/small-data mode only, documented trade-off).
+  autoincrement-faithful dense ids via a scalable two-phase global
+  row-number (range repartition -> per-partition local index + cumulative
+  offsets) — never a single-partition window, so it survives a 100x
+  scale-up. Cost: one extra pass to count rows per range partition.
 """
 
 from __future__ import annotations
@@ -87,8 +89,43 @@ def _surrogate_offset(mart: DataFrame, surrogate_col: str) -> int:
 def _assign_surrogates(df: DataFrame, surrogate_col: str, offset: int,
                        key: str, dense: bool) -> DataFrame:
     if dense:
-        w = Window.orderBy(F.col(key))
-        return df.withColumn(surrogate_col,
-                             (F.row_number().over(w) + F.lit(offset)).cast("long"))
+        return dense_row_number(df, [key], surrogate_col, offset=offset)
     return df.withColumn(surrogate_col,
                          (F.monotonically_increasing_id() + F.lit(offset + 1)).cast("long"))
+
+
+def dense_row_number(df: DataFrame, order_cols: list[str], out_col: str,
+                     offset: int = 0,
+                     num_partitions: int | None = None) -> DataFrame:
+    """Global 1-based dense row number by ``order_cols`` WITHOUT a
+    single-partition window (the naive ``Window.orderBy`` moves every row
+    to one task — fatal at scale).
+
+    Two-phase: (1) range-repartition on the ordering columns so partition
+    ids ascend with the sort order, count rows per partition (a tiny
+    driver-side list, one int per partition); (2) per-partition local
+    row_number + the partition's cumulative offset. For unique keys the
+    result is byte-identical to a global row_number; among exact ties the
+    winner is partition-local (same nondeterminism class as the global
+    window).
+    """
+    sort_cols = [F.col(c) for c in order_cols]
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *sort_cols).localCheckpoint(eager=False)
+    with_pid = ranged.withColumn("_dense_pid", F.spark_partition_id())
+    counts = with_pid.groupBy("_dense_pid").count().collect()
+    acc = offset
+    entries: list = []
+    for r in sorted(counts, key=lambda r: r["_dense_pid"]):
+        entries.extend([F.lit(r["_dense_pid"]), F.lit(acc)])
+        acc += r["count"]
+    if not entries:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    offsets = F.create_map(*entries)
+    w = Window.partitionBy("_dense_pid").orderBy(*sort_cols)
+    return (with_pid
+            .withColumn(out_col,
+                        (F.row_number().over(w)
+                         + offsets[F.col("_dense_pid")]).cast("long"))
+            .drop("_dense_pid"))

@@ -115,3 +115,21 @@ def test_load_audit_metrics(spark):
     assert row["VALID_COUNT"] == 3
     assert row["INVALID_COUNT"] == 1
     assert row["DATA_VALID_PERCENTAGE"] == 75.0
+
+
+def test_dense_row_number_matches_global_window(spark):
+    from pyspark_etl_project_spark.operators.scd2 import dense_row_number
+
+    rows = [(f"key-{i:04d}", i * 3 % 97) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, v int").repartition(8)
+    out = dense_row_number(df, ["k"], "rid", offset=100, num_partitions=6)
+    got = {r["k"]: r["rid"] for r in out.collect()}
+    expect = {k: 101 + i for i, (k, _) in enumerate(sorted(rows))}
+    assert got == expect
+
+
+def test_dense_row_number_empty(spark):
+    from pyspark_etl_project_spark.operators.scd2 import dense_row_number
+
+    df = spark.createDataFrame([], "k string")
+    assert dense_row_number(df, ["k"], "rid").count() == 0
