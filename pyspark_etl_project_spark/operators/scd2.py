@@ -49,12 +49,25 @@ def scd2_merge(mart: DataFrame,
                key: str = KEY,
                surrogate_col: str = "CSD_ID",
                dense_ids: bool = False,
-               broadcast_keys: bool = True) -> DataFrame:
+               broadcast_keys: bool = True,
+               cache_arrivals: bool = True) -> DataFrame:
     """Merge routed arrivals (must carry mart columns minus the surrogate,
     plus nothing else) into the SCD2 mart. ``run_ts`` is an ISO timestamp
-    string used for both expiry and effective stamps."""
+    string used for both expiry and effective stamps.
+
+    ``cache_arrivals`` persists the arrival batch (memory-and-disk):
+    it is consumed twice — once projected to its key set for the
+    expired/survivor split, once in full as the fresh rows — and the
+    batch is the small side of an incremental merge (the mart is the big
+    side and is never cached), so caching trades a little executor
+    memory for not running the upstream transform chain twice.
+    """
     run_ts_col = F.lit(run_ts).cast("timestamp")
     open_end = F.lit(SCD2_OPEN_END_DATE).cast("timestamp")
+
+    if cache_arrivals:
+        from pyspark.storagelevel import StorageLevel
+        arrivals = arrivals.persist(StorageLevel.MEMORY_AND_DISK)
 
     arriving_keys = arrivals.select(key).distinct()
     keys_join = F.broadcast(arriving_keys) if broadcast_keys else arriving_keys
