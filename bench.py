@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_cosine_topk",
+    "embedding_ivf_topk",
     "text_stats",
     "streaming_window_agg",
 ]

@@ -75,3 +75,68 @@ def lsh_bucketed_topk(embeddings: DataFrame, query_vec: list[float],
         F.round(cosine(F.col(vec_col), q), round_digits).alias("cos_sim"))
     return (scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
                   .limit(k))
+
+
+def ivf_cell(vec_col: Column, centroids: list[tuple[int, list[float]]],
+             round_digits: int = 6) -> Column:
+    """IVF coarse-quantizer cell id for each vector: the centroid with the
+    highest cosine similarity (ties -> smallest centroid id).
+
+    The centroid list is small by construction (nlist vectors), so the
+    assignment is a pure per-row column expression — a map-side pass with
+    NO shuffle and NO join. At 100 TB the corpus would be written
+    ``partitionBy("ivf_cell")`` once at index-build time, turning every
+    probe into static partition pruning at the parquet scan.
+    """
+    cents = sorted(centroids, key=lambda c: c[0])
+    scores = F.array(*[
+        F.round(cosine(vec_col, F.array(*[F.lit(float(x)) for x in ce])),
+                round_digits)
+        for _cid, ce in cents])
+    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    # array_position picks the FIRST max — centroids are cid-ascending, so
+    # ties resolve to the smallest centroid id, matching the SQL twin's
+    # ORDER BY score DESC, cid ASC.
+    return F.element_at(
+        cid_arr, F.array_position(scores, F.array_max(scores)).cast("int"))
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float],
+             centroid_ids: list[int], k: int = 10, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_digits: int = 6) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids (corpus vectors with
+    the given ids), nearest-centroid cell assignment, then exact cosine
+    top-k over only the ``nprobe`` cells nearest the query.
+
+    Scale path vs brute force: the candidate set shrinks ~nprobe/nlist;
+    with the cell materialized as a partition column the non-probed cells
+    are never read at all. Centroid selection here is deterministic (ids)
+    so the DuckDB oracle can replay it; swap in k-means||-trained
+    centroids for production recall.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cent_rows = (embeddings.filter(F.col(id_col).isin(centroid_ids))
+                 .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+                 .collect())
+    centroids = [(r["cid"], list(r["ce"])) for r in cent_rows]
+
+    # Probe ranking computed with the same engine expressions as the
+    # corpus scoring (rounding parity with the oracle).
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, [float(x) for x in ce]) for cid, ce in centroids],
+        "cid int, ce array<double>")
+    probe_rows = (cent_df.select(
+        "cid", F.round(cosine(F.col("ce"), q), round_digits).alias("cs"))
+        .collect())
+    probe = [r["cid"] for r in
+             sorted(probe_rows, key=lambda r: (-r["cs"], r["cid"]))[:nprobe]]
+
+    cand = embeddings.filter(
+        ivf_cell(F.col(vec_col), centroids, round_digits).isin(probe))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), round_digits).alias("cos_sim"))
+    return (scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+                  .limit(k))

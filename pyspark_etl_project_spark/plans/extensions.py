@@ -20,7 +20,11 @@ from pyspark_etl_project_spark.extensions.dedup import (
     word_shingles,
 )
 from pyspark_etl_project_spark.extensions.multimodal import extract_features, to_media_column
-from pyspark_etl_project_spark.extensions.similarity import brute_force_topk, lsh_bucketed_topk
+from pyspark_etl_project_spark.extensions.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from pyspark_etl_project_spark.plans.tables import load
 
 QUERIES = {}
@@ -270,6 +274,56 @@ def embedding_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return lsh_bucketed_topk(emb.filter(F.col("vec_id") != 0), list(qvec),
                              k=10, num_bits=4)
+
+
+# --- IVF-bucketed ANN top-k ------------------------------------------------
+# Deterministic coarse centroids (vec_id 1..16), nearest-centroid cell
+# assignment (a pure map-side expression — zero shuffle; at scale the cell
+# becomes a parquet partition column and probing is partition pruning),
+# probe the 4 cells nearest the query, exact cosine top-k inside them.
+
+_CC_SQL = """
+  round(
+    list_sum(list_transform(range(len(e.embedding)),
+      i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.ce[i+1] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(len(e.embedding)),
+        i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(len(c.ce)),
+        i -> CAST(c.ce[i+1] AS DOUBLE) * CAST(c.ce[i+1] AS DOUBLE)))))
+  , 6)"""
+
+_QC_SQL = _CC_SQL.replace("e.embedding", "q.qe")
+
+@_q("embedding_ivf_topk", f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id BETWEEN 1 AND 16),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY {_QC_SQL} DESC, c.cid ASC) AS pr
+    FROM cents c, q) WHERE pr <= 4),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CC_SQL} DESC, c.cid ASC) AS rn
+    FROM embeddings e, cents c WHERE e.vec_id <> 0) WHERE rn = 1),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN assigned a ON e.vec_id = a.vec_id
+  WHERE a.cell IN (SELECT cid FROM probe)),
+scored AS (
+  SELECT e.vec_id, {_COS_SQL} AS cos_sim FROM cand e, q)
+SELECT vec_id, cos_sim FROM (
+  SELECT vec_id, cos_sim,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored) WHERE rn <= 10
+""")
+def embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qvec),
+                    centroid_ids=list(range(1, 17)), k=10, nprobe=4)
 
 
 # --- multimodal: binary payload column + metadata -------------------------
