@@ -1,0 +1,72 @@
+"""Physical-plan audit: measures the scale-relevant properties of each
+headline query's plan — exchange (shuffle) count, join strategies,
+whole-stage-codegen coverage, parquet filter pushdown, and read-schema
+width. The numbers feed SCALE.md; re-run after plan-affecting changes.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+DEFAULT = [
+    "scan_filter_project", "window_dedup_latest", "cdc_router",
+    "join_dim_broadcast", "scd2_merge", "latest_version_per_key",
+    "dim_prep_lookup", "etl_csv_pipeline_full",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
+    "text_stats", "sessionize_events", "retention_latest_per_group",
+    "topk_limit",
+]
+
+
+def audit(plan: str) -> dict:
+    # In formatted explain, codegen'd operators carry a leading '* '.
+    nodes = re.findall(r"^\s*[+\-:]*\s*(\*?)\s*([A-Za-z]+[A-Za-z ]*?) \(\d+\)$",
+                       plan, re.M)
+    total = len(nodes)
+    codegen = sum(1 for star, _ in nodes if star)
+    pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+              if p.strip()]
+    read_cols = [s.count(",") + 1 for s in re.findall(r"ReadSchema: (\S+)", plan)]
+    return {
+        "exchanges": plan.count("Exchange"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "codegen_nodes": codegen,
+        "total_nodes": total,
+        "scans_with_pushdown": len(pushed),
+        "read_cols": read_cols,
+    }
+
+
+def main() -> None:
+    from pyspark_etl_project_spark.plans import all_queries
+    from pyspark_etl_project_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or DEFAULT
+    spark = get_spark("plan-audit")
+    qs = all_queries()
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for n in names:
+        if n not in qs:
+            print(f"{n}: UNKNOWN")
+            continue
+        df = qs[n](spark, sf_dir)
+        a = audit(df._jdf.queryExecution().explainString(mode))
+        print(f"{n}: shuffles={a['exchanges']} broadcast_joins={a['bhj']} "
+              f"sortmerge_joins={a['smj']} "
+              f"codegen={a['codegen_nodes']}/{a['total_nodes']} "
+              f"pushdown_scans={a['scans_with_pushdown']} "
+              f"read_cols={a['read_cols']}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
