@@ -72,3 +72,46 @@ def extract_features(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 16,
+                  every: int = 4) -> DataFrame:
+    """Frame sampling over opaque media payloads: treat the payload as
+    fixed-size frames (the deterministic stand-in for video decode —
+    swap the chunker for an ffmpeg keyframe iterator in production) and
+    keep every k-th frame, fingerprinted.
+
+    One row in, many rows out — the mapInPandas batch iterator is the
+    UDTF-shaped plumbing a real frame sampler needs. Frames hash via
+    md5 over the uppercase hex of the chunk, byte-order exact and
+    reproducible in ANSI SQL (md5(substring(hex(payload), ...))).
+
+    Scale: embarrassingly parallel, no shuffle; output fan-out is
+    n_bytes/(frame_bytes*every) rows per doc, bounded by the Arrow batch
+    size one input batch at a time.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            hashes: list[str] = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                nf = len(payload) // frame_bytes
+                for i in range(0, nf, every):
+                    chunk = payload[i * frame_bytes:(i + 1) * frame_bytes]
+                    ids.append(did)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(
+                        chunk.hex().upper().encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int32"),
+                                "frame_md5": pd.Series(hashes, dtype="object")})
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

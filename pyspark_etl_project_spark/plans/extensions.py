@@ -19,7 +19,11 @@ from pyspark_etl_project_spark.extensions.dedup import (
     simhash_bits,
     word_shingles,
 )
-from pyspark_etl_project_spark.extensions.multimodal import extract_features, to_media_column
+from pyspark_etl_project_spark.extensions.multimodal import (
+    extract_features,
+    sample_frames,
+    to_media_column,
+)
 from pyspark_etl_project_spark.extensions.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -349,6 +353,25 @@ def multimodal_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = to_media_column(docs, "doc_id", "text")
     return extract_features(media)
+
+
+# --- multimodal: frame sampling (1 row in -> N frames out) ----------------
+# The mapInPandas chunker stands in for video keyframe decode; frames are
+# 16-byte payload slices, every 4th kept, fingerprinted via md5 over the
+# uppercase hex — byte-exact reproducible in SQL, so even the Python-side
+# plumbing gets a value-level oracle.
+
+@_q("multimodal_frame_sample", """
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       md5(substring(hex(encode(text)), CAST(i * 32 + 1 AS BIGINT), 32)) AS frame_md5
+FROM documents,
+     unnest(range(octet_length(encode(text)) // 16)) AS t(i)
+WHERE doc_id < 500 AND i % 4 = 0
+""")
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = to_media_column(docs, "doc_id", "text")
+    return sample_frames(media, frame_bytes=16, every=4)
 
 
 # --- J5 retention: keep newest N per group --------------------------------

@@ -148,3 +148,33 @@ def streaming_scd2_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("ACTIVE_FLAG").alias("active_flag"),
                         F.col("START_DATE").alias("start_date"),
                         F.col("END_DATE").alias("end_date"))
+
+
+# --- custom stateful operator: applyInPandasWithState ---------------------
+# Beyond-reference (the reference's only state is a watermark id, J4).
+# The feed is split into two micro-batches (even/odd event ids,
+# maxFilesPerTrigger=1) so the per-user state PROVABLY carries across
+# batches; the final emission per key must equal the plain batch
+# GROUP BY — which is exactly the oracle.
+
+@_q("streaming_stateful_user_totals", """
+SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS max_event_id
+FROM events GROUP BY user_id
+""")
+def streaming_stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.plans.tables import load
+    from pyspark_etl_project_spark.streaming.stateful import (
+        latest_emission_per_key,
+        multi_batch_file_stream,
+        running_user_totals,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    stream = multi_batch_file_stream(
+        spark,
+        [ev.filter(F.col("event_id") % 2 == 0),
+         ev.filter(F.col("event_id") % 2 == 1)],
+        "event_id long, user_id long")
+    totals = running_user_totals(stream)
+    emissions = run_stream_to_memory(totals, output_mode="update")
+    return latest_emission_per_key(emissions)

@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference has no event-time/stateful surface (SURVEY.md §2.J4 —
+its only state is a high-watermark id), so this is a beyond-reference
+extension: per-key running aggregates whose state genuinely carries
+across micro-batches (the driver query splits the feed into multiple
+files and forces maxFilesPerTrigger=1, so batch 2 sees batch 1's
+state).
+
+Only integer-exact metrics (counts, max ids) live in state — float
+accumulation across batches would drift from the SQL oracle.
+
+Scale notes: state is per-group (user) and fixed-size (two longs), so
+the state store grows with distinct keys, not events; Arrow batches
+bound executor memory; the groupBy is the one shuffle. With event-time
+bounds, add a GroupStateTimeout to evict idle keys — unbounded NoTimeout
+is only safe for bounded key domains like this one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, max_event_id long"
+_STATE_SCHEMA = "n long, mx long"
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running (event count, max event id), emitted once per
+    micro-batch per active key — the streaming form of
+    ``GROUP BY user_id`` whose latest emission equals the batch answer."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs: Iterator["pd.DataFrame"],
+               state: GroupState) -> Iterator["pd.DataFrame"]:
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            bmx = int(pdf["event_id"].max())
+            mx = bmx if mx is None or bmx > mx else mx
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_event_id": [mx]})
+
+    return (stream.groupBy("user_id")
+            .applyInPandasWithState(update, RUNNING_TOTALS_SCHEMA,
+                                    _STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def latest_emission_per_key(mem_table: DataFrame,
+                            key: str = "user_id") -> DataFrame:
+    """Collapse the update-mode emission log to each key's final state.
+    The tracked metrics are monotone, so max == latest."""
+    from pyspark.sql import functions as F
+
+    return (mem_table.groupBy(key)
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max("max_event_id").alias("max_event_id")))
+
+
+def multi_batch_file_stream(spark: Any, batches: list[DataFrame],
+                            schema_ddl: str) -> DataFrame:
+    """Stage each DataFrame as one parquet file in a watch dir and read
+    it back as a stream with maxFilesPerTrigger=1 — a deterministic
+    multi-micro-batch source for exercising cross-batch state."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    watch = tempfile.mkdtemp(prefix="stateful_stream_")
+    for i, df in enumerate(batches):
+        staging = os.path.join(watch, f"_stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(watch, f"batch{i}.parquet"))
+        shutil.rmtree(staging)
+    return (spark.readStream.schema(schema_ddl)
+            .option("maxFilesPerTrigger", 1).parquet(watch))

@@ -216,3 +216,30 @@ class TestXmlPipeline:
         rows = staged.collect()
         assert len(rows) == 1
         assert rows[0]["CUSTOMER_RATING"] == 5
+
+
+def test_stateful_totals_carry_state_across_batches(spark):
+    from pyspark_etl_project_spark.streaming.ingest import run_stream_to_memory
+    from pyspark_etl_project_spark.streaming.stateful import (
+        latest_emission_per_key,
+        multi_batch_file_stream,
+        running_user_totals,
+    )
+
+    rows = [(i, i % 3) for i in range(30)]  # 30 events, 3 users
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    stream = multi_batch_file_stream(
+        spark,
+        [ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")],
+        "event_id long, user_id long")
+    emissions = run_stream_to_memory(running_user_totals(stream),
+                                     output_mode="update")
+    # Every user appears in both micro-batches -> exactly 2 emissions
+    # each, and the second must include the first batch's counts.
+    per_user = {r["user_id"]: r["cnt"] for r in
+                emissions.groupBy("user_id")
+                         .agg(F.count("*").alias("cnt")).collect()}
+    assert per_user == {0: 2, 1: 2, 2: 2}
+    final = {r["user_id"]: (r["n_events"], r["max_event_id"])
+             for r in latest_emission_per_key(emissions).collect()}
+    assert final == {0: (10, 27), 1: (10, 28), 2: (10, 29)}
