@@ -1,0 +1,140 @@
+"""Custom join operators Spark lacks as primitives: as-of join, range
+join, and a salted skew-aware aggregation.
+
+The reference has no join surface beyond its CDC left join
+(SURVEY.md §2.C — /root/reference/ETL/CSV_Batch_Processing.py:150-152),
+so these are beyond-reference extensions, built the Spark-first way:
+compositions of existing DataFrame ops (union + window, expanded
+equi-keys) rather than imperative per-partition code.
+
+Scale design notes live on each function; the common theme is turning a
+non-equi predicate into something that shuffles by a bounded equi-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              on: str, left_ts: str, right_ts: str,
+              right_cols: list[str],
+              direction: str = "backward") -> DataFrame:
+    """For each left row, attach the single right row with the greatest
+    ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' takes
+    the least >=), matching on the equi-key ``on``. Right-side ties on
+    the timestamp resolve to the row ordered last (backward) / first
+    (forward) by the remaining ``right_cols`` order — callers should
+    pass a unique tiebreaker column first.
+
+    Implementation: union the two sides tagged, one window per key
+    ordered by (ts, side) carrying the last seen right payload forward
+    (``last(..., ignorenulls=True)``), keep left rows. Exactly ONE
+    shuffle on the key — same cost as a regular equi-join, no
+    time-bucketing approximation, no cross product. Skewed keys follow
+    the same AQE/salting remedies as any single-key shuffle.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    l_tagged = left.withColumn("_ts", lt.cast("timestamp")) \
+                   .withColumn("_side", F.lit(1))
+    for c in right_cols:
+        l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    r_tagged = right.select(
+        F.col(on),
+        rt.cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols])
+    for c in left.columns:
+        if c not in (on,):
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Right rows (side 0) sort before left rows at equal ts -> a right
+    # row AT the left timestamp matches. The first right payload column
+    # is the deterministic tiebreaker among right rows with equal ts.
+    tiebreak = F.col(f"_r_{right_cols[0]}").asc_nulls_first()
+    if direction == "backward":
+        w = (Window.partitionBy(on)
+             .orderBy(F.col("_ts").asc(), F.col("_side").asc(), tiebreak)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        w = (Window.partitionBy(on)
+             .orderBy(F.col("_ts").desc(), F.col("_side").asc(), tiebreak)
+             .rowsBetween(Window.unboundedPreceding, 0))
+
+    carried = unioned
+    for c in right_cols:
+        carried = carried.withColumn(
+            f"_m_{c}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1)
+    keep = [F.col(c) for c in left.columns]
+    keep += [F.col(f"_m_{c}").alias(c) for c in right_cols]
+    return out.select(*keep)
+
+
+def range_join(left: DataFrame, intervals: DataFrame,
+               point: str, start: str, end: str,
+               bucket_width: int,
+               how: str = "inner") -> DataFrame:
+    """Join points to [start, end) intervals (both integer-like) without
+    a cross product: each interval is exploded to the buckets it spans
+    (``sequence`` over floor-divided bounds), points bucket by
+    floor-division, and the join runs as an EQUI-join on the bucket with
+    the range predicate as a cheap residual filter.
+
+    Scale: shuffle width = points + sum(interval_span/bucket_width)
+    instead of |points| x |intervals|. Pick bucket_width near the median
+    interval span so each interval lands in O(1) buckets. This is the
+    standard bucketed range-join; Databricks' RANGE_JOIN hint does the
+    same rewrite inside Catalyst.
+    """
+    if how != "inner":
+        raise ValueError("range_join supports inner joins; outer variants "
+                         "need null-preserving residual handling")
+    p, s, e = F.col(point), F.col(start), F.col(end)
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(s / bucket_width),
+                             F.floor((e - 1) / bucket_width))))
+    pts = left.withColumn("_bucket", F.floor(p / bucket_width))
+    joined = pts.join(iv, on="_bucket", how="inner") \
+                .filter((p >= s) & (p < e))
+    return joined.drop("_bucket")
+
+
+def salted_agg(df: DataFrame, key: str, aggs: list[tuple[str, str, str]],
+               num_salts: int = 16) -> DataFrame:
+    """Two-phase aggregation for skewed keys: shuffle once by
+    (key, salt) — splitting a hot key across ``num_salts`` reducers —
+    then merge the partials with a second, tiny shuffle on the key.
+
+    ``aggs`` rows are (col, func, out_name) with func in
+    {sum, count, min, max} — the re-aggregable (algebraic) functions;
+    count merges by summing partial counts. Spark's map-side partial
+    aggregation already handles mild skew; salting is for the case
+    where even one reducer's worth of a single key's partials is too
+    big — the classic power-law key distribution of a web-scale corpus.
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for _c, f, _o in aggs:
+        if f not in merge_fn:
+            raise ValueError(f"non-algebraic agg {f!r} cannot be salted")
+
+    salted = df.withColumn(
+        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % num_salts))
+    partial = salted.groupBy(key, "_salt").agg(
+        *[first_fn[f](F.col(c)).alias(o) for c, f, o in aggs])
+    return partial.groupBy(key).agg(
+        *[merge_fn[f](F.col(o)).alias(o) for _c, f, o in aggs])
+
+
+def bucket_points(col: Column, width: int) -> Column:
+    """Bucket id for a point value (shared helper for pre-bucketed
+    storage layouts: write both sides partitioned by this to make the
+    range join a partition-local merge)."""
+    return F.floor(col / width)

@@ -133,3 +133,55 @@ def test_dense_row_number_empty(spark):
 
     df = spark.createDataFrame([], "k string")
     assert dense_row_number(df, ["k"], "rid").count() == 0
+
+
+def test_asof_join_directions(spark):
+    from pyspark_etl_project_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"),
+         (2, "2024-01-01 09:00:00")], "k int, lts string")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100), (1, "2024-01-01 11:00:00", 200),
+         (2, "2024-01-01 09:30:00", 300)], "k int, rts string, payload int")
+    back = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                     right_cols=["payload"], direction="backward")
+    got = {(r["k"], r["lts"]): r["payload"] for r in back.collect()}
+    # equal timestamps match (10:00 -> 100); no prior right -> null
+    assert got == {(1, "2024-01-01 10:00:00"): 100,
+                   (1, "2024-01-01 12:00:00"): 200,
+                   (2, "2024-01-01 09:00:00"): None}
+    fwd = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_cols=["payload"], direction="forward")
+    got = {(r["k"], r["lts"]): r["payload"] for r in fwd.collect()}
+    assert got == {(1, "2024-01-01 10:00:00"): 100,
+                   (1, "2024-01-01 12:00:00"): None,
+                   (2, "2024-01-01 09:00:00"): 300}
+
+
+def test_range_join_boundaries(spark):
+    from pyspark_etl_project_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame([(0,), (9,), (10,), (63,), (64,), (100,)],
+                                "p long")
+    iv = spark.createDataFrame([(10, 64, "a"), (0, 10, "b")],
+                               "s long, e long, tag string")
+    out = range_join(pts, iv, point="p", start="s", end="e", bucket_width=16)
+    got = sorted((r["p"], r["tag"]) for r in out.collect())
+    # [s, e): start inclusive, end exclusive, even across bucket edges
+    assert got == [(0, "b"), (9, "b"), (10, "a"), (63, "a")]
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from pyspark_etl_project_spark.operators.joins import salted_agg
+
+    # one hot key (900 rows) + a long tail
+    rows = [("hot", i) for i in range(900)] + [(f"k{i}", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {r["k"]: (r["v_sum"], r["n"], r["v_max"]) for r in
+           salted_agg(df, "k", [("v", "sum", "v_sum"), ("v", "count", "n"),
+                                ("v", "max", "v_max")], num_salts=8).collect()}
+    plain = {r["k"]: (r["s"], r["c"], r["m"]) for r in
+             df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("c"),
+                                 F.max("v").alias("m")).collect()}
+    assert got == plain
