@@ -102,3 +102,24 @@ def salted_skew_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("qty_sum") * 100).cast("long").alias("qty_cents"),
         F.col("n_rows").cast("long").alias("n_rows"),
         F.floor(F.col("max_price") * 100).cast("long").alias("max_price_cents"))
+
+
+# --- rollup aggregation (subtotals + grand total in one pass) -------------
+# Beyond-reference breadth: the reference has no grouping sets
+# (SURVEY.md §2.D note). Spark expands ROLLUP into one Expand + single
+# shuffle — subtotal layers do NOT rescan the fact table.
+
+@_q("rollup_flag_status", """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 100) AS BIGINT)
+         AS qty_cents
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_flag_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.floor(F.sum(F.col("l_quantity").cast("decimal(18,6)")) * 100)
+                    .cast("long").alias("qty_cents")))

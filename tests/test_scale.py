@@ -1,0 +1,86 @@
+"""Plan-property regression tests: lock in the physical-plan guarantees
+SCALE.md documents (shuffle-freedom, broadcast strategy, pushdown).
+These fail if a refactor silently degrades a plan, even while values
+stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted_plan(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Both sides bucketed+sorted on the key -> the equi-join must run
+    with ZERO exchanges (the 100 TB co-located fact-fact join layout)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/wh'")
+    a = spark.range(0, 10000).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 10000).select(F.col("id").alias("k"),
+                                     (F.col("id") * 3).alias("vb"))
+    a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt.ta")
+    b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt.tb")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt.ta").join(spark.table("bkt.tb"), "k")
+        plan = _executed_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE bkt.ta")
+        spark.sql("DROP TABLE bkt.tb")
+
+
+def test_dimension_lookups_broadcast_never_sortmerge(spark):
+    from pyspark_etl_project_spark.plans.parity import join_dim_broadcast
+
+    plan = _formatted_plan(join_dim_broadcast(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_compiles_to_take_ordered_not_global_sort(spark):
+    from pyspark_etl_project_spark.plans.parity import topk_limit
+
+    plan = _formatted_plan(topk_limit(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    # no exchange at all: per-partition heaps + driver merge of k rows
+    assert "Exchange" not in plan
+
+
+def test_filters_and_projection_reach_parquet_scan(spark):
+    from pyspark_etl_project_spark.plans.parity import scan_filter_project
+
+    plan = _formatted_plan(scan_filter_project(spark, SF_SMALL))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # read schema is the projected columns only, not the 16-col table
+    import re
+    cols = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert cols.count(",") + 1 <= 6, cols
+
+
+def test_scd2_dense_ids_never_single_partition_window(spark):
+    """The dense-id path must not plan an unpartitioned WindowExec
+    (the 'No Partition Defined' scale killer)."""
+    from pyspark_etl_project_spark.operators.scd2 import dense_row_number
+
+    df = spark.range(0, 1000).select(F.col("id").cast("string").alias("k"))
+    plan = _formatted_plan(dense_row_number(df, ["k"], "rid"))
+    import re
+    for m in re.finditer(r"Arguments: \[.*windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # every window spec must carry a partition expression
+        assert "_dense_pid" in spec, plan
