@@ -146,3 +146,74 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str,
             lambda x: F.when(x["_s"] > 0, F.lit("1")).otherwise(F.lit("0"))
         )).alias("simhash"))
     return bits.select(F.col("_id").alias(id_col), "simhash")
+
+
+def deterministic_split(df: DataFrame, id_col: str,
+                        fractions: dict[str, int],
+                        out_col: str = "split",
+                        salt: str = "split-v1") -> DataFrame:
+    """Reproducible train/val/test assignment: bucket each row by the
+    first 4 hex digits of md5(salt || id) modulo 100 and carve the
+    [0,100) range by the given integer percentages (e.g.
+    {"train": 90, "val": 5, "test": 5}).
+
+    Unlike randomSplit/sampleBy this is a pure function of the id — the
+    same row lands in the same split on every run, on any cluster, and
+    in any engine (md5 is portable), which is what a training-data
+    pipeline needs for leak-free re-runs and incremental appends. A
+    map-side expression: no shuffle, no RNG state.
+    """
+    if sum(fractions.values()) != 100:
+        raise ValueError(f"fractions must sum to 100: {fractions}")
+    bucket = (F.conv(F.substring(F.md5(
+        F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 4),
+        16, 10).cast("long") % 100)
+    expr = None
+    lo = 0
+    for name, pct in fractions.items():
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn(out_col, expr)
+
+
+def connected_dedup_clusters(pairs: DataFrame, ids: DataFrame,
+                             id_col: str = "doc_id",
+                             a_col: str = "id_a", b_col: str = "id_b",
+                             max_iters: int = 20) -> DataFrame:
+    """Collapse near-dup PAIRS (from LSH/Jaccard/SimHash candidates)
+    into CLUSTERS: every document gets the min id reachable through the
+    pair graph (its canonical representative). Returns (id, cluster_id);
+    keep rows where id == cluster_id to dedup.
+
+    Algorithm: iterative min-label propagation over an adjacency list —
+    each round joins current labels across edges and keeps the min
+    neighbor label; converges in O(graph diameter) rounds (near-dup
+    clusters are small and dense, so a handful). Each round is one
+    shuffled join + one groupBy on the id — no driver-side graph, no
+    GraphX/RDDs; `localCheckpoint` per round truncates the lineage so
+    plan depth stays constant at scale.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .unionByName(pairs.select(F.col(b_col).alias("src"),
+                                       F.col(a_col).alias("dst")))
+             .distinct())
+    labels = ids.select(F.col(id_col).alias("node"),
+                        F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        neighbor = (edges.join(labels, edges["dst"] == labels["node"])
+                    .groupBy("src").agg(F.min("label").alias("nlabel")))
+        updated = (labels.join(neighbor, labels["node"] == neighbor["src"], "left")
+                   .select(F.col("node"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nlabel"), F.col("label")))
+                            .alias("label")))
+        updated = updated.localCheckpoint(eager=True)
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
+                   .filter(F.col("u.label") != F.col("l.label")).limit(1).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("cluster_id"))

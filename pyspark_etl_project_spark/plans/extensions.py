@@ -91,7 +91,9 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_SIG_SQL = ", ".join(
     f"list_min(list_transform(sh, s -> md5('{k}|' || s)))" for k in range(8))
 
-@_q("dedup_minhash_lsh", f"""
+# Shared CTE prefix: base corpus (docs <200 + near-dup clones) -> shingles
+# -> minhash signatures -> banded buckets -> candidate pairs.
+_MINHASH_PAIRS_CTE = f"""
 WITH base AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 200
   UNION ALL
@@ -115,7 +117,10 @@ WITH base AS (
   JOIN bands y ON x.band_id = y.band_id AND x.band_hash = y.band_hash
               AND x.doc_id < y.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+@_q("dedup_minhash_lsh", f"""
+{_MINHASH_PAIRS_CTE}
 SELECT id_a, id_b, n_shared_bands FROM pairs
 """)
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,6 +130,66 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", "text").unionByName(near)
     return minhash_lsh_candidates(base, "doc_id", "text",
                                   num_hashes=8, num_bands=4, shingle_n=3)
+
+
+# --- connected-components dedup clustering --------------------------------
+# The step after candidate pairs: collapse the pair graph into clusters
+# and pick one canonical doc per cluster. Spark side is iterative
+# min-label propagation (converges in O(diameter) shuffled joins); the
+# oracle is an independent formulation — DuckDB's recursive-CTE
+# transitive closure — so the fixpoint itself is cross-checked.
+
+@_q("dedup_cluster_canonical", f"""
+{_MINHASH_PAIRS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+nodes AS (SELECT doc_id FROM base),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+""")
+def dedup_cluster_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import connected_dedup_clusters
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    near = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" extratoken")).alias("text"))
+    base = docs.select("doc_id", "text").unionByName(near)
+    pairs = minhash_lsh_candidates(base, "doc_id", "text",
+                                   num_hashes=8, num_bands=4, shingle_n=3)
+    return connected_dedup_clusters(pairs, base.select("doc_id"))
+
+
+# --- deterministic train/val/test split -----------------------------------
+# Pure function of the id (md5 bucket in [0,100)) — the same row lands in
+# the same split every run on any engine; no RNG, no shuffle.
+
+@_q("deterministic_split_counts", """
+SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id FROM (
+  SELECT doc_id,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(concat('0x', substring(
+                   md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 4))
+                 AS INTEGER) % 100 AS b
+        FROM documents))
+GROUP BY split
+""")
+def deterministic_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import deterministic_split
+
+    docs = load(spark, sf_dir, "documents")
+    split = deterministic_split(docs, "doc_id",
+                                {"train": 90, "val": 5, "test": 5})
+    return (split.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_id")))
 
 
 # --- SimHash signatures ----------------------------------------------------

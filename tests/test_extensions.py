@@ -117,3 +117,36 @@ def test_decode_media_stub_contract():
     assert decode_media(b"abc", "text/plain") == "abc"
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_connected_clusters_multi_hop_chain(spark):
+    from pyspark_etl_project_spark.extensions.dedup import connected_dedup_clusters
+
+    # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, singleton 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20]],
+                                "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           connected_dedup_clusters(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_deterministic_split_is_stable_and_complete(spark):
+    from pyspark_etl_project_spark.extensions.dedup import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    fr = {"train": 80, "val": 10, "test": 10}
+    a = {r["doc_id"]: r["split"] for r in
+         deterministic_split(df, "doc_id", fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         deterministic_split(df, "doc_id", fr).collect()}
+    assert a == b                      # pure function of the id
+    assert set(a.values()) == {"train", "val", "test"}
+    assert sum(1 for v in a.values() if v == "train") > 300
+
+    import pytest
+    with pytest.raises(ValueError):
+        deterministic_split(df, "doc_id", {"train": 50, "val": 10})
