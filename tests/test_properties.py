@@ -1,0 +1,116 @@
+"""Property-based checks (SURVEY.md §5.3): generator-driven invariants
+for the normalization expressions and core operators, mirroring the
+reference generators' fuzz role (null injection, update re-emission)
+with explicit properties instead of operational luck.
+
+Examples are kept small and few (each drives a real Spark job); the
+properties, not the volume, carry the coverage.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = settings(max_examples=10, deadline=None)
+
+# Values free of the fingerprint's two ambiguity sources: the 'NULL'
+# coalesce token and the '||' separator (both faithful reproductions of
+# reference H1 semantics — collisions there are collisions here).
+_safe_text = st.text(
+    alphabet=st.characters(whitelist_categories=("L", "N"), max_codepoint=0x7F),
+    min_size=0, max_size=8).filter(lambda s: s != "NULL")
+
+
+@_SETTINGS
+@given(st.lists(
+    st.tuples(st.integers(0, 99), st.integers(0, 99), st.integers(0, 99)),
+    min_size=1, max_size=20),
+    st.lists(st.sampled_from(["", "1:2", "x:y:z", "1:2:3:4", " 1:2:3",
+                              "10:xx:30", "::", "5", "1:2:"]),
+             min_size=0, max_size=5))
+def test_duration_parser_matches_model(spark, triples, garbage):
+    from pyspark_etl_project_spark.functions.normalize import duration_to_seconds
+
+    strs = [f"{h}:{m}:{s}" for h, m, s in triples] + garbage
+
+    def model(x: str):
+        if re.fullmatch(r"\d+:\d{1,2}:\d{1,2}", x):
+            h, m, s = (int(p) for p in x.split(":"))
+            return h * 3600 + m * 60 + s
+        return None
+
+    df = spark.createDataFrame([(x,) for x in strs], "d string")
+    got = [r["out"] for r in
+           df.select(duration_to_seconds("d").alias("out")).collect()]
+    assert got == [model(x) for x in strs]
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(_safe_text | st.none(), st.integers(0, 9) | st.none()),
+                min_size=1, max_size=15))
+def test_fingerprint_stable_and_sensitive(spark, rows):
+    from pyspark_etl_project_spark.functions.hashing import row_fingerprint
+
+    df = spark.createDataFrame(rows, "a string, b int")
+    fp = row_fingerprint(["a", "b"])
+    hashed = df.select("a", "b", fp.alias("h")).collect()
+    # stability: equal (a, b) tuples always hash identically
+    seen: dict[tuple, str] = {}
+    for r in hashed:
+        key = (r["a"], r["b"])
+        assert seen.setdefault(key, r["h"]) == r["h"]
+    # sensitivity: distinct tuples never collide (md5 over an injective
+    # encoding, given the alphabet excludes the separator and null token)
+    by_hash: dict[str, tuple] = {}
+    for key, h in seen.items():
+        assert by_hash.setdefault(h, key) == key
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50), st.integers(0, 9)),
+                min_size=1, max_size=30, unique_by=lambda t: (t[0], t[1])))
+def test_keep_latest_exactly_one_max_row_per_key(spark, rows):
+    from pyspark_etl_project_spark.operators.dedup import keep_latest
+
+    df = spark.createDataFrame(rows, "k int, ord int, v int")
+    expect = {}
+    for k, o, v in rows:
+        if k not in expect or o > expect[k][0]:
+            expect[k] = (o, v)
+    for use_max_by in (False, True):
+        got = {r["k"]: (r["ord"], r["v"]) for r in
+               keep_latest(df, "k", "ord", use_max_by=use_max_by).collect()}
+        assert got == expect
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 3)),
+                min_size=1, max_size=20, unique_by=lambda t: t[0]),
+       st.lists(st.tuples(st.integers(0, 30), st.integers(0, 3)),
+                min_size=0, max_size=20, unique_by=lambda t: t[0]))
+def test_cdc_router_classes_partition_the_batch(spark, batch_rows, hist_rows):
+    from pyspark_etl_project_spark.operators.cdc import cdc_classify
+
+    batch = spark.createDataFrame(
+        [(f"k{k}", f"h{h}") for k, h in batch_rows],
+        "SOURCE_SYSTEM_IDENTIFIER string, SOURCE_HASH_KEY string")
+    hist = spark.createDataFrame(
+        [(f"k{k}", f"h{h}") for k, h in hist_rows],
+        "HISTORIC_SSI string, HISTORIC_HASHKEY string") if hist_rows else \
+        spark.createDataFrame([], "HISTORIC_SSI string, HISTORIC_HASHKEY string")
+    routed = cdc_classify(batch, hist, drop_duplicates=False).collect()
+    hist_map = {f"k{k}": f"h{h}" for k, h in hist_rows}
+    assert len(routed) == len(batch_rows)  # classes partition the batch
+    for r in routed:
+        k, h, grp = (r["SOURCE_SYSTEM_IDENTIFIER"], r["SOURCE_HASH_KEY"],
+                     r["ROUTER_GROUP"])
+        if k not in hist_map:
+            assert grp == "INSERT"
+        elif hist_map[k] == h:
+            assert grp == "DUPLICATE"
+        else:
+            assert grp == "UPDATE"
