@@ -27,13 +27,20 @@ HEADLINE = [
     "latest_version_per_key",
     "dim_prep_lookup",
     "etl_csv_pipeline_full",
+    "etl_json_pipeline_full",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_cluster_canonical",
+    "deterministic_split_counts",
     "embedding_cosine_topk",
     "embedding_ivf_topk",
     "text_stats",
     "streaming_window_agg",
+    "asof_join_view_purchase",
+    "range_join_event_intervals",
+    "salted_skew_agg",
+    "rollup_flag_status",
 ]
 
 

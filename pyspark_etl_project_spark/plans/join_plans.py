@@ -123,3 +123,60 @@ def rollup_flag_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_rows"),
                    F.floor(F.sum(F.col("l_quantity").cast("decimal(18,6)")) * 100)
                     .cast("long").alias("qty_cents")))
+
+
+# --- metadata catalog (SURVEY.md §1.1: dictionary/registry/audit) ---------
+
+def _dict_values_sql() -> str:
+    from pyspark_etl_project_spark.catalog import DATA_DICTIONARY, TABLE_COLUMNS
+    doc = {(t, c) for t, c, _d, _a in DATA_DICTIONARY}
+    col_rows = ", ".join(
+        f"('{t}', '{c}')"
+        for t in sorted(TABLE_COLUMNS) for c in TABLE_COLUMNS[t])
+    doc_rows = ", ".join(f"('{t}', '{c}')" for t, c in sorted(doc))
+    return col_rows, doc_rows
+
+
+_COL_ROWS, _DOC_ROWS = _dict_values_sql()
+
+@_q("catalog_doc_coverage", f"""
+WITH cols(table_name, column_name) AS (VALUES {_COL_ROWS}),
+doc(table_name, column_name) AS (VALUES {_DOC_ROWS})
+SELECT c.table_name, COUNT(*) AS n_cols,
+       SUM(CASE WHEN d.column_name IS NOT NULL THEN 1 ELSE 0 END) AS n_documented
+FROM cols c LEFT JOIN doc d
+  ON c.table_name = d.table_name AND c.column_name = d.column_name
+GROUP BY c.table_name
+""")
+def catalog_doc_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.catalog import documentation_coverage
+
+    return documentation_coverage(spark)
+
+
+# Dictionary-declared domains as an executable audit over the events
+# table (the reference used its dictionary as an informal contract;
+# here it is a single conditional-aggregation pass).
+
+@_q("catalog_domain_audit", """
+SELECT rule, n_violations FROM (
+  SELECT 'event_type_expected' AS rule,
+         SUM(CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+             THEN 1 ELSE 0 END) AS n_violations FROM events
+  UNION ALL
+  SELECT 'value_non_negative',
+         SUM(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) FROM events
+  UNION ALL
+  SELECT 'user_id_present',
+         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events)
+""")
+def catalog_domain_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.catalog import EVENT_TYPES_EXPECTED, domain_audit
+
+    ev = load(spark, sf_dir, "events")
+    return domain_audit(ev, [
+        ("event_type_expected",
+         F.col("event_type").isin(EVENT_TYPES_EXPECTED)),
+        ("value_non_negative", F.col("value") >= 0),
+        ("user_id_present", F.col("user_id").isNotNull()),
+    ])
