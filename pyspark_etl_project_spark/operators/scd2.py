@@ -94,6 +94,28 @@ def scd2_merge(mart: DataFrame,
             .unionByName(fresh.select(cols)))
 
 
+def write_mart(mart: DataFrame, path: str,
+               partition_col: str = "SOURCE_ID") -> None:
+    """Write the mart partitioned by source with DYNAMIC partition
+    overwrite: a per-source load replaces only the partitions present in
+    the written frame — other sources' files are untouched (the 100 TB
+    contract: one feed's merge never rewrites another feed's data).
+    """
+    spark = mart.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (mart.write.mode("overwrite")
+             .partitionBy(partition_col)
+             .parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_mart(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def _surrogate_offset(mart: DataFrame, surrogate_col: str) -> int:
     row = mart.agg(F.max(surrogate_col).alias("m")).first()
     return int(row["m"]) if row and row["m"] is not None else 0

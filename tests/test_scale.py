@@ -84,3 +84,31 @@ def test_scd2_dense_ids_never_single_partition_window(spark):
         spec = m.group(1)
         # every window spec must carry a partition expression
         assert "_dense_pid" in spec, plan
+
+
+def test_mart_write_is_dynamic_partition_overwrite(spark, tmp_path):
+    """Writing one source's slice must leave other sources' partition
+    files physically untouched."""
+    import os
+
+    from pyspark_etl_project_spark.operators.scd2 import read_mart, write_mart
+
+    path = str(tmp_path / "mart")
+    both = spark.createDataFrame(
+        [(1, 1, "a"), (2, 2, "b")], "CSD_ID long, SOURCE_ID int, v string")
+    write_mart(both, path)
+
+    def mtimes(sid):
+        d = os.path.join(path, f"SOURCE_ID={sid}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before_s1, before_s2 = mtimes(1), mtimes(2)
+    only_s1 = spark.createDataFrame([(3, 1, "a2")],
+                                    "CSD_ID long, SOURCE_ID int, v string")
+    write_mart(only_s1, path)
+    assert mtimes(2) == before_s2          # source 2 files untouched
+    assert mtimes(1) != before_s1          # source 1 partition replaced
+    rows = {(r["CSD_ID"], r["SOURCE_ID"], r["v"])
+            for r in read_mart(spark, path).collect()}
+    assert rows == {(3, 1, "a2"), (2, 2, "b")}
