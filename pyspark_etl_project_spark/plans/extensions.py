@@ -351,14 +351,15 @@ def embedding_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # becomes a parquet partition column and probing is partition pruning),
 # probe the 4 cells nearest the query, exact cosine top-k inside them.
 
+# Assignment affinity = dot(v, c)/|c| — same ORDERING as cosine for a
+# fixed v (the row norm is constant across centroids and never computed),
+# mirrored exactly by extensions/similarity.py:centroid_affinity.
 _CC_SQL = """
   round(
     list_sum(list_transform(range(len(e.embedding)),
       i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.ce[i+1] AS DOUBLE)))
-    / (sqrt(list_sum(list_transform(range(len(e.embedding)),
-        i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
-       * sqrt(list_sum(list_transform(range(len(c.ce)),
-        i -> CAST(c.ce[i+1] AS DOUBLE) * CAST(c.ce[i+1] AS DOUBLE)))))
+    / sqrt(list_sum(list_transform(range(len(c.ce)),
+        i -> CAST(c.ce[i+1] AS DOUBLE) * CAST(c.ce[i+1] AS DOUBLE))))
   , 6)"""
 
 _QC_SQL = _CC_SQL.replace("e.embedding", "q.qe")
