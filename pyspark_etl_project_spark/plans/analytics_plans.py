@@ -1,0 +1,112 @@
+"""General analytics queries over the star schema — the shapes any
+analytics engine must plan well (multi-table join aggregation,
+semi/anti joins, windowed shares). Beyond the reference's ETL surface;
+included so the engine's claim is 'analytics engine', not 'one
+pipeline'. Money math follows the cross-engine rule: DECIMAL partials,
+integer cents out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_etl_project_spark.plans.tables import load
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name, sql=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# --- multi-table join aggregation -----------------------------------------
+# customer ⋈ orders ⋈ lineitem ⋈ nation: the two fact joins shuffle on
+# their keys (AQE picks broadcast for orders-side if it fits); nation is
+# an explicit broadcast. Revenue = extendedprice*(1-discount) in DECIMAL.
+
+@_q("revenue_by_nation_year", """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+       COUNT(*) AS n_lines,
+       CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) * 100)
+            AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, year(o.o_orderdate)
+""")
+def revenue_by_nation_year_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)")))
+    return (c.join(o, c["c_custkey"] == o["o_custkey"])
+             .join(li, o["o_orderkey"] == li["l_orderkey"])
+             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+             .groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").cast("int").alias("order_year"))
+             .agg(F.count(F.lit(1)).alias("n_lines"),
+                  F.floor(F.sum(rev) * 100).cast("long").alias("revenue_cents")))
+
+
+# --- semi join: customers with at least one urgent order ------------------
+
+@_q("semi_join_urgent_customers", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+""")
+def semi_join_urgent_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+             .select("c_custkey", "c_name"))
+
+
+# --- anti join: customers with no order since 1998 ------------------------
+
+@_q("anti_join_lapsed_customers", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '1998-01-01')
+""")
+def anti_join_lapsed_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = (load(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")))
+    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+# --- windowed share: each line's revenue share of its order ---------------
+# The decorrelated form of a correlated per-order subquery: one window
+# over the order key (one shuffle), integer basis points out.
+
+@_q("order_line_revenue_share", """
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(
+         CAST(l_extendedprice AS DECIMAL(18,6)) * 10000
+         / SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+             OVER (PARTITION BY l_orderkey)) AS BIGINT) AS share_bp
+FROM lineitem WHERE l_orderkey < 1000
+""")
+def order_line_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.floor(price * 10000 / F.sum(price).over(w))
+         .cast("long").alias("share_bp"))

@@ -10,13 +10,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from pyspark_etl_project_spark.plans import (
+        analytics_plans,
         extensions,
         join_plans,
         parity,
         pipeline_plans,
         streaming_plans,
     )
-    return [parity, extensions, streaming_plans, pipeline_plans, join_plans]
+    return [parity, extensions, streaming_plans, pipeline_plans, join_plans,
+            analytics_plans]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
