@@ -21,3 +21,30 @@ def read_csv_tickets(spark: SparkSession, path: str) -> DataFrame:
     later in the file, so file position IS arrival order."""
     df = (spark.read.csv(path, header=True, schema=CSV_TICKETS_SCHEMA, sep="|"))
     return df.withColumn("_ingest_order", F.monotonically_increasing_id())
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_tickets_quarantined(spark: SparkSession,
+                                 path: str) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE read splitting (good, quarantine): malformed lines
+    (type mismatches, ragged rows) land whole in the quarantine frame
+    instead of poisoning the load — the reject-table pattern the
+    reference lacks (a bad line would crash its typed read).
+
+    The frame is cached before the split: Spark re-parses lazily per
+    action, and an uncached corrupt-column filter can observe different
+    parses. Quarantine scale note: rejects are written to a side table
+    keyed by load id; the happy path stays a single pushdown-friendly
+    scan."""
+    schema = CSV_TICKETS_SCHEMA.add(CORRUPT_COL, "string")
+    df = (spark.read.csv(path, header=True, schema=schema, sep="|",
+                         mode="PERMISSIVE",
+                         columnNameOfCorruptRecord=CORRUPT_COL)
+          .cache())
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    good = (df.filter(F.col(CORRUPT_COL).isNull())
+              .drop(CORRUPT_COL)
+              .withColumn("_ingest_order", F.monotonically_increasing_id()))
+    return good, bad

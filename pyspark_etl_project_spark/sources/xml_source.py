@@ -30,6 +30,25 @@ def _from_xml(col: Column) -> Column:
     return F.from_xml(col, F.lit(f"STRUCT<{_XML_SCHEMA_DDL}>"))
 
 
+def parse_xml_records_quarantined(df: DataFrame,
+                                  xml_col: str = "STREAMING_DATA",
+                                  ) -> tuple[DataFrame, DataFrame]:
+    """Split (good, quarantine): records from_xml cannot parse into any
+    field keep their raw payload for the reject table instead of
+    flowing on as all-null rows."""
+    parsed = df.withColumn("_rec", _from_xml(F.col(xml_col)))
+    # A malformed record parses to a struct of all-null fields — detect
+    # by every child being null (a valid RECORD always carries at least
+    # its identifier tag).
+    all_null = F.lit(True)
+    for f in XML_RECORD_FIELDS:
+        all_null = all_null & F.col(f"_rec.{f}").isNull()
+    bad = parsed.filter(all_null).select(*df.columns)
+    keep = [c for c in df.columns if c != xml_col]
+    good = parsed.filter(~all_null).select(*keep, "_rec.*")
+    return good, bad
+
+
 def xml_record_string(values: dict[str, str | None]) -> str:
     """Serialize a RECORD element (fixture/generator helper, mirroring
     Data_Generators/XML_data_generator.py:83-119 tag layout)."""

@@ -243,3 +243,38 @@ def test_stateful_totals_carry_state_across_batches(spark):
     final = {r["user_id"]: (r["n_events"], r["max_event_id"])
              for r in latest_emission_per_key(emissions).collect()}
     assert final == {0: (10, 27), 1: (10, 28), 2: (10, 29)}
+
+
+def test_csv_quarantine_splits_malformed_lines(spark, tmp_path):
+    from pyspark_etl_project_spark.sources.csv_source import (
+        read_csv_tickets_quarantined,
+    )
+
+    header = ("TICKET_IDENTIFIER|SUPPORT_CATEGORY|AGENT_NAME|DATE_OF_CALL|"
+              "CALL_STATUS|CALL_TYPE|TYPE_OF_CUSTOMER|DURATION|WORK_TIME|"
+              "TICKET_STATUS|RESOLVED_IN_FIRST_CONTACT|RESOLUTION_CATEGORY|RATING")
+    good_line = "1|BILLING|A1|01022024103000|COMPLETED|CALL|PREPAID|100|50|RESOLVED|1|SELF-HELP OPTION|GOOD"
+    bad_line = "notanint|BILLING|A1|x|COMPLETED|CALL|PREPAID|abc|50|RESOLVED|zz|S|GOOD"
+    p = tmp_path / "feed.csv"
+    p.write_text("\n".join([header, good_line, bad_line]) + "\n")
+
+    good, bad = read_csv_tickets_quarantined(spark, str(p))
+    assert good.count() == 1
+    assert good.filter("TICKET_IDENTIFIER = 1").count() == 1
+    quarantined = [r["_corrupt_record"] for r in bad.collect()]
+    assert quarantined == [bad_line]
+
+
+def test_xml_quarantine_splits_unparseable_records(spark):
+    from pyspark_etl_project_spark.sources.xml_source import (
+        parse_xml_records_quarantined,
+        xml_record_string,
+    )
+
+    ok = xml_record_string({"SUPPORT_IDENTIFIER": "7", "SUPPORT_RATING": "4"})
+    broken = "<NOT_A_RECORD><oops></NOT_A_RECORD>"
+    df = spark.createDataFrame([(1, ok), (2, broken)],
+                               "ARCHIVE_ID long, STREAMING_DATA string")
+    good, bad = parse_xml_records_quarantined(df)
+    assert [r["SUPPORT_IDENTIFIER"] for r in good.collect()] == ["7"]
+    assert [r["ARCHIVE_ID"] for r in bad.collect()] == [2]
