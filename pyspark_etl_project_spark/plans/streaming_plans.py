@@ -178,3 +178,29 @@ def streaming_stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFr
     totals = running_user_totals(stream)
     emissions = run_stream_to_memory(totals, output_mode="update")
     return latest_emission_per_key(emissions)
+
+
+# --- stream-static enrichment join ----------------------------------------
+# A micro-batch stream joined to a STATIC dimension: Spark re-plans the
+# join per batch (the static side can be broadcast), the canonical
+# "enrich events with reference data" streaming shape.
+
+@_q("streaming_static_enrich_agg", """
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+       CAST(FLOOR(SUM(CAST(e.value AS DECIMAL(18,6))) * 100) AS BIGINT)
+         AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def streaming_static_enrich_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.plans.tables import load
+
+    stream = stream_events(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(F.broadcast(dim),
+                           stream["user_id"] == dim["c_custkey"])
+    agg = (enriched.groupBy(F.col("c_mktsegment").alias("segment"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.floor(F.sum(F.col("value").cast("decimal(18,6)")) * 100)
+                 .cast("long").alias("value_cents")))
+    return run_stream_to_memory(agg, output_mode="complete")
