@@ -110,3 +110,27 @@ def order_line_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         F.floor(price * 10000 / F.sum(price).over(w))
          .cast("long").alias("share_bp"))
+
+
+# --- exact grouped percentiles --------------------------------------------
+# Spark `percentile` (exact, linear interpolation) vs DuckDB
+# quantile_cont agree on this data; outputs floored to cents so an
+# ulp-level interpolation difference can never flip the hash.
+
+@_q("percentile_profile", """
+SELECT l_returnflag,
+       CAST(FLOOR(MIN(l_quantity) * 100) AS BIGINT) AS min_cents,
+       CAST(FLOOR(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_cents,
+       CAST(FLOOR(quantile_cont(l_quantity, 0.9) * 100) AS BIGINT) AS p90_cents,
+       CAST(FLOOR(MAX(l_quantity) * 100) AS BIGINT) AS max_cents
+FROM lineitem GROUP BY l_returnflag
+""")
+def percentile_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.floor(F.min("l_quantity") * 100).cast("long").alias("min_cents"),
+                 F.floor(F.expr("percentile(l_quantity, 0.5)") * 100)
+                  .cast("long").alias("p50_cents"),
+                 F.floor(F.expr("percentile(l_quantity, 0.9)") * 100)
+                  .cast("long").alias("p90_cents"),
+                 F.floor(F.max("l_quantity") * 100).cast("long").alias("max_cents")))
