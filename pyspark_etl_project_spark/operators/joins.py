@@ -133,8 +133,55 @@ def salted_agg(df: DataFrame, key: str, aggs: list[tuple[str, str, str]],
         *[merge_fn[f](F.col(o)).alias(o) for _c, f, o in aggs])
 
 
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                num_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join for when the small side is too big to
+    broadcast and the big side has hot keys: salt the big side's key
+    with a per-row bucket, replicate every small-side row across all
+    ``num_salts`` buckets, join on (key, salt). A hot key's rows spread
+    over num_salts reducers instead of one.
+
+    Cost model: small side shuffles num_salts× its size — worth it when
+    hot-key reducer time dominates; for genuinely small dims use
+    F.broadcast instead (zero shuffle). AQE's skew-join split handles
+    mild skew without this; salting is the deterministic heavy-duty
+    form that also works for stragglers AQE can't re-split (e.g. a
+    single row group).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left")
+    salted_big = big.withColumn(
+        "_salt",
+        (F.abs(F.hash(F.monotonically_increasing_id())) % num_salts).cast("int"))
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)])))
+    out = salted_big.join(replicated, on=[key, "_salt"], how=how)
+    return out.drop("_salt")
+
+
 def bucket_points(col: Column, width: int) -> Column:
     """Bucket id for a point value (shared helper for pre-bucketed
     storage layouts: write both sides partitioned by this to make the
     range join a partition-local merge)."""
     return F.floor(col / width)
+
+
+def compact_small_files(spark, path: str, target_files: int) -> int:
+    """Rewrite a parquet directory into ``target_files`` files — the
+    maintenance pass a streaming foreachBatch sink needs (every
+    micro-batch otherwise adds small files until scan task count, not
+    data volume, dominates job time). Staging-dir rewrite: read fully,
+    write aside, swap — never overwrite the input in place while
+    reading it. Returns the new file count."""
+    import glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "_compacting"
+    df.repartition(target_files).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + "_precompact"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    return len(glob.glob(os.path.join(path, "part-*.parquet")))

@@ -33,3 +33,28 @@ def latest_version_per_key(df: DataFrame,
     return (out.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") == 1)
                .drop("_rn"))
+
+
+def save_watermark(spark, path: str, source: str, value: int) -> None:
+    """Persist a per-source high watermark (the durable form of the
+    reference's LAST_LOADED_RECORD_ID column,
+    /root/reference/Setup/SQL_DDL_Script.sql:7). The table is tiny (one
+    row per source); whole-table rewrite per update is deliberate — no
+    read-modify-write races within a single driver, and the value is
+    only advanced after the corresponding load commits."""
+    current = {r["source"]: r["wm"] for r in read_watermarks(spark, path).collect()}
+    current[source] = value
+    df = spark.createDataFrame(sorted(current.items()), "source string, wm long")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_watermarks(spark, path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], "source string, wm long")
+
+
+def read_watermark(spark, path: str, source: str) -> int | None:
+    rows = read_watermarks(spark, path).filter(F.col("source") == source).collect()
+    return rows[0]["wm"] if rows else None

@@ -180,3 +180,25 @@ def catalog_domain_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("value_non_negative", F.col("value") >= 0),
         ("user_id_present", F.col("user_id").isNotNull()),
     ])
+
+
+# --- salted fact-dim join (skew-safe, result == plain join) ---------------
+
+@_q("salted_join_supplier_agg", """
+SELECT s.s_nationkey AS nation_key, COUNT(*) AS n_lines,
+       CAST(FLOOR(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) * 100) AS BIGINT)
+         AS qty_cents
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""")
+def salted_join_supplier_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.joins import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.col("l_quantity").cast("decimal(18,6)").alias("qty"))
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, sup, "s_suppkey", num_salts=8)
+    return (joined.groupBy(F.col("s_nationkey").alias("nation_key"))
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.floor(F.sum("qty") * 100).cast("long").alias("qty_cents")))

@@ -185,3 +185,51 @@ def test_salted_agg_equals_plain_groupby(spark):
              df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("c"),
                                  F.max("v").alias("m")).collect()}
     assert got == plain
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark_etl_project_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [(f"k{i}", i) for i in range(20)],
+        "k string, v long")
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k3", "A"), ("missing", "Z")], "k string, tag string")
+    got = sorted((r["k"], r["v"], r["tag"])
+                 for r in salted_join(big, small, "k", num_salts=4).collect())
+    plain = sorted((r["k"], r["v"], r["tag"])
+                   for r in big.join(small, "k").collect())
+    assert got == plain
+    left = salted_join(big, small, "k", num_salts=4, how="left")
+    assert left.count() == big.count()
+
+
+def test_watermark_persistence_roundtrip(spark, tmp_path):
+    from pyspark_etl_project_spark.operators.watermark import (
+        read_watermark,
+        save_watermark,
+    )
+
+    p = str(tmp_path / "wm")
+    assert read_watermark(spark, p, "csv") is None
+    save_watermark(spark, p, "csv", 100)
+    save_watermark(spark, p, "xml", 7)
+    save_watermark(spark, p, "csv", 250)       # advance
+    assert read_watermark(spark, p, "csv") == 250
+    assert read_watermark(spark, p, "xml") == 7
+
+
+def test_compact_small_files_preserves_data(spark, tmp_path):
+    from pyspark_etl_project_spark.operators.joins import compact_small_files
+
+    p = str(tmp_path / "sink")
+    df = spark.range(0, 1000).select("id", (F.col("id") * 2).alias("v"))
+    df.repartition(24).write.parquet(p)          # 24 small files
+    import glob
+    import os
+    assert len(glob.glob(os.path.join(p, "part-*.parquet"))) == 24
+    n = compact_small_files(spark, p, target_files=3)
+    assert n == 3
+    back = spark.read.parquet(p)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == 999 * 1000
