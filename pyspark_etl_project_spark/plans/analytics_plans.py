@@ -134,3 +134,60 @@ def percentile_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.floor(F.expr("percentile(l_quantity, 0.9)") * 100)
                   .cast("long").alias("p90_cents"),
                  F.floor(F.max("l_quantity") * 100).cast("long").alias("max_cents")))
+
+
+# --- semi-structured: JSON property extraction ----------------------------
+# events.props carries a JSON payload; from_json parses it executor-side
+# into a typed struct (schema declared, never inferred — per the
+# engine's §1.2 rule), then plain relational ops apply.
+
+@_q("json_props_extract", """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_sum,
+       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max
+FROM events GROUP BY event_type
+""")
+def json_props_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn("_p", F.from_json("props", "k INT"))
+    return (parsed.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("_p.k").cast("long").alias("k_sum"),
+                 F.max("_p.k").alias("k_max")))
+
+
+# --- pricing summary (the TPC-H Q1 shape) ---------------------------------
+# Scan + pushed date filter + one grouped aggregation; averages derived
+# from exact decimal sums and counts (integer cents, engine-portable).
+
+@_q("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 100) AS BIGINT)
+         AS sum_qty_cents,
+       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 100) AS BIGINT)
+         AS sum_price_cents,
+       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))) * 100) AS BIGINT)
+         AS sum_disc_price_cents,
+       CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 100 / COUNT(*))
+         AS BIGINT) AS avg_qty_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")))
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.floor(F.sum(qty) * 100).cast("long").alias("sum_qty_cents"),
+                 F.floor(F.sum(price) * 100).cast("long").alias("sum_price_cents"),
+                 F.floor(F.sum(price * (F.lit(1) - disc)) * 100)
+                  .cast("long").alias("sum_disc_price_cents"),
+                 F.floor(F.sum(qty) * 100 / F.count(F.lit(1)))
+                  .cast("long").alias("avg_qty_cents")))
