@@ -191,3 +191,44 @@ def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("long").alias("sum_disc_price_cents"),
                  F.floor(F.sum(qty) * 100 / F.count(F.lit(1)))
                   .cast("long").alias("avg_qty_cents")))
+
+
+# --- array aggregation (deterministic ordering) ---------------------------
+
+@_q("user_event_type_sets", """
+SELECT user_id,
+       list_sort(list_distinct(array_agg(event_type))) AS types,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+""")
+def user_event_type_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.sort_array(F.collect_set("event_type")).alias("types"),
+                 F.countDistinct("event_type").cast("long").alias("n_types")))
+
+
+# --- pivot (event types to columns) ---------------------------------------
+# Explicit value list (never inferred — inference costs an extra scan);
+# compiles to one grouped conditional aggregation, a single shuffle.
+
+@_q("pivot_event_counts", """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error
+FROM events GROUP BY user_id
+""")
+def pivot_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (ev.groupBy("user_id")
+             .pivot("event_type", types)
+             .agg(F.count(F.lit(1))))
+    # pivot leaves null where a (user, type) pair never occurred; the
+    # SQL FILTER form yields 0 — align.
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+                     for t in types])
