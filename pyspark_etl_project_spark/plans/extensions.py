@@ -414,7 +414,21 @@ def multimodal_binary_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- multimodal: Arrow-batched feature extraction (rows-only check) -------
 
-@_q("multimodal_feature_extract")  # no SQL oracle: mapInPandas operator
+# The Arrow-batched mapInPandas path: even the Python-side batch
+# iterator gets a value-level oracle (byte arithmetic replayed in SQL).
+@_q("multimodal_feature_extract", """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       CASE WHEN octet_length(encode(text)) = 0
+            THEN [0.0, 0.0, 0.0]
+            ELSE [CAST(octet_length(encode(text)) AS DOUBLE),
+                  CAST(CAST(concat('0x', substring(hex(encode(text)), 1, 2))
+                       AS INTEGER) AS DOUBLE),
+                  CAST(CAST(concat('0x', substring(hex(encode(text)),
+                       octet_length(encode(text)) * 2 - 1, 2))
+                       AS INTEGER) AS DOUBLE)]
+       END AS features
+FROM documents
+""")
 def multimodal_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = to_media_column(docs, "doc_id", "text")
