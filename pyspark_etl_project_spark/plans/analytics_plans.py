@@ -232,3 +232,39 @@ def pivot_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
                      for t in types])
+
+
+# --- set operations --------------------------------------------------------
+# The reference has none (SURVEY.md §2.G); the engine supports the full
+# family. Users active in BOTH early and late halves (intersect), only
+# early (except), and either (union distinct) — all compile to
+# aggregates/joins on the user key, one shuffle each.
+
+@_q("set_ops_user_activity", """
+WITH early AS (SELECT DISTINCT user_id FROM events WHERE event_id < 5000),
+late AS (SELECT DISTINCT user_id FROM events WHERE event_id >= 5000)
+SELECT 'both' AS cohort, COUNT(*) AS n_users
+FROM (SELECT user_id FROM early INTERSECT SELECT user_id FROM late)
+UNION ALL
+SELECT 'early_only', COUNT(*)
+FROM (SELECT user_id FROM early EXCEPT SELECT user_id FROM late)
+UNION ALL
+SELECT 'either', COUNT(*)
+FROM (SELECT user_id FROM early UNION SELECT user_id FROM late)
+""")
+def set_ops_user_activity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    early = ev.filter(F.col("event_id") < 5000).select("user_id").distinct()
+    late = ev.filter(F.col("event_id") >= 5000).select("user_id").distinct()
+    rows = [
+        ("both", early.intersect(late)),
+        ("early_only", early.exceptAll(late).distinct()),
+        ("either", early.union(late).distinct()),
+    ]
+    parts = [df.agg(F.lit(name).alias("cohort"),
+                    F.count(F.lit(1)).alias("n_users"))
+             for name, df in rows]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
