@@ -441,3 +441,154 @@ def etl_xml_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = xml_transform(feed, _seed_dims(spark), data_load_id=88)
     mart, _audit = run_load(empty_mart(spark), staged, _RUN_TS, source_id=2)
     return _mart_lower(mart)
+
+
+# --- two-load incremental CSV pipeline ------------------------------------
+# The full reference lifecycle in one oracle-checked query: load 1 lands
+# keys [0,500) into an empty mart; load 2 re-sends [250,500) (unchanged
+# rows -> DUPLICATE -> dropped; every 5th key's rating changed -> UPDATE
+# -> expire old + fresh active row) plus new keys [500,750) (INSERT).
+# Asserted end-state: SCD2 history, END_DATE == successor START_DATE,
+# dense surrogate ids continuing from load 1's max.
+
+_T1_2L = "2024-05-01 00:00:00"
+_T2_2L = "2024-06-01 00:00:00"
+
+
+def _att_feed(orders, lo: int, hi: int, shift: bool):
+    """AT&T feed over order keys [lo,hi); shift=True alters every 5th
+    key's rating (WORST->BEST), producing hash-differing re-sends."""
+    k = F.col("o_orderkey")
+    pr = F.col("o_orderpriority")
+    rating = (F.when(k % 5 == 0, F.lit("BEST") if shift else F.lit("WORST"))
+               .when(k % 5 == 1, "BAD").when(k % 5 == 2, "NEUTRAL")
+               .when(k % 5 == 3, "GOOD").otherwise("BEST"))
+    return orders.filter((k >= lo) & (k < hi)).select(
+        k.cast("int").alias("TICKET_IDENTIFIER"),
+        (F.when(pr == "1-URGENT", "BILLING")
+          .when(pr == "2-HIGH", "NETWORK COVERAGE")
+          .when(pr == "3-MEDIUM", "DEVICE SUPPORT")
+          .when(pr == "4-NOT SPECIFIED", "PLAN CHANGES")
+          .otherwise("INTERNATIONAL ROAMING")).alias("SUPPORT_CATEGORY"),
+        F.concat(F.lit("ATT-AGENT-0"), (k % 5 + 1).cast("string")).alias("AGENT_NAME"),
+        F.date_format("o_orderdate", "MMddyyyyHHmmss").alias("DATE_OF_CALL"),
+        (F.when(F.col("o_orderstatus") == "O", "COMPLETED")
+          .when(F.col("o_orderstatus") == "F", "DROPPED")
+          .otherwise("TRANSFERRED")).alias("CALL_STATUS"),
+        F.when(k % 2 == 0, "CALL").otherwise("CHAT").alias("CALL_TYPE"),
+        (F.when(k % 4 == 0, "PREPAID").when(k % 4 == 1, "POSTPAID")
+          .when(k % 4 == 2, "ENTERPRISE").otherwise("FAMILY PLAN")).alias("TYPE_OF_CUSTOMER"),
+        (k % 580 + 20).cast("int").alias("DURATION"),
+        (k % 100 + 10).cast("int").alias("WORK_TIME"),
+        F.lit("RESOLVED").alias("TICKET_STATUS"),
+        (k % 2).cast("int").alias("RESOLVED_IN_FIRST_CONTACT"),
+        F.lit("SELF-HELP OPTION").alias("RESOLUTION_CATEGORY"),
+        rating.alias("RATING"),
+        k.alias("_ingest_order"),
+    )
+
+
+def _att_staged_sql(lo: int, hi: int, shift: bool, load_id: int) -> str:
+    shifted_first = "'BEST'" if shift else "'WORST'"
+    return f"""
+  SELECT 'AT&T - ' || CAST(o_orderkey AS VARCHAR) AS ssi,
+         CAST(10 + (o_orderkey % 5 + 1) AS INTEGER) AS agent_id,
+         CAST(o_orderdate AS TIMESTAMP) AS interaction_date,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 11 WHEN '2-HIGH' THEN 12
+              WHEN '3-MEDIUM' THEN 13 WHEN '4-NOT SPECIFIED' THEN 14
+              ELSE 15 END AS support_area_id,
+         CASE o_orderstatus WHEN 'O' THEN 'COMPLETED' WHEN 'F' THEN 'DROPPED'
+              ELSE 'TRANSFERRED' END AS interaction_status,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'CALL' ELSE 'CHAT' END AS interaction_type,
+         CASE o_orderkey % 4 WHEN 0 THEN 9 WHEN 1 THEN 10 WHEN 2 THEN 11
+              ELSE 12 END AS customer_type_id,
+         CAST(o_orderkey % 580 + 20 AS INTEGER) AS handle_time,
+         CAST(o_orderkey % 100 + 10 AS INTEGER) AS work_time,
+         CAST(o_orderkey % 2 AS INTEGER) AS first_contact_resolution,
+         'RESOLVED' AS query_status,
+         'SELF-HELP OPTION' AS solution_type,
+         CASE o_orderkey % 5 WHEN 0 THEN {5 if shift else 1} WHEN 1 THEN 2
+              WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 5 END AS customer_rating,
+         md5(concat_ws('||',
+             CAST(o_orderkey AS VARCHAR),
+             CASE o_orderpriority WHEN '1-URGENT' THEN 'BILLING'
+                  WHEN '2-HIGH' THEN 'NETWORK COVERAGE'
+                  WHEN '3-MEDIUM' THEN 'DEVICE SUPPORT'
+                  WHEN '4-NOT SPECIFIED' THEN 'PLAN CHANGES'
+                  ELSE 'INTERNATIONAL ROAMING' END,
+             'ATT-AGENT-0' || CAST(o_orderkey % 5 + 1 AS VARCHAR),
+             strftime(o_orderdate, '%m%d%Y%H%M%S'),
+             CASE o_orderstatus WHEN 'O' THEN 'COMPLETED' WHEN 'F' THEN 'DROPPED'
+                  ELSE 'TRANSFERRED' END,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'CALL' ELSE 'CHAT' END,
+             CASE o_orderkey % 4 WHEN 0 THEN 'PREPAID' WHEN 1 THEN 'POSTPAID'
+                  WHEN 2 THEN 'ENTERPRISE' ELSE 'FAMILY PLAN' END,
+             CAST(o_orderkey % 580 + 20 AS VARCHAR),
+             CAST(o_orderkey % 100 + 10 AS VARCHAR),
+             'RESOLVED',
+             CAST(o_orderkey % 2 AS VARCHAR),
+             'SELF-HELP OPTION',
+             CASE o_orderkey % 5 WHEN 0 THEN {shifted_first} WHEN 1 THEN 'BAD'
+                  WHEN 2 THEN 'NEUTRAL' WHEN 3 THEN 'GOOD'
+                  ELSE 'BEST' END)) AS source_hash_key,
+         CAST({load_id} AS BIGINT) AS data_load_id
+  FROM orders WHERE o_orderkey >= {lo} AND o_orderkey < {hi}"""
+
+
+@_q("etl_csv_two_load_incremental", f"""
+WITH s1 AS ({_att_staged_sql(0, 500, False, 61)}),
+s2 AS ({_att_staged_sql(250, 750, True, 62)}),
+load1 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY ssi) AS csd_id, s1.*,
+         1 AS is_valid_data, 1 AS active_flag,
+         TIMESTAMP '{_T1_2L}' AS start_date,
+         TIMESTAMP '2099-12-31 00:00:00' AS end_date
+  FROM s1),
+routed AS (
+  SELECT s2.*, l.source_hash_key AS old_hash
+  FROM s2 LEFT JOIN load1 l USING (ssi)),
+arrivals AS (
+  SELECT * FROM routed WHERE old_hash IS NULL OR old_hash <> source_hash_key),
+survivors AS (
+  SELECT * FROM load1 WHERE ssi NOT IN (SELECT ssi FROM arrivals)),
+expired AS (
+  SELECT csd_id, ssi, agent_id, interaction_date, support_area_id,
+         interaction_status, interaction_type, customer_type_id, handle_time,
+         work_time, first_contact_resolution, query_status, solution_type,
+         customer_rating, source_hash_key, data_load_id, is_valid_data,
+         0 AS active_flag, start_date,
+         TIMESTAMP '{_T2_2L}' AS end_date
+  FROM load1 WHERE ssi IN (SELECT ssi FROM arrivals)),
+fresh AS (
+  SELECT (SELECT MAX(csd_id) FROM load1) + ROW_NUMBER() OVER (ORDER BY ssi)
+           AS csd_id,
+         ssi, agent_id, interaction_date, support_area_id,
+         interaction_status, interaction_type, customer_type_id, handle_time,
+         work_time, first_contact_resolution, query_status, solution_type,
+         customer_rating, source_hash_key, data_load_id,
+         1 AS is_valid_data, 1 AS active_flag,
+         TIMESTAMP '{_T2_2L}' AS start_date,
+         TIMESTAMP '2099-12-31 00:00:00' AS end_date
+  FROM arrivals)
+SELECT csd_id, 3 AS source_id, ssi, agent_id, interaction_date,
+       support_area_id, interaction_status, interaction_type,
+       customer_type_id, handle_time, work_time, first_contact_resolution,
+       query_status, solution_type, customer_rating, source_hash_key,
+       data_load_id, is_valid_data, active_flag, start_date, end_date
+FROM (SELECT csd_id, ssi, agent_id, interaction_date, support_area_id,
+             interaction_status, interaction_type, customer_type_id,
+             handle_time, work_time, first_contact_resolution, query_status,
+             solution_type, customer_rating, source_hash_key, data_load_id,
+             is_valid_data, active_flag, start_date, end_date FROM survivors
+      UNION ALL SELECT * FROM expired
+      UNION ALL SELECT * FROM fresh)
+""")
+def etl_csv_two_load_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    dims = _seed_dims(spark)
+    staged1 = csv_transform(_att_feed(orders, 0, 500, shift=False), dims, 61)
+    mart1, _ = run_load(empty_mart(spark), staged1, _T1_2L, source_id=3)
+    mart1 = mart1.localCheckpoint(eager=False)
+    staged2 = csv_transform(_att_feed(orders, 250, 750, shift=True), dims, 62)
+    mart2, _ = run_load(mart1, staged2, _T2_2L, source_id=3)
+    return _mart_lower(mart2)
