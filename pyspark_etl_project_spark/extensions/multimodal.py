@@ -74,6 +74,36 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, orig_bytes long, resized_bytes long, resized_md5 string"
+
+
+def resize_media(df: DataFrame, stride: int = 4) -> DataFrame:
+    """Resize stand-in: downsample the payload by keeping every
+    ``stride``-th byte (swap the body for PIL's Image.resize when the
+    decode libs exist — the mapInPandas contract is identical: one
+    payload in, one smaller payload out, metadata updated).
+
+    The resized payload is fingerprinted via md5 over its uppercase hex
+    so the byte selection is replayable in ANSI SQL. Map-side only; peak
+    memory = one Arrow batch of payloads."""
+    import hashlib
+
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            resized = pdf["payload"].map(lambda b: b[::stride])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                "resized_bytes": resized.map(len).astype("int64"),
+                "resized_md5": resized.map(
+                    lambda b: hashlib.md5(b.hex().upper().encode()).hexdigest()),
+            })
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
 
 

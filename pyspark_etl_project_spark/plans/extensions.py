@@ -1,5 +1,6 @@
 """Training-data-pipeline extension operators over documents/embeddings,
-each with a DuckDB oracle twin (except the mapInPandas stub, rows-only).
+each with a DuckDB oracle twin — including the mapInPandas operators,
+whose Python byte arithmetic is replayed in SQL over hex encodings.
 
 Cross-engine rules (same as parity.py): integer math at decision
 boundaries, md5-derived hashing only, lowercase aliases, doubles only
@@ -558,3 +559,25 @@ def dedup_embedding_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(cosine(F.col("x.embedding"), F.col("y.embedding")), 6)
                       .alias("cos_sim")))
     return pairs.filter(F.col("cos_sim") >= 0.999)
+
+
+# --- multimodal: resize (downsample) stub ---------------------------------
+# Every stride-th byte survives (PIL Image.resize slots into the same
+# mapInPandas contract); byte selection replayed in SQL over the hex
+# encoding, so even the resize plumbing is value-oracled.
+
+@_q("multimodal_resize", """
+SELECT doc_id,
+       octet_length(encode(text)) AS orig_bytes,
+       (octet_length(encode(text)) + 3) // 4 AS resized_bytes,
+       md5(array_to_string(list_transform(
+           range((octet_length(encode(text)) + 3) // 4),
+           i -> substring(hex(encode(text)), i * 8 + 1, 2)), '')) AS resized_md5
+FROM documents WHERE doc_id < 500
+""")
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.multimodal import resize_media
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = to_media_column(docs, "doc_id", "text")
+    return resize_media(media, stride=4)
