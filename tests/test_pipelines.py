@@ -278,3 +278,45 @@ def test_xml_quarantine_splits_unparseable_records(spark):
     good, bad = parse_xml_records_quarantined(df)
     assert [r["SUPPORT_IDENTIFIER"] for r in good.collect()] == ["7"]
     assert [r["ARCHIVE_ID"] for r in bad.collect()] == [2]
+
+
+def test_stream_restart_resumes_from_checkpoint_without_reprocessing(spark, tmp_path):
+    """Kill a stream after batch 1, add a new file, restart with the SAME
+    checkpoint: the source must resume from recorded offsets — rows from
+    batch 1 are not re-delivered to foreachBatch."""
+    import glob
+    import os
+    import shutil
+
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    chk = str(tmp_path / "chk")
+
+    def stage_file(df, name):
+        staging = str(tmp_path / "_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(watch, name))
+        shutil.rmtree(staging)
+
+    seen: list[list[int]] = []
+
+    def run_once():
+        stream = (spark.readStream.schema("event_id long")
+                  .option("maxFilesPerTrigger", 10).parquet(watch))
+        q = (stream.writeStream.outputMode("append")
+             .foreachBatch(lambda b, _e: seen.append(
+                 sorted(r["event_id"] for r in b.collect())))
+             .option("checkpointLocation", chk).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    stage_file(spark.range(0, 5).selectExpr("id AS event_id"), "f0.parquet")
+    run_once()
+    stage_file(spark.range(5, 8).selectExpr("id AS event_id"), "f1.parquet")
+    run_once()
+
+    delivered = [row for batch in seen if batch for row in batch]
+    assert delivered == [0, 1, 2, 3, 4, 5, 6, 7]   # each row exactly once
