@@ -99,3 +99,26 @@ def normalized_fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return F.md5(norm)
+
+
+def sentence_split_udtf():
+    """Python UDTF (Spark 4 table-function API): one document row in,
+    one row per sentence out. The deterministic '. ' splitter stands in
+    for a real sentence model; the UDTF shape (lateral join, per-row
+    fan-out from Python) is the contract a spaCy/pysbd segmenter plugs
+    into.
+
+    This is the slow path by design — a demonstration that the engine
+    carries the UDTF surface. Pure-column `posexplode(split(...))`
+    expresses the same thing JVM-side and is what the hot path should
+    use; the UDTF earns its cost only when the segmentation logic
+    cannot be a column expression."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, n_chars int")
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            for i, s in enumerate((text or "").split(". ")):
+                yield doc_id, i, len(s)
+
+    return SentenceSplit

@@ -581,3 +581,23 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     media = to_media_column(docs, "doc_id", "text")
     return resize_media(media, stride=4)
+
+
+# --- Python UDTF: sentence splitting (lateral table function) -------------
+
+@_q("udtf_sentence_split", """
+SELECT doc_id, CAST(i AS INTEGER) AS sent_idx,
+       CAST(length(parts[i + 1]) AS INTEGER) AS n_chars
+FROM (SELECT doc_id, string_split(text, '. ') AS parts
+      FROM documents WHERE doc_id < 300),
+     unnest(range(len(parts))) AS t(i)
+""")
+def udtf_sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.text import sentence_split_udtf
+
+    spark.udtf.register("sentence_split", sentence_split_udtf())
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.n_chars "
+        "FROM _udtf_docs d, LATERAL sentence_split(d.doc_id, d.text) s")
