@@ -150,3 +150,14 @@ def test_deterministic_split_is_stable_and_complete(spark):
     import pytest
     with pytest.raises(ValueError):
         deterministic_split(df, "doc_id", {"train": 50, "val": 10})
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """HLL sketch vs exact distinct over the documents corpus: the
+    approximate path (what a 100 TB cardinality estimate would use) must
+    land within its configured rsd of the exact answer."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = docs.select("text").distinct().count()
+    approx = docs.agg(
+        F.approx_count_distinct("text", rsd=0.05).alias("a")).first()["a"]
+    assert abs(approx - exact) <= max(1, int(exact * 0.15))
