@@ -200,6 +200,15 @@ def connected_dedup_clusters(pairs: DataFrame, ids: DataFrame,
              .distinct())
     labels = ids.select(F.col(id_col).alias("node"),
                         F.col(id_col).alias("label"))
+
+    def label_sum(df: DataFrame):
+        # Labels only ever decrease, so the total strictly drops on any
+        # change — a single agg detects convergence with no self-join.
+        # decimal(38,0) so web-scale id sums cannot overflow a long.
+        row = df.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).first()
+        return row["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iters):
         neighbor = (edges.join(labels, edges["dst"] == labels["node"])
                     .groupBy("src").agg(F.min("label").alias("nlabel")))
@@ -209,11 +218,10 @@ def connected_dedup_clusters(pairs: DataFrame, ids: DataFrame,
                                    F.coalesce(F.col("nlabel"), F.col("label")))
                             .alias("label")))
         updated = updated.localCheckpoint(eager=True)
-        changed = (updated.alias("u")
-                   .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
-                   .filter(F.col("u.label") != F.col("l.label")).limit(1).count())
+        cur_sum = label_sum(updated)
         labels = updated
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("cluster_id"))

@@ -123,23 +123,17 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float],
     centroids for production recall.
     """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
+    # One driver job fetches the centroid vectors AND their probe scores
+    # (the same engine expression as the corpus scoring — rounding
+    # parity with the oracle).
     cent_rows = (embeddings.filter(F.col(id_col).isin(centroid_ids))
-                 .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+                 .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"),
+                         F.round(centroid_affinity(q, F.col(vec_col)),
+                                 round_digits).alias("cs"))
                  .collect())
     centroids = [(r["cid"], list(r["ce"])) for r in cent_rows]
-
-    # Probe ranking computed with the same engine expressions as the
-    # corpus scoring (rounding parity with the oracle).
-    spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(
-        [(cid, [float(x) for x in ce]) for cid, ce in centroids],
-        "cid int, ce array<double>")
-    probe_rows = (cent_df.select(
-        "cid",
-        F.round(centroid_affinity(q, F.col("ce")), round_digits).alias("cs"))
-        .collect())
     probe = [r["cid"] for r in
-             sorted(probe_rows, key=lambda r: (-r["cs"], r["cid"]))[:nprobe]]
+             sorted(cent_rows, key=lambda r: (-r["cs"], r["cid"]))[:nprobe]]
 
     cand = embeddings.filter(
         ivf_cell(F.col(vec_col), centroids, round_digits).isin(probe))
