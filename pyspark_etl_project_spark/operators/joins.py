@@ -96,14 +96,23 @@ def range_join(left: DataFrame, intervals: DataFrame,
         raise ValueError("range_join supports inner joins; outer variants "
                          "need null-preserving residual handling")
     p, s, e = F.col(point), F.col(start), F.col(end)
+    # Integral `div`, not floor(x / w): float division silently loses
+    # precision past 2^53 — real ids/timestamps at corpus scale exceed
+    # that. Domain: non-negative values (div truncates toward zero).
     iv = intervals.withColumn(
         "_bucket",
-        F.explode(F.sequence(F.floor(s / bucket_width),
-                             F.floor((e - 1) / bucket_width))))
-    pts = left.withColumn("_bucket", F.floor(p / bucket_width))
+        F.explode(F.sequence(_idiv(s, bucket_width), _idiv(e - 1, bucket_width))))
+    pts = left.withColumn("_bucket", _idiv(p, bucket_width))
     joined = pts.join(iv, on="_bucket", how="inner") \
                 .filter((p >= s) & (p < e))
     return joined.drop("_bucket")
+
+
+def _idiv(col: Column, divisor: int) -> Column:
+    """Exact integral division for long-range values: decimal division
+    + floor stays exact where double division would round past 2^53."""
+    return (F.floor(col.cast("decimal(38,0)") / F.lit(divisor))
+            .cast("long"))
 
 
 def salted_agg(df: DataFrame, key: str, aggs: list[tuple[str, str, str]],
@@ -163,7 +172,7 @@ def bucket_points(col: Column, width: int) -> Column:
     """Bucket id for a point value (shared helper for pre-bucketed
     storage layouts: write both sides partitioned by this to make the
     range join a partition-local merge)."""
-    return F.floor(col / width)
+    return _idiv(col, width)
 
 
 def compact_small_files(spark, path: str, target_files: int) -> int:
