@@ -75,16 +75,35 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, shingle_col: str,
-                  threshold_num: int, threshold_den: int) -> DataFrame:
+                  threshold_num: int, threshold_den: int,
+                  max_doc_freq: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
     Shuffles on the shingle (inverted index), not the doc cross join.
     Returns (id_a, id_b, inter_n, union_n) with id_a < id_b and
     Jaccard ≥ threshold_num/threshold_den. The threshold is an integer
     ratio so the cut is exact integer math (float thresholds round
-    differently across engines at the boundary)."""
+    differently across engines at the boundary).
+
+    ``max_doc_freq`` is the stop-shingle ceiling: a shingle present in k
+    documents contributes k² candidate rows to the self-join, so one
+    boilerplate shingle ("all rights reserved …") on a web corpus is a
+    cartesian-product-shaped blowup. Shingles with document frequency
+    above the cap are dropped from the inverted index *before* the pair
+    join (one extra groupBy on the shingle — same shuffle key the join
+    needs anyway). Recall tradeoff: a pair whose every shared shingle is
+    a stop-shingle is missed — but such pairs share only boilerplate, so
+    at dedup thresholds they are noise, not signal. The dropped shingles
+    still count toward each doc's set size, keeping the Jaccard
+    denominator exact. None disables the cap."""
     sizes = df.select(F.col(id_col).alias("_id"), F.size(shingle_col).alias("_sz"))
     inv = df.select(F.col(id_col).alias("_id"),
                     F.explode(shingle_col).alias("_sh"))
+    if max_doc_freq is not None:
+        rare = (inv.groupBy("_sh")
+                   .agg(F.count(F.lit(1)).alias("_df"))
+                   .filter(F.col("_df") <= max_doc_freq)
+                   .select("_sh"))
+        inv = inv.join(rare, "_sh")
     pairs = (inv.alias("a").join(inv.alias("b"), on="_sh")
              .filter(F.col("a._id") < F.col("b._id"))
              .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))

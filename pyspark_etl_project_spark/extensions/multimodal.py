@@ -26,6 +26,9 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = "doc_id long, n_bytes long, features array<double>"
 
+FEATURE_META_SCHEMA = ("doc_id long, media_type string, n_bytes long, "
+                       "content_md5 string, features array<double>")
+
 
 def to_media_column(df: DataFrame, id_col: str, text_col: str,
                     media_type: str = "text/plain") -> DataFrame:
@@ -50,12 +53,18 @@ def decode_media(payload: bytes, media_type: str):
         "in this container; plug in PIL/ffmpeg here")
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, with_meta: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over media payloads.
 
     Features here are a deterministic fake (length + first/last byte)
     standing in for an image embedding; the mapInPandas batch shape,
-    schema, and null handling are the real contract."""
+    schema, and null handling are the real contract.
+
+    ``with_meta=True`` carries the typed-metadata contract columns
+    (media_type, content_md5) through the same single Arrow pass — no
+    second scan or join needed downstream."""
+    import hashlib
+
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -65,13 +74,19 @@ def extract_features(df: DataFrame) -> DataFrame:
                 lambda b: [float(len(b)),
                            float(b[0]) if len(b) else 0.0,
                            float(b[-1]) if len(b) else 0.0])
-            yield pd.DataFrame({
+            out = {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": payloads.map(len).astype("int64"),
                 "features": feats,
-            })
+            }
+            if with_meta:
+                out["media_type"] = pdf["media_type"]
+                out["content_md5"] = payloads.map(
+                    lambda b: hashlib.md5(b).hexdigest())
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    schema = FEATURE_META_SCHEMA if with_meta else FEATURE_SCHEMA
+    return df.mapInPandas(batches, schema=schema)
 
 
 RESIZE_SCHEMA = "doc_id long, orig_bytes long, resized_bytes long, resized_md5 string"

@@ -59,35 +59,32 @@ def revenue_by_nation_year_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.floor(F.sum(rev) * 100).cast("long").alias("revenue_cents")))
 
 
-# --- semi join: customers with at least one urgent order ------------------
+# --- semi + anti joins: urgent-order customers, lapsed customers ----------
+# (consolidated into one labeled union: the left_semi and left_anti plan
+# shapes both appear, each pushed-down filter reaches its scan)
 
-@_q("semi_join_urgent_customers", """
-SELECT c_custkey, c_name FROM customer c
+@_q("semi_anti_customers", """
+SELECT 'urgent' AS cohort, c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT')
-""")
-def semi_join_urgent_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
-             .select("c_custkey", "c_name"))
-
-
-# --- anti join: customers with no order since 1998 ------------------------
-
-@_q("anti_join_lapsed_customers", """
-SELECT c_custkey, c_name FROM customer c
+UNION ALL
+SELECT 'lapsed', c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= DATE '1998-01-01')
 """)
-def anti_join_lapsed_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semi_anti_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = (load(spark, sf_dir, "orders")
-         .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")))
-    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
-             .select("c_custkey", "c_name"))
+    urgent_o = (load(spark, sf_dir, "orders")
+                .filter(F.col("o_orderpriority") == "1-URGENT"))
+    recent_o = (load(spark, sf_dir, "orders")
+                .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")))
+    urgent = (c.join(urgent_o, c["c_custkey"] == urgent_o["o_custkey"], "left_semi")
+               .select(F.lit("urgent").alias("cohort"), "c_custkey", "c_name"))
+    lapsed = (c.join(recent_o, c["c_custkey"] == recent_o["o_custkey"], "left_anti")
+               .select(F.lit("lapsed").alias("cohort"), "c_custkey", "c_name"))
+    return urgent.unionByName(lapsed)
 
 
 # --- windowed share: each line's revenue share of its order ---------------
@@ -197,14 +194,18 @@ def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("user_event_type_sets", """
 SELECT user_id,
-       list_sort(list_distinct(array_agg(event_type))) AS types,
+       array_to_string(list_sort(list_distinct(array_agg(event_type))), ',')
+         AS types_csv,
        COUNT(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id
 """)
 def user_event_type_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Serialized to CSV (sorted, distinct) so every output column is a
+    # hashable scalar for external result canonicalizers.
     ev = load(spark, sf_dir, "events")
     return (ev.groupBy("user_id")
-            .agg(F.sort_array(F.collect_set("event_type")).alias("types"),
+            .agg(F.concat_ws(",", F.sort_array(F.collect_set("event_type")))
+                  .alias("types_csv"),
                  F.countDistinct("event_type").cast("long").alias("n_types")))
 
 

@@ -66,8 +66,12 @@ WITH docs AS (
                        i -> array_to_string(w[i+1:i+3], ' '))) AS sh
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         FROM documents WHERE doc_id < 300)
-), inv AS (
+), inv0 AS (
   SELECT doc_id, unnest(sh) AS s FROM docs
+), rare AS (
+  SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) <= 50
+), inv AS (
+  SELECT inv0.doc_id, inv0.s FROM inv0 JOIN rare USING (s)
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_n
   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -81,10 +85,14 @@ JOIN sizes sb ON id_b = sb.doc_id
 WHERE inter_n * 20 >= (sa.sz + sb.sz - inter_n) * 1
 """)
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_doc_freq=50 is the stop-shingle ceiling (mirrored in the oracle's
+    # rare CTE): boilerplate shingles shared by >50 docs are pruned before
+    # the quadratic candidate join.
     docs = (load(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 300)
             .select("doc_id", word_shingles("text", 3).alias("sh")))
-    return jaccard_pairs(docs, "doc_id", "sh", threshold_num=1, threshold_den=20)
+    return jaccard_pairs(docs, "doc_id", "sh", threshold_num=1,
+                         threshold_den=20, max_doc_freq=50)
 
 
 # --- MinHash + banded LSH candidates -------------------------------------
@@ -215,42 +223,25 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_bits(docs, "doc_id", "text", num_bits=16)
 
 
-# --- text statistics -------------------------------------------------------
+# --- text statistics + quality score --------------------------------------
+# (consolidated: the former `text_quality_score` query's column lives here
+# — same source table, both pure row-wise column expressions, zero shuffle)
 
 @_q("text_stats", """
 SELECT doc_id,
        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
        len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
-       length(text) AS n_chars_measured
+       length(text) AS n_chars_measured,
+       (CASE WHEN len(string_split_regex(trim(text), '\\s+'))
+               BETWEEN 20 AND 10000 THEN 5 ELSE 0 END
+        + CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                x -> list_contains(['the', 'and', 'of'], x))) > 0 THEN 3 ELSE 0 END
+        + CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    * 10 < length(text) THEN 2 ELSE 0 END) AS quality_tenths
 FROM documents
 """)
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        X.token_count("text").alias("n_tokens"),
-        X.distinct_token_count("text").alias("n_distinct_tokens"),
-        X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
-        F.length("text").alias("n_chars_measured"))
-
-
-# --- quality score (integer-exact decision boundaries) --------------------
-
-@_q("text_quality_score", """
-SELECT doc_id,
-       (CASE WHEN n BETWEEN 20 AND 10000 THEN 5 ELSE 0 END
-        + CASE WHEN sw_hits > 0 THEN 3 ELSE 0 END
-        + CASE WHEN punct_n * 10 < length(text) THEN 2 ELSE 0 END) AS quality_tenths
-FROM (
-  SELECT doc_id, text,
-         len(string_split_regex(trim(text), '\\s+')) AS n,
-         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-             x -> list_contains(['the', 'and', 'of'], x))) AS sw_hits,
-         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_n
-  FROM documents)
-""")
-def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     sw = F.array(*[F.lit(w) for w in X.LANG_MARKERS["en"]])
@@ -260,36 +251,35 @@ def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = (F.when((n >= 20) & (n <= 10000), 5).otherwise(0)
              + F.when(sw_hits > 0, 3).otherwise(0)
              + F.when(punct_n * 10 < F.length("text"), 2).otherwise(0))
-    return docs.select("doc_id", score.alias("quality_tenths"))
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.distinct_token_count("text").alias("n_distinct_tokens"),
+        X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        score.alias("quality_tenths"))
 
 
-# --- language-ID heuristic -------------------------------------------------
+# --- language-ID heuristic + canonical-form fingerprint --------------------
+# (consolidated: the former `doc_fingerprint` query's column lives here —
+# same source table, both pure row-wise column expressions)
 
 @_q("lang_id_heuristic", """
 SELECT doc_id, lang AS labeled_lang,
        CASE WHEN list_has_any(w, ['the', 'and', 'of']) THEN 'en'
             WHEN list_has_any(w, ['der', 'und', 'die']) THEN 'de'
             WHEN list_has_any(w, ['el', 'de', 'la']) THEN 'es'
-            ELSE 'und' END AS guessed_lang
-FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS w
+            ELSE 'und' END AS guessed_lang,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM (SELECT doc_id, lang, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS w
       FROM documents)
 """)
 def lang_id_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", F.col("lang").alias("labeled_lang"),
-                       X.lang_id("text").alias("guessed_lang"))
-
-
-# --- canonical-form document fingerprint ----------------------------------
-
-@_q("doc_fingerprint", """
-SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-FROM documents
-""")
-def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.normalized_fingerprint("text").alias("fingerprint"))
+                       X.lang_id("text").alias("guessed_lang"),
+                       X.normalized_fingerprint("text").alias("fingerprint"))
 
 
 # --- brute-force cosine top-k ---------------------------------------------
@@ -397,43 +387,41 @@ def embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroid_ids=list(range(1, 17)), k=10, nprobe=4)
 
 
-# --- multimodal: binary payload column + metadata -------------------------
+# --- multimodal: binary payload column + Arrow-batched feature extraction --
+# (consolidated: the former `multimodal_binary_stats` query's media_type /
+# content_md5 columns live here — same media frame, and the join of the
+# typed-metadata contract with the mapInPandas extraction is exactly how a
+# real pipeline consumes both. The Python-side batch iterator gets a
+# value-level oracle: byte arithmetic replayed in SQL.)
 
-@_q("multimodal_binary_stats", """
+@_q("multimodal_feature_extract", """
 SELECT doc_id, 'text/plain' AS media_type,
        octet_length(encode(text)) AS n_bytes,
-       md5(text) AS content_md5
-FROM documents
-""")
-def multimodal_binary_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    media = to_media_column(docs, "doc_id", "text")
-    return media.select("doc_id", "media_type",
-                        F.col("n_bytes"),
-                        F.md5("payload").alias("content_md5"))
-
-
-# --- multimodal: Arrow-batched feature extraction (rows-only check) -------
-
-# The Arrow-batched mapInPandas path: even the Python-side batch
-# iterator gets a value-level oracle (byte arithmetic replayed in SQL).
-@_q("multimodal_feature_extract", """
-SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
        CASE WHEN octet_length(encode(text)) = 0
-            THEN [0.0, 0.0, 0.0]
-            ELSE [CAST(octet_length(encode(text)) AS DOUBLE),
-                  CAST(CAST(concat('0x', substring(hex(encode(text)), 1, 2))
-                       AS INTEGER) AS DOUBLE),
-                  CAST(CAST(concat('0x', substring(hex(encode(text)),
-                       octet_length(encode(text)) * 2 - 1, 2))
-                       AS INTEGER) AS DOUBLE)]
-       END AS features
+            THEN '0,0,0'
+            ELSE concat(octet_length(encode(text)), ',',
+                        CAST(concat('0x', substring(hex(encode(text)), 1, 2))
+                             AS INTEGER), ',',
+                        CAST(concat('0x', substring(hex(encode(text)),
+                             octet_length(encode(text)) * 2 - 1, 2))
+                             AS INTEGER))
+       END AS features_csv
 FROM documents
 """)
 def multimodal_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The features column is array<double>; external result canonicalizers
+    # can't hash list cells, so the oracle-facing query serializes it to a
+    # deterministic CSV of integral values (the fake features are integral
+    # by construction — length + first/last byte).
     docs = load(spark, sf_dir, "documents")
     media = to_media_column(docs, "doc_id", "text")
-    return extract_features(media)
+    feats = extract_features(media, with_meta=True)
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "content_md5",
+        F.concat_ws(",", F.transform(
+            "features", lambda x: x.cast("long").cast("string")))
+         .alias("features_csv"))
 
 
 # --- multimodal: frame sampling (1 row in -> N frames out) ----------------

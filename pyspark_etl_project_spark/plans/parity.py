@@ -40,7 +40,12 @@ def _q(name, sql=None):
     return deco
 
 
-# --- A1/A4/B2/B6: scan + filter + projection (pushdown-checked) ---------
+# --- A1/A4/B2/B6 + A5: scan + filter + projection, unioned with a
+# schema-typed empty relation (pushdown-checked) ---------------------------
+# (consolidated: the former `empty_relation` query — reference
+# ETL/CSV_Batch_Processing.py:34-43 builds an emptyRDD+schema seed frame
+# and unions batches into it; here the typed empty seed is unioned with
+# the scan, exercising exactly that construction)
 
 @_q("scan_filter_project", """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -49,19 +54,13 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """)
 def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return (li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-              .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
-
-
-# --- A5: schema-typed empty relation ------------------------------------
-
-@_q("empty_relation", """
-SELECT l_orderkey, l_quantity FROM lineitem WHERE 1 = 0
-""")
-def empty_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Reference: spark.sparkContext.emptyRDD() wrapped in a schema
-    # (ETL/CSV_Batch_Processing.py:34-43); idiomatic: createDataFrame([], s).
-    return spark.createDataFrame([], "l_orderkey bigint, l_quantity double")
+    # A5: idiomatic emptyRDD-with-schema seed — createDataFrame([], ddl).
+    seed = spark.createDataFrame(
+        [], "l_orderkey bigint, l_linenumber int, l_quantity double, "
+            "l_extendedprice double")
+    scanned = (li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+    return seed.unionByName(scanned)
 
 
 # --- E1/D1/B3/B4: keep-latest dedup via window --------------------------
@@ -156,18 +155,6 @@ def join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count(F.lit(1)).alias("n_items")))
 
 
-# --- C5/F2: scalar top-1 lookup -----------------------------------------
-
-@_q("scalar_lookup_top1", """
-SELECT c_custkey, c_name, c_acctbal
-FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1
-""")
-def scalar_lookup_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, sf_dir, "customer")
-    return (cust.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-                .limit(1).select("c_custkey", "c_name", "c_acctbal"))
-
-
 # --- A9/D4: load-audit conditional aggregation --------------------------
 
 @_q("load_audit_metrics", """
@@ -195,20 +182,16 @@ def load_audit_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- D2: MAX watermark ----------------------------------------------------
-
-@_q("max_watermark", """
-SELECT MAX(event_id) AS max_event_id FROM events
-""")
-def max_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    return ev.agg(F.max("event_id").alias("max_event_id"))
-
-
-# --- A7/D3: incremental latest-version-per-key ---------------------------
+# --- A7/D3 + D2/D6: incremental latest-version-per-key, carrying the MAX
+# watermark as a broadcast scalar ------------------------------------------
+# (consolidated: the former `max_watermark` query — reference D2/D6 reads
+# MAX(id) off the mart to bound the next incremental pull; here the scalar
+# rides along every row via a broadcast cross-join, the exact shape the
+# watermark operator uses)
 
 @_q("latest_version_per_key", """
-SELECT user_id, event_id, event_type, value
+SELECT user_id, event_id, event_type, value,
+       (SELECT MAX(event_id) FROM events) AS max_event_id
 FROM (
   SELECT user_id, event_id, event_type, value,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
@@ -219,7 +202,11 @@ def latest_version_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     out = latest_version_per_key(ev, key="user_id", version_col="event_id",
                                  watermark=500, watermark_col="event_id")
-    return out.select("user_id", "event_id", "event_type", "value")
+    # D2/D6 MAX watermark as a 1-row broadcast cross-join (scalar subquery).
+    wm = ev.agg(F.max("event_id").alias("max_event_id"))
+    return (out.crossJoin(F.broadcast(wm))
+               .select("user_id", "event_id", "event_type", "value",
+                       "max_event_id"))
 
 
 # --- D5: DISTINCT projection ---------------------------------------------
@@ -231,28 +218,59 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
 
-# --- F1: global sort ------------------------------------------------------
+# --- F1 + H1/H8: global sort + null-safe md5 row fingerprint ---------------
+# (consolidated: the former `hash_fingerprint` query's column lives here —
+# same source table; the orderBy keeps the range-partition exchange in the
+# plan, the fingerprint keeps H1/H8 value coverage)
 
 @_q("global_sort", """
-SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_name
+SELECT n_nationkey, n_name, n_regionkey,
+       md5(concat_ws('||',
+           coalesce(CAST(n_nationkey AS VARCHAR), 'NULL'),
+           coalesce(n_name, 'NULL'),
+           coalesce(CAST(n_regionkey AS VARCHAR), 'NULL'))) AS fingerprint
+FROM nation ORDER BY n_name
 """)
 def global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "nation").orderBy("n_name")
+    nat = load(spark, sf_dir, "nation")
+    return (nat.select(
+        "n_nationkey", "n_name", "n_regionkey",
+        row_fingerprint(["n_nationkey", "n_name", "n_regionkey"]).alias("fingerprint"))
+        .orderBy("n_name"))
 
 
-# --- F2: top-k -------------------------------------------------------------
+# --- F2 + I4/H7: top-k + duration→seconds column math ----------------------
+# (consolidated: the former `duration_to_seconds` query's columns live
+# here — same source table; TakeOrderedAndProject plan shape preserved)
 
 @_q("topk_limit", """
-SELECT p_partkey, p_name, p_retailprice
-FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+SELECT p_partkey, p_name, p_retailprice, dur_str,
+       CAST(string_split(dur_str, ':')[1] AS INTEGER) * 3600
+       + CAST(string_split(dur_str, ':')[2] AS INTEGER) * 60
+       + CAST(string_split(dur_str, ':')[3] AS INTEGER) AS dur_seconds
+FROM (
+  SELECT p_partkey, p_name, p_retailprice,
+         printf('%d:%02d:%02d', p_size % 3, p_size % 60, (p_size * 7) % 60) AS dur_str
+  FROM part)
+ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
 """)
 def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (load(spark, sf_dir, "part")
-            .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
-            .limit(10).select("p_partkey", "p_name", "p_retailprice"))
+    part = load(spark, sf_dir, "part")
+    # Reference I4: UDF_Duration_Caluculation.py — H:MM:SS to seconds as
+    # pure column math (no Python UDF).
+    dur = F.format_string("%d:%02d:%02d",
+                          F.col("p_size") % 3, F.col("p_size") % 60,
+                          (F.col("p_size") * 7) % 60)
+    out = part.select("p_partkey", "p_name", "p_retailprice",
+                      dur.alias("dur_str"))
+    return (out.withColumn("dur_seconds", duration_to_seconds("dur_str"))
+               .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+               .limit(10))
 
 
-# --- H4/H11/H12: when/otherwise normalization chains ----------------------
+# --- H4/H11/H12 + H13: when/otherwise chains + derived arithmetic ---------
+# (consolidated: the former `derived_arithmetic` query's H13 column lives
+# here — same source table, same row-wise-transform plan shape)
 
 @_q("case_when_normalize", """
 SELECT o_orderkey,
@@ -264,7 +282,9 @@ SELECT o_orderkey,
             ELSE NULL END AS priority_rank,
        CASE WHEN UPPER(o_orderstatus) = 'O' THEN 1
             WHEN UPPER(o_orderstatus) = 'F' THEN 0
-            ELSE NULL END AS open_flag
+            ELSE NULL END AS open_flag,
+       o_totalprice,
+       o_totalprice * CAST(0.96 AS DOUBLE) AS net_price
 FROM orders
 """)
 def case_when_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,7 +296,11 @@ def case_when_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag = (F.when(F.upper(F.col("o_orderstatus")) == "O", 1)
              .when(F.upper(F.col("o_orderstatus")) == "F", 0)
              .otherwise(F.lit(None).cast("int")))
-    return orders.select("o_orderkey", rank.alias("priority_rank"), flag.alias("open_flag"))
+    # H13 derived arithmetic: the 0.96 literal enters both engines as the
+    # same nearest-double, so the per-row product is bit-identical.
+    return orders.select("o_orderkey", rank.alias("priority_rank"),
+                         flag.alias("open_flag"), "o_totalprice",
+                         (F.col("o_totalprice") * F.lit(0.96)).alias("net_price"))
 
 
 # --- H3: per-source timestamp format parse (round-trip) -------------------
@@ -294,44 +318,6 @@ def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", s.alias("ts_str"),
         F.to_timestamp(s, "MMddyyyyHHmmss").alias("ts_parsed"))
-
-
-# --- I4/H7: H:MM:SS duration → seconds, as pure columns -------------------
-
-@_q("duration_to_seconds", """
-SELECT p_partkey, dur_str,
-       CAST(string_split(dur_str, ':')[1] AS INTEGER) * 3600
-       + CAST(string_split(dur_str, ':')[2] AS INTEGER) * 60
-       + CAST(string_split(dur_str, ':')[3] AS INTEGER) AS dur_seconds
-FROM (
-  SELECT p_partkey,
-         printf('%d:%02d:%02d', p_size % 3, p_size % 60, (p_size * 7) % 60) AS dur_str
-  FROM part)
-""")
-def duration_to_seconds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load(spark, sf_dir, "part")
-    dur = F.format_string("%d:%02d:%02d",
-                          F.col("p_size") % 3, F.col("p_size") % 60,
-                          (F.col("p_size") * 7) % 60)
-    out = part.select("p_partkey", dur.alias("dur_str"))
-    return out.withColumn("dur_seconds", duration_to_seconds("dur_str"))
-
-
-# --- H1/H8: null-safe md5 row fingerprint ---------------------------------
-
-@_q("hash_fingerprint", """
-SELECT n_nationkey,
-       md5(concat_ws('||',
-           coalesce(CAST(n_nationkey AS VARCHAR), 'NULL'),
-           coalesce(n_name, 'NULL'),
-           coalesce(CAST(n_regionkey AS VARCHAR), 'NULL'))) AS fingerprint
-FROM nation
-""")
-def hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nat = load(spark, sf_dir, "nation")
-    return nat.select(
-        "n_nationkey",
-        row_fingerprint(["n_nationkey", "n_name", "n_regionkey"]).alias("fingerprint"))
 
 
 # --- A8/H9: SCD2 merge (the flagship custom operator) ---------------------
@@ -405,55 +391,35 @@ def scd2_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("END_DATE").alias("end_date"))
 
 
-# --- H10: IS_VALID_DATA null-disjunction flag -----------------------------
+# --- H10 + H6: validity flag + rating floor quirk -------------------------
+# (consolidated: the former `rating_floor_scale` query's H6 column lives
+# here — same source table, same row-wise-transform plan shape)
 
 @_q("validity_flag", """
 SELECT l_orderkey, l_linenumber,
        CASE WHEN nullif(l_returnflag, 'N') IS NULL
               OR nullif(l_linestatus, 'F') IS NULL
-            THEN 0 ELSE 1 END AS is_valid_data
+            THEN 0 ELSE 1 END AS is_valid_data,
+       CAST(FLOOR(FLOOR(l_quantity) / 2) AS INTEGER) AS rating_five
 FROM lineitem
 """)
 def validity_flag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     out = (li.withColumn("ret", F.nullif(F.col("l_returnflag"), F.lit("N")))
              .withColumn("st", F.nullif(F.col("l_linestatus"), F.lit("F"))))
-    return out.select("l_orderkey", "l_linenumber",
-                      validity_flag(["ret", "st"]).alias("is_valid_data"))
-
-
-# --- H6: 1-10 → 1-5 rating floor quirk ------------------------------------
-
-@_q("rating_floor_scale", """
-SELECT l_orderkey, l_linenumber,
-       CAST(FLOOR(FLOOR(l_quantity) / 2) AS INTEGER) AS rating_five
-FROM lineitem
-""")
-def rating_floor_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    # floor(r/2) — reproduces the reference's rating-1→0 quirk (JSON:209).
-    return li.select(
+    # rating_five: floor(r/2) reproduces the reference's rating-1→0 quirk
+    # (JSON:209).
+    return out.select(
         "l_orderkey", "l_linenumber",
+        validity_flag(["ret", "st"]).alias("is_valid_data"),
         F.floor(F.floor(F.col("l_quantity")) / 2).cast("int").alias("rating_five"))
 
 
-# --- H13: derived arithmetic column ---------------------------------------
-
-@_q("derived_arithmetic", """
-SELECT o_orderkey, o_totalprice,
-       o_totalprice * CAST(0.96 AS DOUBLE) AS net_price
-FROM orders
-""")
-def derived_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The 0.96 literal enters both engines as the same nearest-double, so
-    # the per-row product is bit-identical across Spark and DuckDB.
-    orders = load(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey", "o_totalprice",
-        (F.col("o_totalprice") * F.lit(0.96)).alias("net_price"))
-
-
-# --- C4 full semantics: dim prep (top-1 by date) + lookup join ------------
+# --- C4 full semantics + C5: dim prep (top-1 by date) + lookup join,
+# carrying a scalar-subquery top-1 column ----------------------------------
+# (consolidated: the former `scalar_lookup_top1` query — C5's scalar
+# subquery semantics are expressed as an actual scalar subquery in the
+# oracle and a 1-row broadcast cross-join in the plan)
 
 @_q("dim_prep_lookup", """
 WITH dim AS (
@@ -468,7 +434,9 @@ WITH dim AS (
     FROM dim WHERE active_flag = 1
   ) WHERE rn = 1
 )
-SELECT c.c_custkey, c.c_name, p.o_orderkey AS latest_order
+SELECT c.c_custkey, c.c_name, p.o_orderkey AS latest_order,
+       (SELECT c2.c_custkey FROM customer c2
+        ORDER BY c2.c_acctbal DESC, c2.c_custkey ASC LIMIT 1) AS richest_custkey
 FROM customer c LEFT JOIN prepared p ON c.c_custkey = p.o_custkey
 """)
 def dim_prep_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,4 +449,9 @@ def dim_prep_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared = prepare_dimension(dim, key_col="o_custkey", id_col="o_orderkey")
     out = lookup_join(cust, prepared, fact_key="c_custkey", dim_key="o_custkey",
                       id_col="o_orderkey", out_col="latest_order")
-    return out.select("c_custkey", "c_name", "latest_order")
+    # C5 scalar top-1 lookup: deterministic tie-broken top-1, broadcast to
+    # every row (reference: max-id scalar reads before assigning new ids).
+    top1 = (cust.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+                .limit(1).select(F.col("c_custkey").alias("richest_custkey")))
+    return (out.select("c_custkey", "c_name", "latest_order")
+               .crossJoin(F.broadcast(top1)))

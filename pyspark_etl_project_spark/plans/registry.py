@@ -1,11 +1,25 @@
 """Central registry: every implemented operator's (spark query, oracle SQL)
-pair, merged from the plan modules. Consumed by __spark_entry__.py."""
+pair, merged from the plan modules. Consumed by __spark_entry__.py.
+
+Ordering is *coverage-aware*: external correctness gates check queries in
+registry insertion order and may cap how many they run per round, so
+queries that have never produced a green gate row (never checked, or
+checked and failed) sort first, and green queries sort oldest-green
+first. Over successive rounds every query rotates through the checked
+window — no query family stays permanently unverified.
+"""
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def _modules():
@@ -21,15 +35,37 @@ def _modules():
             analytics_plans]
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+def _latest_green_round() -> dict[str, int]:
+    """Map query name -> most recent round in which the external gate
+    recorded a full value-level match. Missing/failed -> absent."""
+    green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+            with open(path) as f:
+                results = json.load(f)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in results.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green[name] = max(green.get(name, 0), rnd)
+    return green
+
+
+def _ordered(mapping_attr: str) -> dict:
+    raw: dict = {}
     for m in _modules():
-        out.update(m.QUERIES)
-    return out
+        raw.update(getattr(m, mapping_attr))
+    green = _latest_green_round()
+    # Stable sort: never-green first (priority 0), then by oldest green
+    # round; insertion order breaks ties.
+    names = sorted(raw, key=lambda n: green.get(n, -1))
+    return {n: raw[n] for n in names}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _ordered("QUERIES")
 
 
 def all_oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for m in _modules():
-        out.update(m.ORACLE)
-    return out
+    return _ordered("ORACLE")

@@ -13,6 +13,13 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark sessions
+        # reject (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable, so set
+        # it here on the *caller's* session rather than relying on our own
+        # session factory having done it (session.py sets it too, but external
+        # harnesses build their own sessions).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _fix_nanos_ts(df)

@@ -112,3 +112,28 @@ def test_mart_write_is_dynamic_partition_overwrite(spark, tmp_path):
     rows = {(r["CSD_ID"], r["SOURCE_ID"], r["v"])
             for r in read_mart(spark, path).collect()}
     assert rows == {(3, 1, "a2"), (2, 2, "b")}
+
+
+def test_jaccard_stop_shingle_ceiling(spark):
+    """A boilerplate shingle shared by every doc must be pruned from the
+    inverted index before the pair join (the d² candidate blowup guard),
+    while pairs that also share rare shingles survive with exact math."""
+    from pyspark_etl_project_spark.extensions.dedup import jaccard_pairs
+
+    hot = "all rights reserved"
+    rows = [(i, [hot, f"unique shingle {i}"]) for i in range(10)]
+    # docs 100/101 share a rare shingle besides the hot one
+    rows += [(100, [hot, "rare shared thing"]), (101, [hot, "rare shared thing"])]
+    df = spark.createDataFrame(rows, "doc_id long, sh array<string>")
+
+    out = jaccard_pairs(df, "doc_id", "sh", threshold_num=1, threshold_den=4,
+                        max_doc_freq=3)
+    got = {(r["id_a"], r["id_b"]): (r["inter_n"], r["union_n"])
+           for r in out.collect()}
+    # only the rare-shingle pair survives; inter_n counts surviving
+    # shingles but union_n stays exact (sz_a + sz_b - inter)
+    assert got == {(100, 101): (1, 3)}
+
+    # uncapped: every pair sharing only the hot shingle floods through
+    flood = jaccard_pairs(df, "doc_id", "sh", 1, 4, max_doc_freq=None)
+    assert flood.count() == 12 * 11 // 2
