@@ -181,16 +181,35 @@ def compact_small_files(spark, path: str, target_files: int) -> int:
     micro-batch otherwise adds small files until scan task count, not
     data volume, dominates job time). Staging-dir rewrite: read fully,
     write aside, swap — never overwrite the input in place while
-    reading it. Returns the new file count."""
-    import glob
-    import os
-    import shutil
+    reading it. Returns the new file count.
+
+    Path operations go through the Hadoop FileSystem API, so the same
+    code works on any supported filesystem (local, HDFS, s3a/gs/abfs
+    object stores) — not just the local FS. NB: on object stores the
+    directory "rename" is a copy+delete under the hood; the swap window
+    is not atomic there (same caveat as every non-transactional table
+    format — use a transactional table layout when readers overlap
+    maintenance)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
 
     df = spark.read.parquet(path)
-    staging = path.rstrip("/") + "_compacting"
-    df.repartition(target_files).write.mode("overwrite").parquet(staging)
-    backup = path.rstrip("/") + "_precompact"
-    shutil.move(path, backup)
-    shutil.move(staging, path)
-    shutil.rmtree(backup)
-    return len(glob.glob(os.path.join(path, "part-*.parquet")))
+    staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_compacting")
+    df.repartition(target_files).write.mode("overwrite").parquet(staging.toString())
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_precompact")
+    if not fs.rename(jpath, backup):
+        raise IOError(f"rename {path} -> {backup} failed")
+    if not fs.rename(staging, jpath):
+        fs.rename(backup, jpath)  # roll back; input left intact
+        raise IOError(f"rename {staging} -> {path} failed")
+    fs.delete(backup, True)
+
+    n = 0
+    it = fs.listStatus(jpath)
+    for i in range(len(it)):
+        name = it[i].getPath().getName()
+        if name.startswith("part-") and name.endswith(".parquet"):
+            n += 1
+    return n

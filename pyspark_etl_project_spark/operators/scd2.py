@@ -50,7 +50,8 @@ def scd2_merge(mart: DataFrame,
                surrogate_col: str = "CSD_ID",
                dense_ids: bool = False,
                broadcast_keys: bool = True,
-               cache_arrivals: bool = True) -> DataFrame:
+               cache_arrivals: bool = True,
+               surrogate_offset: int | None = None) -> DataFrame:
     """Merge routed arrivals (must carry mart columns minus the surrogate,
     plus nothing else) into the SCD2 mart. ``run_ts`` is an ISO timestamp
     string used for both expiry and effective stamps.
@@ -61,6 +62,12 @@ def scd2_merge(mart: DataFrame,
     batch is the small side of an incremental merge (the mart is the big
     side and is never cached), so caching trades a little executor
     memory for not running the upstream transform chain twice.
+
+    ``surrogate_offset`` is the persisted high-water surrogate id (see
+    operators/watermark.py save_surrogate_hwm): pass it to skip the
+    full-mart MAX(surrogate) scan — at 100 TB that scan is a whole
+    column pass per incremental batch. When None, falls back to the agg
+    (correct but O(mart)).
     """
     run_ts_col = F.lit(run_ts).cast("timestamp")
     open_end = F.lit(SCD2_OPEN_END_DATE).cast("timestamp")
@@ -80,7 +87,8 @@ def scd2_merge(mart: DataFrame,
                      .withColumn("END_DATE", run_ts_col))
     survivors = active.join(keys_join, on=key, how="left_anti")
 
-    next_id = _surrogate_offset(mart, surrogate_col)
+    next_id = (surrogate_offset if surrogate_offset is not None
+               else _surrogate_offset(mart, surrogate_col))
     fresh = (arrivals
              .withColumn("ACTIVE_FLAG", F.lit(1))
              .withColumn("START_DATE", run_ts_col)

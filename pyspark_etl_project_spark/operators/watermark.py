@@ -58,3 +58,19 @@ def read_watermarks(spark, path: str) -> DataFrame:
 def read_watermark(spark, path: str, source: str) -> int | None:
     rows = read_watermarks(spark, path).filter(F.col("source") == source).collect()
     return rows[0]["wm"] if rows else None
+
+
+# --- surrogate high-water mark --------------------------------------------
+# The SCD2 merge needs MAX(CSD_ID) to continue the id sequence; scanning
+# the mart for it is O(mart) per incremental batch. Persist it in this
+# same tiny watermark table under a reserved "<source>#surrogate" key,
+# advanced after each load commits — the merge then starts from a 1-row
+# read, falling back to the mart agg only when the entry is absent
+# (first load, or recovering from a lost watermark table).
+
+def save_surrogate_hwm(spark, path: str, source: str, value: int) -> None:
+    save_watermark(spark, path, f"{source}#surrogate", value)
+
+
+def read_surrogate_hwm(spark, path: str, source: str) -> int | None:
+    return read_watermark(spark, path, f"{source}#surrogate")

@@ -70,7 +70,9 @@ def finalize_staged(df: DataFrame, source_id: int, data_load_id: int) -> DataFra
 
 
 def run_load(mart: DataFrame, staged: DataFrame,
-             run_ts: str, source_id: int | None = None) -> tuple[DataFrame, DataFrame]:
+             run_ts: str, source_id: int | None = None,
+             dense_ids: bool = False,
+             surrogate_offset: int | None = None) -> tuple[DataFrame, DataFrame]:
     """CDC-route the staged batch against the active mart slice for its
     source, SCD2-merge the INSERT/UPDATE rows, return (new_mart, audit).
 
@@ -79,6 +81,17 @@ def run_load(mart: DataFrame, staged: DataFrame,
     scan reads one source's active rows, three columns. Pass source_id
     explicitly — deriving it from the batch would trigger an extra job
     over the whole staged plan.
+
+    ``dense_ids`` defaults to False: sparse surrogate ids
+    (monotonically_increasing_id + offset) preserve every SCD2 invariant
+    except autoincrement *density* and skip dense_row_number's extra
+    count pass + eager range repartition (~2 Spark jobs per load). Opt
+    in when autoincrement-faithful ids are contractually required (the
+    oracle-checked pipeline queries do, matching the reference's
+    SQLite AUTOINCREMENT column).
+
+    ``surrogate_offset``: persisted high-water surrogate (see
+    watermark.save_surrogate_hwm) — skips the O(mart) MAX(CSD_ID) scan.
     """
     if source_id is None:
         row = staged.select("SOURCE_ID").first()
@@ -90,6 +103,7 @@ def run_load(mart: DataFrame, staged: DataFrame,
                             F.col("SOURCE_HASH_KEY").alias("HISTORIC_HASHKEY")))
     routed = cdc_classify(staged, historic)
     arrivals = routed.select(*STAGED_COLS)
-    merged = scd2_merge(mart, arrivals, run_ts=run_ts, dense_ids=True)
+    merged = scd2_merge(mart, arrivals, run_ts=run_ts, dense_ids=dense_ids,
+                        surrogate_offset=surrogate_offset)
     audit = load_audit_metrics(arrivals, group_by=["SOURCE_ID", "DATA_LOAD_ID"])
     return merged, audit

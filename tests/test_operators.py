@@ -233,3 +233,47 @@ def test_compact_small_files_preserves_data(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 1000
     assert back.agg(F.sum("v")).first()[0] == 999 * 1000
+
+
+def test_scd2_surrogate_offset_skips_mart_scan(spark):
+    """With a persisted high-water surrogate passed in, the merge must
+    (a) continue ids from it and (b) never run the MAX(CSD_ID) agg over
+    the mart — asserted by counting Spark jobs triggered at plan-build
+    time (the offset fallback is a driver-side .first() action)."""
+    mart = spark.createDataFrame(
+        [(7, "A", "v1", 1, "2020-01-01 00:00:00", "2099-12-31 00:00:00")],
+        "CSD_ID long, SOURCE_SYSTEM_IDENTIFIER string, val string, "
+        "ACTIVE_FLAG int, START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    arrivals = spark.createDataFrame(
+        [("B", "v1")], "SOURCE_SYSTEM_IDENTIFIER string, val string")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = scd2_merge(mart, arrivals, run_ts="2024-01-01 00:00:00",
+                     dense_ids=False, surrogate_offset=7, cache_arrivals=False)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "plan build must trigger no jobs with offset given"
+
+    rows = out.collect()
+    new_b = next(r for r in rows if r["SOURCE_SYSTEM_IDENTIFIER"] == "B")
+    assert new_b["CSD_ID"] >= 8  # continues past the persisted high-water
+
+
+def test_surrogate_hwm_watermark_roundtrip(spark, tmp_path):
+    from pyspark_etl_project_spark.operators.watermark import (
+        read_surrogate_hwm,
+        read_watermark,
+        save_surrogate_hwm,
+        save_watermark,
+    )
+
+    p = str(tmp_path / "wm")
+    assert read_surrogate_hwm(spark, p, "csv") is None
+    save_watermark(spark, p, "csv", 500)          # record-id watermark
+    save_surrogate_hwm(spark, p, "csv", 1234)     # surrogate high-water
+    assert read_surrogate_hwm(spark, p, "csv") == 1234
+    assert read_watermark(spark, p, "csv") == 500  # keys don't collide
+    save_surrogate_hwm(spark, p, "csv", 2000)
+    assert read_surrogate_hwm(spark, p, "csv") == 2000
