@@ -77,6 +77,51 @@ def lsh_bucketed_topk(embeddings: DataFrame, query_vec: list[float],
                   .limit(k))
 
 
+def topk_for_queries(corpus: DataFrame, queries: DataFrame,
+                     k: int = 10, num_bits: int | None = None,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "query_vec",
+                     round_digits: int = 6) -> DataFrame:
+    """Batched top-k: a whole DataFrame of query vectors against the
+    corpus in ONE distributed plan — the shape a training-data pipeline
+    actually runs (dedup-against-index, retrieval eval, hard-negative
+    mining), vs the single-driver-vector APIs above.
+
+    ``num_bits=None``: exact — the query set broadcasts to every corpus
+    partition (BroadcastNestedLoopJoin); cost is |corpus| × |queries|
+    score evaluations, zero corpus shuffle.
+    ``num_bits=n``: sign-LSH candidate cut — both sides compute their
+    bucket string and equi-join on it (queries still broadcast when
+    small), so only same-bucket pairs are ever scored (~2^-n of the
+    corpus per query); recall misses are the ANN trade-off.
+
+    The per-query top-k is a window over query_id (one shuffle keyed by
+    query — partition count = |queries|, each holding that query's
+    candidates), returning (query_id, vec_id, cos_sim) with ties broken
+    by id. Self-matches (same id on both sides) are excluded.
+    """
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    if num_bits is None:
+        joined = c.crossJoin(F.broadcast(q))
+    else:
+        cb = c.withColumn("_b", sign_bucket(F.col("_cv"), num_bits))
+        qb = q.withColumn("_b", sign_bucket(F.col("_qv"), num_bits))
+        joined = cb.join(F.broadcast(qb), "_b")
+    scored = (joined.filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(cosine(F.col("_cv"), F.col("_qv")),
+                              round_digits).alias("cos_sim")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= k)
+                  .drop("_rn"))
+
+
 def centroid_affinity(vec_col: Column, cent_arr: Column) -> Column:
     """Cell-assignment score: dot(v, c) / |c|. Equivalent ORDERING to
     cosine for a fixed v (|v| > 0 is constant across centroids), at

@@ -29,6 +29,7 @@ from pyspark_etl_project_spark.extensions.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_bucketed_topk,
+    topk_for_queries,
 )
 from pyspark_etl_project_spark.plans.tables import load
 
@@ -334,6 +335,52 @@ def embedding_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return lsh_bucketed_topk(emb.filter(F.col("vec_id") != 0), list(qvec),
                              k=10, num_bits=4)
+
+
+# --- batched ANN top-k: a DataFrame of queries in one plan -----------------
+# The 100 TB shape: query vectors arrive as a table, not a driver list.
+# Sign-LSH buckets computed on BOTH sides -> bucket equi-join (queries
+# broadcast) -> per-query window top-k (one shuffle keyed by query_id).
+
+_PAIR_COS_SQL = """
+  round(
+    list_sum(list_transform(range(len(e.embedding)),
+      i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qe[i+1] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(len(e.embedding)),
+        i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(len(q.qe)),
+        i -> CAST(q.qe[i+1] AS DOUBLE) * CAST(q.qe[i+1] AS DOUBLE)))))
+  , 6)"""
+
+_BUCKET4_SQL = ("array_to_string(list_transform(range(4), "
+                "i -> CASE WHEN {col}[i+1] >= 0 THEN '1' ELSE '0' END), '')")
+
+@_q("embedding_topk_batched", f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         {_BUCKET4_SQL.format(col='embedding')} AS b
+  FROM embeddings WHERE vec_id < 3
+), cs AS (
+  SELECT vec_id, embedding,
+         {_BUCKET4_SQL.format(col='embedding')} AS b
+  FROM embeddings WHERE vec_id >= 3
+), scored AS (
+  SELECT q.query_id, e.vec_id, {_PAIR_COS_SQL} AS cos_sim
+  FROM cs e JOIN qs q USING (b)
+)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored) WHERE rn <= 5
+""")
+def embedding_topk_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 3)
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("query_vec")))
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return topk_for_queries(corpus, queries, k=5, num_bits=4)
 
 
 # --- IVF-bucketed ANN top-k ------------------------------------------------

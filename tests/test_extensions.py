@@ -161,3 +161,37 @@ def test_approx_count_distinct_within_tolerance(spark):
     approx = docs.agg(
         F.approx_count_distinct("text", rsd=0.05).alias("a")).first()["a"]
     assert abs(approx - exact) <= max(1, int(exact * 0.15))
+
+
+def test_batched_topk_matches_per_query_brute_force(spark):
+    from pyspark_etl_project_spark.extensions.similarity import (
+        brute_force_topk,
+        topk_for_queries,
+    )
+
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (emb.filter(F.col("vec_id") < 2)
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("query_vec")))
+    corpus = emb.filter(F.col("vec_id") >= 2)
+
+    batched = topk_for_queries(corpus, queries, k=5)  # exact path
+    got = {(r["query_id"], r["vec_id"], r["cos_sim"]) for r in batched.collect()}
+
+    expected = set()
+    for qid, qvec in [(r["vec_id"], r["embedding"])
+                      for r in emb.filter(F.col("vec_id") < 2).collect()]:
+        for r in brute_force_topk(corpus, list(qvec), k=5).collect():
+            expected.add((qid, r["vec_id"], r["cos_sim"]))
+    assert got == expected
+
+    # LSH path returns a subset of same-bucket candidates, ranked per query
+    lsh = topk_for_queries(corpus, queries, k=5, num_bits=2)
+    per_q = {}
+    for r in lsh.collect():
+        per_q.setdefault(r["query_id"], []).append(r["cos_sim"])
+    for sims in per_q.values():
+        assert sims == sorted(sims, reverse=True) and len(sims) <= 5
