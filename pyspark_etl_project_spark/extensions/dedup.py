@@ -196,6 +196,34 @@ def deterministic_split(df: DataFrame, id_col: str,
     return df.withColumn(out_col, expr)
 
 
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      rates: dict[str, int], default_pct: int = 0,
+                      salt: str = "strat-v1") -> DataFrame:
+    """Deterministic stratified sampling: keep ``rates[stratum]`` percent
+    of each stratum (e.g. downsample English to 50% while keeping all
+    German), decided purely by md5(salt || id) — the same row keeps or
+    drops on every run, engine, and incremental append, unlike
+    ``sampleBy`` whose RNG draw is per-task.
+
+    A map-side filter expression: no shuffle, no RNG state, composes
+    with any downstream plan. Strata not in ``rates`` keep
+    ``default_pct`` percent."""
+    for name, pct in rates.items():
+        if not 0 <= pct <= 100:
+            raise ValueError(f"rate out of range for {name!r}: {pct}")
+    bucket = (F.conv(F.substring(F.md5(
+        F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 4),
+        16, 10).cast("long") % 100)
+    keep_pct = None
+    for name, pct in rates.items():
+        cond = F.col(strata_col) == name
+        keep_pct = (F.when(cond, pct) if keep_pct is None
+                    else keep_pct.when(cond, pct))
+    keep_pct = (keep_pct.otherwise(default_pct) if keep_pct is not None
+                else F.lit(default_pct))
+    return df.filter(bucket < keep_pct)
+
+
 def connected_dedup_clusters(pairs: DataFrame, ids: DataFrame,
                              id_col: str = "doc_id",
                              a_col: str = "id_a", b_col: str = "id_b",

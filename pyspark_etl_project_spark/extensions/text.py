@@ -43,6 +43,29 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
 
 
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Non-distinct word n-grams (repetition-aware — unlike
+    dedup.word_shingles, repeats are kept so duplicate fractions can be
+    measured). Documents shorter than n words yield an empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = tokens(c)
+    sh = F.transform(F.sequence(F.lit(0), F.size(w) - n),
+                     lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    return F.when(F.size(w) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_bp(col: Column | str, n: int = 2) -> Column:
+    """Duplicate n-gram fraction in integer basis points — the
+    Gopher-style repetition signal (high value = the document repeats
+    itself). Integer math end-to-end so the cut is engine-exact."""
+    g = word_ngrams(col, n)
+    return F.when(
+        F.size(g) > 0,
+        F.floor((F.size(g) - F.size(F.array_distinct(g))).cast("bigint")
+                * 10000 / F.size(g)).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+
+
 def avg_token_length(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     t = tokens(c)

@@ -202,6 +202,115 @@ def deterministic_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("min_id")))
 
 
+# --- deterministic stratified sampling ------------------------------------
+# Per-language keep rates (downsample the dominant language, keep the
+# rest) decided by md5(salt||id) — a pure map-side filter, reproducible
+# across runs/engines/appends, no RNG state, no shuffle.
+
+@_q("stratified_sample_deterministic", """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substring(
+             md5('strat-v1|' || CAST(doc_id AS VARCHAR)), 1, 4))
+           AS INTEGER) % 100 AS b
+  FROM documents)
+WHERE b < (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 100
+           ELSE 10 END)
+""")
+def stratified_sample_deterministic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "doc_id", "lang",
+                            {"en": 50, "de": 100}, default_pct=10)
+    return out.select("doc_id", "lang")
+
+
+# --- repetition signals (Gopher-style quality filters) ---------------------
+# dup_2gram_bp is a pure row-wise expression; the top-word fraction is
+# the scalable explode -> two map-side-combine aggregations shape (never
+# a per-doc O(n²) nested loop — documents can be arbitrarily long).
+
+@_q("text_repetition_signals", """
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE doc_id < 400
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(len(w) - 1),
+                                  i -> concat(w[i+1], ' ', w[i+2]))
+              ELSE [] END AS g, w
+  FROM base
+), rowwise AS (
+  SELECT doc_id,
+         CASE WHEN len(g) > 0
+              THEN CAST(FLOOR((len(g) - len(list_distinct(g))) * 10000.0
+                              / len(g)) AS BIGINT)
+              ELSE 0 END AS dup_2gram_bp, w
+  FROM grams
+), words AS (
+  SELECT doc_id, dup_2gram_bp, unnest(w) AS word FROM rowwise
+), wc AS (
+  SELECT doc_id, dup_2gram_bp, word, COUNT(*) AS c
+  FROM words GROUP BY 1, 2, 3
+)
+SELECT doc_id, dup_2gram_bp,
+       CAST(FLOOR(MAX(c) * 10000.0 / SUM(c)) AS BIGINT) AS top_word_bp,
+       SUM(c) AS n_words
+FROM wc GROUP BY doc_id, dup_2gram_bp
+""")
+def text_repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    # Stage the expensive arrays through stacked projections BELOW the
+    # explode: each Project materializes its column once per document
+    # (CollapseProject keeps non-cheap expressions staged), where a
+    # single fused expression would rebuild the gram array 4x per row —
+    # and putting it beside explode() would re-evaluate it per word.
+    grams = docs.select("doc_id", X.tokens("text").alias("w"),
+                        X.word_ngrams("text", 2).alias("g"))
+    pre = grams.select(
+        "doc_id", "w",
+        F.when(F.size("g") > 0,
+               F.floor((F.size("g") - F.size(F.array_distinct("g")))
+                       .cast("bigint") * 10000 / F.size("g")).cast("bigint"))
+         .otherwise(F.lit(0).cast("bigint")).alias("dup_2gram_bp"))
+    rowwise = pre.select("doc_id", "dup_2gram_bp",
+                         F.explode("w").alias("word"))
+    wc = (rowwise.groupBy("doc_id", "dup_2gram_bp", "word")
+                 .agg(F.count(F.lit(1)).alias("c")))
+    return (wc.groupBy("doc_id", "dup_2gram_bp")
+              .agg(F.floor(F.max("c") * 10000 / F.sum("c"))
+                    .cast("bigint").alias("top_word_bp"),
+                   F.sum("c").alias("n_words")))
+
+
+# --- PII / numeric redaction scan ------------------------------------------
+# Redaction as pure column expressions over the JSON props payload:
+# regexp_replace + match counting, zero shuffle, engine-exact via md5 of
+# the redacted string (both engines replace ALL matches).
+
+@_q("pii_redaction_scan", """
+SELECT event_id,
+       md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS redacted_md5,
+       len(regexp_extract_all(props, '[0-9]+')) AS n_number_runs,
+       len(regexp_extract_all(props,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails
+FROM events
+""")
+def pii_redaction_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.md5(F.regexp_replace("props", r"[0-9]+", "<NUM>")).alias("redacted_md5"),
+        F.size(F.regexp_extract_all("props", F.lit(r"[0-9]+"), F.lit(0)))
+         .cast("int").alias("n_number_runs"),
+        F.size(F.regexp_extract_all(
+            "props", F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"), F.lit(0)))
+         .cast("int").alias("n_emails"))
+
+
 # --- SimHash signatures ----------------------------------------------------
 
 @_q("dedup_simhash", """

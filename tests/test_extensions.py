@@ -195,3 +195,35 @@ def test_batched_topk_matches_per_query_brute_force(spark):
         per_q.setdefault(r["query_id"], []).append(r["cos_sim"])
     for sims in per_q.values():
         assert sims == sorted(sims, reverse=True) and len(sims) <= 5
+
+
+def test_dup_ngram_bp_values(spark):
+    from pyspark_etl_project_spark.extensions.text import dup_ngram_bp
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),     # 2-grams: [a b, b a, a b, b a] -> 2 dups of 4
+         (2, "x y z"),         # all distinct -> 0
+         (3, "w"),             # shorter than n -> empty -> 0
+         (4, "")],
+        "id long, t string")
+    got = {r["id"]: r["bp"] for r in
+           df.select("id", dup_ngram_bp("t", 2).alias("bp")).collect()}
+    assert got == {1: 5000, 2: 0, 3: 0, 4: 0}
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from pyspark_etl_project_spark.extensions.dedup import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = stratified_sample(df, "id", "lang", {"en": 50, "de": 100})
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in out.collect())
+    assert a == b  # rerun-identical (no RNG state)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["de"] == 1000                 # 100% kept
+    assert 800 < counts["en"] < 1200            # ~50% of 2000
+    # unknown stratum honors default_pct=0
+    df2 = spark.createDataFrame([(1, "fr")], "id long, lang string")
+    assert stratified_sample(df2, "id", "lang", {"en": 50}).count() == 0
