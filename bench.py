@@ -41,6 +41,11 @@ HEADLINE = [
     "range_join_event_intervals",
     "salted_skew_agg",
     "rollup_flag_status",
+    "dedup_ngram_jaccard",
+    "embedding_topk_batched",
+    "text_repetition_signals",
+    "pii_redaction_scan",
+    "stratified_sample_deterministic",
 ]
 
 

@@ -180,6 +180,35 @@ def streaming_stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFr
     return latest_emission_per_key(emissions)
 
 
+# --- streaming dedup within watermark --------------------------------------
+# At-least-once sources re-deliver; dropDuplicatesWithinWatermark is the
+# engine's bounded-state exactly-once collapse: dedup state is evicted
+# once the event-time watermark passes a key (state size ~ watermark
+# window's key cardinality, not the stream's). The feed replays ids
+# 401-600 in a second micro-batch; the delay is sized past the data's
+# event-time span so no row is late and the result is deterministically
+# the batch DISTINCT — which is the oracle.
+
+@_q("streaming_dedup_within_watermark", """
+SELECT event_id, user_id, event_type FROM events WHERE event_id <= 800
+""")
+def streaming_dedup_within_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.plans.tables import load
+    from pyspark_etl_project_spark.streaming.stateful import multi_batch_file_stream
+
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "ts", "user_id", "event_type"))
+    b1 = ev.filter(F.col("event_id") <= 600)
+    b2 = ev.filter((F.col("event_id") > 400) & (F.col("event_id") <= 800))
+    stream = multi_batch_file_stream(
+        spark, [b1, b2],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    deduped = (stream.withWatermark("ts", "3650 days")
+                     .dropDuplicatesWithinWatermark(["event_id"]))
+    out = run_stream_to_memory(deduped, output_mode="append")
+    return out.select("event_id", "user_id", "event_type")
+
+
 # --- stream-static enrichment join ----------------------------------------
 # A micro-batch stream joined to a STATIC dimension: Spark re-plans the
 # join per batch (the static side can be broadcast), the canonical

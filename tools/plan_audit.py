@@ -18,9 +18,13 @@ DEFAULT = [
     "join_dim_broadcast", "scd2_merge", "latest_version_per_key",
     "dim_prep_lookup", "etl_csv_pipeline_full",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard",
     "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
+    "embedding_topk_batched",
     "text_stats", "sessionize_events", "retention_latest_per_group",
     "topk_limit",
+    "text_repetition_signals", "pii_redaction_scan",
+    "stratified_sample_deterministic", "semi_anti_customers",
 ]
 
 
