@@ -209,6 +209,68 @@ def user_event_type_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("event_type").cast("long").alias("n_types")))
 
 
+# --- running cumulative sum (ordered window frame) ------------------------
+# ROWS UNBOUNDED PRECEDING per user ordered by (ts, event_id): one
+# shuffle on the user key; DECIMAL accumulation so the running total is
+# order-exact in both engines (double accumulation would drift).
+
+@_q("cumulative_user_value", """
+SELECT event_id, user_id,
+       CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) * 100) AS BIGINT)
+         AS running_cents
+FROM events WHERE user_id < 50
+""")
+def cumulative_user_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.plans.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.floor(F.sum(F.col("value").cast("decimal(18,6)")).over(w) * 100)
+         .cast("long").alias("running_cents"))
+
+
+# --- TPC-H Q3 shape: top-k revenue over a 3-way join ----------------------
+# customer ⋈ orders ⋈ lineitem with filters pushed to each scan, grouped
+# revenue, then top-10 via TakeOrderedAndProject (per-partition heaps +
+# driver merge of k rows — never a global sort).
+
+@_q("top_unshipped_orders", """
+SELECT l.l_orderkey,
+       CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) * 100)
+            AS BIGINT) AS revenue_cents,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, l.l_orderkey ASC LIMIT 10
+""")
+def top_unshipped_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (load(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING"))
+    o = (load(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")))
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)")))
+    return (c.join(o, c["c_custkey"] == o["o_custkey"])
+             .join(li, o["o_orderkey"] == li["l_orderkey"])
+             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+             .agg(F.floor(F.sum(rev) * 100).cast("long").alias("revenue_cents"))
+             .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+             .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+             .limit(10))
+
+
 # --- pivot (event types to columns) ---------------------------------------
 # Explicit value list (never inferred — inference costs an extra scan);
 # compiles to one grouped conditional aggregation, a single shuffle.

@@ -170,7 +170,8 @@ def etl_csv_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer_types": seed_customer_types(spark),
     }
     staged = csv_transform(feed, dims, data_load_id=42)
-    mart, _audit = run_load(empty_mart(spark), staged, _RUN_TS, source_id=3, dense_ids=True)
+    mart, _audit = run_load(empty_mart(spark), staged, _RUN_TS, source_id=3, dense_ids=True,
+                          surrogate_offset=0)
     return mart.select(
         F.col("CSD_ID").alias("csd_id"), F.col("SOURCE_ID").alias("source_id"),
         F.col("SOURCE_SYSTEM_IDENTIFIER").alias("ssi"),
@@ -310,7 +311,8 @@ def etl_json_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .withColumn("_ingest_order", F.col("_ingest_order") + F.lit(1000000)))
     feed = base.unionByName(reemit)
     staged = json_transform(feed, _seed_dims(spark), data_load_id=77)
-    mart, _audit = run_load(empty_mart(spark), staged, _RUN_TS, source_id=1, dense_ids=True)
+    mart, _audit = run_load(empty_mart(spark), staged, _RUN_TS, source_id=1, dense_ids=True,
+                          surrogate_offset=0)
     return _mart_lower(mart)
 
 
@@ -439,7 +441,8 @@ def etl_xml_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .withColumn("ARCHIVE_ID", F.col("ARCHIVE_ID") + F.lit(1000000)))
     feed = base.unionByName(redeliver)
     staged = xml_transform(feed, _seed_dims(spark), data_load_id=88)
-    mart, _audit = run_load(empty_mart(spark), staged, _RUN_TS, source_id=2, dense_ids=True)
+    mart, _audit = run_load(empty_mart(spark), staged, _RUN_TS, source_id=2, dense_ids=True,
+                          surrogate_offset=0)
     return _mart_lower(mart)
 
 
@@ -587,7 +590,8 @@ def etl_csv_two_load_incremental_q(spark: SparkSession, sf_dir: str) -> DataFram
     orders = load(spark, sf_dir, "orders")
     dims = _seed_dims(spark)
     staged1 = csv_transform(_att_feed(orders, 0, 500, shift=False), dims, 61)
-    mart1, _ = run_load(empty_mart(spark), staged1, _T1_2L, source_id=3, dense_ids=True)
+    mart1, _ = run_load(empty_mart(spark), staged1, _T1_2L, source_id=3, dense_ids=True,
+                     surrogate_offset=0)
     mart1 = mart1.localCheckpoint(eager=False)
     staged2 = csv_transform(_att_feed(orders, 250, 750, shift=True), dims, 62)
     mart2, _ = run_load(mart1, staged2, _T2_2L, source_id=3, dense_ids=True)
