@@ -153,6 +153,65 @@ def ivf_cell(vec_col: Column, centroids: list[tuple[int, list[float]]],
         cid_arr, F.array_position(scores, F.array_max(scores)).cast("int"))
 
 
+def ivf_write_index(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
+                    path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    round_digits: int = 6) -> None:
+    """Materialize the IVF index: assign each vector its coarse cell
+    (map-side expression, no shuffle beyond the write) and write the
+    corpus ``partitionBy(ivf_cell)``. After this one-time build, probing
+    nprobe cells is *static partition pruning* — non-probed cells are
+    never read from storage. This is the 100 TB serving layout the
+    in-memory ``ivf_topk`` only simulates with a filter."""
+    assigned = corpus.withColumn(
+        "ivf_cell", ivf_cell(F.col(vec_col), centroids, round_digits))
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+
+def _py_affinity(q: list[float], c: list[float]) -> float:
+    """Driver-side replica of centroid_affinity's exact arithmetic:
+    sequential left-fold dot and norm in IEEE double — bit-identical to
+    the JVM expression, so driver-side probe selection agrees with
+    engine-side cell assignment."""
+    import math
+
+    dp = 0.0
+    for x, y in zip(q, c):
+        dp = dp + float(x) * float(y)
+    nn = 0.0
+    for y in c:
+        nn = nn + float(y) * float(y)
+    return dp / math.sqrt(nn)
+
+
+def ivf_probe_index(spark, path: str, query_vec: list[float],
+                    centroids: list[tuple[int, list[float]]],
+                    k: int = 10, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_digits: int = 6,
+                    probe_cells: list[int] | None = None) -> DataFrame:
+    """Probe a materialized IVF index: pick the ``nprobe`` cells nearest
+    the query from the (tiny, driver-side) centroid list, then scan ONLY
+    those partitions — the ``ivf_cell`` filter is a partition-column
+    predicate, so pruning happens at file listing, before any I/O.
+
+    Pass ``probe_cells`` to supply engine-computed probe scores instead
+    of the driver-side math (python round() is banker's; Spark round()
+    is HALF_UP — a boundary-exact caller should score cells with the
+    engine expression, as ``ivf_topk`` does)."""
+    if probe_cells is not None:
+        probe = list(probe_cells)[:nprobe]
+    else:
+        scored = sorted(
+            ((round(_py_affinity(query_vec, ce), round_digits), cid)
+             for cid, ce in centroids),
+            key=lambda t: (-t[0], t[1]))
+        probe = [cid for _s, cid in scored[:nprobe]]
+    cand = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probe))
+    return brute_force_topk(cand, query_vec, k=k, id_col=id_col,
+                            vec_col=vec_col, round_digits=round_digits)
+
+
 def ivf_topk(embeddings: DataFrame, query_vec: list[float],
              centroid_ids: list[int], k: int = 10, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

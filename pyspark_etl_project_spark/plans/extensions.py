@@ -543,6 +543,47 @@ def embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroid_ids=list(range(1, 17)), k=10, nprobe=4)
 
 
+# --- IVF over a MATERIALIZED index (real partition pruning) ----------------
+# Same semantics as embedding_ivf_topk (identical oracle), but the corpus
+# is first written partitionBy(ivf_cell) and the probe reads it back with
+# a partition-column filter — non-probed cells are pruned at file
+# listing, never scanned. The 100 TB serving layout, exercised for real.
+
+@_q("embedding_ivf_index_probe", None)  # oracle assigned below (same as ivf_topk)
+def embedding_ivf_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark_etl_project_spark.extensions.similarity import (
+        centroid_affinity,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding")
+                .first()["embedding"])
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    # Engine-side probe scoring (round parity with the oracle), one tiny job.
+    cent_rows = (emb.filter(F.col("vec_id").between(1, 16))
+                 .select(F.col("vec_id").alias("cid"),
+                         F.col("embedding").alias("ce"),
+                         F.round(centroid_affinity(q, F.col("embedding")), 6)
+                          .alias("cs"))
+                 .collect())
+    centroids = [(r["cid"], list(r["ce"])) for r in cent_rows]
+    probe = [r["cid"] for r in
+             sorted(cent_rows, key=lambda r: (-r["cs"], r["cid"]))[:4]]
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_index_"), "index")
+    ivf_write_index(emb.filter(F.col("vec_id") != 0), centroids, path)
+    return ivf_probe_index(spark, path, qvec, centroids, k=10, nprobe=4,
+                           probe_cells=probe)
+
+
+ORACLE["embedding_ivf_index_probe"] = ORACLE["embedding_ivf_topk"]
+
+
 # --- multimodal: binary payload column + Arrow-batched feature extraction --
 # (consolidated: the former `multimodal_binary_stats` query's media_type /
 # content_md5 columns live here — same media frame, and the join of the

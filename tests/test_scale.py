@@ -137,3 +137,45 @@ def test_jaccard_stop_shingle_ceiling(spark):
     # uncapped: every pair sharing only the hot shingle floods through
     flood = jaccard_pairs(df, "doc_id", "sh", 1, 4, max_doc_freq=None)
     assert flood.count() == 12 * 11 // 2
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """A materialized IVF index probed with nprobe cells must read ONLY
+    those cells' files (pruning at file listing) and agree with the
+    in-memory ivf_topk on the same centroids/query."""
+    import random
+
+    from pyspark_etl_project_spark.extensions.similarity import (
+        ivf_probe_index,
+        ivf_topk,
+        ivf_write_index,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qvec = rows[0][1]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    centroids = [(r["vec_id"], list(r["embedding"])) for r in
+                 emb.filter(F.col("vec_id").between(1, 8)).collect()]
+
+    path = str(tmp_path / "ivf")
+    ivf_write_index(corpus, centroids, path)
+
+    probed = ivf_probe_index(spark, path, qvec, centroids, k=5, nprobe=2)
+    # the probe's scan must carry a partition-column filter (pruning at
+    # file listing — inputFiles() can't show it, the plan does)
+    plan = _formatted_plan(probed)
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "ivf_cell" in pf.group(1), plan
+    # and the filter keeps nprobe=2 of the >2 populated cells
+    n_cells = (spark.read.parquet(path).select("ivf_cell")
+               .distinct().count())
+    assert n_cells > 2
+
+    expected = ivf_topk(corpus, qvec, centroid_ids=[c for c, _ in centroids],
+                        k=5, nprobe=2)
+    got = [(r["vec_id"], r["cos_sim"]) for r in probed.collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in expected.collect()]
+    assert got == want
