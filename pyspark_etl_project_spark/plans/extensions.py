@@ -202,6 +202,29 @@ def deterministic_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("min_id")))
 
 
+# --- grouped-map Pandas UDF (batch applyInPandas) --------------------------
+# Per-group min-max normalization: one Arrow batch per event_type group.
+# The per-row double expression has no accumulation, so pandas and the
+# oracle's SQL-window formulation produce bit-identical values.
+
+@_q("group_minmax_normalize", """
+SELECT event_id, event_type,
+       CASE WHEN mx = mn THEN 0
+            ELSE CAST(FLOOR((value - mn) * 10000 / (mx - mn)) AS BIGINT)
+       END AS value_bp
+FROM (SELECT event_id, event_type, value,
+             MIN(value) OVER (PARTITION BY event_type) AS mn,
+             MAX(value) OVER (PARTITION BY event_type) AS mx
+      FROM events)
+""")
+def group_minmax_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.groupmap import minmax_normalize
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return minmax_normalize(ev, group_col="event_type", value_col="value",
+                            id_col="event_id")
+
+
 # --- deterministic stratified sampling ------------------------------------
 # Per-language keep rates (downsample the dominant language, keep the
 # rest) decided by md5(salt||id) — a pure map-side filter, reproducible
