@@ -114,3 +114,56 @@ def test_cdc_router_classes_partition_the_batch(spark, batch_rows, hist_rows):
             assert grp == "DUPLICATE"
         else:
             assert grp == "UPDATE"
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=1, max_size=60, unique=True),
+       st.integers(min_value=0, max_value=100))
+@settings(max_examples=10, deadline=None)
+def test_stratified_sample_append_stable(spark, ids, en_rate):
+    """sample(A ∪ B) == sample(A) ∪ sample(B): the md5 decision is a pure
+    function of the id, so incremental appends never resample old rows."""
+    from pyspark_etl_project_spark.extensions.dedup import stratified_sample
+
+    rows = [(i, "en" if i % 2 else "de") for i in ids]
+    half = len(rows) // 2
+    mk = lambda rs: spark.createDataFrame(rs, "id long, lang string")  # noqa: E731
+    rates = {"en": en_rate, "de": 100}
+
+    whole = {r["id"] for r in
+             stratified_sample(mk(rows), "id", "lang", rates).collect()}
+    parts = {r["id"] for r in
+             stratified_sample(mk(rows[:half]), "id", "lang", rates).collect()} | \
+            {r["id"] for r in
+             stratified_sample(mk(rows[half:]), "id", "lang", rates).collect()} \
+        if half else whole
+    assert whole == parts
+    # every 'de' row survives at rate 100
+    assert {i for i, lang in rows if lang == "de"} <= whole
+
+
+@given(st.lists(st.lists(st.sampled_from(list("abcdefg")),
+                         min_size=1, max_size=5, unique=True),
+                min_size=2, max_size=12),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=10, deadline=None)
+def test_jaccard_df_cap_sound(spark, shingle_sets, cap):
+    """Capped candidate pairs are a subset of uncapped pairs, and with a
+    cap >= ndocs the results are identical (the ceiling only ever drops
+    pairs, never invents or rescores them incorrectly)."""
+    from pyspark_etl_project_spark.extensions.dedup import jaccard_pairs
+
+    rows = [(i, [f"s{c}" for c in ss]) for i, ss in enumerate(shingle_sets)]
+    df = spark.createDataFrame(rows, "doc_id long, sh array<string>")
+
+    uncapped = {(r["id_a"], r["id_b"]): (r["inter_n"], r["union_n"])
+                for r in jaccard_pairs(df, "doc_id", "sh", 1, 10,
+                                       max_doc_freq=None).collect()}
+    capped = {(r["id_a"], r["id_b"]): (r["inter_n"], r["union_n"])
+              for r in jaccard_pairs(df, "doc_id", "sh", 1, 10,
+                                     max_doc_freq=cap).collect()}
+    assert set(capped) <= set(uncapped)
+    full = {(r["id_a"], r["id_b"]): (r["inter_n"], r["union_n"])
+            for r in jaccard_pairs(df, "doc_id", "sh", 1, 10,
+                                   max_doc_freq=len(rows)).collect()}
+    assert full == uncapped
