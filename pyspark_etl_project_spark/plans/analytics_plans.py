@@ -297,6 +297,32 @@ def pivot_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      for t in types])
 
 
+# --- CUBE subtotals with grouping id ---------------------------------------
+# All four grouping combinations in ONE pass (one Expand + one shuffle —
+# never four scans); grouping_id disambiguates subtotal rows from real
+# NULL keys. Same bitmask convention in both engines (leftmost = MSB).
+
+@_q("cube_event_stats", """
+SELECT event_type, user_id % 10 AS user_bucket,
+       GROUPING(event_type, user_id % 10) AS gid,
+       COUNT(*) AS n_events,
+       CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY CUBE(event_type, user_id % 10)
+""")
+def cube_event_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load(spark, sf_dir, "events")
+          .withColumn("user_bucket", F.col("user_id") % 10))
+    return (ev.cube("event_type", "user_bucket")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.floor(F.sum(F.col("value").cast("decimal(18,6)")) * 100)
+                  .cast("long").alias("value_cents"))
+            .select("event_type", "user_bucket", "gid", "n_events",
+                    "value_cents"))
+
+
 # --- set operations --------------------------------------------------------
 # The reference has none (SURVEY.md §2.G); the engine supports the full
 # family. Users active in BOTH early and late halves (intersect), only
