@@ -153,6 +153,41 @@ def ivf_cell(vec_col: Column, centroids: list[tuple[int, list[float]]],
         cid_arr, F.array_position(scores, F.array_max(scores)).cast("int"))
 
 
+def kmeans_refine(embeddings: DataFrame,
+                  centroids: list[tuple[int, list[float]]],
+                  iters: int = 2, vec_col: str = "embedding",
+                  round_digits: int = 6) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the IVF coarse quantizer, DataFrame-native:
+    per iteration, assign every vector its nearest cell (the same
+    map-side ``ivf_cell`` expression the index uses — no join, no
+    shuffle) and recompute each centroid as the per-dimension mean via
+    posexplode + groupBy (shuffle width = nlist × dims, independent of
+    corpus size). Only the nlist × dims means ever reach the driver.
+
+    Empty cells keep their previous centroid (the standard Lloyd
+    fallback). Returns the refined (cid, vector) list — feed it to
+    ``ivf_write_index`` / ``ivf_topk`` for better-balanced cells than
+    the deterministic corpus-row seeds."""
+    cents = {cid: list(ce) for cid, ce in centroids}
+    for _ in range(iters):
+        cur = sorted(cents.items())
+        assigned = embeddings.withColumn(
+            "_cell", ivf_cell(F.col(vec_col),
+                              [(c, v) for c, v in cur], round_digits))
+        means = (assigned
+                 .select("_cell", F.posexplode(F.col(vec_col))
+                         .alias("_pos", "_x"))
+                 .groupBy("_cell", "_pos")
+                 .agg(F.avg("_x").alias("_m"))
+                 .groupBy("_cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m")))
+                       .alias("_mm"))
+                 .collect())
+        for r in means:
+            cents[r["_cell"]] = [float(p["_m"]) for p in r["_mm"]]
+    return sorted(cents.items())
+
+
 def ivf_write_index(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
                     path: str, id_col: str = "vec_id",
                     vec_col: str = "embedding",

@@ -227,3 +227,37 @@ def test_stratified_sample_deterministic_and_rated(spark):
     # unknown stratum honors default_pct=0
     df2 = spark.createDataFrame([(1, "fr")], "id long, lang string")
     assert stratified_sample(df2, "id", "lang", {"en": 50}).count() == 0
+
+
+def test_kmeans_refine_improves_clustering(spark):
+    """Two Lloyd iterations from bad seeds must move centroids toward
+    the true cluster centers and tighten assignments."""
+    import random
+
+    from pyspark_etl_project_spark.extensions.similarity import (
+        _py_affinity,
+        ivf_cell,
+        kmeans_refine,
+    )
+
+    rng = random.Random(3)
+    # two tight clusters around orthogonal unit axes
+    rows = []
+    for i in range(60):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, [b + rng.uniform(-0.05, 0.05) for b in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # bad seeds: both near the same cluster
+    seeds = [(0, [0.9, 0.1, 0.0, 0.0]), (1, [0.8, 0.2, 0.0, 0.0])]
+
+    refined = kmeans_refine(emb, seeds, iters=3)
+    assert [c for c, _ in refined] == [0, 1]
+    # one refined centroid per true cluster: their dominant axes differ
+    axes = sorted(v.index(max(v)) for _c, v in refined)
+    assert axes == [0, 1]
+    # every vector now sits in the cell whose centroid it's closest to
+    got = emb.withColumn("cell", ivf_cell(F.col("embedding"), refined)) \
+             .collect()
+    for r in got:
+        sims = {c: _py_affinity(list(r["embedding"]), v) for c, v in refined}
+        assert r["cell"] == max(sims, key=lambda c: (sims[c], -c))
