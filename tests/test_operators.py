@@ -277,3 +277,28 @@ def test_surrogate_hwm_watermark_roundtrip(spark, tmp_path):
     assert read_watermark(spark, p, "csv") == 500  # keys don't collide
     save_surrogate_hwm(spark, p, "csv", 2000)
     assert read_surrogate_hwm(spark, p, "csv") == 2000
+
+
+def test_read_evolved_schema_merge(spark, tmp_path):
+    from pyspark_etl_project_spark.sources.parquet_source import read_evolved
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id long, name string") \
+        .write.parquet(v1)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double") \
+        .write.parquet(v2)
+
+    merged = read_evolved(spark, v1, v2)
+    rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}  # old rows NULL-fill
+
+    pinned = read_evolved(spark, v1, v2,
+                          expect_schema="id long, name string, score double, "
+                                        "extra int")
+    r1 = {r["id"]: r["extra"] for r in pinned.collect()}
+    assert r1 == {1: None, 2: None}  # never-written column NULL-fills
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unexpected columns"):
+        read_evolved(spark, v2, expect_schema="id long, name string")
