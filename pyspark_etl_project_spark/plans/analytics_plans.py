@@ -297,6 +297,57 @@ def pivot_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      for t in types])
 
 
+# --- time-series resample + forward fill -----------------------------------
+# Gap-filling grid: per user, one row per day from first to last event
+# (F.sequence + explode — rows generated executor-side, grid size =
+# span, not events), left-joined to the per-day latest value, missing
+# days forward-filled by last_value IGNORE NULLS over an ordered window.
+# The feature-pipeline resampling shape (align events to a model grid).
+
+@_q("resample_daily_ffill", """
+WITH ev AS (
+  SELECT user_id, date_trunc('day', ts) AS day, ts, event_id, value
+  FROM events WHERE user_id < 20
+), daily AS (
+  SELECT user_id, day, value FROM (
+    SELECT user_id, day, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, day
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+  FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+        FROM ev GROUP BY user_id)
+)
+SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+       last_value(d.value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day
+               ROWS UNBOUNDED PRECEDING) AS value_ffill
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+""")
+def resample_daily_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 20)
+          .select("user_id", F.date_trunc("day", "ts").alias("day"),
+                  "ts", "event_id", "value"))
+    w_day = (Window.partitionBy("user_id", "day")
+             .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    daily = (ev.withColumn("_rn", F.row_number().over(w_day))
+               .filter(F.col("_rn") == 1)
+               .select("user_id", "day", "value"))
+    grid = (ev.groupBy("user_id")
+              .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+              .select("user_id",
+                      F.explode(F.sequence(
+                          "mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day")))
+    w_fill = (Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(daily, ["user_id", "day"], "left")
+                .select("user_id", "day",
+                        F.last("value", ignorenulls=True).over(w_fill)
+                         .alias("value_ffill")))
+
+
 # --- CUBE subtotals with grouping id ---------------------------------------
 # All four grouping combinations in ONE pass (one Expand + one shuffle —
 # never four scans); grouping_id disambiguates subtotal rows from real
