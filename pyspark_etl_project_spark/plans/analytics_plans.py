@@ -297,6 +297,55 @@ def pivot_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      for t in types])
 
 
+# --- ordered funnel: view -> click -> purchase ------------------------------
+# Stage k requires stage k-1's event to happen FIRST (ordered, not just
+# present): conditional MINs chained through two broadcast-joined
+# aggregation passes — each pass one shuffle on user_id; no window over
+# raw events, no self cross-join.
+
+@_q("funnel_user_stages", """
+WITH v AS (
+  SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS mv
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS mc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND v.mv IS NOT NULL AND e.ts >= v.mv
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS mp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.mc
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CASE WHEN p.mp IS NOT NULL THEN 3
+            WHEN c.mc IS NOT NULL THEN 2
+            WHEN v.mv IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""")
+def funnel_user_stages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (ev.groupBy("user_id")
+           .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+                 .alias("mv")))
+    c = (ev.filter(F.col("event_type") == "click")
+           .join(v.filter(F.col("mv").isNotNull()), "user_id")
+           .filter(F.col("ts") >= F.col("mv"))
+           .groupBy("user_id").agg(F.min("ts").alias("mc")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .join(c, "user_id")
+           .filter(F.col("ts") >= F.col("mc"))
+           .groupBy("user_id").agg(F.min("ts").alias("mp")))
+    stage = (F.when(F.col("mp").isNotNull(), 3)
+              .when(F.col("mc").isNotNull(), 2)
+              .when(F.col("mv").isNotNull(), 1).otherwise(0))
+    return (v.join(c, "user_id", "left").join(p, "user_id", "left")
+             .select("user_id", stage.alias("funnel_stage")))
+
+
 # --- time-series resample + forward fill -----------------------------------
 # Gap-filling grid: per user, one row per day from first to last event
 # (F.sequence + explode — rows generated executor-side, grid size =

@@ -202,6 +202,26 @@ def deterministic_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("min_id")))
 
 
+# --- corpus vocabulary: top tokens -----------------------------------------
+# The vocab-build staple: explode to tokens, one map-side-combine count,
+# top-k via TakeOrderedAndProject (deterministic tiebreak on the token).
+# At 100 TB the count shuffle is bounded by DISTINCT tokens, not rows.
+
+@_q("vocab_top_tokens", """
+SELECT t AS token, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents)
+GROUP BY t ORDER BY n DESC, t ASC LIMIT 50
+""")
+def vocab_top_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+    return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), F.col("token").asc())
+                .limit(50))
+
+
 # --- grouped-map Pandas UDF (batch applyInPandas) --------------------------
 # Per-group min-max normalization: one Arrow batch per event_type group.
 # The per-row double expression has no accumulation, so pandas and the
