@@ -45,6 +45,13 @@ def get_spark(app_name: str = "pyspark_etl_project_spark",
         # The driver's events table stores TIMESTAMP(NANOS) which Spark
         # rejects; read as long and convert in plans.tables.load_events.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # zstd for data at rest: ~30-40% smaller than snappy at parquet
+        # scan-speed parity — at 100 TB that is tens of TB less I/O.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # NB: runtime bloom-filter/semi-join-reduction injection was
+        # measured to blow up driver-side planning on this engine's
+        # bushy multi-join plans (the optimizer's subtree search, not
+        # execution) — left at Spark's defaults deliberately.
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
