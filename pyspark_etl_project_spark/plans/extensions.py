@@ -202,6 +202,41 @@ def deterministic_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("min_id")))
 
 
+# --- edit-distance near-dup candidates (prefix blocking) -------------------
+# The third fuzzy-identity family beside token sets (Jaccard/MinHash) and
+# bit signatures (SimHash): bounded Levenshtein over normalized prefixes.
+# Blocking on the first 2 chars makes the self-join an equi-join (shuffle
+# key = block, never all-pairs); the O(len²) distance runs only on
+# blocked candidates. Both engines implement the same unit-cost DP, so
+# the distance is value-exact.
+
+@_q("dedup_levenshtein_prefix", """
+WITH d AS (
+  SELECT doc_id,
+         substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   1, 40) AS p
+  FROM documents WHERE doc_id < 300)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.p, b.p) AS edit_dist
+FROM d a JOIN d b
+  ON substring(a.p, 1, 2) = substring(b.p, 1, 2) AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 20
+""")
+def dedup_levenshtein_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    p = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 40)
+    d = docs.select("doc_id", p.alias("p"),
+                    F.substring(p, 1, 2).alias("blk"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("p").alias("pa"), "blk")
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("p").alias("pb"), "blk")
+    return (a.join(b, "blk")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("edit_dist", F.levenshtein("pa", "pb"))
+             .filter(F.col("edit_dist") <= 20)
+             .select("id_a", "id_b", "edit_dist"))
+
+
 # --- corpus vocabulary: top tokens -----------------------------------------
 # The vocab-build staple: explode to tokens, one map-side-combine count,
 # top-k via TakeOrderedAndProject (deterministic tiebreak on the token).
