@@ -297,6 +297,38 @@ def pivot_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      for t in types])
 
 
+# --- ranking-function family in one pass ------------------------------------
+# rank (gaps on value ties), dense_rank, ntile quartiles, lag/lead — all
+# over ONE per-group window spec, so Catalyst plans a single shuffle on
+# the group key and one sort. rank/dense_rank order by value alone
+# (ties are the point — their outputs are tie-invariant); ntile/lag/lead
+# add event_id as the unique tiebreak so row placement is deterministic.
+
+@_q("window_rank_functions", """
+SELECT event_id, event_type,
+       RANK() OVER (PARTITION BY event_type ORDER BY value) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value) AS drnk,
+       NTILE(4) OVER (PARTITION BY event_type
+                      ORDER BY value, event_id) AS quartile,
+       LAG(event_id) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS prev_event_id,
+       LEAD(event_id) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS next_event_id
+FROM events WHERE user_id < 30
+""")
+def window_rank_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w_val = Window.partitionBy("event_type").orderBy("value")
+    w_full = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+        F.ntile(4).over(w_full).alias("quartile"),
+        F.lag("event_id").over(w_full).alias("prev_event_id"),
+        F.lead("event_id").over(w_full).alias("next_event_id"))
+
+
 # --- ordered funnel: view -> click -> purchase ------------------------------
 # Stage k requires stage k-1's event to happen FIRST (ordered, not just
 # present): conditional MINs chained through two broadcast-joined
