@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -92,9 +92,12 @@ def jaccard_pairs(df: DataFrame, id_col: str, shingle_col: str,
     join (one extra groupBy on the shingle — same shuffle key the join
     needs anyway). Recall tradeoff: a pair whose every shared shingle is
     a stop-shingle is missed — but such pairs share only boilerplate, so
-    at dedup thresholds they are noise, not signal. The dropped shingles
-    still count toward each doc's set size, keeping the Jaccard
-    denominator exact. None disables the cap."""
+    at dedup thresholds they are noise, not signal. Dropped shingles
+    still count toward each doc's set size, so for a pair that SHARES a
+    stop-shingle the union sz_a+sz_b-inter_n double-counts it: both the
+    intersection and the resulting Jaccard are underestimates, not just
+    the recall. What stays exact is engine/oracle parity — both sides
+    compute the same capped statistic. None disables the cap."""
     sizes = df.select(F.col(id_col).alias("_id"), F.size(shingle_col).alias("_sz"))
     inv = df.select(F.col(id_col).alias("_id"),
                     F.explode(shingle_col).alias("_sh"))
@@ -115,6 +118,51 @@ def jaccard_pairs(df: DataFrame, id_col: str, shingle_col: str,
            .filter(F.col("inter_n") * threshold_den >= F.col("union_n") * threshold_num)
            .select("id_a", "id_b", "inter_n", "union_n"))
     return out
+
+
+def levenshtein_candidates(df: DataFrame, id_col: str, text_col: str,
+                           prefix_len: int = 40, block_chars: int = 2,
+                           length_bucket: int = 8,
+                           max_block_size: int | None = 64,
+                           max_dist: int = 20) -> DataFrame:
+    """Bounded-edit-distance near-dup candidates via two-level blocking.
+
+    Blocking key = (first ``block_chars`` chars of the whitespace-
+    normalized prefix, floor(len(prefix) / ``length_bucket``)). A char
+    prefix alone has FIXED cardinality (~10³ buckets), so block size —
+    and the within-block all-pairs self-join — grows linearly with the
+    corpus: O(block²) pairs, the cartesian-shaped blowup that
+    ``jaccard_pairs.max_doc_freq`` exists to prevent. Two bounds fix it:
+    the length bucket multiplies the key space (and cheaply excludes
+    pairs whose lengths already imply a large distance), and
+    ``max_block_size`` is the hard ceiling — blocks larger than the cap
+    are dropped entirely *before* the self-join, via a window count on
+    the block key (the same shuffle partitioning the join needs, so the
+    guard adds no extra exchange). Recall trade: pairs split across a
+    length-bucket boundary or living only in over-cap blocks are missed —
+    this returns candidates, not an exact join. Output (id_a, id_b,
+    edit_dist) with id_a < id_b and edit_dist <= ``max_dist``; the
+    unit-cost DP distance itself is value-exact across engines.
+    ``max_block_size=None`` disables the ceiling."""
+    p = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        1, prefix_len)
+    d = df.select(F.col(id_col).alias("_id"), p.alias("_p"))
+    d = d.withColumn(
+        "_blk",
+        F.concat_ws("|", F.substring("_p", 1, block_chars),
+                    F.floor(F.length("_p") / length_bucket).cast("string")))
+    if max_block_size is not None:
+        d = (d.withColumn("_bn",
+                          F.count(F.lit(1)).over(Window.partitionBy("_blk")))
+              .filter(F.col("_bn") <= max_block_size).drop("_bn"))
+    a = d.select(F.col("_id").alias("id_a"), F.col("_p").alias("_pa"), "_blk")
+    b = d.select(F.col("_id").alias("id_b"), F.col("_p").alias("_pb"), "_blk")
+    return (a.join(b, "_blk")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("edit_dist", F.levenshtein("_pa", "_pb"))
+             .filter(F.col("edit_dist") <= max_dist)
+             .select("id_a", "id_b", "edit_dist"))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,

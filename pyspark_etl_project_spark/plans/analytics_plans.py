@@ -141,7 +141,7 @@ def percentile_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("json_props_extract", """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_sum,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
        MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max
 FROM events GROUP BY event_type
 """)

@@ -202,39 +202,43 @@ def deterministic_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("min_id")))
 
 
-# --- edit-distance near-dup candidates (prefix blocking) -------------------
+# --- edit-distance near-dup candidates (bounded blocking) ------------------
 # The third fuzzy-identity family beside token sets (Jaccard/MinHash) and
 # bit signatures (SimHash): bounded Levenshtein over normalized prefixes.
-# Blocking on the first 2 chars makes the self-join an equi-join (shuffle
-# key = block, never all-pairs); the O(len²) distance runs only on
-# blocked candidates. Both engines implement the same unit-cost DP, so
-# the distance is value-exact.
+# Block key = (2-char prefix, length bucket) — a char prefix alone has
+# FIXED cardinality, so block size would grow linearly with the corpus
+# and the within-block self-join quadratically; the length bucket widens
+# the key space and a hard per-block ceiling (window count on the block
+# key, the join's own shuffle partitioning) drops over-cap blocks before
+# any pair is formed — the same bound jaccard_pairs.max_doc_freq applies
+# to stop-shingles. Oracle mirrors both via QUALIFY.
 
 @_q("dedup_levenshtein_prefix", """
-WITH d AS (
+WITH d0 AS (
   SELECT doc_id,
          substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                    1, 40) AS p
-  FROM documents WHERE doc_id < 300)
+  FROM documents WHERE doc_id < 300),
+d AS (
+  SELECT doc_id, p,
+         concat(substring(p, 1, 2), '|',
+                CAST(CAST(FLOOR(length(p) / 8) AS BIGINT) AS VARCHAR)) AS blk
+  FROM d0
+  QUALIFY COUNT(*) OVER (PARTITION BY blk) <= 64)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.p, b.p) AS edit_dist
 FROM d a JOIN d b
-  ON substring(a.p, 1, 2) = substring(b.p, 1, 2) AND a.doc_id < b.doc_id
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.p, b.p) <= 20
 """)
 def dedup_levenshtein_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import levenshtein_candidates
+
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    p = F.substring(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 40)
-    d = docs.select("doc_id", p.alias("p"),
-                    F.substring(p, 1, 2).alias("blk"))
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("p").alias("pa"), "blk")
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("p").alias("pb"), "blk")
-    return (a.join(b, "blk")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("edit_dist", F.levenshtein("pa", "pb"))
-             .filter(F.col("edit_dist") <= 20)
-             .select("id_a", "id_b", "edit_dist"))
+    return levenshtein_candidates(docs, "doc_id", "text",
+                                  prefix_len=40, block_chars=2,
+                                  length_bucket=8, max_block_size=64,
+                                  max_dist=20)
 
 
 # --- corpus vocabulary: top tokens -----------------------------------------
@@ -336,7 +340,7 @@ WITH base AS (
 )
 SELECT doc_id, dup_2gram_bp,
        CAST(FLOOR(MAX(c) * 10000.0 / SUM(c)) AS BIGINT) AS top_word_bp,
-       SUM(c) AS n_words
+       CAST(SUM(c) AS BIGINT) AS n_words
 FROM wc GROUP BY doc_id, dup_2gram_bp
 """)
 def text_repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,7 +405,7 @@ pos AS (
          CASE WHEN (strpos('0123456789abcdef', substr(hh, b+1, 1)) - 1) % 2 = 1
               THEN 1 ELSE -1 END AS vote
   FROM h, unnest(range(16)) AS t(b)
-), votes AS (SELECT doc_id, b, SUM(vote) AS s FROM pos GROUP BY 1, 2)
+), votes AS (SELECT doc_id, b, CAST(SUM(vote) AS BIGINT) AS s FROM pos GROUP BY 1, 2)
 SELECT doc_id,
        string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
 FROM votes GROUP BY doc_id
@@ -751,8 +755,8 @@ WITH ordered AS (
   FROM ordered
 ), sess AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(ts) AS session_start

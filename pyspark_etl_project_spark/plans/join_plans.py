@@ -143,7 +143,8 @@ _COL_ROWS, _DOC_ROWS = _dict_values_sql()
 WITH cols(table_name, column_name) AS (VALUES {_COL_ROWS}),
 doc(table_name, column_name) AS (VALUES {_DOC_ROWS})
 SELECT c.table_name, COUNT(*) AS n_cols,
-       SUM(CASE WHEN d.column_name IS NOT NULL THEN 1 ELSE 0 END) AS n_documented
+       CAST(SUM(CASE WHEN d.column_name IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_documented
 FROM cols c LEFT JOIN doc d
   ON c.table_name = d.table_name AND c.column_name = d.column_name
 GROUP BY c.table_name
@@ -161,14 +162,16 @@ def catalog_doc_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("catalog_domain_audit", """
 SELECT rule, n_violations FROM (
   SELECT 'event_type_expected' AS rule,
-         SUM(CASE WHEN event_type NOT IN ('click','view','purchase','signup')
-             THEN 1 ELSE 0 END) AS n_violations FROM events
+         CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM events
   UNION ALL
   SELECT 'value_non_negative',
-         SUM(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) FROM events
+         CAST(SUM(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+         FROM events
   UNION ALL
   SELECT 'user_id_present',
-         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events)
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM events)
 """)
 def catalog_domain_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_etl_project_spark.catalog import EVENT_TYPES_EXPECTED, domain_audit

@@ -4,8 +4,21 @@ Runs each __spark_entry__.queries() entry on Spark and its oracle_sql()
 twin on DuckDB over the same parquet tables, then compares row count,
 sorted column names, and an order-insensitive value hash. Strict about
 values: floats compared via repr (bit-exact), timestamps normalized to
-'YYYY-MM-DD HH:MM:SS.ffffff'. If this passes, a looser driver compare
-passes too.
+ISO format. If this passes, a looser driver compare passes too.
+
+BOTH result sets go through pandas — DuckDB via `.df()`, Spark via
+`.toPandas()` — because that is the dtype path the driver's
+canonicalizer uses, and it must be applied to BOTH sides:
+- An uncast output SUM in the oracle is HUGEINT (int128); pandas
+  coerces it to float64 ("3.0") while a non-null Spark long stays
+  int64 ("3") → driver hash mismatch that fetchall() (native ints)
+  cannot see. All five red CORRECTNESS_r02 rows were this.
+- A NULLABLE bigint column becomes float64 on BOTH sides ("3161.0" ==
+  "3161.0") → the driver passes, so comparing pandas-duck against
+  collect()-spark (native int "3161") would flag false mismatches
+  (7 queries, all driver-green in r2, fail that way).
+Two rounds of red rows (r1 array cells, r2 HUGEINT) came from this
+gate being laxer than the driver; keep both sides on the pandas path.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -17,6 +30,9 @@ import math
 import sys
 import time
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -27,8 +43,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm_value(v):
-    if v is None:
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or v is pd.NaT:
         return "NULL"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -72,8 +94,9 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
@@ -83,9 +106,11 @@ def main():
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # .df() (pandas), not fetchall(): reproduces the driver's
+            # canonicalizer dtypes (HUGEINT -> float64, LIST -> ndarray).
+            ddf = con.execute(oracles[name]).df()
+            dcols = list(ddf.columns)
+            drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
@@ -97,7 +122,7 @@ def main():
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if not problems:
-            sh = frame_digest(scols, [tuple(r) for r in srows])
+            sh = frame_digest(scols, srows)
             dh = frame_digest(dcols, drows)
             if sh != dh:
                 problems.append("value-hash mismatch")
