@@ -23,8 +23,11 @@ Scale notes:
 - The anti/semi split on the update key set is one broadcast join when the
   arrival batch is small (typical incremental load), else a shuffled hash
   join co-partitioned on the natural key.
-- With the mart stored partitionBy(SOURCE_ID), a per-source load rewrites
-  only that partition (dynamic partition overwrite).
+- The mart is stored partitionBy(SOURCE_ID, MART_BUCKET) where the
+  bucket is a deterministic hash of the natural key: dynamic partition
+  overwrite plus a touched-keys prune means a load rewrites only the
+  buckets its arriving keys hash to, not a whole source (~1/3 of a
+  3-source mart) per load.
 - Surrogate ids: default is unique-but-sparse (monotonically_increasing_id
   + offset) which needs no global sort; ``dense_ids=True`` gives
   autoincrement-faithful dense ids via a scalable two-phase global
@@ -102,26 +105,75 @@ def scd2_merge(mart: DataFrame,
             .unionByName(fresh.select(cols)))
 
 
+MART_BUCKET_COL = "MART_BUCKET"
+
+
+def mart_bucket(key: str = KEY, num_buckets: int = 16):
+    """Deterministic hash bucket of the natural key (xxhash64, fixed
+    seed): a given key always lands in the same (SOURCE_ID, bucket)
+    partition, so an incremental load touches exactly the buckets its
+    arriving keys hash to."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+
+
 def write_mart(mart: DataFrame, path: str,
-               partition_col: str = "SOURCE_ID") -> None:
-    """Write the mart partitioned by source with DYNAMIC partition
-    overwrite: a per-source load replaces only the partitions present in
-    the written frame — other sources' files are untouched (the 100 TB
-    contract: one feed's merge never rewrites another feed's data).
+               partition_col: str = "SOURCE_ID",
+               key: str = KEY,
+               num_buckets: int | None = 16,
+               touched_keys: DataFrame | None = None,
+               source_id: int | None = None) -> None:
+    """Write the mart with DYNAMIC partition overwrite, partitioned by
+    (``partition_col``, hash-bucket of the natural ``key``).
+
+    The second dimension is the 100 TB fix for a ~3-source mart: with
+    SOURCE_ID alone, one feed's dynamic overwrite rewrites ~1/3 of the
+    mart every load. Bucketing the key means a load rewrites only the
+    (source, bucket) partitions its keys actually hash to — pass
+    ``touched_keys`` (a one-column frame of this load's arriving natural
+    keys, e.g. the routed batch's distinct SSI) and the write is pruned
+    to those buckets: rows in untouched buckets are unchanged by the
+    SCD2 merge (expired + fresh rows all carry arriving keys), so
+    skipping them is lossless. ``source_id`` additionally restricts the
+    write to one feed's partitions (one feed never rewrites another).
+    ``num_buckets=None`` keeps the legacy SOURCE_ID-only layout.
+    ``num_buckets`` must stay constant for a given mart path; size it so
+    one bucket ≈ a few GB at the target scale (1024+ at 100 TB).
     """
     spark = mart.sparkSession
+    parts = [partition_col]
+    out = mart
+    if num_buckets is not None:
+        out = out.withColumn(MART_BUCKET_COL, mart_bucket(key, num_buckets))
+        parts.append(MART_BUCKET_COL)
+        if touched_keys is not None:
+            kcol = touched_keys.columns[0]
+            buckets = (touched_keys
+                       .select(F.pmod(F.xxhash64(F.col(kcol)),
+                                      F.lit(num_buckets)).cast("int")
+                                .alias(MART_BUCKET_COL))
+                       .distinct())
+            out = out.join(F.broadcast(buckets), MART_BUCKET_COL, "left_semi")
+    if source_id is not None:
+        out = out.filter(F.col(partition_col) == source_id)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        (mart.write.mode("overwrite")
-             .partitionBy(partition_col)
-             .parquet(path))
+        (out.write.mode("overwrite")
+            .partitionBy(*parts)
+            .parquet(path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def read_mart(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Read the mart back in merge shape: the physical bucket column is
+    layout, not data (derivable from the key), so it is dropped —
+    scd2_merge's final select uses mart.columns and arrival batches
+    don't carry it."""
+    df = spark.read.parquet(path)
+    if MART_BUCKET_COL in df.columns:
+        df = df.drop(MART_BUCKET_COL)
+    return df
 
 
 def _surrogate_offset(mart: DataFrame, surrogate_col: str) -> int:

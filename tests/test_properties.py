@@ -167,3 +167,30 @@ def test_jaccard_df_cap_sound(spark, shingle_sets, cap):
             for r in jaccard_pairs(df, "doc_id", "sh", 1, 10,
                                    max_doc_freq=len(rows)).collect()}
     assert full == uncapped
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=30),
+                min_size=2, max_size=16),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=10, deadline=None)
+def test_levenshtein_block_cap_sound(spark, texts, cap):
+    """The per-block ceiling only ever DROPS candidate pairs — capped
+    output is a subset of uncapped with identical distances — and a cap
+    >= ndocs (no block can exceed it) changes nothing. This is the bound
+    that keeps the within-block self-join from going quadratic when a
+    fixed-cardinality block key meets a growing corpus."""
+    from pyspark_etl_project_spark.extensions.dedup import levenshtein_candidates
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(cap_val):
+        return {(r["id_a"], r["id_b"]): r["edit_dist"]
+                for r in levenshtein_candidates(
+                    df, "doc_id", "text", max_block_size=cap_val).collect()}
+
+    uncapped = pairs(None)
+    capped = pairs(cap)
+    assert set(capped) <= set(uncapped)
+    assert all(uncapped[k] == v for k, v in capped.items())
+    assert pairs(len(rows)) == uncapped

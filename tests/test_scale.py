@@ -96,7 +96,7 @@ def test_mart_write_is_dynamic_partition_overwrite(spark, tmp_path):
     path = str(tmp_path / "mart")
     both = spark.createDataFrame(
         [(1, 1, "a"), (2, 2, "b")], "CSD_ID long, SOURCE_ID int, v string")
-    write_mart(both, path)
+    write_mart(both, path, num_buckets=None)
 
     def mtimes(sid):
         d = os.path.join(path, f"SOURCE_ID={sid}")
@@ -106,12 +106,66 @@ def test_mart_write_is_dynamic_partition_overwrite(spark, tmp_path):
     before_s1, before_s2 = mtimes(1), mtimes(2)
     only_s1 = spark.createDataFrame([(3, 1, "a2")],
                                     "CSD_ID long, SOURCE_ID int, v string")
-    write_mart(only_s1, path)
+    write_mart(only_s1, path, num_buckets=None)
     assert mtimes(2) == before_s2          # source 2 files untouched
     assert mtimes(1) != before_s1          # source 1 partition replaced
     rows = {(r["CSD_ID"], r["SOURCE_ID"], r["v"])
             for r in read_mart(spark, path).collect()}
     assert rows == {(3, 1, "a2"), (2, 2, "b")}
+
+
+def test_mart_bucketed_write_prunes_untouched_buckets(spark, tmp_path):
+    """With the (SOURCE_ID, MART_BUCKET) layout and a touched-keys
+    prune, an incremental load must physically rewrite ONLY the bucket
+    its changed key hashes to — every other bucket's files stay
+    byte-level untouched (name + mtime) instead of ~1/3 of the mart."""
+    import os
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        mart_bucket, read_mart, write_mart)
+
+    path = str(tmp_path / "mart")
+    schema = ("CSD_ID long, SOURCE_ID int, "
+              "SOURCE_SYSTEM_IDENTIFIER string, v string")
+    full = spark.createDataFrame(
+        [(i, 1, f"k{i}", "v0") for i in range(40)], schema)
+    write_mart(full, path, num_buckets=8)
+
+    def bucket_files():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(root, f)
+                    out.setdefault(os.path.relpath(root, path), {})[f] = \
+                        os.path.getmtime(fp)
+        return out
+
+    before = bucket_files()
+    assert len(before) > 1          # keys actually spread across buckets
+
+    merged = (full.filter(F.col("SOURCE_SYSTEM_IDENTIFIER") != "k3")
+                  .unionByName(spark.createDataFrame(
+                      [(100, 1, "k3", "v1")], schema)))
+    touched = spark.createDataFrame([("k3",)],
+                                    "SOURCE_SYSTEM_IDENTIFIER string")
+    write_mart(merged, path, num_buckets=8, touched_keys=touched, source_id=1)
+
+    tbucket = (spark.createDataFrame([("k3",)], "SOURCE_SYSTEM_IDENTIFIER string")
+               .select(mart_bucket("SOURCE_SYSTEM_IDENTIFIER", 8).alias("b"))
+               .first()["b"])
+    after = bucket_files()
+    hot = f"SOURCE_ID=1/MART_BUCKET={tbucket}"
+    for part, files in before.items():
+        if part == hot:
+            assert after[part] != files          # replaced
+        else:
+            assert after[part] == files          # untouched
+    back = read_mart(spark, path)
+    assert back.count() == 40
+    assert [(r["CSD_ID"], r["v"]) for r in
+            back.filter(F.col("SOURCE_SYSTEM_IDENTIFIER") == "k3").collect()] \
+        == [(100, "v1")]
 
 
 def test_jaccard_stop_shingle_ceiling(spark):
