@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed via Arrow-batched mapInPandas.
 
-The image/audio decode libraries are not in this container, so the
-decode step is STUBBED (NotImplementedError for real media;
-deterministic fake features for testing). The Spark-side plumbing —
-schema, batching, partitioning, UDF signatures — is real and tested:
-swapping the stub for PIL/ffmpeg is a local change inside the batch
-iterator.
+Uncompressed raster formats (PPM P6, 24-bit BMP) are decoded END-TO-END
+by pure-Python parsers below — header parse, row padding, BGR/bottom-up
+handling, exact channel statistics — so the decode path is real, not a
+stub, for at least one format family. Compressed formats (JPEG/PNG/
+video) still raise NotImplementedError: their codecs (PIL, ffmpeg) are
+not in this container, and the swap-in point is the same
+``decode_media`` dispatch. The Spark-side plumbing — schema, batching,
+partitioning, UDF signatures — is identical either way.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a
 time (spark.sql.execution.arrow.maxRecordsPerBatch bounds peak);
@@ -44,13 +46,102 @@ def to_media_column(df: DataFrame, id_col: str, text_col: str,
 
 
 def decode_media(payload: bytes, media_type: str):
-    """Decode a real media payload. STUB: the decode libraries (PIL,
-    torchaudio, ffmpeg) are not installed in this environment."""
+    """Decode a media payload.
+
+    Real pure-Python decoders for uncompressed rasters: PPM P6 and
+    24-bit uncompressed BMP return {"width", "height", "pixels"} with
+    ``pixels`` a top-down RGB byte string (w*h*3). Compressed formats
+    raise NotImplementedError — their codecs (PIL/ffmpeg) are not in
+    this container; plug them into this dispatch."""
     if media_type.startswith("text/"):
         return payload.decode("utf-8", errors="replace")
+    if media_type in ("image/x-portable-pixmap", "image/ppm"):
+        return _decode_ppm(payload)
+    if media_type == "image/bmp":
+        return _decode_bmp(payload)
     raise NotImplementedError(
         f"decode for {media_type!r} requires media libraries not present "
         "in this container; plug in PIL/ffmpeg here")
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6): 'P6' <ws> width <ws> height <ws> maxval '\\n'
+    then raw RGB rows top-down. Comments (#...) allowed in the header."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    need = w * h * 3
+    pixels = payload[pos:pos + need]
+    if len(pixels) != need:
+        raise ValueError(f"truncated PPM: want {need} bytes, have {len(pixels)}")
+    return {"width": w, "height": h, "pixels": bytes(pixels)}
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """24-bit uncompressed (BI_RGB) BMP: rows are 4-byte padded, stored
+    bottom-up in BGR — returned normalized to top-down RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (bpp={bpp}, "
+            f"compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) & ~3
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        src_row = (h - 1 - row) if bottom_up else row
+        base = data_off + src_row * row_stride
+        for x in range(w):
+            b, g, r = payload[base + 3 * x: base + 3 * x + 3]
+            o = (row * w + x) * 3
+            out[o], out[o + 1], out[o + 2] = r, g, b
+    return {"width": w, "height": h, "pixels": bytes(out)}
+
+
+def encode_bmp(pixels: bytes, w: int, h: int) -> bytes:
+    """Minimal 24-bit BI_RGB BMP encoder (top-down RGB in, standard
+    bottom-up BGR + row padding out) — the synthetic-payload side of the
+    decode roundtrip tests."""
+    import struct
+
+    row_stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    for row in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for x in range(w):
+            o = (row * w + x) * 3
+            r, g, b = pixels[o:o + 3]
+            line += bytes((b, g, r))
+        line += b"\x00" * (row_stride - w * 3)
+        img += line
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img),
+                      2835, 2835, 0, 0)
+    return bytes(header + dib + img)
 
 
 def extract_features(df: DataFrame, with_meta: bool = False) -> DataFrame:
@@ -160,3 +251,85 @@ def sample_frames(df: DataFrame, frame_bytes: int = 16,
                                 "frame_md5": pd.Series(hashes, dtype="object")})
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# --- real decode: synthetic raster -> parser -> exact channel stats --------
+
+IMAGE_STATS_SCHEMA = ("doc_id long, width int, height int, n_pixels long, "
+                      "sum_r long, sum_g long, sum_b long")
+
+
+def _synth_pixels(doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic pixel bytes: the md5 digest of str(doc_id), repeated
+    to w*h*3 bytes. Byte-replayable in ANSI SQL (byte i of the stream =
+    hex pair (i % 16) of md5(CAST(doc_id AS VARCHAR))), which is what
+    makes the decode path oracle-checkable without shipping binaries to
+    DuckDB."""
+    import hashlib
+
+    digest = hashlib.md5(str(doc_id).encode()).digest()
+    need = w * h * 3
+    return (digest * (need // 16 + 1))[:need]
+
+
+def synth_images(df: DataFrame, id_col: str, fmt: str = "ppm") -> DataFrame:
+    """Generate a MEDIA_SCHEMA frame of real raster payloads (PPM P6 or
+    24-bit BMP) with deterministic dimensions (w = 4 + id % 5,
+    h = 3 + id % 4) and md5-derived pixels. Stand-in for reading an
+    image corpus: the payloads are genuine files the decoders must
+    actually parse (header, padding, channel order)."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, mts, sizes, payloads = [], [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                px = _synth_pixels(did, w, h)
+                if fmt == "ppm":
+                    payload = b"P6\n%d %d\n255\n" % (w, h) + px
+                    mt = "image/x-portable-pixmap"
+                elif fmt == "bmp":
+                    payload = encode_bmp(px, w, h)
+                    mt = "image/bmp"
+                else:
+                    raise ValueError(f"unknown synthetic format {fmt!r}")
+                ids.append(did)
+                mts.append(mt)
+                sizes.append(len(payload))
+                payloads.append(payload)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "media_type": pd.Series(mts, dtype="object"),
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            })
+
+    return df.select(F.col(id_col)).mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """Decode every payload with the real pure-Python parsers
+    (``decode_media`` dispatch on media_type) and emit exact per-channel
+    byte sums — integers, so the result is bit-portable across engines.
+    A header misparse, padding slip, or BGR/RGB mixup changes the sums,
+    which is what the oracle twin checks. Map-side only, one Arrow
+    batch of payloads in memory at a time."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
+                                        pdf["payload"]):
+                img = decode_media(bytes(payload), mt)
+                px = img["pixels"]
+                rows.append((int(did), img["width"], img["height"],
+                             img["width"] * img["height"],
+                             sum(px[0::3]), sum(px[1::3]), sum(px[2::3])))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                              "n_pixels", "sum_r", "sum_g",
+                                              "sum_b"])
+
+    return df.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)

@@ -666,6 +666,98 @@ def embedding_ivf_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["embedding_ivf_index_probe"] = ORACLE["embedding_ivf_topk"]
 
 
+# --- k-means (Lloyd) refinement, gated end-to-end --------------------------
+# One deterministic iteration: seed on vec_id 1..8, assign (round-6
+# affinity, smallest-cid ties), recompute per-dim means, re-assign the
+# corpus to the REFINED centroids, output per-cell counts + id checksum.
+# Integer outputs; the only float step (the mean) feeds an affinity that
+# both engines round to 6 digits before comparing, absorbing summation-
+# order ulp noise. Gates extensions/similarity.py:kmeans_refine, which
+# previously had tests but no oracle row.
+
+@_q("kmeans_refine_cells", f"""
+WITH cents0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                WHERE vec_id BETWEEN 1 AND 8),
+a0 AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CC_SQL} DESC, c.cid ASC) AS rn
+    FROM embeddings e, cents0 c) WHERE rn = 1),
+dims AS (
+  SELECT cell AS cid, i AS pos, AVG(CAST(embedding[i+1] AS DOUBLE)) AS m
+  FROM a0, unnest(range(len(embedding))) AS t(i)
+  GROUP BY cell, i),
+means AS (SELECT cid, list(m ORDER BY pos) AS ce FROM dims GROUP BY cid),
+refined AS (
+  SELECT c0.cid,
+         COALESCE(m.ce, list_transform(c0.ce, x -> CAST(x AS DOUBLE))) AS ce
+  FROM cents0 c0 LEFT JOIN means m ON c0.cid = m.cid),
+a1 AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CC_SQL} DESC, c.cid ASC) AS rn
+    FROM embeddings e, refined c) WHERE rn = 1)
+SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS id_sum
+FROM a1 GROUP BY cell
+""")
+def kmeans_refine_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.similarity import (
+        ivf_cell, kmeans_refine)
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = [(int(r["cid"]), list(r["ce"]))
+             for r in emb.filter(F.col("vec_id").between(1, 8))
+                         .select(F.col("vec_id").alias("cid"),
+                                 F.col("embedding").alias("ce")).collect()]
+    refined = kmeans_refine(emb, seeds, iters=1)
+    assigned = emb.withColumn("cell", ivf_cell(F.col("embedding"), refined))
+    return (assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum("vec_id").cast("long").alias("id_sum"))
+            .select(F.col("cell").cast("long").alias("cell"),
+                    "n_vecs", "id_sum"))
+
+
+# --- schema-evolution bronze read, gated end-to-end ------------------------
+# Two parquet generations (v1 narrow; v2 adds a column) merged through
+# sources/parquet_source.py:read_evolved with a pinned shape: v1 rows
+# surface the new column as NULL. The oracle is the UNION of the two
+# pinned-shape reads. (Both engines see the nullable bigint as float64
+# through the canonicalizer — consistent, so it hashes equal.)
+
+@_q("schema_evolution_read", """
+SELECT o_orderkey, o_custkey, CAST(NULL AS BIGINT) AS o_price_cents
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey,
+       CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+FROM orders WHERE o_orderkey % 10 = 1
+""")
+def schema_evolution_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark_etl_project_spark.sources.parquet_source import read_evolved
+
+    orders = load(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="evolved_")
+    v1 = (orders.filter(F.col("o_orderkey") % 10 == 0)
+                .select("o_orderkey", "o_custkey"))
+    v2 = (orders.filter(F.col("o_orderkey") % 10 == 1)
+                .select("o_orderkey", "o_custkey",
+                        F.floor(F.col("o_totalprice").cast("decimal(18,6)")
+                                * 100).cast("long").alias("o_price_cents")))
+    v1.write.mode("overwrite").parquet(os.path.join(base, "v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "v2"))
+    return read_evolved(
+        spark, os.path.join(base, "v1"), os.path.join(base, "v2"),
+        expect_schema="o_orderkey bigint, o_custkey bigint, "
+                      "o_price_cents bigint")
+
+
 # --- multimodal: binary payload column + Arrow-batched feature extraction --
 # (consolidated: the former `multimodal_binary_stats` query's media_type /
 # content_md5 columns live here — same media frame, and the join of the
@@ -848,6 +940,43 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     media = to_media_column(docs, "doc_id", "text")
     return resize_media(media, stride=4)
+
+
+# --- real image decode: synthetic PPM -> pure-Python parser -> stats -------
+# The decode step is NOT a stub here: synth_images emits genuine PPM P6
+# files (header + raw RGB rows) whose pixel bytes are the md5 digest of
+# the doc id repeated, and image_stats runs the real parser inside
+# mapInPandas. The oracle replays the GENERATIVE formula (byte i of the
+# stream = hex pair i%16 of md5(id)) in SQL — any header misparse or
+# channel-order slip in the parser shifts the channel sums and fails the
+# hash. BMP (padding + bottom-up BGR) is covered by the roundtrip unit
+# test; its layout is deliberately not replicated in SQL.
+
+@_q("multimodal_image_decode", """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE doc_id < 200),
+b AS (
+  SELECT doc_id, w, h,
+         CAST(concat('0x', substr(hx, (i % 16) * 2 + 1, 2)) AS INTEGER) AS byte,
+         i % 3 AS chan
+  FROM d, unnest(range(w * h * 3)) AS t(i))
+SELECT doc_id,
+       CAST(MIN(w) AS INTEGER) AS width,
+       CAST(MIN(h) AS INTEGER) AS height,
+       CAST(MIN(w) * MIN(h) AS BIGINT) AS n_pixels,
+       CAST(SUM(CASE WHEN chan = 0 THEN byte ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN chan = 1 THEN byte ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN chan = 2 THEN byte ELSE 0 END) AS BIGINT) AS sum_b
+FROM b GROUP BY doc_id
+""")
+def multimodal_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        image_stats, synth_images)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return image_stats(synth_images(docs, "doc_id", fmt="ppm"))
 
 
 # --- Python UDTF: sentence splitting (lateral table function) -------------

@@ -119,6 +119,47 @@ def test_decode_media_stub_contract():
         decode_media(b"\x89PNG", "image/png")
 
 
+def test_ppm_bmp_decode_roundtrip():
+    """The pure-Python raster decoders are real: a PPM P6 payload (with
+    a header comment) and a 24-bit BMP of the SAME pixels (padded,
+    bottom-up, BGR on disk) must both decode to identical top-down RGB
+    bytes."""
+    from pyspark_etl_project_spark.extensions.multimodal import encode_bmp
+
+    w, h = 3, 2  # stride 9 -> BMP pads each row by 3 bytes
+    px = bytes(range(10, 10 + w * h * 3))
+    ppm = b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + px
+    out_ppm = decode_media(ppm, "image/x-portable-pixmap")
+    assert (out_ppm["width"], out_ppm["height"]) == (w, h)
+    assert out_ppm["pixels"] == px
+
+    bmp = encode_bmp(px, w, h)
+    out_bmp = decode_media(bmp, "image/bmp")
+    assert (out_bmp["width"], out_bmp["height"]) == (w, h)
+    assert out_bmp["pixels"] == px
+
+    with pytest.raises(NotImplementedError):
+        decode_media(bmp[:30] + b"\x08\x00" + bmp[32:], "image/bmp")
+
+
+def test_synth_image_stats_spark(spark):
+    """End-to-end through mapInPandas: synthetic PPM and BMP corpora of
+    the same ids must produce IDENTICAL channel statistics (the pixel
+    generator is shared; only the container format differs)."""
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        image_stats, synth_images)
+
+    df = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    ppm = {r["doc_id"]: (r["width"], r["height"], r["sum_r"], r["sum_g"],
+                         r["sum_b"])
+           for r in image_stats(synth_images(df, "doc_id", "ppm")).collect()}
+    bmp = {r["doc_id"]: (r["width"], r["height"], r["sum_r"], r["sum_g"],
+                         r["sum_b"])
+           for r in image_stats(synth_images(df, "doc_id", "bmp")).collect()}
+    assert ppm == bmp and len(ppm) == 7
+    assert ppm[0][0] == 4 and ppm[0][1] == 3  # w = 4 + id%5, h = 3 + id%4
+
+
 def test_connected_clusters_multi_hop_chain(spark):
     from pyspark_etl_project_spark.extensions.dedup import connected_dedup_clusters
 
