@@ -5,13 +5,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized with the noop sink (full execution, no
 driver-side collect) — measuring the distributed plan, not Arrow
-transfer.
+transfer. Each query runs $SPARK_GRAFT_BENCH_REPS times (default 5)
+and reports the per-query MEDIAN: single-shot times on a fixed-
+overhead-dominated local harness made sub-second round-over-round
+deltas unreadable (scheduling jitter of the same magnitude as the
+numbers).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -61,11 +66,15 @@ def main() -> None:
     # plan, not first-touch overheads.
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        times[name] = round(statistics.median(samples), 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -78,6 +87,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        "reps": reps,
+        "stat": "median",
     }))
     spark.stop()
 
