@@ -82,7 +82,8 @@ def topk_for_queries(corpus: DataFrame, queries: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id",
                      query_vec_col: str = "query_vec",
-                     round_digits: int = 6) -> DataFrame:
+                     round_digits: int = 6,
+                     exclude_self: bool = False) -> DataFrame:
     """Batched top-k: a whole DataFrame of query vectors against the
     corpus in ONE distributed plan — the shape a training-data pipeline
     actually runs (dedup-against-index, retrieval eval, hard-negative
@@ -99,7 +100,14 @@ def topk_for_queries(corpus: DataFrame, queries: DataFrame,
     The per-query top-k is a window over query_id (one shuffle keyed by
     query — partition count = |queries|, each holding that query's
     candidates), returning (query_id, vec_id, cos_sim) with ties broken
-    by id. Self-matches (same id on both sides) are excluded.
+    by id.
+
+    ``exclude_self=True`` drops rows where vec_id == query_id — set it
+    ONLY when queries are drawn from the corpus id space (dedup-against-
+    self). It is opt-in because query and corpus ids are otherwise
+    independent namespaces: with the filter always on, a query whose id
+    coincidentally equals an unrelated corpus id would silently lose
+    that neighbor.
     """
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).alias("_qv"))
@@ -110,10 +118,11 @@ def topk_for_queries(corpus: DataFrame, queries: DataFrame,
         cb = c.withColumn("_b", sign_bucket(F.col("_cv"), num_bits))
         qb = q.withColumn("_b", sign_bucket(F.col("_qv"), num_bits))
         joined = cb.join(F.broadcast(qb), "_b")
-    scored = (joined.filter(F.col("vec_id") != F.col("query_id"))
-              .select("query_id", "vec_id",
-                      F.round(cosine(F.col("_cv"), F.col("_qv")),
-                              round_digits).alias("cos_sim")))
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select("query_id", "vec_id",
+                           F.round(cosine(F.col("_cv"), F.col("_qv")),
+                                   round_digits).alias("cos_sim"))
     from pyspark.sql import Window
     w = (Window.partitionBy("query_id")
                .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()))

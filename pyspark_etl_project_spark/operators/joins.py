@@ -195,10 +195,19 @@ def compact_small_files(spark, path: str, target_files: int) -> int:
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(conf)
 
-    df = spark.read.parquet(path)
     staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_compacting")
-    df.repartition(target_files).write.mode("overwrite").parquet(staging.toString())
     backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_precompact")
+    # A stale backup dir from a crashed run is a data-loss trap: HDFS
+    # rename semantics move the source INTO an existing destination
+    # directory (silently nesting the live data), and the post-swap
+    # cleanup would then delete it. Refuse up front instead.
+    if fs.exists(backup):
+        raise IOError(
+            f"stale backup dir {backup} exists (previous compaction "
+            "crashed mid-swap?); inspect and remove it before compacting")
+
+    df = spark.read.parquet(path)
+    df.repartition(target_files).write.mode("overwrite").parquet(staging.toString())
     if not fs.rename(jpath, backup):
         raise IOError(f"rename {path} -> {backup} failed")
     if not fs.rename(staging, jpath):

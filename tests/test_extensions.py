@@ -229,6 +229,17 @@ def test_batched_topk_matches_per_query_brute_force(spark):
             expected.add((qid, r["vec_id"], r["cos_sim"]))
     assert got == expected
 
+    # queries drawn from the corpus id space: self-exclusion is opt-in
+    # (default keeps a coincidentally-equal unrelated corpus id)
+    selfq = (emb.filter(F.col("vec_id") == 5)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("query_vec")))
+    assert any(r["vec_id"] == 5
+               for r in topk_for_queries(corpus, selfq, k=3).collect())
+    assert all(r["vec_id"] != 5
+               for r in topk_for_queries(corpus, selfq, k=3,
+                                         exclude_self=True).collect())
+
     # LSH path returns a subset of same-bucket candidates, ranked per query
     lsh = topk_for_queries(corpus, queries, k=5, num_bits=2)
     per_q = {}

@@ -234,6 +234,15 @@ def test_compact_small_files_preserves_data(spark, tmp_path):
     assert back.count() == 1000
     assert back.agg(F.sum("v")).first()[0] == 999 * 1000
 
+    # A stale backup dir from a crashed run must abort the compaction
+    # (HDFS rename would otherwise nest the live data inside it and the
+    # cleanup would delete it) — and leave the input untouched.
+    import pytest
+    os.makedirs(p + "_precompact")
+    with pytest.raises(Exception, match="stale backup"):
+        compact_small_files(spark, p, target_files=2)
+    assert spark.read.parquet(p).count() == 1000
+
 
 def test_scd2_surrogate_offset_skips_mart_scan(spark):
     """With a persisted high-water surrogate passed in, the merge must
