@@ -320,3 +320,35 @@ def connected_dedup_clusters(pairs: DataFrame, ids: DataFrame,
         prev_sum = cur_sum
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("cluster_id"))
+
+
+def contamination_check(train: DataFrame, holdout: DataFrame,
+                        id_col: str, text_col: str, n: int = 5,
+                        max_doc_freq: int | None = 1000) -> DataFrame:
+    """Benchmark decontamination: for each holdout document, count the
+    distinct training documents sharing at least one word n-gram and
+    how many distinct n-grams leak — the hygiene pass every pretraining
+    corpus runs against its eval sets before training.
+
+    Same inverted-index shape as ``jaccard_pairs`` (shuffle key = the
+    n-gram, never a doc cross join), with the stop-shingle ceiling
+    applied to the TRAIN index: an n-gram present in more than
+    ``max_doc_freq`` training docs is boilerplate, and dropping it
+    before the join bounds the fan-out (recall trade: contamination
+    visible ONLY through boilerplate n-grams is missed). Returns
+    (holdout id, n_train_docs, n_shared_ngrams); holdout docs with no
+    overlap produce no row (anti-join them for the clean list)."""
+    tr = train.select(F.col(id_col).alias("_tid"),
+                      F.explode(word_shingles(text_col, n)).alias("_sh"))
+    if max_doc_freq is not None:
+        rare = (tr.groupBy("_sh")
+                  .agg(F.count(F.lit(1)).alias("_df"))
+                  .filter(F.col("_df") <= max_doc_freq)
+                  .select("_sh"))
+        tr = tr.join(rare, "_sh")
+    ev = holdout.select(F.col(id_col),
+                        F.explode(word_shingles(text_col, n)).alias("_sh"))
+    return (ev.join(tr, "_sh")
+              .groupBy(id_col)
+              .agg(F.countDistinct("_tid").alias("n_train_docs"),
+                   F.countDistinct("_sh").alias("n_shared_ngrams")))

@@ -145,3 +145,53 @@ def sentence_split_udtf():
                 yield doc_id, i, len(s)
 
     return SentenceSplit
+
+
+def chunk_tokens(df, id_col: str, text_col: str,
+                 window: int = 32, stride: int = 24):
+    """Context-window chunking: split each document's token stream into
+    fixed-size windows with overlap — the LLM-pretraining sequence prep
+    (``window`` = model context length, ``stride`` < window = overlap so
+    no boundary context is lost). Start offsets are 0, stride, 2*stride,
+    ... while < n_tokens, i.e. ceil(n/stride) chunks; the last chunk may
+    be short.
+
+    Pure per-row array expressions + one posexplode: zero shuffle,
+    output volume proportional to corpus token count — the shape that
+    survives 100 TB. Returns (id, chunk_idx, n_tokens, chunk_md5) with
+    the md5 over the space-rejoined window (engine-portable content
+    fingerprint)."""
+    w = tokens(text_col)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)),
+                        F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(w, s + 1, window))
+    return (df.select(F.col(id_col),
+                      F.posexplode(chunks).alias("chunk_idx", "_c"))
+              .select(id_col,
+                      F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                      F.size("_c").cast("int").alias("n_tokens"),
+                      F.md5(F.concat_ws(" ", "_c")).alias("chunk_md5")))
+
+
+def pack_documents(df, id_col: str, token_count_col: str, group_col: str,
+                   budget: int = 512):
+    """Sequence packing: assign documents to fixed-token-budget bins in
+    deterministic id order WITHIN each group — running token total over
+    a (group, id) window, bin = floor(pre_sum / budget), offset =
+    pre_sum % budget (where in the bin the doc starts; a doc may
+    straddle a boundary, which is how pretraining packers behave).
+
+    Partitioned by ``group_col`` (shard/language), NOT a global window:
+    one shuffle on the group key, every group packs in parallel — a
+    global ORDER BY window would funnel the corpus through one task.
+    Deterministic: no RNG, stable across runs and engines."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    pre = (F.sum(token_count_col).over(w) - F.col(token_count_col))
+    return df.select(
+        F.col(id_col), F.col(group_col),
+        F.col(token_count_col).cast("long").alias("n_tokens"),
+        F.floor(pre / budget).cast("long").alias("bin_id"),
+        (pre % budget).cast("long").alias("bin_offset"))

@@ -997,3 +997,87 @@ def udtf_sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.doc_id, s.sent_idx, s.n_chars "
         "FROM _udtf_docs d, LATERAL sentence_split(d.doc_id, d.text) s")
+
+
+# --- benchmark decontamination: train/holdout n-gram overlap ---------------
+# The pre-training hygiene pass: which holdout docs share any word
+# 5-gram with a training doc? Inverted-index equi-join on the n-gram
+# (the jaccard_pairs shape — shuffle key = n-gram, never a doc cross
+# join), stop-shingle ceiling on the train index mirrored by the
+# oracle's HAVING.
+
+@_q("decontamination_overlap", """
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+           FROM documents WHERE doc_id < 500),
+sh AS (SELECT doc_id,
+              CASE WHEN len(w) >= 5
+                   THEN list_distinct(list_transform(range(len(w) - 4),
+                        i -> array_to_string(w[i+1:i+5], ' ')))
+                   ELSE [] END AS s
+       FROM d),
+tr0 AS (SELECT doc_id AS tid, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 9),
+rare AS (SELECT g FROM tr0 GROUP BY g HAVING COUNT(*) <= 100),
+tr AS (SELECT tr0.tid, tr0.g FROM tr0 JOIN rare USING (g)),
+ev AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 = 9)
+SELECT ev.doc_id, COUNT(DISTINCT tr.tid) AS n_train_docs,
+       COUNT(DISTINCT ev.g) AS n_shared_ngrams
+FROM ev JOIN tr USING (g) GROUP BY ev.doc_id
+""")
+def decontamination_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import contamination_check
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    train = docs.filter(F.col("doc_id") % 10 != 9)
+    holdout = docs.filter(F.col("doc_id") % 10 == 9)
+    return contamination_check(train, holdout, "doc_id", "text",
+                               n=5, max_doc_freq=100)
+
+
+# --- context-window chunking (LLM sequence prep) ---------------------------
+# Fixed token windows with overlap: starts at 0, stride, 2*stride ...
+# (ceil(n/stride) chunks/doc). Zero shuffle — per-row array expressions
+# + one posexplode; md5 over the rejoined window fingerprints content.
+
+@_q("context_window_chunks", """
+WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+           FROM documents WHERE doc_id < 500)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       CAST(len(w[(i*24)+1:(i*24)+32]) AS INTEGER) AS n_tokens,
+       md5(array_to_string(w[(i*24)+1:(i*24)+32], ' ')) AS chunk_md5
+FROM d, unnest(range(CAST(ceil(len(w) / 24.0) AS BIGINT))) AS t(i)
+""")
+def context_window_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.text import chunk_tokens
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return chunk_tokens(docs, "doc_id", "text", window=32, stride=24)
+
+
+# --- sequence packing into fixed token budgets -----------------------------
+# Per-language running token total (one shuffle on the group key — a
+# GLOBAL order-by window would funnel the corpus through one task);
+# bin = floor(pre_sum/budget), offset = pre_sum % budget. Deterministic,
+# no RNG.
+
+@_q("pack_documents_bins", """
+WITH d AS (
+  SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS pre
+  FROM d)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(pre / 512.0) AS BIGINT) AS bin_id,
+       CAST(pre % 512 AS BIGINT) AS bin_offset
+FROM c
+""")
+def pack_documents_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.text import (
+        pack_documents, token_count)
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", "lang",
+                        token_count("text").alias("n_tok"))
+    return pack_documents(sized, "doc_id", "n_tok", "lang", budget=512)

@@ -313,3 +313,54 @@ def test_kmeans_refine_improves_clustering(spark):
     for r in got:
         sims = {c: _py_affinity(list(r["embedding"]), v) for c, v in refined}
         assert r["cell"] == max(sims, key=lambda c: (sims[c], -c))
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    from pyspark_etl_project_spark.extensions.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(50))),  # 50 tokens
+         (2, "a b"),                                  # shorter than window
+         (3, "solo")],
+        "doc_id long, text string")
+    out = chunk_tokens(df, "doc_id", "text", window=32, stride=24)
+    rows = {(r["doc_id"], r["chunk_idx"]): r["n_tokens"] for r in out.collect()}
+    # doc 1: starts 0/24/48 -> 32 tokens, then 26, then 2 (truncated)
+    assert rows[(1, 0)] == 32 and rows[(1, 1)] == 26 and rows[(1, 2)] == 2
+    assert rows[(2, 0)] == 2 and rows[(3, 0)] == 1
+    assert len(rows) == 5
+
+
+def test_pack_documents_bins_and_offsets(spark):
+    from pyspark_etl_project_spark.extensions.text import pack_documents
+
+    rows = [(i, "g", 100) for i in range(10)]  # 10 docs x 100 tokens
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n int")
+    out = {r["doc_id"]: (r["bin_id"], r["bin_offset"])
+           for r in pack_documents(df, "doc_id", "n", "grp",
+                                   budget=256).collect()}
+    # running pre-sums 0,100,...,900 -> bins 0,0,0,1,1,1,2,2,3,3
+    assert [out[i][0] for i in range(10)] == [0, 0, 0, 1, 1, 1, 2, 2, 3, 3]
+    assert all(0 <= off < 256 for _, off in out.values())
+    assert out[3] == (1, 300 - 256)
+
+
+def test_contamination_check_finds_leak(spark):
+    from pyspark_etl_project_spark.extensions.dedup import contamination_check
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")],
+        "doc_id long, text string")
+    holdout = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta epsilon yy"),  # leaks from doc 1
+         (101, "nothing shared here at all ok")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_train_docs"], r["n_shared_ngrams"])
+           for r in contamination_check(train, holdout, "doc_id", "text",
+                                        n=5).collect()}
+    # holdout 100 shares the 5-grams "alpha..epsilon" (2 shifted windows
+    # exist in train doc 1; exactly 1 of them appears in holdout 100's
+    # shingle set twice-shifted context) — assert presence, not count
+    assert 100 in got and got[100][0] == 1 and got[100][1] >= 1
+    assert 101 not in got
