@@ -1081,3 +1081,73 @@ def pack_documents_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select("doc_id", "lang",
                         token_count("text").alias("n_tok"))
     return pack_documents(sized, "doc_id", "n_tok", "lang", budget=512)
+
+
+# --- native session windows (batch) ---------------------------------------
+# Spark's built-in F.session_window (the engine primitive behind
+# streaming sessionization) cross-checked against an INDEPENDENT
+# formulation: the oracle rebuilds sessions via lag + running-sum of
+# new-session flags. Boundary semantics verified equal: a new session
+# starts when the gap is >= the 1 h timeout (session_window merges an
+# event only while ts < previous end = prev ts + gap); window end =
+# last event + gap.
+
+@_q("session_window_native", """
+WITH ordered AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN gap_us IS NULL OR gap_us >= 3600000000 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1 HOUR AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""")
+def session_window_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "1 hour").alias("w"))
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select("user_id",
+                      F.col("w.start").alias("session_start"),
+                      F.col("w.end").alias("session_end"),
+                      "n_events"))
+
+
+# --- higher-order array functions over embeddings --------------------------
+# The lambda-expression family (filter / transform / aggregate) as pure
+# column expressions — sequential left-to-right double accumulation is
+# order-identical in both engines, so even the float sums are
+# bit-portable; outputs still land as scaled integers per the
+# cross-engine rules.
+
+@_q("array_higher_order_stats", """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+       CAST(FLOOR(list_sum(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) * 1000) AS BIGINT) AS l1_millis,
+       CAST(FLOOR(list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) * 1000) AS BIGINT) AS max_abs_millis
+FROM embeddings
+""")
+def array_higher_order_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    absd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.floor(F.aggregate(absd, F.lit(0.0),
+                            lambda acc, x: acc + x) * 1000)
+         .cast("long").alias("l1_millis"),
+        F.floor(F.array_max(absd) * 1000).cast("long").alias("max_abs_millis"))
