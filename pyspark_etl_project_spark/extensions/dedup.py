@@ -282,12 +282,14 @@ def connected_dedup_clusters(pairs: DataFrame, ids: DataFrame,
     keep rows where id == cluster_id to dedup.
 
     Algorithm: iterative min-label propagation over an adjacency list —
-    each round joins current labels across edges and keeps the min
-    neighbor label; converges in O(graph diameter) rounds (near-dup
-    clusters are small and dense, so a handful). Each round is one
-    shuffled join + one groupBy on the id — no driver-side graph, no
-    GraphX/RDDs; `localCheckpoint` per round truncates the lineage so
-    plan depth stays constant at scale.
+    each round joins current labels across edges, keeps the min neighbor
+    label, then POINTER-DOUBLES (each node jumps to its label's label —
+    path halving), so convergence is O(log diameter) rounds rather than
+    O(diameter): a 1000-link chain (pathological but possible in a
+    boilerplate-heavy web corpus) resolves in ~10 rounds, not ~1000.
+    Each round is two shuffled joins + one groupBy on the id — no
+    driver-side graph, no GraphX/RDDs; `localCheckpoint` per round
+    truncates the lineage so plan depth stays constant at scale.
     """
     edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
              .unionByName(pairs.select(F.col(b_col).alias("src"),
@@ -312,6 +314,13 @@ def connected_dedup_clusters(pairs: DataFrame, ids: DataFrame,
                            F.least(F.col("label"),
                                    F.coalesce(F.col("nlabel"), F.col("label")))
                             .alias("label")))
+        # Pointer doubling: jump to the label's own label (labels only
+        # decrease, so label-of-label <= label — no F.least needed).
+        lookup = updated.select(F.col("node").alias("_ln"),
+                                F.col("label").alias("_lv"))
+        updated = (updated.join(lookup, updated["label"] == lookup["_ln"],
+                                "left")
+                   .select("node", F.coalesce("_lv", "label").alias("label")))
         updated = updated.localCheckpoint(eager=True)
         cur_sum = label_sum(updated)
         labels = updated

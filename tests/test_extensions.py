@@ -175,6 +175,21 @@ def test_connected_clusters_multi_hop_chain(spark):
                    10: 10, 11: 10, 12: 10, 20: 20}
 
 
+def test_connected_clusters_deep_chain_pointer_doubling(spark):
+    """A 64-link chain (diameter 63) must fully converge within the
+    default max_iters=20 — only possible because each round pointer-
+    doubles (O(log diameter)); plain propagation would need 63 rounds."""
+    from pyspark_etl_project_spark.extensions.dedup import connected_dedup_clusters
+
+    n = 64
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           connected_dedup_clusters(pairs, ids).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_deterministic_split_is_stable_and_complete(spark):
     from pyspark_etl_project_spark.extensions.dedup import deterministic_split
 
