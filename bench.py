@@ -51,6 +51,12 @@ HEADLINE = [
     "text_repetition_signals",
     "pii_redaction_scan",
     "stratified_sample_deterministic",
+    # round 3
+    "dedup_levenshtein_prefix",
+    "context_window_chunks",
+    "pack_documents_bins",
+    "multimodal_image_decode",
+    "session_window_native",
 ]
 
 
