@@ -233,3 +233,45 @@ def streaming_static_enrich_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.floor(F.sum(F.col("value").cast("decimal(18,6)")) * 100)
                  .cast("long").alias("value_cents")))
     return run_stream_to_memory(agg, output_mode="complete")
+
+
+# --- streaming session windows (watermark + session_window) ---------------
+# Gap-based sessionization as a REAL streaming aggregation — the
+# built-in F.session_window under an event-time watermark (merging
+# session state is what applyInPandasWithState would otherwise
+# hand-roll). Single-file replay makes the final state deterministic,
+# so it shares the independent lag+cumsum oracle formulation with the
+# batch twin (session starts when gap >= 1 h; end = last event + 1 h).
+
+@_q("streaming_session_window", """
+WITH ordered AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN gap_us IS NULL OR gap_us >= 3600000000 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1 HOUR AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""")
+def streaming_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir)
+    agg = (stream.withWatermark("ts", "1 day")
+           .groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    out = run_stream_to_memory(agg, output_mode="complete")
+    return out.select("user_id",
+                      F.col("w.start").alias("session_start"),
+                      F.col("w.end").alias("session_end"),
+                      "n_events")
