@@ -489,3 +489,41 @@ def set_ops_user_activity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- unpivot / melt (wide -> long) ----------------------------------------
+# The inverse of pivot_event_counts: lineitem's parallel measure columns
+# melt into (measure, value) rows via DataFrame.unpivot — one narrow
+# scan, no shuffle until the verification agg. Values land as exact
+# integer cents.
+
+@_q("unpivot_lineitem_measures", """
+WITH m AS (
+  SELECT l_orderkey, l_linenumber, measure,
+         CAST(FLOOR(CAST(v AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+  FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount
+        FROM lineitem WHERE l_orderkey < 200)
+  UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice, l_discount)))
+SELECT measure, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM m GROUP BY measure
+""")
+def unpivot_lineitem_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 200)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice", "l_discount"))
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure", valueColumnName="v")
+    cents = F.floor(F.col("v").cast("decimal(18,6)") * 100).cast("long")
+    return (long.withColumn("cents", cents)
+            .groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").cast("long").alias("total_cents"),
+                 F.min("cents").cast("long").alias("min_cents"),
+                 F.max("cents").cast("long").alias("max_cents")))
