@@ -184,7 +184,15 @@ def pack_documents(df, id_col: str, token_count_col: str, group_col: str,
     Partitioned by ``group_col`` (shard/language), NOT a global window:
     one shuffle on the group key, every group packs in parallel — a
     global ORDER BY window would funnel the corpus through one task.
-    Deterministic: no RNG, stable across runs and engines."""
+    Deterministic: no RNG, stable across runs and engines.
+
+    Skew note: a single dominant group (one language can be most of a
+    web corpus) is itself a one-task funnel. Bound it by passing a
+    COMPOSITE group — e.g. ``F.concat_ws("|", lang,
+    F.floor(F.col(id) / 10000).cast("string"))`` — so each shard packs
+    at most N docs; bins are then unique per (group, shard), which is
+    fine because packing bins are arbitrary groupings anyway. The
+    registered query demonstrates exactly this shape."""
     from pyspark.sql import Window
 
     w = (Window.partitionBy(group_col).orderBy(id_col)

@@ -1054,21 +1054,25 @@ def context_window_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- sequence packing into fixed token budgets -----------------------------
-# Per-language running token total (one shuffle on the group key — a
-# GLOBAL order-by window would funnel the corpus through one task);
-# bin = floor(pre_sum/budget), offset = pre_sum % budget. Deterministic,
-# no RNG.
+# Running token total within (lang, doc-shard) groups — the shard bound
+# (256 docs) keeps even a dominant language from funneling through one
+# window task (a GLOBAL order-by window is the anti-pattern; a per-lang
+# one merely defers it to the biggest language). bin = floor(pre/512),
+# offset = pre % 512. Deterministic, no RNG.
 
 @_q("pack_documents_bins", """
 WITH d AS (
-  SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  SELECT doc_id, lang,
+         lang || '|' || CAST(CAST(FLOOR(doc_id / 256) AS BIGINT) AS VARCHAR)
+           AS grp,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
   FROM documents),
 c AS (
-  SELECT doc_id, lang, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+  SELECT doc_id, lang, grp, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
                              ROWS UNBOUNDED PRECEDING) - n_tokens AS pre
   FROM d)
-SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+SELECT doc_id, grp, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(FLOOR(pre / 512.0) AS BIGINT) AS bin_id,
        CAST(pre % 512 AS BIGINT) AS bin_offset
 FROM c
@@ -1078,9 +1082,13 @@ def pack_documents_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_documents, token_count)
 
     docs = load(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", "lang",
-                        token_count("text").alias("n_tok"))
-    return pack_documents(sized, "doc_id", "n_tok", "lang", budget=512)
+    sized = docs.select(
+        "doc_id",
+        F.concat_ws("|", F.col("lang"),
+                    F.floor(F.col("doc_id") / 256).cast("long")
+                     .cast("string")).alias("grp"),
+        token_count("text").alias("n_tok"))
+    return pack_documents(sized, "doc_id", "n_tok", "grp", budget=512)
 
 
 # --- native session windows (batch) ---------------------------------------
