@@ -117,11 +117,12 @@ def mart_bucket(key: str = KEY, num_buckets: int = 16):
 
 
 def write_mart(mart: DataFrame, path: str,
-               partition_col: str = "SOURCE_ID",
+               partition_col: str | None = "SOURCE_ID",
                key: str = KEY,
                num_buckets: int | None = 16,
                touched_keys: DataFrame | None = None,
-               source_id: int | None = None) -> None:
+               source_id: int | None = None,
+               materialize_first: bool = False) -> None:
     """Write the mart with DYNAMIC partition overwrite, partitioned by
     (``partition_col``, hash-bucket of the natural ``key``).
 
@@ -138,9 +139,14 @@ def write_mart(mart: DataFrame, path: str,
     ``num_buckets=None`` keeps the legacy SOURCE_ID-only layout.
     ``num_buckets`` must stay constant for a given mart path; size it so
     one bucket ≈ a few GB at the target scale (1024+ at 100 TB).
+    ``partition_col=None`` drops the source dimension (single-feed
+    marts, e.g. a streaming user mart) — buckets alone partition.
+    ``materialize_first`` persists + counts the outgoing rows before the
+    write: required when the merge plan READS the same path the write
+    overwrites (the foreachBatch read-merge-rewrite loop).
     """
     spark = mart.sparkSession
-    parts = [partition_col]
+    parts = [partition_col] if partition_col is not None else []
     out = mart
     if num_buckets is not None:
         out = out.withColumn(MART_BUCKET_COL, mart_bucket(key, num_buckets))
@@ -153,8 +159,13 @@ def write_mart(mart: DataFrame, path: str,
                                 .alias(MART_BUCKET_COL))
                        .distinct())
             out = out.join(F.broadcast(buckets), MART_BUCKET_COL, "left_semi")
-    if source_id is not None:
+    if source_id is not None and partition_col is not None:
         out = out.filter(F.col(partition_col) == source_id)
+    if materialize_first:
+        from pyspark.storagelevel import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -163,6 +174,8 @@ def write_mart(mart: DataFrame, path: str,
             .parquet(path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if materialize_first:
+            out.unpersist()
 
 
 def read_mart(spark, path: str) -> DataFrame:

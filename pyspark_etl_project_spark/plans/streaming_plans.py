@@ -92,7 +92,7 @@ UNION ALL SELECT * FROM fresh
 """)
 def streaming_scd2_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_etl_project_spark.operators.dedup import keep_latest
-    from pyspark_etl_project_spark.operators.scd2 import scd2_merge
+    from pyspark_etl_project_spark.operators.scd2 import read_mart
     from pyspark_etl_project_spark.plans.tables import load
 
     def latest_per_user(df: DataFrame) -> DataFrame:
@@ -122,28 +122,14 @@ def streaming_scd2_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("USR - "), F.col("user_id").cast("string")).alias("ssi"),
             "event_id", "event_type")
 
-    initial_mart.write.mode("overwrite").parquet(mart_path)
+    # The library foreachBatch operator: bucketed mart layout, each
+    # micro-batch rewrites only the buckets its keys hash to.
+    foreach_batch_scd2(stream, mart_path, initial_mart,
+                       run_ts=_STREAM_RUN_TS, key="ssi",
+                       surrogate_col="csd_id", prepare=merge_ready,
+                       num_buckets=8, partition_col=None)
 
-    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        arrivals = merge_ready(batch)
-        mart = spark.read.parquet(mart_path)
-        merged = scd2_merge(mart, arrivals, run_ts=_STREAM_RUN_TS,
-                            key="ssi", surrogate_col="csd_id", dense_ids=True)
-        staged = merged.persist()
-        staged.count()
-        staged.write.mode("overwrite").parquet(mart_path)
-        staged.unpersist()
-
-    q = (stream.writeStream.outputMode("append")
-         .foreachBatch(merge_batch)
-         .option("checkpointLocation", os.path.join(workdir, "chk"))
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-
-    final = spark.read.parquet(mart_path)
+    final = read_mart(spark, mart_path)
     return final.select("csd_id", "ssi", "event_id", "event_type",
                         F.col("ACTIVE_FLAG").alias("active_flag"),
                         F.col("START_DATE").alias("start_date"),

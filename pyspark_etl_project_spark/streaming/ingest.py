@@ -78,28 +78,41 @@ def run_stream_to_memory(agg: DataFrame, name: str | None = None,
 
 
 def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFrame,
-                       run_ts: str, key: str = "SOURCE_SYSTEM_IDENTIFIER") -> None:
+                       run_ts: str, key: str = "SOURCE_SYSTEM_IDENTIFIER",
+                       surrogate_col: str = "CSD_ID",
+                       prepare=None,
+                       num_buckets: int | None = 16,
+                       partition_col: str | None = None) -> None:
     """Merge each micro-batch into an SCD2 parquet mart. At-least-once
     file sink made idempotent by the merge (re-delivered unchanged rows
-    route DUPLICATE and drop).
+    route DUPLICATE and drop; a re-delivered UPDATE rewrites the same
+    buckets to the same state).
 
-    Scale note: per-batch rewrite touches only arrived keys' partitions
-    when the mart is partitioned; batch sizes are bounded by
+    The mart lives in the bucketed layout (``write_mart``): each batch
+    rewrites ONLY the (bucket) partitions its arriving keys hash to —
+    at 100 TB a micro-batch touches a handful of buckets, never the
+    whole mart. The merge plan reads the same path it overwrites, so the
+    pruned output is materialized (persist + count) before the write.
+    ``prepare`` optionally pre-collapses each raw micro-batch to
+    merge-ready arrivals (e.g. latest-per-key within the batch — the
+    reference's E1 dedup before CDC). Batch sizes are bounded by
     maxFilesPerTrigger / Kafka admission control."""
-    from pyspark_etl_project_spark.operators.scd2 import scd2_merge
+    from pyspark_etl_project_spark.operators.scd2 import (
+        read_mart, scd2_merge, write_mart)
 
     spark = stream.sparkSession
-    initial_mart.write.mode("overwrite").parquet(mart_path)
+    write_mart(initial_mart, mart_path, partition_col=partition_col,
+               key=key, num_buckets=num_buckets)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        mart = spark.read.parquet(mart_path)
-        merged = scd2_merge(mart, batch, run_ts=run_ts, key=key, dense_ids=True)
-        # Rewrite via a staging dir: the merge reads the same path it
-        # replaces, so materialize before overwrite.
-        staged = merged.persist()
-        staged.count()
-        staged.write.mode("overwrite").parquet(mart_path)
-        staged.unpersist()
+        arrivals = prepare(batch) if prepare is not None else batch
+        mart = read_mart(spark, mart_path)
+        merged = scd2_merge(mart, arrivals, run_ts=run_ts, key=key,
+                            surrogate_col=surrogate_col, dense_ids=True)
+        write_mart(merged, mart_path, partition_col=partition_col,
+                   key=key, num_buckets=num_buckets,
+                   touched_keys=arrivals.select(key).distinct(),
+                   materialize_first=True)
 
     q = (stream.writeStream.outputMode("append")
          .foreachBatch(merge_batch)
