@@ -527,3 +527,48 @@ def unpivot_lineitem_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("cents").cast("long").alias("total_cents"),
                  F.min("cents").cast("long").alias("min_cents"),
                  F.max("cents").cast("long").alias("max_cents")))
+
+
+# --- distribution window functions ----------------------------------------
+# percent_rank / cume_dist complete the ranking family (rank/dense_rank/
+# ntile/lag/lead live in window_rank_functions): integer-ratio doubles
+# computed by the identical formula in both engines, so they hash exact.
+
+@_q("window_distribution_functions", """
+SELECT l_orderkey, l_linenumber,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_d
+FROM lineitem WHERE l_orderkey < 300
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity, l_linenumber)
+""")
+def window_distribution_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    w = (Window.partitionBy("l_orderkey")
+               .orderBy("l_quantity", "l_linenumber"))
+    return li.select("l_orderkey", "l_linenumber",
+                     F.percent_rank().over(w).alias("pct_rank"),
+                     F.cume_dist().over(w).alias("cume_d"))
+
+
+# --- grouping sets (beyond rollup/cube) ------------------------------------
+# Arbitrary grouping-set list — the third member of the multi-level
+# aggregation family: per-flag totals, per-status totals, and the grand
+# total in ONE pass (one Expand + one shuffle), never three scans.
+
+@_q("grouping_sets_flag_status", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 100) AS BIGINT)
+         AS qty_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def grouping_sets_flag_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 100)
+                    AS BIGINT) AS qty_cents
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
