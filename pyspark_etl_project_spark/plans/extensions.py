@@ -1159,3 +1159,40 @@ def array_higher_order_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             lambda acc, x: acc + x) * 1000)
          .cast("long").alias("l1_millis"),
         F.floor(F.array_max(absd) * 1000).cast("long").alias("max_abs_millis"))
+
+
+# --- distinctive terms per document (keyword extraction) -------------------
+# TF-IDF's decision — frequent in THIS doc, rare in the corpus — as a
+# pure integer ranking (tf DESC, df ASC, token ASC), so no cross-engine
+# log()/float risk at the cut boundary. Two map-side-combine aggs (term
+# frequency per doc, document frequency per token) + one window; the df
+# join broadcasts when the vocabulary is small, shuffles on the token
+# otherwise — never doc × vocab.
+
+@_q("distinctive_terms_topk", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+  FROM documents WHERE doc_id < 300),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t)
+SELECT doc_id, t AS token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM (SELECT tf.doc_id, tf.t, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.t ASC) AS rn
+      FROM tf JOIN df USING (t))
+WHERE rn <= 3
+""")
+def distinctive_terms_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = docs.select("doc_id",
+                       F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                        .alias("t"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    w = (Window.partitionBy("doc_id")
+               .orderBy(F.col("tf").desc(), F.col("df").asc(),
+                        F.col("t").asc()))
+    return (tf.join(df, "t")
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 3)
+              .select("doc_id", F.col("t").alias("token"), "tf", "df"))
