@@ -194,3 +194,47 @@ def test_levenshtein_block_cap_sound(spark, texts, cap):
     assert set(capped) <= set(uncapped)
     assert all(uncapped[k] == v for k, v in capped.items())
     assert pairs(len(rows)) == uncapped
+
+
+@given(st.lists(st.sampled_from(["a", "bb", "ccc"]), min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=8),
+       st.integers(min_value=1, max_value=8))
+@settings(max_examples=10, deadline=None)
+def test_chunk_tokens_count_formula(spark, toks, window, stride):
+    """Chunk starts are 0, stride, 2*stride ... < n, so chunk i holds
+    exactly min(window, n - i*stride) tokens and there are
+    ceil(n/stride) chunks — checked against the Spark output for random
+    token streams and window/stride combinations."""
+    from pyspark_etl_project_spark.extensions.text import chunk_tokens
+
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = {r["chunk_idx"]: r["n_tokens"]
+           for r in chunk_tokens(df, "doc_id", "text",
+                                 window=window, stride=stride).collect()}
+    n = len(toks)
+    expect = {i: min(window, n - i * stride)
+              for i in range((n + stride - 1) // stride)}
+    assert out == expect
+
+
+@given(st.lists(st.integers(min_value=0, max_value=700),
+                min_size=1, max_size=30),
+       st.integers(min_value=16, max_value=512))
+@settings(max_examples=10, deadline=None)
+def test_pack_documents_matches_sequential_packing(spark, sizes, budget):
+    """The windowed bin assignment must equal a sequential driver-side
+    recomputation: pre-sum in id order, bin = pre // budget, offset =
+    pre % budget — for arbitrary token counts and budgets."""
+    from pyspark_etl_project_spark.extensions.text import pack_documents
+
+    rows = [(i, "g", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n int")
+    got = {r["doc_id"]: (r["bin_id"], r["bin_offset"])
+           for r in pack_documents(df, "doc_id", "n", "grp",
+                                   budget=budget).collect()}
+    pre = 0
+    expect = {}
+    for i, s in enumerate(sizes):
+        expect[i] = (pre // budget, pre % budget)
+        pre += s
+    assert got == expect
