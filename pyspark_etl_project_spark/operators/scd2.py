@@ -209,31 +209,47 @@ def dense_row_number(df: DataFrame, order_cols: list[str], out_col: str,
     single-partition window (the naive ``Window.orderBy`` moves every row
     to one task — fatal at scale).
 
-    Two-phase: (1) range-repartition on the ordering columns so partition
-    ids ascend with the sort order, count rows per partition (a tiny
-    driver-side list, one int per partition); (2) per-partition local
-    row_number + the partition's cumulative offset. For unique keys the
-    result is byte-identical to a global row_number; among exact ties the
-    winner is partition-local (same nondeterminism class as the global
-    window).
+    Two-phase, entirely INSIDE the plan: (1) range-repartition on the
+    ordering columns so partition ids ascend with the sort order;
+    (2) per-partition local row_number + the partition's cumulative
+    offset, where the offsets come from a groupBy on the partition id
+    cumulated by a window and broadcast back — one tiny side plan
+    (one row per partition), ZERO driver-side actions. (The earlier
+    version collected the counts to the driver at PLAN BUILD time,
+    which materialized the whole upstream lineage before the query even
+    ran — 14 build-time Spark jobs on the CSV pipeline; and
+    `localCheckpoint`, even with eager=False, materializes at call time
+    in this Spark build, so it is avoided too.) The offsets window is
+    deliberately unpartitioned: its input is one row per range
+    partition (dozens to a few thousand), bounded by
+    ``num_partitions``, not by data volume. The lazy `persist` pins the
+    range exchange — its cached plan (and the sampled partition
+    boundaries inside it) is compiled once and shared by both branches,
+    so the counts branch and the row-number branch cannot disagree even
+    under partition eviction/recompute. For unique keys the result is
+    byte-identical to a global row_number; among exact ties the winner
+    is partition-local (same nondeterminism class as the global window).
     """
+    from pyspark.storagelevel import StorageLevel
+
     sort_cols = [F.col(c) for c in order_cols]
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *sort_cols).localCheckpoint(eager=False)
+    ranged = (df.repartitionByRange(n, *sort_cols)
+                .persist(StorageLevel.MEMORY_AND_DISK))
     with_pid = ranged.withColumn("_dense_pid", F.spark_partition_id())
-    counts = with_pid.groupBy("_dense_pid").count().collect()
-    acc = offset
-    entries: list = []
-    for r in sorted(counts, key=lambda r: r["_dense_pid"]):
-        entries.extend([F.lit(r["_dense_pid"]), F.lit(acc)])
-        acc += r["count"]
-    if not entries:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    offsets = F.create_map(*entries)
+    wcum = (Window.orderBy("_dense_pid")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (with_pid.groupBy("_dense_pid")
+               .agg(F.count(F.lit(1)).alias("_dense_n"))
+               .withColumn("_dense_off",
+                           F.coalesce(F.sum("_dense_n").over(wcum),
+                                      F.lit(0)) + F.lit(offset))
+               .select("_dense_pid", "_dense_off"))
     w = Window.partitionBy("_dense_pid").orderBy(*sort_cols)
     return (with_pid
+            .join(F.broadcast(offsets), "_dense_pid")
             .withColumn(out_col,
                         (F.row_number().over(w)
-                         + offsets[F.col("_dense_pid")]).cast("long"))
-            .drop("_dense_pid"))
+                         + F.col("_dense_off")).cast("long"))
+            .drop("_dense_pid", "_dense_off"))
