@@ -272,6 +272,30 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.filter(bucket < keep_pct)
 
 
+def quota_sample(df: DataFrame, id_col: str, group_cols: list[str],
+                 max_per_group: int, salt: str = "quota-v1",
+                 out_col: str = "rn") -> DataFrame:
+    """Deterministic per-group quota: keep at most ``max_per_group`` rows
+    from each group, chosen by md5(salt || id) order — the uniform-random
+    subset a curation pipeline wants when capping a dominant domain or
+    language, but reproducible across runs, engines, and incremental
+    appends (a surviving row only ever drops out when enough NEW rows
+    hash ahead of it; it never flips due to RNG state).
+
+    One shuffle on the group key; the per-group sort is bounded by the
+    window, and groups are domain/language-grained (thousands of rows at
+    most per partition after the hash ordering), so no single task sees
+    the whole corpus. ``out_col`` carries the 1-based rank for
+    auditability.
+    """
+    if max_per_group < 1:
+        raise ValueError(f"max_per_group must be >= 1: {max_per_group}")
+    h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h, F.col(id_col))
+    return (df.withColumn(out_col, F.row_number().over(w).cast("int"))
+              .filter(F.col(out_col) <= max_per_group))
+
+
 def connected_dedup_clusters(pairs: DataFrame, ids: DataFrame,
                              id_col: str = "doc_id",
                              a_col: str = "id_a", b_col: str = "id_b",

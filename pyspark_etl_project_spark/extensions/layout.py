@@ -1,0 +1,78 @@
+"""Data-layout operators: Z-order (Morton) interleaving for
+multi-dimensional data skipping.
+
+Sorting a table by the bit-interleaved value of two (or more) columns
+clusters rows that are close in EVERY dimension into the same file /
+row-group, so min-max footer stats prune scans filtered on either
+column — the layout trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`.
+Here it is a pure column expression: `df.repartitionByRange(n,
+zorder_value(...)).sortWithinPartitions(...)` writes a z-clustered
+table with one range exchange and zero driver-side work, at any scale.
+
+Everything is integer bit math (`&`, `>>`, `<<`, `+` on disjoint bit
+positions), portable bit-for-bit across engines — `zorder_sql_expr`
+emits the identical arithmetic as ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_value(cols: list[Column | str], bits: int = 8) -> Column:
+    """Morton/Z value of ``cols``: the low ``bits`` bits of each column
+    interleaved round-robin (col i owns bit positions i, i+k, i+2k, ...
+    for k columns). Bit-identical to `zorder_sql_expr` output.
+
+    ``bits * len(cols)`` must stay under 63 (long). Dimensions are
+    masked to ``bits`` bits first, so callers own the choice of how to
+    rank-compress real values into that range (modulo here; a
+    percentile-based rank at production scale)."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("z-order needs >= 2 dimensions")
+    if bits * k > 62:
+        raise ValueError(f"{k} dims x {bits} bits overflows a long")
+    cs = [F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+          for c in cols]
+    mask = (1 << bits) - 1
+    terms = []
+    for d, c in enumerate(cs):
+        x = c.bitwiseAND(F.lit(mask))
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)),
+                            i * k + d))
+    return reduce(lambda a, b: a + b, terms)
+
+
+def zorder_sql_expr(col_names: list[str], bits: int = 8) -> str:
+    """The same interleave as `zorder_value`, as a portable SQL
+    expression string (DuckDB/ANSI `&`, `>>`, `<<`; terms summed —
+    disjoint bit positions make + equal to OR)."""
+    k = len(col_names)
+    mask = (1 << bits) - 1
+    terms = []
+    for d, name in enumerate(col_names):
+        x = f"(CAST({name} AS BIGINT) & {mask})"
+        for i in range(bits):
+            terms.append(f"((({x} >> {i}) & 1) << {i * k + d})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(df: DataFrame, cols: list[str], bits: int = 8,
+                  num_partitions: int | None = None,
+                  out_col: str = "zval") -> DataFrame:
+    """Cluster ``df`` for multi-dimensional skipping: range-partition on
+    the z-value (each output partition owns a contiguous z range ⇒ a
+    tight hyper-rectangle in the original dimensions) and sort rows
+    within partitions. Written out, every file's min-max stats are
+    selective for filters on ANY of ``cols``."""
+    z = zorder_value(list(cols), bits).alias(out_col)
+    with_z = df.withColumn(out_col, z)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (with_z.repartitionByRange(n, F.col(out_col))
+                  .sortWithinPartitions(out_col))

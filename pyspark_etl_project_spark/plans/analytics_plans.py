@@ -572,3 +572,60 @@ def grouping_sets_flag_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
+
+
+# --- time-range window frame (RANGE BETWEEN ... PRECEDING) -----------------
+# Sliding 1-hour aggregates per user, computed by a RANGE frame over the
+# event timestamp — the physical frame slides, no self-join and no
+# explode-into-buckets. Ordering key is integer microseconds so the
+# frame boundary (and tie/peer inclusion) is identical in both engines;
+# per-row integer cents make the windowed SUM associative and
+# bit-portable. One shuffle on user_id.
+
+@_q("moving_sum_time_range", """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(FLOOR(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""")
+def moving_sum_time_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value").cast("decimal(18,6)") * 100).cast("long")
+    w = (Window.partitionBy("user_id")
+               .orderBy(F.unix_micros("ts"))
+               .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(cents).over(w).cast("long").alias("cents_1h"))
+
+
+# --- fixed-width histogram -------------------------------------------------
+# Document-length distribution per language: explicit floor-arithmetic
+# bucketing (width 500 chars, clamped top bucket) instead of an
+# engine-specific width_bucket builtin, so both engines compute the
+# identical bucket id. Map-side combinable groupBy — one bounded shuffle
+# (#langs x 20 buckets).
+
+@_q("char_length_histogram", """
+SELECT lang,
+       LEAST(CAST(FLOOR(n_chars / 500) AS BIGINT), 19) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang, LEAST(CAST(FLOOR(n_chars / 500) AS BIGINT), 19)
+""")
+def char_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 500).cast("long"), F.lit(19))
+    return (docs.groupBy("lang", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").cast("long").alias("min_chars"),
+                 F.max("n_chars").cast("long").alias("max_chars")))

@@ -1196,3 +1196,57 @@ def distinctive_terms_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("rn", F.row_number().over(w))
               .filter(F.col("rn") <= 3)
               .select("doc_id", F.col("t").alias("token"), "tf", "df"))
+
+
+# --- per-(source, lang) quota sampling -------------------------------------
+# Domain/language capping for pretraining mixes: keep at most 50 docs
+# per (source, lang), chosen by md5 hash order so the "random" subset is
+# reproducible across runs, engines, and incremental appends (no RNG
+# state). One shuffle on the group key; see extensions/dedup.py
+# quota_sample for the scale notes.
+
+@_q("source_quota_sample", """
+SELECT source, lang, doc_id, CAST(rn AS INTEGER) AS rn
+FROM (SELECT source, lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5('quota-v1|' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn
+      FROM documents)
+WHERE rn <= 50
+""")
+def source_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import quota_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (quota_sample(docs, "doc_id", ["source", "lang"],
+                         max_per_group=50)
+            .select("source", "lang", "doc_id", "rn"))
+
+
+# --- Z-order (Morton) layout values ----------------------------------------
+# The multi-dimensional data-skipping layout: interleave the low 8 bits
+# of (orderkey, partkey) so sorting by zval clusters rows close in BOTH
+# dimensions into the same file's min-max stats. Pure integer bit math —
+# the oracle runs the machine-identical expression emitted by
+# zorder_sql_expr. zbucket (= zval >> 8) is the coarse block a row's
+# file would own under range-partitioned writes.
+
+from pyspark_etl_project_spark.extensions.layout import (  # noqa: E402
+    zorder_sql_expr, zorder_value)
+
+@_q("zorder_layout_sample", f"""
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CAST({zorder_sql_expr(['l_orderkey', 'l_partkey'], bits=8)} AS BIGINT)
+         AS zval,
+       CAST(({zorder_sql_expr(['l_orderkey', 'l_partkey'], bits=8)} >> 8)
+         AS BIGINT) AS zbucket
+FROM lineitem WHERE l_orderkey < 400
+""")
+def zorder_layout_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    z = zorder_value(["l_orderkey", "l_partkey"], bits=8)
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        z.cast("long").alias("zval"),
+        F.shiftright(z, 8).cast("long").alias("zbucket"))

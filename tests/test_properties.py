@@ -238,3 +238,56 @@ def test_pack_documents_matches_sequential_packing(spark, sizes, budget):
         expect[i] = (pre // budget, pre % budget)
         pre += s
     assert got == expect
+
+
+@given(st.lists(st.integers(min_value=0, max_value=500),
+                min_size=1, max_size=40, unique=True),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=10, deadline=None)
+def test_quota_sample_cap_and_append_stability(spark, ids, cap):
+    """No group ever exceeds the cap, and appending new rows can only
+    EVICT old survivors (when a new row hashes ahead), never admit a row
+    that lost before — the incremental-append contract."""
+    from pyspark_etl_project_spark.extensions.dedup import quota_sample
+
+    rows = [(i, f"g{i % 3}") for i in ids]
+    half = max(1, len(rows) // 2)
+    mk = lambda rs: spark.createDataFrame(rs, "id long, grp string")  # noqa: E731
+
+    whole = quota_sample(mk(rows), "id", ["grp"], cap).collect()
+    per_group: dict[str, int] = {}
+    for r in whole:
+        per_group[r["grp"]] = per_group.get(r["grp"], 0) + 1
+        assert 1 <= r["rn"] <= cap
+    assert all(n <= cap for n in per_group.values())
+
+    first = {r["id"] for r in
+             quota_sample(mk(rows[:half]), "id", ["grp"], cap).collect()}
+    whole_ids = {r["id"] for r in whole}
+    new_ids = {i for i, _ in rows[half:]}
+    # survivors of the full run that existed in the first batch must have
+    # survived the first batch too (append can evict, never resurrect)
+    assert (whole_ids - new_ids) <= first
+
+
+def test_zorder_interleave_known_values(spark):
+    """Bit-exact Morton interleave: hand-computed values, plus the
+    locality property that zval >> (2*bits - 2) recovers the top-bit
+    quadrant of both dimensions."""
+    from pyspark_etl_project_spark.extensions.layout import zorder_value
+
+    # x=0b011 (3), y=0b101 (5), 3 bits: z bits (y2 x2 y1 x1 y0 x0)
+    #  = (1 0 0 1 1 1) = 0b100111 = 39
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    out = df.select(zorder_value(["x", "y"], bits=3).alias("z")).collect()
+    assert out[0]["z"] == 39
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y",
+                     zorder_value(["x", "y"], bits=3).alias("z")).collect()
+    for r in rows:
+        quadrant = r["z"] >> 4
+        assert quadrant == ((r["y"] >> 2) << 1 | (r["x"] >> 2))
+        # interleave is a bijection on the masked domain
+    assert len({r["z"] for r in rows}) == len(pts)
