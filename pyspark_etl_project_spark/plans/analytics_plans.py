@@ -629,3 +629,64 @@ def char_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("n_chars").cast("long").alias("min_chars"),
                  F.max("n_chars").cast("long").alias("max_chars")))
+
+
+# --- multiple DISTINCT aggregates ------------------------------------------
+# COUNT(DISTINCT x) alongside COUNT(DISTINCT y) and a plain SUM in ONE
+# grouped agg — the planner shape Spark compiles via a single Expand
+# (one row per distinct-group per input row) + two-stage aggregation,
+# never one scan per aggregate. Counts are exact (the approx sketch
+# path is a different operator); output is integers only.
+
+@_q("distinct_counts_per_group", """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT value) AS n_values,
+       CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY event_type
+""")
+def distinct_counts_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.countDistinct("value").alias("n_values"),
+                 F.floor(F.sum(F.col("value").cast("decimal(18,6)")) * 100)
+                  .cast("long").alias("value_cents")))
+
+
+# --- window value functions (first/last/nth) --------------------------------
+# first_value / last_value / nth_value complete the window family
+# (ranking: window_rank_functions; distribution:
+# window_distribution_functions). All three run over an explicit
+# whole-partition ROWS frame with a UNIQUE ordering (quantity then line
+# number), so peer-group/frame-default semantics can never differ
+# between engines. Integer cents out.
+
+@_q("window_value_functions", """
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(FIRST_VALUE(l_quantity) OVER w * 100) AS BIGINT)
+         AS first_qty_cents,
+       CAST(FLOOR(LAST_VALUE(l_quantity) OVER w * 100) AS BIGINT)
+         AS last_qty_cents,
+       CAST(FLOOR(NTH_VALUE(l_quantity, 2) OVER w * 100) AS BIGINT)
+         AS second_qty_cents
+FROM lineitem WHERE l_orderkey < 300
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def window_value_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    w = (Window.partitionBy("l_orderkey")
+               .orderBy("l_quantity", "l_linenumber")
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))
+    cents = lambda c: F.floor(c * 100).cast("long")  # noqa: E731
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        cents(F.first("l_quantity").over(w)).alias("first_qty_cents"),
+        cents(F.last("l_quantity").over(w)).alias("last_qty_cents"),
+        cents(F.nth_value("l_quantity", 2).over(w)).alias("second_qty_cents"))
