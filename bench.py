@@ -57,6 +57,11 @@ HEADLINE = [
     "pack_documents_bins",
     "multimodal_image_decode",
     "session_window_native",
+    "source_quota_sample",
+    "zorder_layout_sample",
+    "moving_sum_time_range",
+    "distinct_counts_per_group",
+    "promo_revenue_split",
 ]
 
 

@@ -690,3 +690,44 @@ def window_value_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.first("l_quantity").over(w)).alias("first_qty_cents"),
         cents(F.last("l_quantity").over(w)).alias("last_qty_cents"),
         cents(F.nth_value("l_quantity", 2).over(w)).alias("second_qty_cents"))
+
+
+# --- promo revenue (the TPC-H Q14 shape) -----------------------------------
+# Conditional revenue split by joined-dimension attribute: lineitem ⋈
+# part with the CASE evaluated on the part side. The month filter is
+# pushed to the fact scan; the join key is the fact's foreign key, so
+# at cluster scale this is a shuffled hash join (part grows with SF —
+# not assumed broadcastable; AQE may still pick broadcast when it
+# fits). Numerator and denominator are emitted as separate integer
+# cents — no cross-engine decimal-division rounding in the output.
+
+@_q("promo_revenue_split", """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       COUNT(*) AS n_lines,
+       CAST(FLOOR(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                                * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) * 100)
+            AS BIGINT) AS promo_cents,
+       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))) * 100)
+            AS BIGINT) AS total_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1997-01-01'
+GROUP BY year(l_shipdate), month(l_shipdate)
+""")
+def promo_revenue_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")))
+    part = load(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)")))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev) \
+             .otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (li.join(part, li["l_partkey"] == part["p_partkey"])
+            .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"),
+                     F.month("l_shipdate").cast("int").alias("ship_month"))
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.floor(F.sum(promo) * 100).cast("long").alias("promo_cents"),
+                 F.floor(F.sum(rev) * 100).cast("long").alias("total_cents")))
