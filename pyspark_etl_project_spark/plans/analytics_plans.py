@@ -731,3 +731,30 @@ def promo_revenue_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_lines"),
                  F.floor(F.sum(promo) * 100).cast("long").alias("promo_cents"),
                  F.floor(F.sum(rev) * 100).cast("long").alias("total_cents")))
+
+
+# --- VARIANT semi-structured extraction ------------------------------------
+# The Spark 4 native path for schema-flexible JSON: parse_json -> open
+# VARIANT (binary, no declared schema — unlike json_props_extract's
+# fixed from_json struct), typed access via try_variant_get with the
+# cast at the extraction point. The predicate on the extracted value
+# still prunes before the aggregate; storage-side, VARIANT columns
+# shred to parquet so repeated paths read columnar at scale.
+
+@_q("variant_props_extract", """
+SELECT event_type, COUNT(*) AS n_high,
+       CAST(SUM(k) AS BIGINT) AS k_sum
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events)
+WHERE k > 50
+GROUP BY event_type
+""")
+def variant_props_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (ev.select("event_type", k.alias("k"))
+            .filter(F.col("k") > 50)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_high"),
+                 F.sum("k").cast("long").alias("k_sum")))

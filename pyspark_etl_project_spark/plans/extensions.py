@@ -1250,3 +1250,44 @@ def zorder_layout_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey",
         z.cast("long").alias("zval"),
         F.shiftright(z, 8).cast("long").alias("zbucket"))
+
+
+# --- custom Python DataSource scan ------------------------------------------
+# The Spark 4 extensibility path: a from-scratch batch source
+# (sources/docsynth_source.py) that declares schema + input splits and
+# emits Arrow RecordBatches; Spark schedules one task per declared
+# split. The generation is pure multiplicative-hash arithmetic, so the
+# oracle replays it from range() — the source's row SET is
+# partitioning-independent and retry-idempotent by construction.
+
+@_q("python_datasource_scan", """
+WITH d AS (
+  SELECT i AS doc_id, (i * 2654435761) % 4294967296 AS h,
+         (i * 1315423911) % 1000000007 AS checksum
+  FROM range(0, 5000) t(i)),
+typed AS (
+  SELECT doc_id,
+         CASE h % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                    WHEN 2 THEN 'fr' ELSE 'es' END AS lang,
+         10 + (h // 16) % 90 AS n_tokens, checksum
+  FROM d)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+       CAST(SUM(checksum) AS BIGINT) AS chk_sum,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM typed GROUP BY lang
+""")
+def python_datasource_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.sources.docsynth_source import (
+        DocSynthDataSource)
+
+    spark.dataSource.register(DocSynthDataSource)
+    docs = (spark.read.format("docsynth")
+            .option("n_docs", 5000).option("partitions", 8).load())
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("tok_sum"),
+                 F.sum("checksum").cast("long").alias("chk_sum"),
+                 F.min("doc_id").cast("long").alias("min_id"),
+                 F.max("doc_id").cast("long").alias("max_id")))

@@ -379,3 +379,20 @@ def test_contamination_check_finds_leak(spark):
     # shingle set twice-shifted context) — assert presence, not count
     assert 100 in got and got[100][0] == 1 and got[100][1] >= 1
     assert 101 not in got
+
+
+def test_docsynth_source_declares_partitions_and_handles_empty(spark):
+    from pyspark_etl_project_spark.sources.docsynth_source import (
+        DocSynthDataSource)
+
+    spark.dataSource.register(DocSynthDataSource)
+    df = (spark.read.format("docsynth")
+          .option("n_docs", 100).option("partitions", 7).load())
+    # read parallelism is declared by the source's input splits
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 100
+    assert df.select("doc_id").distinct().count() == 100
+
+    empty = (spark.read.format("docsynth")
+             .option("n_docs", 0).option("partitions", 3).load())
+    assert empty.count() == 0
