@@ -84,3 +84,61 @@ def multi_batch_file_stream(spark: Any, batches: list[DataFrame],
         shutil.rmtree(staging)
     return (spark.readStream.schema(schema_ddl)
             .option("maxFilesPerTrigger", 1).parquet(watch))
+
+
+TWS_TOTALS_SCHEMA = ("user_id long, n_events long, cents_sum long, "
+                     "max_event_id long")
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """The transformWithStateInPandas form of per-key running totals —
+    Spark 4's arbitrary-state API (typed ValueState owned by a handle,
+    explicit time mode, timer support) vs the applyInPandasWithState
+    flavor above. Adds an integer-cents running sum: only integer-exact
+    metrics live in state, so replays converge to the batch answer.
+
+    Requires the RocksDB state store provider (the API's backing store)
+    AND the python `protobuf` package — transformWithState runs a
+    Python driver worker speaking protobuf to the JVM state server, so
+    environments without `google.protobuf` fail at stream start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE (this container has
+    no protobuf and no installer; the test suite skips accordingly, the
+    applyInPandasWithState operator above is the runnable-here
+    equivalent). State per key is one fixed-width tuple, so the store
+    scales with distinct keys, not events. Input rows must carry
+    (user_id, event_id, cents)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType([StructField("n", LongType()),
+                               StructField("cents", LongType()),
+                               StructField("mx", LongType())])
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                n, cents, mx = self._state.get()
+            else:
+                n, cents, mx = 0, 0, None
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+                bmx = int(pdf["event_id"].max())
+                mx = bmx if mx is None or bmx > mx else mx
+            self._state.update((n, cents, mx))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "cents_sum": [cents], "max_event_id": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    return (stream.groupBy("user_id")
+            .transformWithStateInPandas(_Totals(), TWS_TOTALS_SCHEMA,
+                                        "Update", "None"))

@@ -396,3 +396,54 @@ def test_docsynth_source_declares_partitions_and_handles_empty(spark):
     empty = (spark.read.format("docsynth")
              .option("n_docs", 0).option("partitions", 3).load())
     assert empty.count() == 0
+
+
+def test_transform_with_state_running_totals(spark):
+    """Spark 4 transformWithStateInPandas running totals match the batch
+    GROUP BY. Skips where python-protobuf is absent (the API's Python
+    driver worker speaks protobuf to the JVM state server)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_project_spark.plans.tables import load
+    from pyspark_etl_project_spark.streaming.ingest import run_stream_to_memory
+    from pyspark_etl_project_spark.streaming.stateful import (
+        multi_batch_file_stream, running_user_totals_tws)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        ev = (load(spark, "/root/testdata/sf0.001", "events")
+              .select("event_id", "user_id",
+                      F.floor(F.col("value").cast("decimal(18,6)") * 100)
+                       .cast("long").alias("cents")))
+        stream = multi_batch_file_stream(
+            spark,
+            [ev.filter(F.col("event_id") % 2 == 0),
+             ev.filter(F.col("event_id") % 2 == 1)],
+            "event_id long, user_id long, cents long")
+        emissions = run_stream_to_memory(running_user_totals_tws(stream),
+                                         output_mode="update")
+        got = {r["user_id"]: (r["n_events"], r["cents_sum"], r["max_event_id"])
+               for r in (emissions.groupBy("user_id")
+                         .agg(F.max("n_events").alias("n_events"),
+                              F.max("cents_sum").alias("cents_sum"),
+                              F.max("max_event_id").alias("max_event_id"))
+                         .collect())}
+        want = {r["user_id"]: (r["n"], r["c"], r["m"])
+                for r in (ev.groupBy("user_id")
+                          .agg(F.count(F.lit(1)).alias("n"),
+                               F.sum("cents").alias("c"),
+                               F.max("event_id").alias("m")).collect())}
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                           prev)
