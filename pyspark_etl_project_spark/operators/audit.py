@@ -27,3 +27,23 @@ def load_audit_metrics(df: DataFrame,
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)
+
+
+def observed_audit(df: DataFrame, metrics: dict[str, "F.Column"],
+                   name: str = "load_audit"):
+    """Single-pass audit via the Observation API: attach aggregate
+    metrics to ``df`` so they are computed AS A SIDE-EFFECT of whatever
+    action consumes it (the mart write, a sink) — zero extra scan of
+    the data, where `load_audit_metrics` costs one dedicated
+    aggregation pass. At 100 TB that second pass is the difference
+    between auditing for free and doubling the read.
+
+    Returns ``(observed_df, observation)``; read
+    ``observation.get`` AFTER an action has run on ``observed_df``.
+    Metrics must be aggregate expressions with no distinct/window (the
+    API's contract)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    return observed, obs

@@ -758,3 +758,61 @@ def variant_props_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_high"),
                  F.sum("k").cast("long").alias("k_sum")))
+
+
+# --- correlated LATERAL join (top-N rows per outer row) ---------------------
+# The decorrelation planner path: a correlated subquery with ORDER BY +
+# LIMIT under JOIN LATERAL. Catalyst rewrites it to a ranked window
+# over the join key — same physical shape as window_dedup_latest, but
+# arrived at from the correlated-SQL surface users actually write.
+# Unique (price, linenumber) ordering keeps the LIMIT cut
+# deterministic in both engines.
+
+@_q("lateral_topk_per_order", """
+SELECT o.o_orderkey, l.l_linenumber, l.cents
+FROM orders o CROSS JOIN LATERAL (
+  SELECT l_linenumber,
+         CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+WHERE o.o_orderkey < 100
+""")
+def lateral_topk_per_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_lat_lineitem")
+    return spark.sql("""
+        SELECT o.o_orderkey, l.l_linenumber, l.cents
+        FROM _lat_orders o JOIN LATERAL (
+          SELECT l_linenumber,
+                 CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,6)) * 100)
+                      AS BIGINT) AS cents
+          FROM _lat_lineitem WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        WHERE o.o_orderkey < 100
+    """)
+
+
+# --- SQL pipe syntax --------------------------------------------------------
+# Spark 4's |> pipe operators compile to the identical logical plan as
+# the nested-SELECT form — the oracle IS that form, so this doubles as
+# the proof of plan equivalence at the value level.
+
+@_q("pipe_syntax_pricing", """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 100) AS BIGINT)
+         AS qty_cents
+FROM lineitem WHERE l_orderkey < 1000
+GROUP BY l_returnflag
+""")
+def pipe_syntax_pricing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_pipe_lineitem")
+    return spark.sql("""
+        FROM _pipe_lineitem
+        |> WHERE l_orderkey < 1000
+        |> AGGREGATE COUNT(*) AS n_rows,
+                     CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 100)
+                          AS BIGINT) AS qty_cents
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n_rows, qty_cents
+    """)

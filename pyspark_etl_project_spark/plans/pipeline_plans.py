@@ -596,3 +596,38 @@ def etl_csv_two_load_incremental_q(spark: SparkSession, sf_dir: str) -> DataFram
     staged2 = csv_transform(_att_feed(orders, 250, 750, shift=True), dims, 62)
     mart2, _ = run_load(mart1, staged2, _T2_2L, source_id=3, dense_ids=True)
     return _mart_lower(mart2)
+
+
+# --- single-pass audit via the Observation API ------------------------------
+# The A9 audit row computed as a SIDE-EFFECT of the action that consumes
+# the data (here a noop sink standing in for the mart write) — zero
+# extra scan, where load_audit_metrics costs a dedicated aggregation
+# pass. The returned 1-row DataFrame is built from the observation's
+# driver-side metric values (bounded: one scalar per metric).
+
+@_q("observed_load_audit", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_qty,
+       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 100)
+            AS BIGINT) AS price_cents
+FROM lineitem WHERE l_orderkey < 5000
+""")
+def observed_load_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.audit import observed_audit
+
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 5000))
+    observed, obs = observed_audit(li, {
+        "n_rows": F.count(F.lit(1)),
+        "n_high_qty": F.sum(F.when(F.col("l_quantity") >= 30, 1)
+                             .otherwise(0)).cast("long"),
+        "price_cents": F.floor(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) * 100)
+            .cast("long"),
+    })
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_high_qty"], m["price_cents"])],
+        "n_rows long, n_high_qty long, price_cents long")
