@@ -1,0 +1,63 @@
+"""Incremental aggregate maintenance (materialized-rollup merge).
+
+The pattern that keeps a 100 TB rollup fresh without rescanning
+history: persist the aggregate STATE table (one row per group, one
+column per metric partial), and fold each arriving batch in as
+``merge_agg_state(state, partial_agg(batch))``. Only
+commutative/associative partials are allowed (count→sum, sum, min,
+max), so merging is itself a plain groupBy — order- and
+batching-insensitive, which is what makes replays and backfills safe.
+(Non-decomposable metrics — exact distinct, exact percentiles — need
+their own state, e.g. a key set or a sketch; deliberately not
+conflated here.)
+
+Scale: each merge shuffles only ``|state| + |batch partial|`` rows —
+both aggregate-sized (distinct groups, not events). The state table
+never grows past the group count, and a batch's partial agg is
+map-side combined before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# metric name -> (batch aggregation, state merge aggregation)
+_AGGS = {
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def partial_agg(batch: DataFrame, keys: list[str],
+                metrics: dict[str, tuple[str, str]]) -> DataFrame:
+    """One batch's decomposable partials: ``metrics`` maps output column
+    -> (agg kind, input column); kind in count/sum/min/max ("count"
+    ignores the input column)."""
+    aggs = []
+    for out, (kind, col) in metrics.items():
+        batch_fn, _ = _AGGS[kind]
+        expr = batch_fn(col)
+        if kind in ("count", "sum"):
+            expr = expr.cast("long")
+        aggs.append(expr.alias(out))
+    return batch.groupBy(*keys).agg(*aggs)
+
+
+def merge_agg_state(state: DataFrame, batch_partial: DataFrame,
+                    keys: list[str],
+                    metrics: dict[str, tuple[str, str]]) -> DataFrame:
+    """Fold a batch's partials into the state table. Counts and sums
+    add; mins/maxes combine; groups new to either side pass through
+    (full outer semantics via union + re-aggregate)."""
+    aggs = []
+    for out, (kind, _col) in metrics.items():
+        _, merge_fn = _AGGS[kind]
+        expr = merge_fn(out)
+        if kind in ("count", "sum"):
+            expr = expr.cast("long")
+        aggs.append(expr.alias(out))
+    return (state.unionByName(batch_partial)
+            .groupBy(*keys).agg(*aggs))

@@ -1291,3 +1291,41 @@ def python_datasource_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("checksum").cast("long").alias("chk_sum"),
                  F.min("doc_id").cast("long").alias("min_id"),
                  F.max("doc_id").cast("long").alias("max_id")))
+
+
+# --- incremental aggregate maintenance --------------------------------------
+# The materialized-rollup pattern: the aggregate STATE table is folded
+# forward batch by batch (operators/incremental.py) instead of
+# rescanning history — three event batches replayed here, and the final
+# state must equal the one-shot GROUP BY, which is the oracle. Each
+# merge shuffles only aggregate-sized inputs (distinct groups), and
+# partials are count/sum/min/max — decomposable by construction, so
+# batch order and batching cannot change the result.
+
+@_q("incremental_agg_merge", """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT)
+         AS cents,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events GROUP BY event_type
+""")
+def incremental_agg_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.incremental import (
+        merge_agg_state, partial_agg)
+
+    metrics = {"n_events": ("count", "event_id"),
+               "cents": ("sum", "cents"),
+               "min_id": ("min", "event_id"),
+               "max_id": ("max", "event_id")}
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.floor(F.col("value").cast("decimal(18,6)") * 100)
+                   .cast("long").alias("cents")))
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    state = partial_agg(batches[0], ["event_type"], metrics)
+    for b in batches[1:]:
+        state = merge_agg_state(state, partial_agg(b, ["event_type"], metrics),
+                                ["event_type"], metrics)
+    return state

@@ -261,3 +261,56 @@ def streaming_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("w.start").alias("session_start"),
                       F.col("w.end").alias("session_end"),
                       "n_events")
+
+
+# --- stream-stream inner join (time-bounded) --------------------------------
+# Two LIVE streams joined on key + event-time range: each view pairs
+# with the same user's purchases in the following 6 hours. Both sides
+# arrive across two micro-batches, so matches span batch boundaries —
+# the join state genuinely buffers rows until the partner arrives. The
+# time bound in the join condition is what lets Spark evict state once
+# the watermark passes (here the watermark is wider than the data so
+# the final row set is exactly the batch join — which is the oracle).
+# At scale: state size ~ keys x the 6 h window, not the stream; the
+# one shuffle is the user_id co-partitioning of both sides.
+
+@_q("streaming_stream_stream_join", """
+SELECT a.event_id AS view_event_id, b.event_id AS purchase_event_id,
+       a.user_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+""")
+def streaming_stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.plans.tables import load
+    from pyspark_etl_project_spark.streaming.stateful import (
+        multi_batch_file_stream)
+
+    ev = load(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_event_id"),
+                     F.col("ts").alias("view_ts"),
+                     F.col("user_id").alias("user_id")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_event_id"),
+                     F.col("ts").alias("purchase_ts"),
+                     F.col("user_id").alias("p_user_id")))
+    vstream = multi_batch_file_stream(
+        spark,
+        [views.filter(F.col("view_event_id") % 2 == 0),
+         views.filter(F.col("view_event_id") % 2 == 1)],
+        "view_event_id long, view_ts timestamp, user_id long")
+    pstream = multi_batch_file_stream(
+        spark,
+        [purch.filter(F.col("purchase_event_id") % 2 == 1),
+         purch.filter(F.col("purchase_event_id") % 2 == 0)],
+        "purchase_event_id long, purchase_ts timestamp, p_user_id long")
+    joined = (vstream.withWatermark("view_ts", "3650 days")
+              .join(pstream.withWatermark("purchase_ts", "3650 days"),
+                    F.expr("user_id = p_user_id AND "
+                           "purchase_ts >= view_ts AND "
+                           "purchase_ts <= view_ts + interval 6 hours"),
+                    "inner")
+              .select("view_event_id", "purchase_event_id", "user_id"))
+    out = run_stream_to_memory(joined, output_mode="append")
+    return out.select("view_event_id", "purchase_event_id", "user_id")

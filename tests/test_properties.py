@@ -291,3 +291,33 @@ def test_zorder_interleave_known_values(spark):
         assert quadrant == ((r["y"] >> 2) << 1 | (r["x"] >> 2))
         # interleave is a bijection on the masked domain
     assert len({r["z"] for r in rows}) == len(pts)
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=50),
+                          st.sampled_from(["a", "b", "c"]),
+                          st.integers(min_value=-100, max_value=100)),
+                min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=10, deadline=None)
+def test_incremental_agg_merge_batching_insensitive(spark, rows, n_batches):
+    """Folding partials batch-by-batch equals the one-shot GROUP BY for
+    ANY batch split — the decomposability contract that makes replays
+    and backfills safe."""
+    from pyspark_etl_project_spark.operators.incremental import (
+        merge_agg_state, partial_agg)
+
+    metrics = {"n": ("count", "id"), "s": ("sum", "v"),
+               "mn": ("min", "v"), "mx": ("max", "v")}
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+    want = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+            for r in partial_agg(df, ["k"], metrics).collect()}
+
+    batches = [df.filter(F.col("id") % n_batches == i)
+               for i in range(n_batches)]
+    state = partial_agg(batches[0], ["k"], metrics)
+    for b in batches[1:]:
+        state = merge_agg_state(state, partial_agg(b, ["k"], metrics),
+                                ["k"], metrics)
+    got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+           for r in state.collect()}
+    assert got == want
