@@ -13,6 +13,8 @@ shuffles only bucket-matched rows.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -290,3 +292,76 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float],
         F.round(cosine(F.col(vec_col), q), round_digits).alias("cos_sim"))
     return (scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
                   .limit(k))
+
+
+# --- int8 scalar quantization ----------------------------------------------
+
+def dim_minmax(embeddings: DataFrame, vec_col: str = "embedding",
+               ) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) over the corpus — the quantizer's
+    one-time "training" pass (the SQ analog of the IVF centroid build).
+    posexplode + groupBy(pos) is map-side combined, so the shuffle
+    carries dims x partitions partials; only `dims` rows reach the
+    driver."""
+    rows = (embeddings
+            .select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min(F.col("x").cast("double")).alias("mn"),
+                 F.max(F.col("x").cast("double")).alias("mx"))
+            .collect())
+    return [(r["mn"], r["mx"]) for r in sorted(rows, key=lambda r: r["pos"])]
+
+
+def dim_scales(minmax: list[tuple[float, float]]) -> list[float]:
+    """Symmetric per-dim quantizer scale: max(|min|, |max|). Symmetric
+    (zero-centered) codes keep the integer dot product an UNBIASED
+    approximation of the float dot product — an affine min-shift would
+    add a per-vector bias term that scrambles the ranking."""
+    return [max(abs(mn), abs(mx)) for mn, mx in minmax]
+
+
+def quantize_codes(vec_col: Column, scales: list[float]) -> Column:
+    """int8 codes: floor(x * 127 / scale) per dimension, clamped to
+    [-127, 127]; all-zero dimensions (scale 0) code to 0. Pure double
+    arithmetic in one fixed expression order, so the engine and the SQL
+    oracle produce identical codes bit-for-bit."""
+    s_arr = F.array(*[F.lit(float(s)) for s in scales])
+
+    def code(x, i):
+        s = F.element_at(s_arr, i + 1)
+        raw = F.floor(x.cast("double") * 127.0 / s).cast("long")
+        return F.when(s == 0.0, F.lit(0)).otherwise(
+            F.least(F.lit(127), F.greatest(F.lit(-127), raw)))
+
+    return F.transform(vec_col, code)
+
+
+def quantized_topk(embeddings: DataFrame, query_vec: list[float],
+                   scales: list[float], k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   ) -> DataFrame:
+    """ANN over int8-quantized vectors: integer dot product of code
+    arrays approximates the float dot-product ranking (= cosine for
+    normalized embeddings) — the 4x memory / bandwidth reduction that
+    makes a 100 TB embedding store scannable, at a bounded rank error
+    vs float32. The query is quantized with the SAME formula
+    driver-side (python doubles == SQL doubles); scoring is exact
+    integer arithmetic, so the approximate RANKING is still
+    deterministic and oracle-checkable. Zero shuffle: scan +
+    TakeOrderedAndProject."""
+    qcodes = []
+    for v, s in zip(query_vec, scales):
+        if s == 0:
+            qcodes.append(0)
+        else:
+            raw = int(math.floor(float(v) * 127.0 / s))
+            qcodes.append(min(127, max(-127, raw)))
+    q_arr = F.array(*[F.lit(c) for c in qcodes])
+    codes = quantize_codes(F.col(vec_col), scales)
+    qdot = F.aggregate(
+        F.zip_with(codes, q_arr, lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (embeddings
+            .select(F.col(id_col), qdot.alias("qdot"))
+            .orderBy(F.col("qdot").desc(), F.col(id_col).asc())
+            .limit(k))

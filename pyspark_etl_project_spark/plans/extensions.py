@@ -1329,3 +1329,52 @@ def incremental_agg_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = merge_agg_state(state, partial_agg(b, ["event_type"], metrics),
                                 ["event_type"], metrics)
     return state
+
+
+# --- int8 scalar-quantized ANN top-k ---------------------------------------
+# The memory path: per-dim min/max "trains" the quantizer (64 rows to
+# the driver, like the IVF centroid build), vectors become int8 codes
+# (4x smaller than float32 — the difference between an embedding store
+# that fits executor memory at 100 TB and one that doesn't), and
+# scoring is an exact integer dot product — so the approximate RANKING
+# is still deterministic and the oracle replays it bit-for-bit.
+
+@_q("embedding_quantized_topk", """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+mm AS (
+  SELECT i AS pos,
+         MIN(CAST(embedding[i+1] AS DOUBLE)) AS mn,
+         MAX(CAST(embedding[i+1] AS DOUBLE)) AS mx
+  FROM (SELECT embedding, unnest(range(len(embedding))) AS i
+        FROM embeddings WHERE vec_id <> 0)
+  GROUP BY i),
+qc AS (
+  SELECT m.pos, m.mn, m.mx,
+         CASE WHEN m.mx = m.mn THEN 0
+              ELSE LEAST(255, GREATEST(0,
+                CAST(FLOOR((CAST(q.qe[m.pos+1] AS DOUBLE) - m.mn) * 255.0
+                           / (m.mx - m.mn)) AS BIGINT))) END AS qcode
+  FROM mm m, q),
+scored AS (
+  SELECT e.vec_id,
+         SUM((CASE WHEN c.mx = c.mn THEN 0
+              ELSE LEAST(255, GREATEST(0,
+                CAST(FLOOR((CAST(e.embedding[c.pos+1] AS DOUBLE) - c.mn)
+                           * 255.0 / (c.mx - c.mn)) AS BIGINT))) END)
+             * c.qcode) AS qdot
+  FROM embeddings e, qc c
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id)
+SELECT vec_id, CAST(qdot AS BIGINT) AS qdot
+FROM scored ORDER BY qdot DESC, vec_id LIMIT 10
+""")
+def embedding_quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.similarity import (
+        dim_minmax, quantized_topk)
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = (emb.filter(F.col("vec_id") == 0)
+            .select("embedding").first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    mm = dim_minmax(corpus)
+    return quantized_topk(corpus, list(qvec), mm, k=10)

@@ -447,3 +447,31 @@ def test_transform_with_state_running_totals(spark):
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass",
                            prev)
+
+
+def test_quantized_topk_codes_bounded_and_rank_sane(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_project_spark.extensions.similarity import (
+        brute_force_topk, dim_minmax, quantize_codes, quantized_topk)
+    from pyspark_etl_project_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qvec = list(emb.filter(F.col("vec_id") == 0)
+                .select("embedding").first()["embedding"])
+    mm = dim_minmax(corpus)
+
+    codes = corpus.select(
+        F.explode(quantize_codes(F.col("embedding"), mm)).alias("c"))
+    lo, hi = codes.agg(F.min("c"), F.max("c")).first()
+    assert 0 <= lo and hi <= 255
+
+    exact = [r["vec_id"] for r in brute_force_topk(corpus, qvec, k=10).collect()]
+    quant = [r["vec_id"] for r in quantized_topk(corpus, qvec, mm, k=10).collect()]
+    # int8 ranking approximates float32 cosine: expect real overlap in
+    # the top-10 (identical would be suspicious, disjoint means broken)
+    assert len(set(exact) & set(quant)) >= 3
+    # deterministic: re-running reproduces the ranking exactly
+    assert quant == [r["vec_id"]
+                     for r in quantized_topk(corpus, qvec, mm, k=10).collect()]
