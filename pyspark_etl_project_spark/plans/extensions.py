@@ -1341,26 +1341,26 @@ def incremental_agg_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("embedding_quantized_topk", """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-mm AS (
+sc AS (
   SELECT i AS pos,
-         MIN(CAST(embedding[i+1] AS DOUBLE)) AS mn,
-         MAX(CAST(embedding[i+1] AS DOUBLE)) AS mx
+         GREATEST(ABS(MIN(CAST(embedding[i+1] AS DOUBLE))),
+                  ABS(MAX(CAST(embedding[i+1] AS DOUBLE)))) AS s
   FROM (SELECT embedding, unnest(range(len(embedding))) AS i
         FROM embeddings WHERE vec_id <> 0)
   GROUP BY i),
 qc AS (
-  SELECT m.pos, m.mn, m.mx,
-         CASE WHEN m.mx = m.mn THEN 0
-              ELSE LEAST(255, GREATEST(0,
-                CAST(FLOOR((CAST(q.qe[m.pos+1] AS DOUBLE) - m.mn) * 255.0
-                           / (m.mx - m.mn)) AS BIGINT))) END AS qcode
-  FROM mm m, q),
+  SELECT sc.pos, sc.s,
+         CASE WHEN sc.s = 0 THEN 0
+              ELSE LEAST(127, GREATEST(-127,
+                CAST(FLOOR(CAST(q.qe[sc.pos+1] AS DOUBLE) * 127.0 / sc.s)
+                     AS BIGINT))) END AS qcode
+  FROM sc, q),
 scored AS (
   SELECT e.vec_id,
-         SUM((CASE WHEN c.mx = c.mn THEN 0
-              ELSE LEAST(255, GREATEST(0,
-                CAST(FLOOR((CAST(e.embedding[c.pos+1] AS DOUBLE) - c.mn)
-                           * 255.0 / (c.mx - c.mn)) AS BIGINT))) END)
+         SUM((CASE WHEN c.s = 0 THEN 0
+              ELSE LEAST(127, GREATEST(-127,
+                CAST(FLOOR(CAST(e.embedding[c.pos+1] AS DOUBLE) * 127.0 / c.s)
+                     AS BIGINT))) END)
              * c.qcode) AS qdot
   FROM embeddings e, qc c
   WHERE e.vec_id <> 0
@@ -1370,11 +1370,11 @@ FROM scored ORDER BY qdot DESC, vec_id LIMIT 10
 """)
 def embedding_quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_etl_project_spark.extensions.similarity import (
-        dim_minmax, quantized_topk)
+        dim_minmax, dim_scales, quantized_topk)
 
     emb = load(spark, sf_dir, "embeddings")
     qvec = (emb.filter(F.col("vec_id") == 0)
             .select("embedding").first()["embedding"])
     corpus = emb.filter(F.col("vec_id") != 0)
-    mm = dim_minmax(corpus)
-    return quantized_topk(corpus, list(qvec), mm, k=10)
+    scales = dim_scales(dim_minmax(corpus))
+    return quantized_topk(corpus, list(qvec), scales, k=10)

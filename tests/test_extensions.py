@@ -453,25 +453,108 @@ def test_quantized_topk_codes_bounded_and_rank_sane(spark):
     from pyspark.sql import functions as F
 
     from pyspark_etl_project_spark.extensions.similarity import (
-        brute_force_topk, dim_minmax, quantize_codes, quantized_topk)
+        brute_force_topk, dim_minmax, dim_scales, quantize_codes,
+        quantized_topk)
     from pyspark_etl_project_spark.plans.tables import load
 
     emb = load(spark, "/root/testdata/sf0.001", "embeddings")
     corpus = emb.filter(F.col("vec_id") != 0)
     qvec = list(emb.filter(F.col("vec_id") == 0)
                 .select("embedding").first()["embedding"])
-    mm = dim_minmax(corpus)
+    scales = dim_scales(dim_minmax(corpus))
 
     codes = corpus.select(
-        F.explode(quantize_codes(F.col("embedding"), mm)).alias("c"))
+        F.explode(quantize_codes(F.col("embedding"), scales)).alias("c"))
     lo, hi = codes.agg(F.min("c"), F.max("c")).first()
-    assert 0 <= lo and hi <= 255
+    assert -127 <= lo and hi <= 127
 
     exact = [r["vec_id"] for r in brute_force_topk(corpus, qvec, k=10).collect()]
-    quant = [r["vec_id"] for r in quantized_topk(corpus, qvec, mm, k=10).collect()]
+    quant = [r["vec_id"]
+             for r in quantized_topk(corpus, qvec, scales, k=10).collect()]
     # int8 ranking approximates float32 cosine: expect real overlap in
     # the top-10 (identical would be suspicious, disjoint means broken)
     assert len(set(exact) & set(quant)) >= 3
     # deterministic: re-running reproduces the ranking exactly
     assert quant == [r["vec_id"]
-                     for r in quantized_topk(corpus, qvec, mm, k=10).collect()]
+                     for r in quantized_topk(corpus, qvec, scales,
+                                             k=10).collect()]
+
+
+def test_quantize_codes_match_oracle_bit_for_bit(spark):
+    """Engine int8 codes == DuckDB oracle codes, elementwise, on the
+    real sf0.001 embeddings — locks the two quantizers to one code
+    book (round-3 verdict item #1c)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_project_spark.extensions.similarity import (
+        dim_minmax, dim_scales, quantize_codes)
+    from pyspark_etl_project_spark.plans.tables import load
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    scales = dim_scales(dim_minmax(corpus))
+
+    got = {r["vec_id"]: list(r["codes"]) for r in
+           corpus.select("vec_id",
+                         quantize_codes(F.col("embedding"),
+                                        scales).alias("codes"))
+           .collect()}
+
+    con = duckdb.connect()
+    want_rows = con.execute(f"""
+        WITH sc AS (
+          SELECT i AS pos,
+                 GREATEST(ABS(MIN(CAST(embedding[i+1] AS DOUBLE))),
+                          ABS(MAX(CAST(embedding[i+1] AS DOUBLE)))) AS s
+          FROM (SELECT embedding, unnest(range(len(embedding))) AS i
+                FROM read_parquet('{path}') WHERE vec_id <> 0)
+          GROUP BY i)
+        SELECT e.vec_id, c.pos,
+               CASE WHEN c.s = 0 THEN 0
+                    ELSE LEAST(127, GREATEST(-127,
+                      CAST(FLOOR(CAST(e.embedding[c.pos+1] AS DOUBLE)
+                                 * 127.0 / c.s) AS BIGINT))) END AS code
+        FROM read_parquet('{path}') e, sc c
+        WHERE e.vec_id <> 0
+    """).fetchall()
+    want: dict[int, dict[int, int]] = {}
+    for vec_id, pos, code in want_rows:
+        want.setdefault(vec_id, {})[pos] = code
+
+    assert set(got) == set(want)
+    for vec_id, codes in got.items():
+        oracle = [want[vec_id][i] for i in range(len(codes))]
+        assert codes == oracle, f"code mismatch for vec_id={vec_id}"
+
+
+def test_quantized_topk_recall_vs_float32(spark):
+    """The docstring's 'bounded rank error vs float32' claim, measured:
+    recall@10 of the int8 ranking against the exact float dot-product
+    ranking on sf0.001 (round-3 verdict item #4)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_project_spark.extensions.similarity import (
+        dim_minmax, dim_scales, quantized_topk)
+    from pyspark_etl_project_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qvec = list(emb.filter(F.col("vec_id") == 0)
+                .select("embedding").first()["embedding"])
+    scales = dim_scales(dim_minmax(corpus))
+
+    q_arr = F.array(*[F.lit(float(v)) for v in qvec])
+    fdot = F.aggregate(
+        F.zip_with(F.col("embedding"), q_arr,
+                   lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, v: acc + v)
+    exact = [r["vec_id"] for r in
+             corpus.select("vec_id", fdot.alias("fdot"))
+             .orderBy(F.col("fdot").desc(), F.col("vec_id").asc())
+             .limit(10).collect()]
+    quant = [r["vec_id"]
+             for r in quantized_topk(corpus, qvec, scales, k=10).collect()]
+    recall = len(set(exact) & set(quant)) / 10.0
+    assert recall >= 0.9, f"recall@10 = {recall}"
