@@ -453,7 +453,7 @@ def test_quantized_topk_codes_bounded_and_rank_sane(spark):
     from pyspark.sql import functions as F
 
     from pyspark_etl_project_spark.extensions.similarity import (
-        brute_force_topk, dim_minmax, dim_scales, quantize_codes,
+        brute_force_topk, dim_minmax, global_scale, quantize_codes,
         quantized_topk)
     from pyspark_etl_project_spark.plans.tables import load
 
@@ -461,22 +461,22 @@ def test_quantized_topk_codes_bounded_and_rank_sane(spark):
     corpus = emb.filter(F.col("vec_id") != 0)
     qvec = list(emb.filter(F.col("vec_id") == 0)
                 .select("embedding").first()["embedding"])
-    scales = dim_scales(dim_minmax(corpus))
+    s = global_scale(dim_minmax(corpus))
 
     codes = corpus.select(
-        F.explode(quantize_codes(F.col("embedding"), scales)).alias("c"))
+        F.explode(quantize_codes(F.col("embedding"), s)).alias("c"))
     lo, hi = codes.agg(F.min("c"), F.max("c")).first()
     assert -127 <= lo and hi <= 127
 
     exact = [r["vec_id"] for r in brute_force_topk(corpus, qvec, k=10).collect()]
     quant = [r["vec_id"]
-             for r in quantized_topk(corpus, qvec, scales, k=10).collect()]
+             for r in quantized_topk(corpus, qvec, s, k=10).collect()]
     # int8 ranking approximates float32 cosine: expect real overlap in
     # the top-10 (identical would be suspicious, disjoint means broken)
     assert len(set(exact) & set(quant)) >= 3
     # deterministic: re-running reproduces the ranking exactly
     assert quant == [r["vec_id"]
-                     for r in quantized_topk(corpus, qvec, scales,
+                     for r in quantized_topk(corpus, qvec, s,
                                              k=10).collect()]
 
 
@@ -488,45 +488,48 @@ def test_quantize_codes_match_oracle_bit_for_bit(spark):
     from pyspark.sql import functions as F
 
     from pyspark_etl_project_spark.extensions.similarity import (
-        dim_minmax, dim_scales, quantize_codes)
-    from pyspark_etl_project_spark.plans.tables import load
+        RERANK_LEVELS, dim_minmax, global_scale, quantize_codes)
 
     path = "/root/testdata/sf0.001/embeddings.parquet"
     emb = spark.read.parquet(path)
     corpus = emb.filter(F.col("vec_id") != 0)
-    scales = dim_scales(dim_minmax(corpus))
-
-    got = {r["vec_id"]: list(r["codes"]) for r in
-           corpus.select("vec_id",
-                         quantize_codes(F.col("embedding"),
-                                        scales).alias("codes"))
-           .collect()}
+    s = global_scale(dim_minmax(corpus))
 
     con = duckdb.connect()
-    want_rows = con.execute(f"""
-        WITH sc AS (
-          SELECT i AS pos,
-                 GREATEST(ABS(MIN(CAST(embedding[i+1] AS DOUBLE))),
-                          ABS(MAX(CAST(embedding[i+1] AS DOUBLE)))) AS s
-          FROM (SELECT embedding, unnest(range(len(embedding))) AS i
-                FROM read_parquet('{path}') WHERE vec_id <> 0)
-          GROUP BY i)
-        SELECT e.vec_id, c.pos,
-               CASE WHEN c.s = 0 THEN 0
-                    ELSE LEAST(127, GREATEST(-127,
-                      CAST(FLOOR(CAST(e.embedding[c.pos+1] AS DOUBLE)
-                                 * 127.0 / c.s) AS BIGINT))) END AS code
-        FROM read_parquet('{path}') e, sc c
-        WHERE e.vec_id <> 0
-    """).fetchall()
-    want: dict[int, dict[int, int]] = {}
-    for vec_id, pos, code in want_rows:
-        want.setdefault(vec_id, {})[pos] = code
+    for levels in (127.0, RERANK_LEVELS):
+        got = {r["vec_id"]: list(r["codes"]) for r in
+               corpus.select("vec_id",
+                             quantize_codes(F.col("embedding"), s,
+                                            levels).alias("codes"))
+               .collect()}
 
-    assert set(got) == set(want)
-    for vec_id, codes in got.items():
-        oracle = [want[vec_id][i] for i in range(len(codes))]
-        assert codes == oracle, f"code mismatch for vec_id={vec_id}"
+        want_rows = con.execute(f"""
+            WITH gs AS (
+              SELECT GREATEST(ABS(MIN(CAST(x AS DOUBLE))),
+                              ABS(MAX(CAST(x AS DOUBLE)))) AS s
+              FROM (SELECT unnest(embedding) AS x
+                    FROM read_parquet('{path}') WHERE vec_id <> 0)),
+            pos AS (SELECT unnest(range((SELECT len(embedding)
+                                         FROM read_parquet('{path}')
+                                         LIMIT 1))) AS p)
+            SELECT e.vec_id, pos.p,
+                   CASE WHEN gs.s = 0 THEN 0
+                        ELSE LEAST({int(levels)}, GREATEST({-int(levels)},
+                          CAST(FLOOR(CAST(e.embedding[pos.p+1] AS DOUBLE)
+                                     * {levels} / gs.s) AS BIGINT))) END
+                     AS code
+            FROM read_parquet('{path}') e, pos, gs
+            WHERE e.vec_id <> 0
+        """).fetchall()
+        want: dict[int, dict[int, int]] = {}
+        for vec_id, p, code in want_rows:
+            want.setdefault(vec_id, {})[p] = code
+
+        assert set(got) == set(want)
+        for vec_id, codes in got.items():
+            oracle = [want[vec_id][i] for i in range(len(codes))]
+            assert codes == oracle, \
+                f"code mismatch for vec_id={vec_id} levels={levels}"
 
 
 def test_quantized_topk_recall_vs_float32(spark):
@@ -536,14 +539,14 @@ def test_quantized_topk_recall_vs_float32(spark):
     from pyspark.sql import functions as F
 
     from pyspark_etl_project_spark.extensions.similarity import (
-        dim_minmax, dim_scales, quantized_topk)
+        dim_minmax, global_scale, quantized_topk)
     from pyspark_etl_project_spark.plans.tables import load
 
     emb = load(spark, "/root/testdata/sf0.001", "embeddings")
     corpus = emb.filter(F.col("vec_id") != 0)
     qvec = list(emb.filter(F.col("vec_id") == 0)
                 .select("embedding").first()["embedding"])
-    scales = dim_scales(dim_minmax(corpus))
+    s = global_scale(dim_minmax(corpus))
 
     q_arr = F.array(*[F.lit(float(v)) for v in qvec])
     fdot = F.aggregate(
@@ -555,6 +558,14 @@ def test_quantized_topk_recall_vs_float32(spark):
              .orderBy(F.col("fdot").desc(), F.col("vec_id").asc())
              .limit(10).collect()]
     quant = [r["vec_id"]
-             for r in quantized_topk(corpus, qvec, scales, k=10).collect()]
+             for r in quantized_topk(corpus, qvec, s, k=10).collect()]
     recall = len(set(exact) & set(quant)) / 10.0
-    assert recall >= 0.9, f"recall@10 = {recall}"
+    # uniform-scale int8 alone: measured 0.9 on this corpus
+    assert recall >= 0.8, f"int8 recall@10 = {recall}"
+
+    rerank = [r["vec_id"]
+              for r in quantized_topk(corpus, qvec, s, k=10,
+                                      rerank=4).collect()]
+    rr_recall = len(set(exact) & set(rerank)) / 10.0
+    # int8 scan + 2^20-level integer rerank: measured 1.0
+    assert rr_recall >= 0.9, f"rerank recall@10 = {rr_recall}"
