@@ -116,6 +116,65 @@ def mart_bucket(key: str = KEY, num_buckets: int = 16):
     return F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
 
 
+def _check_mart_layout(spark, path: str, partition_col: str | None,
+                       num_buckets: int | None) -> None:
+    """Fail fast when the existing on-disk layout disagrees with the
+    requested bucketing. Dynamic overwrite only replaces partitions the
+    incoming frame produces, so writing MART_BUCKET=* dirs into a
+    legacy SOURCE_ID-only mart (or vice versa) leaves the old files in
+    place alongside the new layout — every read then double-counts.
+    Uses the Hadoop FileSystem API so the check works on HDFS/S3, not
+    just local paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return
+    entries = [s for s in fs.listStatus(hpath)
+               if not s.getPath().getName().startswith("_")]
+    if not entries:
+        return
+    if partition_col is not None:
+        dirs = [s for s in entries if s.isDirectory()
+                and s.getPath().getName().startswith(partition_col + "=")]
+        if not dirs:
+            raise ValueError(
+                f"mart at {path} is not partitioned by {partition_col} "
+                f"(found {[s.getPath().getName() for s in entries[:4]]}); "
+                "refusing to mix layouts under dynamic overwrite")
+        children = [c for d in dirs for c in fs.listStatus(d.getPath())
+                    if not c.getPath().getName().startswith("_")]
+    else:
+        children = entries
+    bucket_dirs = [c.getPath().getName() for c in children
+                   if c.isDirectory()
+                   and c.getPath().getName().startswith(MART_BUCKET_COL + "=")]
+    plain = [c.getPath().getName() for c in children
+             if c.getPath().getName() not in bucket_dirs]
+    if num_buckets is not None:
+        if plain and not bucket_dirs:
+            raise ValueError(
+                f"mart at {path} has a legacy un-bucketed layout; a "
+                f"bucketed write (num_buckets={num_buckets}) under "
+                "dynamic overwrite would leave the legacy files in "
+                "place and duplicate rows on read. Rewrite the mart "
+                "once with the new layout, or pass num_buckets=None.")
+        stale = [d for d in bucket_dirs
+                 if int(d.split("=", 1)[1]) >= num_buckets]
+        if stale:
+            raise ValueError(
+                f"mart at {path} has bucket dirs {stale[:4]} outside "
+                f"num_buckets={num_buckets}; num_buckets must stay "
+                "constant for a mart path (dynamic overwrite would "
+                "orphan the out-of-range buckets).")
+    elif bucket_dirs:
+        raise ValueError(
+            f"mart at {path} is bucket-partitioned ({bucket_dirs[:4]}); "
+            "an un-bucketed write (num_buckets=None) under dynamic "
+            "overwrite would leave the bucket dirs in place and "
+            "duplicate rows on read.")
+
+
 def write_mart(mart: DataFrame, path: str,
                partition_col: str | None = "SOURCE_ID",
                key: str = KEY,
@@ -138,7 +197,12 @@ def write_mart(mart: DataFrame, path: str,
     write to one feed's partitions (one feed never rewrites another).
     ``num_buckets=None`` keeps the legacy SOURCE_ID-only layout.
     ``num_buckets`` must stay constant for a given mart path; size it so
-    one bucket ≈ a few GB at the target scale (1024+ at 100 TB).
+    one bucket ≈ a few GB at the target scale (1024+ at 100 TB). A
+    pre-write layout probe enforces this: writing a bucketed layout
+    into a legacy mart, a legacy layout into a bucketed mart, or a
+    smaller ``num_buckets`` than the on-disk bucket ids raises
+    ValueError instead of silently mixing layouts (dynamic overwrite
+    would leave the old files in place and double rows on read).
     ``partition_col=None`` drops the source dimension (single-feed
     marts, e.g. a streaming user mart) — buckets alone partition.
     ``materialize_first`` persists + counts the outgoing rows before the
@@ -146,6 +210,7 @@ def write_mart(mart: DataFrame, path: str,
     overwrites (the foreachBatch read-merge-rewrite loop).
     """
     spark = mart.sparkSession
+    _check_mart_layout(spark, path, partition_col, num_buckets)
     parts = [partition_col] if partition_col is not None else []
     out = mart
     if num_buckets is not None:

@@ -168,6 +168,37 @@ def test_mart_bucketed_write_prunes_untouched_buckets(spark, tmp_path):
         == [(100, "v1")]
 
 
+def test_mart_write_rejects_layout_mismatch(spark, tmp_path):
+    """Dynamic overwrite never deletes partitions the incoming frame
+    doesn't produce, so a bucketed write into a legacy SOURCE_ID-only
+    mart (or the reverse, or a changed num_buckets) would duplicate
+    rows on read. write_mart must refuse instead of mixing layouts."""
+    import pytest
+
+    from pyspark_etl_project_spark.operators.scd2 import read_mart, write_mart
+
+    schema = ("CSD_ID long, SOURCE_ID int, "
+              "SOURCE_SYSTEM_IDENTIFIER string, v string")
+    rows = [(i, 1, f"k{i}", "v0") for i in range(10)]
+    df = spark.createDataFrame(rows, schema)
+
+    legacy = str(tmp_path / "legacy")
+    write_mart(df, legacy, num_buckets=None)
+    with pytest.raises(ValueError, match="legacy un-bucketed layout"):
+        write_mart(df, legacy, num_buckets=8)
+
+    bucketed = str(tmp_path / "bucketed")
+    write_mart(df, bucketed, num_buckets=8)
+    with pytest.raises(ValueError, match="bucket-partitioned"):
+        write_mart(df, bucketed, num_buckets=None)
+    with pytest.raises(ValueError, match="num_buckets must stay constant"):
+        write_mart(df, bucketed, num_buckets=4)
+
+    # same layout re-write stays allowed, and data still reads clean
+    write_mart(df, bucketed, num_buckets=8)
+    assert read_mart(spark, bucketed).count() == 10
+
+
 def test_jaccard_stop_shingle_ceiling(spark):
     """A boilerplate shingle shared by every doc must be pruned from the
     inverted index before the pair join (the d² candidate blowup guard),
