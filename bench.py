@@ -75,32 +75,46 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     # Warm the JVM + parquet footers once so per-query times measure the
     # plan, not first-touch overheads.
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001 — warmup failure must not kill the run
+        print(f"warmup failed: {exc}", file=sys.stderr)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
-    times: dict[str, float] = {}
+    # One broken query must never zero the whole round's bench: isolate
+    # per query, record null, keep going, and always print the JSON line.
+    times: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in names:
         samples = []
-        for _ in range(reps):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        times[name] = round(statistics.median(samples), 3)
+        try:
+            for _ in range(reps):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            times[name] = round(statistics.median(samples), 3)
+        except Exception as exc:  # noqa: BLE001
+            times[name] = None
+            errors[name] = str(exc).splitlines()[0][:200]
+            print(f"query {name} failed: {errors[name]}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total_time",
-        "value": round(sum(times.values()), 3),
+        "value": round(sum(t for t in times.values() if t is not None), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
         "reps": reps,
         "stat": "median",
-    }))
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -21,20 +21,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events parquet physical schema with nanosAsLong (see session.py).
-EVENTS_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType(), True),
-    T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
-    T.StructField("user_id", T.LongType(), True),
-    T.StructField("event_type", T.StringType(), True),
-    T.StructField("value", T.DoubleType(), True),
-    T.StructField("props", T.StringType(), True),
-])
+def _events_stream_schema(events_path: str) -> tuple[T.StructType, bool]:
+    """Build the readStream schema for the events parquet, sniffing the
+    physical ``ts`` encoding once (driver-side, footer only). Generators
+    have shipped both TIMESTAMP(NANOS) — which Spark only reads as long
+    under nanosAsLong — and plain timestamp[us]. Returns (schema,
+    ts_is_nanos_long): when True the caller must convert long-nanos →
+    timestamp; when False ``ts`` is already a typed timestamp column."""
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(events_path).field("ts").type
+    nanos_as_long = str(ts_type) in ("int64", "timestamp[ns]")
+    ts_field = (T.StructField("ts", T.LongType(), True) if nanos_as_long
+                else T.StructField("ts", T.TimestampType(), True))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType(), True),
+        ts_field,
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ])
+    return schema, nanos_as_long
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table; ts normalized to
-    microsecond timestamps like the batch loader.
+    microsecond timestamps like the batch loader (plans/tables.py).
 
     The file source requires a directory (it watches for new files), so
     the single parquet file is exposed through a temp dir symlink — the
@@ -43,10 +56,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
+    schema, nanos_as_long = _events_stream_schema(src)
     watch_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(watch_dir, "events.parquet"))
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(watch_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(schema).parquet(watch_dir)
+    if nanos_as_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_event_agg(stream: DataFrame,
