@@ -816,3 +816,68 @@ def pipe_syntax_pricing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag
         |> SELECT l_returnflag, n_rows, qty_cents
     """)
+
+
+# --- weekly cohort retention ------------------------------------------------
+# Classic cohort grid: users bucketed by first-activity week, activity
+# counted per (cohort_week, week_offset). Two shuffles on user_id (the
+# map-side-combinable MIN agg, then the fact-to-cohort join — same key,
+# so AQE co-partitions them), then one bounded agg on the ~(weeks x
+# weeks) grid. No driver-side loops; both engines truncate to ISO-Monday
+# weeks, and the offset is an exact day-diff / 7 because both bounds are
+# Mondays.
+
+@_q("cohort_retention_weekly", """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        date_trunc('week', e.ts)) / 7 AS INTEGER)
+           AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+SELECT cohort_week, week_offset,
+       COUNT(*) AS active_users
+FROM activity GROUP BY cohort_week, week_offset
+""")
+def cohort_retention_weekly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+                .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    activity = (ev.join(firsts, "user_id")
+                  .select("user_id", "cohort_week",
+                          (F.datediff(F.date_trunc("week", F.col("ts")),
+                                      F.col("cohort_week")) / 7)
+                          .cast("int").alias("week_offset"))
+                  .distinct())
+    return (activity.groupBy("cohort_week", "week_offset")
+                    .agg(F.count(F.lit(1)).alias("active_users")))
+
+
+# --- per-user inactivity gap detection --------------------------------------
+# lag() over (user_id, ts) finds every inactivity gap above a threshold —
+# one shuffle on user_id, no self-join, no explode. The gap is an exact
+# integer microsecond difference (epoch_us both sides), sidestepping
+# date_diff('second') boundary-counting vs truncation divergence.
+
+@_q("event_gap_detection", """
+WITH seq AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+       epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+FROM seq
+WHERE prev_ts IS NOT NULL
+  AND epoch_us(ts) - epoch_us(prev_ts) > 6 * 3600 * 1000000::BIGINT
+""")
+def event_gap_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.col("prev_ts"))
+    return (ev.withColumn("prev_ts", F.lag("ts").over(w))
+              .filter(F.col("prev_ts").isNotNull()
+                      & (gap > F.lit(6 * 3600 * 1_000_000)))
+              .select("user_id", F.col("prev_ts").alias("gap_start"),
+                      F.col("ts").alias("gap_end"), gap.alias("gap_us")))

@@ -264,3 +264,29 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     got = [(r["vec_id"], r["cos_sim"]) for r in probed.collect()]
     want = [(r["vec_id"], r["cos_sim"]) for r in expected.collect()]
     assert got == want
+
+
+def test_gap_detection_single_user_shuffle_no_join(spark):
+    """Gap detection is a lag() window, never a self-join: exactly the
+    window's one user_id exchange, no join operator in the plan."""
+    from pyspark_etl_project_spark.plans.analytics_plans import (
+        event_gap_detection_q)
+
+    import re
+
+    plan = _formatted_plan(event_gap_detection_q(spark, SF_SMALL))
+    assert "Join" not in plan
+    # one physical Exchange node (each node appears once in the detail
+    # section as "(n) Exchange"; the tree echo doesn't match this form)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_cohort_retention_joins_on_grouping_key(spark):
+    """The cohort join must stay a key-equi join (broadcast or
+    co-partitioned sort-merge under AQE) — never nested-loop/cartesian."""
+    from pyspark_etl_project_spark.plans.analytics_plans import (
+        cohort_retention_weekly_q)
+
+    plan = _formatted_plan(cohort_retention_weekly_q(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
