@@ -76,3 +76,34 @@ def zorder_layout(df: DataFrame, cols: list[str], bits: int = 8,
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (with_z.repartitionByRange(n, F.col(out_col))
                   .sortWithinPartitions(out_col))
+
+
+# --- deterministic global shuffle ------------------------------------------
+# Training pipelines need the corpus in a pseudo-random but REPRODUCIBLE
+# order (same seed ⇒ same order, across reruns and cluster sizes).
+# Keying every row by md5(seed || id) and range-partition-sorting on
+# that key is a seeded permutation with no single-reducer sort: the
+# range exchange spreads the hash space evenly (md5 is uniform), so
+# every partition gets ~n/p rows regardless of the input's own order.
+
+def shuffle_key(id_col: Column | str, seed: int) -> Column:
+    """Seeded permutation key: md5 over 'seed|id'. Hex-string compare
+    gives the same total order in any engine (ASCII, fixed width)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), c.cast("string")))
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, seed: int,
+                          out_col: str = "pos",
+                          num_partitions: int | None = None) -> DataFrame:
+    """Assign each row its 1-based position in the seeded global shuffle
+    order, without a global single-partition sort: the two-phase
+    range-partitioned row number (operators/scd2.py:dense_row_number)
+    keeps the sort distributed and the only tiny side plan is one row
+    per partition. Ties (md5 collisions) break on the id itself, so the
+    permutation is total and reproducible."""
+    from pyspark_etl_project_spark.operators.scd2 import dense_row_number
+
+    keyed = df.withColumn("_shuffle_key", shuffle_key(id_col, seed))
+    return dense_row_number(keyed, ["_shuffle_key", id_col], out_col,
+                            num_partitions=num_partitions)

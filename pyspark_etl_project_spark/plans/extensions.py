@@ -1436,3 +1436,28 @@ def embedding_quantized_rerank_topk_q(spark: SparkSession,
     corpus = emb.filter(F.col("vec_id") != 0)
     s = global_scale(dim_minmax(corpus))
     return quantized_topk(corpus, list(qvec), s, k=10, rerank=4)
+
+
+# --- deterministic global shuffle (training-data ordering) ------------------
+# The seeded corpus permutation every training run needs: key rows by
+# md5(seed||id), order globally by the key — distributed via the
+# two-phase range-partitioned row number (never a one-task window; same
+# machinery as the SCD2 dense surrogate ids). The oracle's global
+# ROW_NUMBER proves the distributed position assignment is byte-equal
+# to a true total sort.
+
+from pyspark_etl_project_spark.extensions.layout import (  # noqa: E402
+    deterministic_shuffle)
+
+@_q("deterministic_shuffle_order", """
+SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id)
+         AS BIGINT) AS pos
+FROM documents
+""")
+def deterministic_shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return (deterministic_shuffle(docs, "doc_id", seed=42)
+            .select("doc_id", F.col("_shuffle_key").alias("shuffle_key"),
+                    "pos"))

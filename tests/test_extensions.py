@@ -577,3 +577,24 @@ def test_quantized_topk_recall_vs_float32(spark):
     rr_recall = len(set(exact) & set(rerank)) / 10.0
     # int8 scan + 2^20-level integer rerank: measured 1.0
     assert rr_recall >= 0.9, f"rerank recall@10 = {rr_recall}"
+
+
+def test_deterministic_shuffle_is_seeded_permutation(spark):
+    """Positions are exactly 1..n; the same seed reproduces the same
+    order regardless of the input's own partitioning; a different seed
+    produces a different order."""
+    from pyspark_etl_project_spark.extensions.layout import deterministic_shuffle
+
+    ids = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    a = deterministic_shuffle(ids, "doc_id", seed=7).select("doc_id", "pos")
+    rows_a = {r["doc_id"]: r["pos"] for r in a.collect()}
+    assert sorted(rows_a.values()) == list(range(1, 401))
+
+    scrambled = ids.repartition(13)
+    b = deterministic_shuffle(scrambled, "doc_id", seed=7).select("doc_id", "pos")
+    assert {r["doc_id"]: r["pos"] for r in b.collect()} == rows_a
+
+    c = deterministic_shuffle(ids, "doc_id", seed=8).select("doc_id", "pos")
+    rows_c = {r["doc_id"]: r["pos"] for r in c.collect()}
+    assert rows_c != rows_a
+    assert sorted(rows_c.values()) == list(range(1, 401))
