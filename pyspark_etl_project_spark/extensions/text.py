@@ -203,3 +203,58 @@ def pack_documents(df, id_col: str, token_count_col: str, group_col: str,
         F.col(token_count_col).cast("long").alias("n_tokens"),
         F.floor(pre / budget).cast("long").alias("bin_id"),
         (pre % budget).cast("long").alias("bin_offset"))
+
+
+def remove_boilerplate_lines(df, id_col: str, text_col: str,
+                             line_tokens: int = 2,
+                             max_doc_frac: float = 0.10):
+    """C4-style boilerplate scrubbing: drop every 'line' that occurs in
+    more than ``max_doc_frac`` of all documents (nav bars, cookie
+    banners, license footers), then reassemble each document from its
+    surviving lines in order.
+
+    Real corpora split on newlines; the synthetic testdata is
+    single-line, so a 'line' here is a fixed run of ``line_tokens``
+    whitespace tokens — the split rule is one expression, everything
+    downstream is delimiter-agnostic.
+
+    Scale shape: posexplode (no shuffle) → per-(doc, line) rebuild
+    (shuffle on doc_id) → line document-frequency (map-combinable
+    shuffle on the line string) → frequency join back on the line
+    (co-partitioned with the agg) → per-doc reassembly (shuffle on
+    doc_id). Nothing is all-pairs and no driver-side state; the df
+    threshold's denominator is one scalar count.
+
+    Returns (doc_id, cleaned_text, n_lines_kept, n_lines_removed) with
+    cleaned_text '' for fully-scrubbed docs — they stay in the corpus
+    for the caller to filter explicitly.
+    """
+    spark = df.sparkSession
+    n_docs = df.count()  # one scalar — the threshold denominator
+    cutoff = max(1, int(n_docs * max_doc_frac))
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("_pos", "_tok"))
+    lines = (toks
+             .groupBy(id_col, (F.floor(F.col("_pos") / line_tokens))
+                      .cast("int").alias("_line_idx"))
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                     lambda s: s["_tok"]), " ").alias("_line")))
+    line_df = (lines.groupBy("_line")
+               .agg(F.count_distinct(F.col(id_col)).alias("_n_docs")))
+    kept = (lines.join(line_df, "_line")
+                 .withColumn("_keep", F.col("_n_docs") <= F.lit(cutoff)))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("_line_idx", "_line")))),
+                         lambda s: s["_line"]), " ").alias("cleaned_text"),
+                 F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+                  .cast("long").alias("n_lines_kept"),
+                 F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+                  .cast("long").alias("n_lines_removed")))

@@ -1461,3 +1461,49 @@ def deterministic_shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return (deterministic_shuffle(docs, "doc_id", seed=42)
             .select("doc_id", F.col("_shuffle_key").alias("shuffle_key"),
                     "pos"))
+
+
+# --- C4-style boilerplate line scrubbing ------------------------------------
+# Drop every 'line' occurring in >10% of documents (nav bars, footers),
+# rebuild each doc from its surviving lines in order. The synthetic
+# corpus is single-line, so a line is a 2-token run — the split rule is
+# one expression; the frequency/join/reassembly machinery is what runs
+# on real newline-split corpora. Scale: line document-frequency is a
+# map-combinable shuffle on the line string, the frequency join is
+# co-partitioned with it, reassembly shuffles on doc_id — nothing
+# all-pairs, no driver state beyond one scalar count.
+
+from pyspark_etl_project_spark.extensions.text import (  # noqa: E402
+    remove_boilerplate_lines)
+
+@_q("boilerplate_line_scrub", """
+WITH split AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(len(toks))) AS pos
+  FROM split),
+lines AS (
+  SELECT doc_id, CAST(FLOOR(pos / 2) AS INTEGER) AS line_idx,
+         string_agg(tok, ' ' ORDER BY pos) AS line
+  FROM tok GROUP BY doc_id, CAST(FLOOR(pos / 2) AS INTEGER)
+),
+linedf AS (SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line),
+total AS (
+  SELECT GREATEST(1, CAST(FLOOR(COUNT(*) * 0.10) AS BIGINT)) AS cutoff
+  FROM documents),
+kept AS (
+  SELECT l.doc_id, l.line_idx, l.line, (d.n_docs <= t.cutoff) AS keep
+  FROM lines l JOIN linedf d USING (line) CROSS JOIN total t
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                           ORDER BY line_idx), '') AS cleaned_text,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_removed
+FROM kept GROUP BY doc_id
+""")
+def boilerplate_line_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_boilerplate_lines(docs, "doc_id", "text",
+                                    line_tokens=2, max_doc_frac=0.10)

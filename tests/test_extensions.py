@@ -598,3 +598,26 @@ def test_deterministic_shuffle_is_seeded_permutation(spark):
     rows_c = {r["doc_id"]: r["pos"] for r in c.collect()}
     assert rows_c != rows_a
     assert sorted(rows_c.values()) == list(range(1, 401))
+
+
+def test_boilerplate_line_removal_drops_common_lines(spark):
+    """A line present in most docs is scrubbed everywhere; rare lines
+    survive with order preserved; a fully-boilerplate doc comes back
+    as an empty string, not a missing row."""
+    from pyspark_etl_project_spark.extensions.text import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "accept cookies alpha beta"),
+         (2, "accept cookies gamma delta"),
+         (3, "accept cookies epsilon zeta"),
+         (4, "accept cookies")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(docs, "doc_id", "text", line_tokens=2,
+                                    max_doc_frac=0.5).collect()}
+    assert out[1]["cleaned_text"] == "alpha beta"
+    assert out[2]["cleaned_text"] == "gamma delta"
+    assert out[3]["cleaned_text"] == "epsilon zeta"
+    assert out[4]["cleaned_text"] == ""
+    assert out[4]["n_lines_removed"] == 1 and out[4]["n_lines_kept"] == 0
+    assert all(r["n_lines_removed"] == 1 for r in out.values())
