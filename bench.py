@@ -62,6 +62,11 @@ HEADLINE = [
     "moving_sum_time_range",
     "distinct_counts_per_group",
     "promo_revenue_split",
+    # round 5
+    "cohort_retention_weekly",
+    "event_gap_detection",
+    "deterministic_shuffle_order",
+    "boilerplate_line_scrub",
 ]
 
 

@@ -392,3 +392,37 @@ def contamination_check(train: DataFrame, holdout: DataFrame,
               .groupBy(id_col)
               .agg(F.countDistinct("_tid").alias("n_train_docs"),
                    F.countDistinct("_sh").alias("n_shared_ngrams")))
+
+
+def temperature_mixture_sample(df: DataFrame, id_col: str, source_col: str,
+                               budget: int, salt: str = "temp-v1",
+                               out_col: str = "rn") -> DataFrame:
+    """Temperature-weighted mixture sampling (the T5/Pile source
+    re-balancing step): per-source quotas proportional to n_i^0.5, so
+    small sources are up-weighted relative to their share and dominant
+    ones capped, then each quota filled by deterministic md5 order.
+
+    Cross-engine determinism is engineered in: the only float op is
+    SQRT (IEEE-correctly-rounded in every engine), immediately scaled
+    and floored into a BIGINT weight; quotas are then pure integer
+    arithmetic (budget * w // sum(w), min 1). Everything else is the
+    quota_sample machinery: one bounded shuffle on the source key, a
+    broadcast of the k-row quota table, no RNG state.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1: {budget}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    weights = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_n")) * 1_000_000).cast("long"))
+    total = weights.agg(F.sum("_w").alias("_tw"))
+    quotas = (weights.crossJoin(F.broadcast(total))
+              .withColumn("_quota",
+                          F.greatest(F.lit(1).cast("long"),
+                                     F.expr(f"({budget} * _w) div _tw")))
+              .select(source_col, "_quota"))
+    h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    return (df.join(F.broadcast(quotas), source_col)
+              .withColumn(out_col, F.row_number().over(w).cast("int"))
+              .filter(F.col(out_col) <= F.col("_quota"))
+              .drop("_quota"))

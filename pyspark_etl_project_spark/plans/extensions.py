@@ -1507,3 +1507,37 @@ def boilerplate_line_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return remove_boilerplate_lines(docs, "doc_id", "text",
                                     line_tokens=2, max_doc_frac=0.10)
+
+
+# --- temperature-weighted mixture sampling ----------------------------------
+# Source re-balancing for pretraining mixtures: quotas ∝ sqrt(n_i)
+# (temperature 0.5), filled in deterministic md5 order. The sqrt is the
+# ONLY float op and is IEEE-correctly-rounded everywhere; it is floored
+# into a BIGINT weight and the quota split is exact integer arithmetic,
+# so both engines compute identical quotas. One shuffle on source, one
+# k-row broadcast.
+
+from pyspark_etl_project_spark.extensions.dedup import (  # noqa: E402
+    temperature_mixture_sample)
+
+@_q("temperature_mixture_sample", """
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, CAST(FLOOR(SQRT(n) * 1000000) AS BIGINT) AS w FROM counts),
+tw AS (SELECT SUM(w) AS tw FROM w),
+quotas AS (
+  SELECT source, GREATEST(CAST(1 AS BIGINT), (200 * w) // tw) AS quota
+  FROM w CROSS JOIN tw),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5('temp-v1|' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS rn
+  FROM documents d)
+SELECT r.doc_id, r.source, CAST(r.rn AS INTEGER) AS rn
+FROM ranked r JOIN quotas q USING (source) WHERE r.rn <= q.quota
+""")
+def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (temperature_mixture_sample(docs, "doc_id", "source", budget=200)
+            .select("doc_id", "source", "rn"))

@@ -621,3 +621,23 @@ def test_boilerplate_line_removal_drops_common_lines(spark):
     assert out[4]["cleaned_text"] == ""
     assert out[4]["n_lines_removed"] == 1 and out[4]["n_lines_kept"] == 0
     assert all(r["n_lines_removed"] == 1 for r in out.values())
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """With a 9:1 source skew and temperature 0.5, the small source's
+    sampled share must exceed its corpus share (3:1 quota ratio, not
+    9:1), every quota is at least 1, and the draw is reproducible."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        temperature_mixture_sample)
+
+    rows = ([(i, "big") for i in range(900)]
+            + [(1000 + i, "small") for i in range(100)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture_sample(docs, "doc_id", "source", budget=100)
+    shares = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # weights: sqrt(900)=30, sqrt(100)=10 -> quotas 100*30//40=75, 100*10//40=25
+    assert shares == {"big": 75, "small": 25}
+    again = temperature_mixture_sample(docs, "doc_id", "source", budget=100)
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+        sorted(r["doc_id"] for r in out.collect())
