@@ -67,6 +67,8 @@ HEADLINE = [
     "event_gap_detection",
     "deterministic_shuffle_order",
     "boilerplate_line_scrub",
+    "temperature_mixture_sample",
+    "curation_pipeline_full",
 ]
 
 

@@ -23,14 +23,11 @@ from pyspark.sql import functions as F
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
     Documents shorter than n words yield an empty array."""
+    from pyspark_etl_project_spark.extensions.text import ngram_array
+
     c = F.col(col) if isinstance(col, str) else col
     w = F.split(F.trim(c), r"\s+")
-    sh = F.transform(F.sequence(F.lit(0), F.size(w) - n),
-                     lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
-    # sequence(0, negative) counts DOWN in Spark — guard short docs to an
-    # empty shingle set instead.
-    return F.when(F.size(w) >= n, F.array_distinct(sh)) \
-            .otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(ngram_array(w, n))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:

@@ -43,15 +43,31 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
 
 
+def ngram_array(w: Column, n: int) -> Column:
+    """Non-distinct n-grams of a token-array column, built by zipping
+    the array with its own shifted tails (n-1 zip_with passes). Each
+    pass is one interpreted walk over the array — measured ~9x faster
+    than a transform that slices per index (higher-order functions run
+    interpreted, so per-element work dominates). Positions past
+    len-n+1 concat a null tail and collapse to null (F.concat
+    propagates nulls), so the final not-null filter leaves exactly the
+    len-n+1 grams; shorter-than-n inputs yield an empty array."""
+    acc = w
+    for k in range(1, n):
+        shifted = F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    if n > 1:
+        acc = F.filter(acc, lambda x: x.isNotNull())
+    return acc
+
+
 def word_ngrams(col: Column | str, n: int) -> Column:
     """Non-distinct word n-grams (repetition-aware — unlike
     dedup.word_shingles, repeats are kept so duplicate fractions can be
     measured). Documents shorter than n words yield an empty array."""
     c = F.col(col) if isinstance(col, str) else col
-    w = tokens(c)
-    sh = F.transform(F.sequence(F.lit(0), F.size(w) - n),
-                     lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
-    return F.when(F.size(w) >= n, sh).otherwise(F.array().cast("array<string>"))
+    return ngram_array(tokens(c), n)
 
 
 def dup_ngram_bp(col: Column | str, n: int = 2) -> Column:
@@ -258,3 +274,26 @@ def remove_boilerplate_lines(df, id_col: str, text_col: str,
                   .cast("long").alias("n_lines_kept"),
                  F.sum(F.when(F.col("_keep"), 0).otherwise(1))
                   .cast("long").alias("n_lines_removed")))
+
+
+def lang_id_from_tokens(tok_col: Column | str) -> Column:
+    """lang_id over an already-staged lowercased token array — use when
+    the array is a named column so it's computed once per row (a fused
+    lang_id(text) re-splits the text for every marker probe)."""
+    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    expr = F.lit("und")
+    for lang, markers in reversed(list(LANG_MARKERS.items())):
+        sw = F.array(*[F.lit(w) for w in markers])
+        expr = F.when(F.arrays_overlap(t, sw), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def dup_bp_from_ngrams(gram_col: Column | str) -> Column:
+    """dup_ngram_bp over an already-staged n-gram array column (same
+    staging rationale as lang_id_from_tokens)."""
+    g = F.col(gram_col) if isinstance(gram_col, str) else gram_col
+    return F.when(
+        F.size(g) > 0,
+        F.floor((F.size(g) - F.size(F.array_distinct(g))).cast("bigint")
+                * 10000 / F.size(g)).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))

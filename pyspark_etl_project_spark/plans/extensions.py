@@ -1541,3 +1541,90 @@ def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return (temperature_mixture_sample(docs, "doc_id", "source", budget=200)
             .select("doc_id", "source", "rn"))
+
+
+# --- flagship corpus-curation pipeline --------------------------------------
+# The end-to-end curation flow a pretraining corpus goes through, as ONE
+# plan: exact dedup (normalized fingerprint, keep lowest id) → integer-
+# exact quality gate (token band + repetition cap) → language-ID →
+# deterministic split → per-(split, lang) mixture stats. Every stage is
+# the production operator, not a re-implementation; the oracle replays
+# the identical math. Scale: one shuffle on the fingerprint, the rest
+# row-wise expressions until the final bounded groupBy.
+
+@_q("curation_pipeline_full", """
+WITH base AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         string_split_regex(trim(text), '\\s+') AS w,
+         string_split_regex(trim(lower(text)), '\\s+') AS lw
+  FROM documents),
+surv AS (
+  SELECT doc_id, w, lw FROM (
+    SELECT doc_id, w, lw,
+           ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM base) WHERE rn = 1),
+feat AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         CASE WHEN list_has_any(lw, ['the', 'and', 'of']) THEN 'en'
+              WHEN list_has_any(lw, ['der', 'und', 'die']) THEN 'de'
+              WHEN list_has_any(lw, ['el', 'de', 'la']) THEN 'es'
+              ELSE 'und' END AS glang,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(len(w) - 1),
+                                  i -> concat(w[i+1], ' ', w[i+2]))
+              ELSE [] END AS g
+  FROM surv),
+gated AS (
+  SELECT doc_id, n_tokens, glang FROM (
+    SELECT doc_id, n_tokens, glang,
+           CASE WHEN len(g) > 0
+                THEN CAST(FLOOR((len(g) - len(list_distinct(g))) * 10000.0
+                                / len(g)) AS BIGINT)
+                ELSE 0 END AS dup_bp
+    FROM feat)
+  WHERE n_tokens BETWEEN 10 AND 10000 AND glang <> 'und' AND dup_bp < 4000),
+assigned AS (
+  SELECT doc_id, n_tokens, glang,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, n_tokens, glang,
+               CAST(concat('0x', substring(
+                   md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 4))
+                 AS INTEGER) % 100 AS b
+        FROM gated))
+SELECT split, glang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc_id
+FROM assigned GROUP BY split, glang
+""")
+def curation_pipeline_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import deterministic_split
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    surv = (docs.withColumn("fingerprint", X.normalized_fingerprint("text"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1))
+    # Stage the arrays as named columns so each is computed once per row
+    # (CollapseProject keeps non-cheap multiply-referenced expressions
+    # staged); a fused X.dup_ngram_bp("text") rebuilds its gram array 3x
+    # per row and re-splits the text each time.
+    staged = surv.select(
+        "doc_id",
+        X.tokens("text").alias("_w"),
+        X.tokens(F.lower(F.col("text"))).alias("_lw"),
+        X.word_ngrams("text", 2).alias("_g"))
+    feat = staged.select(
+        "doc_id",
+        F.size("_w").alias("n_tokens"),
+        X.lang_id_from_tokens("_lw").alias("glang"),
+        X.dup_bp_from_ngrams("_g").alias("dup_bp"))
+    gated = feat.filter((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 10000)
+                        & (F.col("glang") != "und") & (F.col("dup_bp") < 4000))
+    assigned = deterministic_split(gated, "doc_id",
+                                   {"train": 90, "val": 5, "test": 5})
+    return (assigned.groupBy("split", "glang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.min("doc_id").alias("min_doc_id")))
