@@ -25,6 +25,10 @@ DEFAULT = [
     "topk_limit",
     "text_repetition_signals", "pii_redaction_scan",
     "stratified_sample_deterministic", "semi_anti_customers",
+    # round 5
+    "cohort_retention_weekly", "event_gap_detection",
+    "deterministic_shuffle_order", "boilerplate_line_scrub",
+    "temperature_mixture_sample", "curation_pipeline_full",
 ]
 
 
