@@ -290,3 +290,31 @@ def test_cohort_retention_joins_on_grouping_key(spark):
     plan = _formatted_plan(cohort_retention_weekly_q(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curated_corpus_write_prunes_and_stats_match(spark, tmp_path):
+    """Reading one split of the partitioned corpus must carry a
+    partition filter (pruning at file listing), and the stats sidecar
+    must agree with the data files."""
+    from pyspark_etl_project_spark.extensions.corpus import (
+        corpus_stats, read_corpus, write_curated_corpus)
+
+    rows = [(i, "train" if i % 10 else "val", "en" if i % 3 else "de", 5 + i % 7)
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, split string, lang string, n_tokens long")
+    path = str(tmp_path / "corpus")
+    write_curated_corpus(df, path)
+
+    train = read_corpus(spark, path, split="train")
+    plan = _formatted_plan(train)
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "split" in pf.group(1), plan
+    assert train.count() == sum(1 for r in rows if r[1] == "train")
+
+    stats = {(r["split"], r["lang"]): (r["n_docs"], r["total_tokens"])
+             for r in corpus_stats(spark, path).collect()}
+    for (s, lg), (n, tot) in stats.items():
+        want = [r for r in rows if r[1] == s and r[2] == lg]
+        assert n == len(want) and tot == sum(r[3] for r in want)
