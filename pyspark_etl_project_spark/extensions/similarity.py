@@ -5,6 +5,14 @@ the scale path (search only the query's bucket — an IVF-style candidate
 cut). Dot products run as JVM higher-order functions (zip_with +
 aggregate), not Python.
 
+Measured dead end (do not retry): unrolling the dot product against a
+constant query/centroid into 64 element_at terms made every query
+SLOWER (ivf_topk 2.1s -> 11.8s at sf0.1) — the 1000+-node expression
+trees blow up Catalyst optimization time, dwarfing any interpreted-HOF
+cost at these dimensions. The compact HOF expression wins for dense
+vector math; unrolling only pays for short fixed arrays (see
+hashing/zorder).
+
 Scale design: brute-force is a map-side scan + a single top-k (no
 shuffle beyond the final k rows when expressed as orderBy+limit with AQE;
 for per-query batched top-k use a window over query_id). The LSH variant
