@@ -28,10 +28,13 @@ def _events_stream_schema(events_path: str) -> tuple[T.StructType, bool]:
     under nanosAsLong — and plain timestamp[us]. Returns (schema,
     ts_is_nanos_long): when True the caller must convert long-nanos →
     timestamp; when False ``ts`` is already a typed timestamp column."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     ts_type = pq.read_schema(events_path).field("ts").type
-    nanos_as_long = str(ts_type) in ("int64", "timestamp[ns]")
+    nanos_as_long = (pa.types.is_int64(ts_type)
+                     or (pa.types.is_timestamp(ts_type)
+                         and ts_type.unit == "ns"))
     ts_field = (T.StructField("ts", T.LongType(), True) if nanos_as_long
                 else T.StructField("ts", T.TimestampType(), True))
     schema = T.StructType([

@@ -321,3 +321,23 @@ def test_incremental_agg_merge_batching_insensitive(spark, rows, n_batches):
     got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
            for r in state.collect()}
     assert got == want
+
+
+@given(st.lists(st.sampled_from(["a", "bb", "ccc", "dd"]),
+                min_size=0, max_size=12),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=20, deadline=None)
+def test_ngram_array_matches_python_model(spark, toks, n):
+    """The zip_with n-gram construction must equal the obvious Python
+    sliding window for every token list and n (including shorter-than-n
+    inputs -> empty)."""
+    from pyspark_etl_project_spark.extensions.text import word_ngrams
+
+    text = " ".join(toks)
+    got = (spark.createDataFrame([(text,)], "text string")
+           .select(word_ngrams("text", n).alias("g")).first()["g"])
+    model_toks = re.split(r"\s+", text.strip())
+    want = [" ".join(model_toks[i:i + n])
+            for i in range(len(model_toks) - n + 1)] \
+        if len(model_toks) >= n else []
+    assert list(got) == want
