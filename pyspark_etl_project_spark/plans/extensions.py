@@ -1628,3 +1628,38 @@ def curation_pipeline_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("total_tokens"),
                  F.min("doc_id").alias("min_doc_id")))
+
+
+# --- incremental batch dedup against an existing corpus ---------------------
+# The production shape for daily crawl increments: the new batch drops
+# (a) exact dups of the existing corpus — an ANTI join on the normalized
+# fingerprint, co-partitioned with (b) the intra-batch keep-lowest-id
+# window on the same key. Nothing rescans corpus text: at 100 TB the
+# corpus side is its (fingerprint → doc_id) index, not the documents.
+
+@_q("incremental_dedup_new_batch", """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents),
+corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 400),
+batch AS (SELECT * FROM fp WHERE doc_id >= 400),
+fresh AS (
+  SELECT b.doc_id, b.fingerprint FROM batch b
+  ANTI JOIN corpus c ON b.fingerprint = c.fingerprint)
+SELECT doc_id, fingerprint FROM (
+  SELECT doc_id, fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM fresh) WHERE rn = 1
+""")
+def incremental_dedup_new_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = docs.select("doc_id",
+                     X.normalized_fingerprint("text").alias("fingerprint"))
+    corpus = fp.filter(F.col("doc_id") < 400).select("fingerprint").distinct()
+    batch = fp.filter(F.col("doc_id") >= 400)
+    fresh = batch.join(corpus, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (fresh.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1)
+                 .select("doc_id", "fingerprint"))
