@@ -93,20 +93,30 @@ def semi_anti_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("order_line_revenue_share", """
 SELECT l_orderkey, l_linenumber,
-       CAST(FLOOR(
-         CAST(l_extendedprice AS DECIMAL(18,6)) * 10000
-         / SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
-             OVER (PARTITION BY l_orderkey)) AS BIGINT) AS share_bp
+       CAST(
+         (CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+          * 10000)
+         // SUM(CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,6)) * 100)
+                     AS BIGINT)) OVER (PARTITION BY l_orderkey)
+       AS BIGINT) AS share_bp
 FROM lineitem WHERE l_orderkey < 1000
 """)
 def order_line_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure BIGINT arithmetic: prices truncate to exact integer cents,
+    # the share is cents*10000 floor-div the order's cent total. A
+    # decimal division here was a latent cross-engine hazard: Spark and
+    # DuckDB ROUND the quotient to different result scales, which can
+    # flip FLOOR when a share lands near an integer basis point — it
+    # did at sf0.1 (green at sf0.01; caught by the full-scale sweep).
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
-    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    cents = (F.floor(F.col("l_extendedprice").cast("decimal(18,6)") * 100)
+             .cast("long"))
     w = Window.partitionBy("l_orderkey")
-    return li.select(
-        "l_orderkey", "l_linenumber",
-        F.floor(price * 10000 / F.sum(price).over(w))
-         .cast("long").alias("share_bp"))
+    return (li.select("l_orderkey", "l_linenumber", cents.alias("_c"))
+              .withColumn("share_bp",
+                          F.expr("(_c * 10000) div sum(_c) over "
+                                 "(partition by l_orderkey)"))
+              .drop("_c"))
 
 
 # --- exact grouped percentiles --------------------------------------------
