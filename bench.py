@@ -81,11 +81,16 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
     # Warm the JVM + parquet footers once so per-query times measure the
-    # plan, not first-touch overheads.
-    try:
-        qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    except Exception as exc:  # noqa: BLE001 — warmup failure must not kill the run
-        print(f"warmup failed: {exc}", file=sys.stderr)
+    # plan, not first-touch overheads. Guarded: an empty headline∩registry
+    # intersection (e.g. registry import failure) must still emit the
+    # JSON payload below, never die on an IndexError here.
+    if names:
+        try:
+            qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — warmup failure must not kill the run
+            print(f"warmup failed: {exc}", file=sys.stderr)
+    else:
+        print("warning: no headline queries found in registry", file=sys.stderr)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     # One broken query must never zero the whole round's bench: isolate

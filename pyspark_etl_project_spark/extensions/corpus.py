@@ -35,10 +35,17 @@ def write_curated_corpus(df: DataFrame, path: str,
        .partitionBy(*partition_cols)
        .option("compression", "zstd")
        .parquet(path))
+    # Stats come from the files just written, not from df's lineage:
+    # re-running the upstream pipeline would be a second full pass AND
+    # could disagree with the data on disk if any upstream stage is
+    # nondeterministic. Reading back scans only parquet footers' worth
+    # of columns (partition values + one token column) of data already
+    # local to the sink.
+    written = df.sparkSession.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("n_docs")]
-    if token_count_col and token_count_col in df.columns:
+    if token_count_col and token_count_col in written.columns:
         aggs.append(F.sum(token_count_col).cast("long").alias("total_tokens"))
-    stats = df.groupBy(*partition_cols).agg(*aggs)
+    stats = written.groupBy(*partition_cols).agg(*aggs)
     (stats.coalesce(1).write.mode("overwrite")
           .parquet(f"{path}/{STATS_DIR}"))
 

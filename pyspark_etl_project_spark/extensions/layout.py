@@ -95,15 +95,24 @@ def shuffle_key(id_col: Column | str, seed: int) -> Column:
 
 def deterministic_shuffle(df: DataFrame, id_col: str, seed: int,
                           out_col: str = "pos",
-                          num_partitions: int | None = None) -> DataFrame:
+                          num_partitions: int | None = None,
+                          key_col: str | None = None) -> DataFrame:
     """Assign each row its 1-based position in the seeded global shuffle
     order, without a global single-partition sort: the two-phase
     range-partitioned row number (operators/scd2.py:dense_row_number)
     keeps the sort distributed and the only tiny side plan is one row
     per partition. Ties (md5 collisions) break on the id itself, so the
-    permutation is total and reproducible."""
+    permutation is total and reproducible.
+
+    Returns the input columns plus ``out_col``. Pass ``key_col`` to also
+    expose the md5 permutation key under that name (callers that want
+    the key itself, e.g. to persist the ordering); by default the
+    internal key column is dropped."""
     from pyspark_etl_project_spark.operators.scd2 import dense_row_number
 
     keyed = df.withColumn("_shuffle_key", shuffle_key(id_col, seed))
-    return dense_row_number(keyed, ["_shuffle_key", id_col], out_col,
-                            num_partitions=num_partitions)
+    numbered = dense_row_number(keyed, ["_shuffle_key", id_col], out_col,
+                                num_partitions=num_partitions)
+    if key_col is not None:
+        return numbered.withColumnRenamed("_shuffle_key", key_col)
+    return numbered.drop("_shuffle_key")

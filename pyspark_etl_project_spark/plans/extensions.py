@@ -1458,9 +1458,9 @@ FROM documents
 """)
 def deterministic_shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    return (deterministic_shuffle(docs, "doc_id", seed=42)
-            .select("doc_id", F.col("_shuffle_key").alias("shuffle_key"),
-                    "pos"))
+    return (deterministic_shuffle(docs, "doc_id", seed=42,
+                                  key_col="shuffle_key")
+            .select("doc_id", "shuffle_key", "pos"))
 
 
 # --- C4-style boilerplate line scrubbing ------------------------------------

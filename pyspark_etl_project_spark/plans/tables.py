@@ -35,16 +35,31 @@ def _fix_nanos_ts(df: DataFrame) -> DataFrame:
       to microseconds — matching how DuckDB reads the same column as its
       microsecond TIMESTAMP.
     - timestamp[us] isAdjustedToUTC=false → surfaces as TIMESTAMP_NTZ
-      (Spark 4 infers NTZ); cast to TIMESTAMP. The session TZ is UTC
-      (session.py), so the wall-clock values are unchanged and functions
-      like unix_micros/window resolve.
+      (Spark 4 infers NTZ); convert with pure wall-clock arithmetic
+      (days-since-epoch + time-of-day micros → timestamp_micros) so the
+      instant equals the wall clock read as UTC REGARDLESS of the
+      caller session's time zone. A plain cast would consult the
+      session TZ and shift epoch-based results (unix_micros, window
+      alignment) relative to DuckDB under any non-UTC harness session;
+      to_utc/from_utc/convert_timezone round-trips are still off by an
+      hour inside DST-ambiguous renderings. The arithmetic path never
+      consults a TZ at all.
     - plain TIMESTAMP → already fine, pass through.
     """
+    import datetime
+
     from pyspark.sql import functions as F
 
     dtype = dict(df.dtypes).get("ts")
     if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif dtype == "timestamp_ntz":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        c = F.col("ts")
+        days = F.datediff(c.cast("date"), F.lit(datetime.date(1970, 1, 1)))
+        sec_micros = (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+        total = (days.cast("long") * 86_400_000_000
+                 + F.hour(c).cast("long") * 3_600_000_000
+                 + F.minute(c).cast("long") * 60_000_000
+                 + sec_micros)
+        df = df.withColumn("ts", F.timestamp_micros(total))
     return df

@@ -60,6 +60,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "events.parquet")
     schema, nanos_as_long = _events_stream_schema(src)
+    if nanos_as_long:
+        # Mirror plans/tables.py:load — an externally-built session
+        # (harness, notebook) reading TIMESTAMP(NANOS) parquet fails with
+        # PARQUET_TYPE_ILLEGAL unless this runtime-settable conf is on.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     watch_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(watch_dir, "events.parquet"))
     raw = spark.readStream.schema(schema).parquet(watch_dir)

@@ -57,6 +57,27 @@ def test_batch_load_normalizes_ts_to_2024(spark, events_dir):
     assert got == sorted(r[1] for r in ROWS)
 
 
+def test_batch_load_ts_is_session_tz_independent(spark, events_dir):
+    """The NTZ→timestamp normalization must yield the same epoch instants
+    whatever the caller session's time zone — an external harness session
+    may not be UTC, and a TZ-consulting cast would shift unix_micros /
+    window alignment relative to the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    want = sorted(int(r[1].replace(tzinfo=dt.timezone.utc).timestamp()
+                      * 1_000_000) for r in ROWS)
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = tables.load(spark, events_dir, "events")
+            got = sorted(r["m"] for r in
+                         df.select(F.unix_micros("ts").alias("m")).collect())
+            assert got == want, f"ts shifted under session TZ {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+
+
 def test_stream_ingest_normalizes_ts_to_2024(spark, events_dir):
     s = stream_events(spark, events_dir)
     assert dict(s.dtypes)["ts"] == "timestamp"
