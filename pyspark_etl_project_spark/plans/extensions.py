@@ -1663,3 +1663,77 @@ def incremental_dedup_new_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return (fresh.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1)
                  .select("doc_id", "fingerprint"))
+
+
+# --- curated-corpus sink roundtrip ------------------------------------------
+# Gates extensions/corpus.py end-to-end: featurize documents (token
+# count + lang-ID + deterministic split), WRITE the (split, lang)-
+# partitioned corpus with its stats sidecar, read ONE split back through
+# the partition-pruned path, and join the re-aggregated counts against
+# the sidecar. The inner join means a missing or inconsistent sidecar
+# row changes the output (row count or values) and fails the hash — the
+# sidecar's write-read consistency is part of the gate, not just the
+# data roundtrip. The oracle replays the same math straight off the
+# documents table: the write→read hop must be semantically invisible.
+
+from pyspark_etl_project_spark.extensions.corpus import (  # noqa: E402
+    corpus_stats, read_corpus, write_curated_corpus)
+
+
+@_q("curated_corpus_roundtrip", """
+WITH feat AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CASE WHEN list_has_any(string_split_regex(trim(lower(text)), '\\s+'),
+                                ['the', 'and', 'of']) THEN 'en'
+              WHEN list_has_any(string_split_regex(trim(lower(text)), '\\s+'),
+                                ['der', 'und', 'die']) THEN 'de'
+              WHEN list_has_any(string_split_regex(trim(lower(text)), '\\s+'),
+                                ['el', 'de', 'la']) THEN 'es'
+              ELSE 'und' END AS lang
+  FROM documents),
+assigned AS (
+  SELECT doc_id, n_tokens, lang,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, n_tokens, lang,
+               CAST(concat('0x', substring(
+                   md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 4))
+                 AS INTEGER) % 100 AS b
+        FROM feat)),
+agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         MIN(doc_id) AS min_doc_id
+  FROM assigned WHERE split = 'train' GROUP BY lang)
+SELECT lang, n_docs, total_tokens, min_doc_id,
+       n_docs AS stats_n_docs, total_tokens AS stats_total_tokens
+FROM agg
+""")
+def curated_corpus_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark_etl_project_spark.extensions.dedup import deterministic_split
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.select("doc_id",
+                         X.tokens("text").alias("_w"),
+                         X.tokens(F.lower(F.col("text"))).alias("_lw"))
+    feat = staged.select("doc_id",
+                         F.size("_w").alias("n_tokens"),
+                         X.lang_id_from_tokens("_lw").alias("lang"))
+    assigned = deterministic_split(feat, "doc_id",
+                                   {"train": 90, "val": 5, "test": 5})
+    path = os.path.join(tempfile.mkdtemp(prefix="curated_corpus_"), "corpus")
+    write_curated_corpus(assigned, path)
+    train = read_corpus(spark, path, split="train")
+    agg = (train.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+                F.min("doc_id").alias("min_doc_id")))
+    stats = (corpus_stats(spark, path)
+             .filter(F.col("split") == "train")
+             .select("lang", F.col("n_docs").alias("stats_n_docs"),
+                     F.col("total_tokens").alias("stats_total_tokens")))
+    return agg.join(stats, "lang")

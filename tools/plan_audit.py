@@ -29,6 +29,8 @@ DEFAULT = [
     "cohort_retention_weekly", "event_gap_detection",
     "deterministic_shuffle_order", "boilerplate_line_scrub",
     "temperature_mixture_sample", "curation_pipeline_full",
+    # round 6
+    "curated_corpus_roundtrip",
 ]
 
 
@@ -40,6 +42,9 @@ def audit(plan: str) -> dict:
     codegen = sum(1 for star, _ in nodes if star)
     pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
               if p.strip()]
+    part_filtered = [p for p in
+                     re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+                     if p.strip()]
     read_cols = [s.count(",") + 1 for s in re.findall(r"ReadSchema: (\S+)", plan)]
     return {
         "exchanges": plan.count("Exchange"),
@@ -48,6 +53,7 @@ def audit(plan: str) -> dict:
         "codegen_nodes": codegen,
         "total_nodes": total,
         "scans_with_pushdown": len(pushed),
+        "partition_filtered_scans": len(part_filtered),
         "read_cols": read_cols,
     }
 
@@ -72,6 +78,7 @@ def main() -> None:
               f"sortmerge_joins={a['smj']} "
               f"codegen={a['codegen_nodes']}/{a['total_nodes']} "
               f"pushdown_scans={a['scans_with_pushdown']} "
+              f"partition_filtered_scans={a['partition_filtered_scans']} "
               f"read_cols={a['read_cols']}")
     spark.stop()
 
