@@ -235,11 +235,21 @@ def remove_boilerplate_lines(df, id_col: str, text_col: str,
     downstream is delimiter-agnostic.
 
     Scale shape: posexplode (no shuffle) → per-(doc, line) rebuild
-    (shuffle on doc_id) → line document-frequency (map-combinable
-    shuffle on the line string) → frequency join back on the line
-    (co-partitioned with the agg) → per-doc reassembly (shuffle on
-    doc_id). Nothing is all-pairs and no driver-side state; the df
-    threshold's denominator is one scalar count.
+    (shuffle on doc_id) → line document-frequency as an EXPLICIT
+    two-phase aggregate: distinct over (line, doc) — the shuffle key
+    includes doc_id, so a footer present in 30% of documents spreads
+    over the whole cluster instead of one reducer — then count per line
+    with map-side partial combine (each reducer receives at most
+    #partitions partial rows per line, never the raw occurrences).
+    The boilerplate set itself (lines above the cutoff) is BOUNDED:
+    Σ doc_freq ≤ total line instances, so at most
+    total_instances / cutoff ≈ avg_lines_per_doc / max_doc_frac lines
+    can exceed the cutoff — independent of corpus size. It broadcasts;
+    the keep-filter join is a broadcast left-anti shape with zero
+    shuffle, so the skewed line string is never a join shuffle key.
+    Per-doc reassembly shuffles on doc_id (uniform). Nothing is
+    all-pairs and no driver-side state; the df threshold's denominator
+    is one scalar count.
 
     Returns (doc_id, cleaned_text, n_lines_kept, n_lines_removed) with
     cleaned_text '' for fully-scrubbed docs — they stay in the corpus
@@ -259,10 +269,14 @@ def remove_boilerplate_lines(df, id_col: str, text_col: str,
                  F.transform(
                      F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
                      lambda s: s["_tok"]), " ").alias("_line")))
-    line_df = (lines.groupBy("_line")
-               .agg(F.count_distinct(F.col(id_col)).alias("_n_docs")))
-    kept = (lines.join(line_df, "_line")
-                 .withColumn("_keep", F.col("_n_docs") <= F.lit(cutoff)))
+    line_df = (lines.select("_line", id_col).distinct()
+               .groupBy("_line")
+               .agg(F.count(F.lit(1)).alias("_n_docs")))
+    boiler = (line_df.filter(F.col("_n_docs") > F.lit(cutoff))
+              .select("_line", F.lit(True).alias("_boiler")))
+    kept = (lines.join(F.broadcast(boiler), "_line", "left")
+                 .withColumn("_keep", F.col("_boiler").isNull())
+                 .drop("_boiler"))
     return (kept.groupBy(id_col)
             .agg(F.array_join(
                      F.transform(

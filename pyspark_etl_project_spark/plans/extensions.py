@@ -1468,9 +1468,11 @@ def deterministic_shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame
 # rebuild each doc from its surviving lines in order. The synthetic
 # corpus is single-line, so a line is a 2-token run — the split rule is
 # one expression; the frequency/join/reassembly machinery is what runs
-# on real newline-split corpora. Scale: line document-frequency is a
-# map-combinable shuffle on the line string, the frequency join is
-# co-partitioned with it, reassembly shuffles on doc_id — nothing
+# on real newline-split corpora. Scale: line document-frequency is an
+# explicit two-phase aggregate ((line, doc)-keyed distinct, then
+# map-combined count — no shuffle keyed on the skewed line string
+# alone), the keep-filter is a broadcast left join against the bounded
+# above-cutoff line set, reassembly shuffles on doc_id — nothing
 # all-pairs, no driver state beyond one scalar count.
 
 from pyspark_etl_project_spark.extensions.text import (  # noqa: E402

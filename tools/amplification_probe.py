@@ -1,0 +1,182 @@
+"""Amplification probe: re-time operator shapes at base vs 100× data,
+all synthesized distributed (spark.range — nothing driver-side), to
+check empirically that no shape has a super-linear term or a skew
+funnel the tiny SFs can't expose. Probe only — never a query input.
+
+Round 2 probed the core batch shapes (window dedup, grouped agg,
+top-k); round 6 adds the round-5/6 operators the verdict asked for:
+the boilerplate scrub under a DELIBERATELY skewed corpus (hot lines in
+30% of documents — the exact key the operator must not funnel on),
+temperature mixture over power-law sources, the deterministic global
+shuffle, the flagship curation pipeline, and incremental batch dedup.
+
+Usage: python tools/amplification_probe.py [probe ...]
+Prints one markdown row per probe: | name | base s | 100× s | ratio |.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+AMP = 100
+
+
+def _materialize(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _docs_with_hot_lines(spark: SparkSession, n: int) -> DataFrame:
+    """Docs of 4 unique 2-token lines; 30% also carry two HOT lines
+    ('cookie banner' / 'accept all') — each a single line string in 30%
+    of all documents, the worst-case key for the frequency stage."""
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("u"), F.col("id")), F.lit("alpha"),
+            F.concat(F.lit("v"), F.col("id")), F.lit("beta"),
+            F.concat(F.lit("w"), F.col("id")), F.lit("gamma"),
+            F.concat(F.lit("x"), F.col("id")), F.lit("delta"),
+        ).alias("text"))
+    return base.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 < 3,
+               F.concat_ws(" ", F.col("text"),
+                           F.lit("cookie banner accept all")))
+         .otherwise(F.col("text")))
+
+
+def probe_boilerplate(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.text import (
+        remove_boilerplate_lines)
+
+    docs = _docs_with_hot_lines(spark, n)
+    _materialize(remove_boilerplate_lines(docs, "doc_id", "text"))
+
+
+def probe_temperature_mixture(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.dedup import (
+        temperature_mixture_sample)
+
+    # Power-law sources: source s covers ~n/2^(s+1) rows (source 0 is
+    # half the corpus — the skew a web crawl actually has).
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"),
+                 F.floor(F.log2(F.col("id") + 2)).cast("int") % 12)
+         .alias("source"))
+    _materialize(temperature_mixture_sample(docs, "doc_id", "source",
+                                            budget=n // 10))
+
+
+def probe_deterministic_shuffle(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.layout import (
+        deterministic_shuffle)
+
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    _materialize(deterministic_shuffle(docs, "doc_id", seed=42))
+
+
+def probe_curation_pipeline(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions import text as X
+    from pyspark_etl_project_spark.extensions.dedup import (
+        deterministic_split)
+
+    # ~14-token docs, 10% exact dups, en/de/es marker mix.
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.element_at(F.array(F.lit("the"), F.lit("der"), F.lit("el")),
+                         (F.col("id") % 3 + 1).cast("int")),
+            F.concat(F.lit("tok"), F.col("id") % (max(n // 10, 1))),
+            F.lit("quick brown fox jumps over the lazy dog near"),
+            F.concat(F.lit("tail"), F.col("id") % 7),
+            F.lit("and of"),
+        ).alias("text"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    surv = (docs.withColumn("fingerprint",
+                            X.normalized_fingerprint("text"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1))
+    staged = surv.select(
+        "doc_id",
+        X.tokens("text").alias("_w"),
+        X.tokens(F.lower(F.col("text"))).alias("_lw"),
+        X.word_ngrams("text", 2).alias("_g"))
+    feat = staged.select(
+        "doc_id",
+        F.size("_w").alias("n_tokens"),
+        X.lang_id_from_tokens("_lw").alias("glang"),
+        X.dup_bp_from_ngrams("_g").alias("dup_bp"))
+    gated = feat.filter((F.col("n_tokens") >= 10) & (F.col("dup_bp") < 4000)
+                        & (F.col("glang") != "und"))
+    assigned = deterministic_split(gated, "doc_id",
+                                   {"train": 90, "val": 5, "test": 5})
+    _materialize(assigned.groupBy("split", "glang")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_tokens").cast("long").alias("total_tokens")))
+
+
+def probe_incremental_dedup(spark: SparkSession, n: int) -> None:
+    from pyspark.sql import Window
+
+    # 40% existing corpus, 60% new batch; ~20% of batch fingerprints
+    # collide with the corpus, plus intra-batch dups.
+    fp = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.md5((F.col("id") % (max(n * 4 // 5, 1))).cast("string"))
+         .alias("fingerprint"))
+    split_at = n * 2 // 5
+    corpus = (fp.filter(F.col("doc_id") < split_at)
+                .select("fingerprint").distinct())
+    batch = fp.filter(F.col("doc_id") >= split_at)
+    fresh = batch.join(corpus, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    _materialize(fresh.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") == 1)
+                      .select("doc_id", "fingerprint"))
+
+
+PROBES = {
+    # name: (fn, base_n)  — 100× runs at base_n * AMP
+    "boilerplate_scrub_30pct_hot_line": (probe_boilerplate, 10_000),
+    "temperature_mixture_powerlaw": (probe_temperature_mixture, 100_000),
+    "deterministic_shuffle": (probe_deterministic_shuffle, 100_000),
+    "curation_pipeline": (probe_curation_pipeline, 10_000),
+    "incremental_dedup": (probe_incremental_dedup, 100_000),
+}
+
+
+def main() -> None:
+    from pyspark_etl_project_spark.session import get_spark
+
+    names = sys.argv[1:] or list(PROBES)
+    spark = get_spark("amplification-probe")
+    # Warm the JVM so the base measurement isn't first-job overhead.
+    _materialize(spark.range(1_000_000).select(F.sum("id").alias("s")))
+    print("| operator shape | base rows | base s | 100x s | time ratio |")
+    print("|---|---|---|---|---|")
+    for name in names:
+        fn, base_n = PROBES[name]
+        fn(spark, base_n)  # untimed warmup at base scale
+        t0 = time.time()
+        fn(spark, base_n)
+        base_t = time.time() - t0
+        t0 = time.time()
+        fn(spark, base_n * AMP)
+        big_t = time.time() - t0
+        print(f"| {name} | {base_n:,} | {base_t:.2f} | {big_t:.2f} "
+              f"| {big_t / base_t:.0f}x |", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
