@@ -110,6 +110,21 @@ def main() -> None:
             errors[name] = str(exc).splitlines()[0][:200]
             print(f"query {name} failed: {errors[name]}", file=sys.stderr)
 
+    # The streaming query's time conflates per-run fixed cost (query
+    # start/stop, checkpoint + offset-log init, memory-sink setup) with
+    # actual data throughput. Measure the fixed cost alone — the SAME
+    # pipeline drained over an EMPTY source directory — and report it
+    # separately, so cross-round movement in streaming_window_agg can be
+    # attributed: steady-state data time ≈ total − stream_startup_sec.
+    stream_startup: float | None = None
+    if "streaming_window_agg" in names:
+        try:
+            stream_startup = _stream_startup_cost(spark, reps)
+        except Exception as exc:  # noqa: BLE001
+            errors["stream_startup"] = str(exc).splitlines()[0][:200]
+            print(f"stream startup probe failed: {errors['stream_startup']}",
+                  file=sys.stderr)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -124,10 +139,43 @@ def main() -> None:
         "reps": reps,
         "stat": "median",
     }
+    if stream_startup is not None:
+        payload["stream_startup_sec"] = stream_startup
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
     spark.stop()
+
+
+def _stream_startup_cost(spark, reps: int) -> float:
+    """Median wall-clock of starting, draining (zero rows), and stopping
+    the windowed-agg streaming pipeline over an empty directory — the
+    per-run fixed cost embedded in every streaming_window_agg sample."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from pyspark_etl_project_spark.streaming.ingest import (
+        run_stream_to_memory, windowed_event_agg)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ])
+    empty_dir = tempfile.mkdtemp(prefix="bench_stream_empty_")
+    samples = []
+    for _ in range(reps):
+        t0 = time.time()
+        stream = spark.readStream.schema(schema).parquet(empty_dir)
+        agg = windowed_event_agg(stream, window_len="1 day", watermark="1 day")
+        out = run_stream_to_memory(agg, output_mode="complete")
+        out.write.format("noop").mode("overwrite").save()
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 3)
 
 
 if __name__ == "__main__":

@@ -290,6 +290,48 @@ def remove_boilerplate_lines(df, id_col: str, text_col: str,
                   .cast("long").alias("n_lines_removed")))
 
 
+def winnowing_fingerprints(df, id_col: str, text_col: str,
+                           k: int = 3, window: int = 4):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003): hash every k-token gram, slide a window of ``window``
+    consecutive gram hashes over the document, keep the minimum hash of
+    each window, dedupe. The selected minima are the document's
+    fingerprint set — position-robust (insertions shift positions but
+    local minima survive) and guaranteed to share fingerprints with any
+    document containing a long-enough verbatim overlap, which is what
+    plagiarism/contamination detection needs and a global hash can't
+    give.
+
+    The gram hash is the first 8 hex digits of md5 (portable: DuckDB
+    replays it bit-for-bit); rolling-hash incrementality is an
+    optimization for sequential scanners — here every gram hashes
+    independently in one vectorized expression, which is the
+    distributed-friendly equivalent.
+
+    Scale shape: gram explode is map-side; the only shuffle is the
+    per-document window (partition by doc id — uniform, bounded by
+    document length) plus the distinct on (doc, fingerprint). Nothing
+    global, no driver state.
+
+    Returns (id_col, fp) pairs — one row per selected fingerprint.
+    Documents with fewer than k + window - 1 tokens (no full window)
+    yield no rows, per the standard scheme.
+    """
+    from pyspark.sql import Window
+
+    staged = df.select(F.col(id_col),
+                       word_ngrams(F.col(text_col), k).alias("_g"))
+    g = staged.select(id_col, F.size("_g").alias("_n"),
+                      F.posexplode("_g").alias("_pos", "_gram"))
+    h = g.withColumn(
+        "_h", F.conv(F.substring(F.md5("_gram"), 1, 8), 16, 10).cast("long"))
+    w = (Window.partitionBy(id_col).orderBy("_pos")
+         .rowsBetween(Window.currentRow, window - 1))
+    mins = (h.withColumn("_mh", F.min("_h").over(w))
+             .filter(F.col("_pos") <= F.col("_n") - window))
+    return mins.select(F.col(id_col), F.col("_mh").alias("fp")).distinct()
+
+
 def lang_id_from_tokens(tok_col: Column | str) -> Column:
     """lang_id over an already-staged lowercased token array — use when
     the array is a named column so it's computed once per row (a fused

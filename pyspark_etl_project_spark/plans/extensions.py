@@ -1739,3 +1739,38 @@ def curated_corpus_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("lang", F.col("n_docs").alias("stats_n_docs"),
                      F.col("total_tokens").alias("stats_total_tokens")))
     return agg.join(stats, "lang")
+
+
+# --- winnowing document fingerprints ----------------------------------------
+# Rolling-gram-hash fingerprinting (Schleimer et al., SIGMOD 2003): the
+# position-robust document signature for verbatim-overlap detection —
+# any sufficiently long shared passage between two documents is
+# GUARANTEED to share a selected fingerprint, unlike minhash (which
+# bounds Jaccard, not containment). k=3-token grams, window of 4 gram
+# hashes, min per window, distinct. The oracle replays the identical
+# gram construction, md5-prefix hash, and windowed min in DuckDB.
+
+from pyspark_etl_project_spark.extensions.text import (  # noqa: E402
+    winnowing_fingerprints)
+
+
+@_q("doc_fingerprint_winnowing", """
+WITH w0 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, len(w) - 2 AS n_grams, i AS pos,
+         CAST(concat('0x', substring(
+             md5(concat_ws(' ', w[i+1], w[i+2], w[i+3])), 1, 8))
+           AS BIGINT) AS h
+  FROM w0, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+mins AS (
+  SELECT doc_id, pos, n_grams,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g)
+SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n_grams - 4
+""")
+def doc_fingerprint_winnowing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_fingerprints(docs, "doc_id", "text", k=3, window=4)

@@ -641,3 +641,37 @@ def test_temperature_mixture_upweights_small_sources(spark):
     again = temperature_mixture_sample(docs, "doc_id", "source", budget=100)
     assert sorted(r["doc_id"] for r in again.collect()) == \
         sorted(r["doc_id"] for r in out.collect())
+
+
+def test_winnowing_guarantees_shared_fingerprint_on_overlap(spark):
+    """The winnowing property: two documents sharing a long verbatim
+    passage MUST share at least one fingerprint; unrelated documents
+    (disjoint vocabularies) share none; docs too short for a full
+    window yield no rows."""
+    from pyspark_etl_project_spark.extensions.text import (
+        winnowing_fingerprints)
+
+    passage = " ".join(f"common{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd " + passage + " ee ff"),
+         (2, "xx yy " + passage + " zz ww vv"),
+         (3, " ".join(f"other{i}" for i in range(20))),
+         (4, "too short")],
+        "doc_id long, text string")
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=3, window=4)
+    by_doc = {d: {r["fp"] for r in rows} for d, rows in
+              ((d, [r for r in fps.collect() if r["doc_id"] == d])
+               for d in (1, 2, 3, 4))}
+    assert by_doc[1] & by_doc[2], "overlapping docs must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    assert by_doc[4] == set()
+
+    # Position robustness: a prefix insertion must not change the
+    # fingerprints drawn from the unshifted shared passage.
+    shifted = spark.createDataFrame(
+        [(5, "prefix1 prefix2 prefix3 aa bb cc dd " + passage + " ee ff")],
+        "doc_id long, text string")
+    fps5 = {r["fp"] for r in
+            winnowing_fingerprints(shifted, "doc_id", "text").collect()}
+    assert by_doc[1] & fps5
