@@ -10,6 +10,11 @@ and reports the per-query MEDIAN: single-shot times on a fixed-
 overhead-dominated local harness made sub-second round-over-round
 deltas unreadable (scheduling jitter of the same magnitude as the
 numbers).
+
+Reading deltas (round-6 policy, evidence in SCALE.md): even medians
+move >2x when anything else runs on the box — a single-query delta
+under ~3x is only actionable if it reproduces in an UNCONTENDED
+re-run. Run comparisons on an otherwise idle machine.
 """
 
 from __future__ import annotations
@@ -69,6 +74,8 @@ HEADLINE = [
     "boilerplate_line_scrub",
     "temperature_mixture_sample",
     "curation_pipeline_full",
+    # round 6
+    "doc_fingerprint_winnowing",
 ]
 
 

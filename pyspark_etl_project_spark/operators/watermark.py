@@ -38,24 +38,68 @@ def latest_version_per_key(df: DataFrame,
 def save_watermark(spark, path: str, source: str, value: int) -> None:
     """Persist a per-source high watermark (the durable form of the
     reference's LAST_LOADED_RECORD_ID column,
-    /root/reference/Setup/SQL_DDL_Script.sql:7). The table is tiny (one
-    row per source); whole-table rewrite per update is deliberate — no
-    read-modify-write races within a single driver, and the value is
-    only advanced after the corresponding load commits."""
-    current = {r["source"]: r["wm"] for r in read_watermarks(spark, path).collect()}
-    current[source] = value
-    df = spark.createDataFrame(sorted(current.items()), "source string, wm long")
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    /root/reference/Setup/SQL_DDL_Script.sql:7). The table is parquet
+    partitioned by source: an update writes ONLY that source's
+    partition (one tiny file), so the cost per advance is O(1) in the
+    number of sources rather than a whole-table rewrite — at hundreds
+    of thousands of feeds the table updates in constant time, and
+    `read_watermark` prunes to one partition at file listing. The value
+    is only advanced after the corresponding load commits.
+
+    A table written by the pre-partitioned layout (flat files with a
+    `source` data column) is migrated in one pass on first save."""
+    legacy = _legacy_flat_rows(spark, path)
+    updates = {**legacy, source: value}
+    if legacy:
+        _delete_path(spark, path)  # one-time layout migration
+    df = spark.createDataFrame(
+        sorted(updates.items()), "source string, wm long")
+    (df.coalesce(1).write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy("source")
+       .parquet(path))
+
+
+def _legacy_flat_rows(spark, path: str) -> dict:
+    """Rows of a pre-round-6 flat watermark table (parquet files at the
+    root with `source` as a data column), or {} if the path is absent or
+    already source-partitioned. Uses the Hadoop FS API, so it works on
+    HDFS/object stores, not just local paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return {}
+    flat = any(st.isFile() and st.getPath().getName().endswith(".parquet")
+               for st in fs.listStatus(hpath))
+    if not flat:
+        return {}
+    return {r["source"]: r["wm"]
+            for r in spark.read.parquet(path).collect()}
+
+
+def _delete_path(spark, path: str) -> None:
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def read_watermarks(spark, path: str) -> DataFrame:
     try:
-        return spark.read.parquet(path)
+        # source comes back as a partition column; cast pins it to
+        # string even when every value happens to look numeric (the
+        # partition type inference would otherwise return ints).
+        return (spark.read.parquet(path)
+                .select(F.col("source").cast("string").alias("source"),
+                        F.col("wm").cast("long").alias("wm")))
     except Exception:
         return spark.createDataFrame([], "source string, wm long")
 
 
 def read_watermark(spark, path: str, source: str) -> int | None:
+    # The equality filter on the partition column prunes at file
+    # listing: one source's read touches one partition directory,
+    # whatever the total source count.
     rows = read_watermarks(spark, path).filter(F.col("source") == source).collect()
     return rows[0]["wm"] if rows else None
 

@@ -311,3 +311,45 @@ def test_read_evolved_schema_merge(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unexpected columns"):
         read_evolved(spark, v2, expect_schema="id long, name string")
+
+
+def test_watermark_store_is_source_partitioned_and_migrates(spark, tmp_path):
+    """A watermark advance must rewrite only that source's partition
+    (O(1) in the number of sources), prune the one-source read at file
+    listing, and transparently migrate a pre-partitioned flat table."""
+    import os
+    import re
+
+    from pyspark_etl_project_spark.operators.watermark import (
+        read_watermark,
+        read_watermarks,
+        save_watermark,
+    )
+
+    p = str(tmp_path / "wm")
+    legacy = spark.createDataFrame([("csv", 100), ("xml", 7)],
+                                   "source string, wm long")
+    legacy.coalesce(1).write.mode("overwrite").parquet(p)
+
+    save_watermark(spark, p, "csv", 250)  # migrates layout + advances
+    assert read_watermark(spark, p, "csv") == 250
+    assert read_watermark(spark, p, "xml") == 7
+    entries = os.listdir(p)
+    assert any(e.startswith("source=") for e in entries)
+    assert not any(e.endswith(".parquet") for e in entries)
+
+    # An unrelated advance must leave the other source's partition
+    # directory byte-identical (dynamic overwrite touches one dir).
+    xml_dir = os.path.join(p, "source=xml")
+    before = sorted(os.listdir(xml_dir))
+    save_watermark(spark, p, "csv", 300)
+    assert sorted(os.listdir(xml_dir)) == before
+    assert read_watermark(spark, p, "csv") == 300
+
+    # One-source read prunes at listing: PartitionFilters on source.
+    df = read_watermarks(spark, p).filter(F.col("source") == "csv")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "source" in pf.group(1), plan
