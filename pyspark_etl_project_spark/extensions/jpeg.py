@@ -328,35 +328,66 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
+def _edge_pad(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate `plane` up to (ph, pw) — padding that avoids
+    ringing at the crop boundary."""
+    h, w = plane.shape
+    p = np.zeros((ph, pw))
+    p[:h, :w] = plane
+    p[h:, :w] = plane[h - 1:h, :]
+    p[:h, w:] = p[:h, w - 1:w]
+    p[h:, w:] = p[h - 1, w - 1]
+    return p
+
+
 def encode_jpeg_baseline(pixels: bytes, w: int, h: int,
-                         quant: int = 1, grayscale: bool = False) -> bytes:
-    """Minimal valid baseline JPEG encoder: 4:4:4 (or grayscale), one
-    uniform quantization value, fixed flat Huffman tables. quant=1 makes
-    the decode roundtrip exact up to DCT rounding."""
+                         quant: int = 1, grayscale: bool = False,
+                         subsample: bool = False,
+                         restart_interval: int = 0) -> bytes:
+    """Minimal valid baseline JPEG encoder: grayscale / 4:4:4 / 4:2:0
+    (``subsample``, chroma as the 2x2 mean), one uniform quantization
+    value, fixed flat Huffman tables, optional DRI/RSTn restart
+    markers. quant=1 makes the decode roundtrip exact up to DCT
+    rounding. Exists so the decoder's full surface — interleaved MCUs,
+    chroma upsampling, restart resync — is testable without libjpeg."""
     arr = np.frombuffer(pixels, np.uint8).reshape(h, w, 3).astype(np.float64)
     r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
     if grayscale:
-        comps = [y]
+        comps = [(y, 1, 1)]
     else:
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b
-        comps = [y, cb, cr]
+        if subsample:
+            eh, ew = (h + 1) & ~1, (w + 1) & ~1
+            cb2 = _edge_pad(cb, eh, ew).reshape(eh // 2, 2, ew // 2, 2) \
+                .mean(axis=(1, 3))
+            cr2 = _edge_pad(cr, eh, ew).reshape(eh // 2, 2, ew // 2, 2) \
+                .mean(axis=(1, 3))
+            comps = [(y, 2, 2), (cb2, 1, 1), (cr2, 1, 1)]
+        else:
+            comps = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
     qtbl = np.full((8, 8), quant, dtype=np.float64)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
 
     out = bytearray(b"\xFF\xD8")  # SOI
     zz = np.full(64, quant, dtype=np.uint8)
     out += b"\xFF\xDB" + struct.pack(">H", 2 + 65) + b"\x00" + zz.tobytes()
     nc = len(comps)
     sof = struct.pack(">BHHB", 8, h, w, nc)
-    for i in range(nc):
-        sof += struct.pack(">BBB", i + 1, 0x11, 0)
+    for i, (_p, ch, cv) in enumerate(comps):
+        sof += struct.pack(">BBB", i + 1, (ch << 4) | cv, 0)
     out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
     for tc in (0, 1):
         bits = _ENC_DC_BITS if tc == 0 else _ENC_AC_BITS
         vals = _ENC_DC_VALS if tc == 0 else _ENC_AC_VALS
         seg = bytes([tc << 4]) + bytes(bits) + vals
         out += b"\xFF\xC4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc])
     for i in range(nc):
         sos += bytes([i + 1, 0x00])
@@ -365,56 +396,67 @@ def encode_jpeg_baseline(pixels: bytes, w: int, h: int,
 
     dc_codes = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    padded = [_edge_pad(p, mcus_y * cv * 8, mcus_x * ch * 8)
+              for p, ch, cv in comps]
     bw = _BitWriter()
     dc_pred = [0] * nc
-    bh, bwid = -(-h // 8), -(-w // 8)
-    padded = []
-    for plane in comps:
-        p = np.zeros((bh * 8, bwid * 8))
-        p[:h, :w] = plane
-        # Edge-replicate padding avoids ringing at the crop boundary.
-        p[h:, :w] = plane[h - 1:h, :]
-        p[:h, w:] = plane[:, w - 1:w]
-        p[h:, w:] = plane[h - 1, w - 1]
-        padded.append(p)
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci in range(nc):
-                block = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                coef = np.rint((_D @ block @ _D.T) / qtbl).astype(np.int64)
-                # zigzag_scan[i] = natural_flat[ZIGZAG[i]] — the inverse
-                # of the decoder's block[ZIGZAG] = coeffs scatter.
-                zzc = coef.reshape(64)[ZIGZAG]
-                diff = int(zzc[0]) - dc_pred[ci]
-                dc_pred[ci] = int(zzc[0])
-                size = _category(diff)
-                ln, code = dc_codes[size]
-                bw.write(ln, code)
-                if size:
-                    amp = diff if diff >= 0 else diff + (1 << size) - 1
-                    bw.write(size, amp)
-                run = 0
-                last_nz = max(np.nonzero(zzc)[0]) if np.any(zzc[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zzc[k])
-                    if k > last_nz:
-                        ln, code = ac_codes[0x00]  # EOB
-                        bw.write(ln, code)
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        ln, code = ac_codes[0xF0]  # ZRL
-                        bw.write(ln, code)
-                        run -= 16
-                    size = _category(v)
-                    ln, code = ac_codes[(run << 4) | size]
-                    bw.write(ln, code)
-                    amp = v if v >= 0 else v + (1 << size) - 1
-                    bw.write(size, amp)
-                    run = 0
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()
+                out_rst = bytes([0xFF, 0xD0 + rst_n])
+                bw.out += out_rst
+                rst_n = (rst_n + 1) % 8
+                dc_pred = [0] * nc
+            for ci, (_p, ch, cv) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        block = padded[ci][y0:y0 + 8, x0:x0 + 8]
+                        _encode_block(bw, block, qtbl, dc_codes, ac_codes,
+                                      dc_pred, ci)
+            mcu_count += 1
     bw.flush()
     out += bw.out
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
+
+
+def _encode_block(bw, block, qtbl, dc_codes, ac_codes, dc_pred, ci) -> None:
+    coef = np.rint((_D @ block @ _D.T) / qtbl).astype(np.int64)
+    # zigzag_scan[i] = natural_flat[ZIGZAG[i]] — the inverse of the
+    # decoder's block[ZIGZAG] = coeffs scatter.
+    zzc = coef.reshape(64)[ZIGZAG]
+    diff = int(zzc[0]) - dc_pred[ci]
+    dc_pred[ci] = int(zzc[0])
+    size = _category(diff)
+    ln, code = dc_codes[size]
+    bw.write(ln, code)
+    if size:
+        amp = diff if diff >= 0 else diff + (1 << size) - 1
+        bw.write(size, amp)
+    run = 0
+    last_nz = max(np.nonzero(zzc)[0]) if np.any(zzc[1:]) else 0
+    for k in range(1, 64):
+        v = int(zzc[k])
+        if k > last_nz:
+            ln, code = ac_codes[0x00]  # EOB
+            bw.write(ln, code)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]  # ZRL
+            bw.write(ln, code)
+            run -= 16
+        size = _category(v)
+        ln, code = ac_codes[(run << 4) | size]
+        bw.write(ln, code)
+        amp = v if v >= 0 else v + (1 << size) - 1
+        bw.write(size, amp)
+        run = 0

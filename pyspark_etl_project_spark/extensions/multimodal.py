@@ -1,14 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed via Arrow-batched mapInPandas.
 
-Uncompressed raster formats (PPM P6, 24-bit BMP) are decoded END-TO-END
-by pure-Python parsers below — header parse, row padding, BGR/bottom-up
-handling, exact channel statistics — so the decode path is real, not a
-stub, for at least one format family. Compressed formats (JPEG/PNG/
-video) still raise NotImplementedError: their codecs (PIL, ffmpeg) are
-not in this container, and the swap-in point is the same
-``decode_media`` dispatch. The Spark-side plumbing — schema, batching,
-partitioning, UDF signatures — is identical either way.
+Raster formats are decoded END-TO-END by pure-Python parsers: PPM P6
+and 24-bit BMP below (header parse, row padding, BGR/bottom-up
+handling), and baseline-sequential JPEG via the numpy codec in
+extensions/jpeg.py (Huffman entropy decode, dequantize + IDCT, 4:2:0
+chroma upsampling, restart-marker resync) — so the decode path is
+real, not a stub, for compressed and uncompressed families alike.
+Remaining formats (PNG, video containers) raise NotImplementedError:
+their codecs are not in this container, and the swap-in point is the
+same ``decode_media`` dispatch. The Spark-side plumbing — schema,
+batching, partitioning, UDF signatures — is identical either way.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a
 time (spark.sql.execution.arrow.maxRecordsPerBatch bounds peak);
@@ -48,17 +50,23 @@ def to_media_column(df: DataFrame, id_col: str, text_col: str,
 def decode_media(payload: bytes, media_type: str):
     """Decode a media payload.
 
-    Real pure-Python decoders for uncompressed rasters: PPM P6 and
-    24-bit uncompressed BMP return {"width", "height", "pixels"} with
-    ``pixels`` a top-down RGB byte string (w*h*3). Compressed formats
-    raise NotImplementedError — their codecs (PIL/ffmpeg) are not in
-    this container; plug them into this dispatch."""
+    Real pure-Python decoders: PPM P6 and 24-bit uncompressed BMP
+    (below), and baseline-sequential JPEG (extensions/jpeg.py — full
+    T.81 baseline: Huffman, IDCT, 4:2:0/4:2:2 upsampling, restart
+    markers). All return {"width", "height", "pixels"} with ``pixels``
+    a top-down RGB byte string (w*h*3). Remaining compressed formats
+    (PNG/video) raise NotImplementedError — their codecs are not in
+    this container; plug them into this dispatch. Progressive JPEG
+    raises NotImplementedError from the jpeg module with the SOF id."""
     if media_type.startswith("text/"):
         return payload.decode("utf-8", errors="replace")
     if media_type in ("image/x-portable-pixmap", "image/ppm"):
         return _decode_ppm(payload)
     if media_type == "image/bmp":
         return _decode_bmp(payload)
+    if media_type in ("image/jpeg", "image/jpg"):
+        from pyspark_etl_project_spark.extensions.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"decode for {media_type!r} requires media libraries not present "
         "in this container; plug in PIL/ffmpeg here")
@@ -293,6 +301,19 @@ def synth_images(df: DataFrame, id_col: str, fmt: str = "ppm") -> DataFrame:
                 elif fmt == "bmp":
                     payload = encode_bmp(px, w, h)
                     mt = "image/bmp"
+                elif fmt == "jpeg":
+                    # Solid md5-derived color: the one pixel pattern the
+                    # lossy codec roundtrips EXACTLY (DC-only blocks at
+                    # quant=1 — asserted by tests/test_jpeg.py), so the
+                    # channel sums stay oracle-replayable. Subsampling +
+                    # restart markers exercise the decoder's full path.
+                    from pyspark_etl_project_spark.extensions.jpeg import (
+                        encode_jpeg_baseline)
+                    solid = px[:3] * (w * h)
+                    payload = encode_jpeg_baseline(solid, w, h, quant=1,
+                                                   subsample=True,
+                                                   restart_interval=2)
+                    mt = "image/jpeg"
                 else:
                     raise ValueError(f"unknown synthetic format {fmt!r}")
                 ids.append(did)

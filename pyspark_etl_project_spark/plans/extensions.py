@@ -1774,3 +1774,37 @@ SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n_grams - 4
 def doc_fingerprint_winnowing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return winnowing_fingerprints(docs, "doc_id", "text", k=3, window=4)
+
+
+# --- baseline JPEG decode, gated end-to-end ---------------------------------
+# Same shape as multimodal_image_decode but the payloads are REAL
+# baseline JPEGs (4:2:0 + restart markers) produced and consumed by the
+# pure-numpy codec (extensions/jpeg.py). Solid md5-derived colors are
+# the pixel pattern the lossy codec roundtrips exactly (DC-only blocks
+# at quant=1), so exact channel sums stay cross-engine checkable: any
+# Huffman/IDCT/upsample/restart slip in the decoder shifts a sum and
+# fails the hash.
+
+@_q("multimodal_jpeg_decode", """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(w * h * CAST(concat('0x', substr(hx, 1, 2)) AS INTEGER)
+            AS BIGINT) AS sum_r,
+       CAST(w * h * CAST(concat('0x', substr(hx, 3, 2)) AS INTEGER)
+            AS BIGINT) AS sum_g,
+       CAST(w * h * CAST(concat('0x', substr(hx, 5, 2)) AS INTEGER)
+            AS BIGINT) AS sum_b
+FROM d
+""")
+def multimodal_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        image_stats, synth_images)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return image_stats(synth_images(docs, "doc_id", fmt="jpeg"))

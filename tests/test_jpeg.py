@@ -1,0 +1,91 @@
+"""Roundtrip tests for the pure-numpy baseline JPEG codec
+(extensions/jpeg.py) — the encoder exists precisely so the decoder's
+full surface (interleaved MCUs, chroma upsampling, restart resync,
+odd dimensions, grayscale) is testable without libjpeg in the
+container. No Spark session needed: the codec is plain Python/numpy,
+exercised through the same decode_media dispatch mapInPandas uses."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark_etl_project_spark.extensions.jpeg import (
+    decode_jpeg, encode_jpeg_baseline)
+from pyspark_etl_project_spark.extensions.multimodal import decode_media
+
+RNG = np.random.default_rng(7)
+
+
+def _roundtrip(w, h, pixels, **kw):
+    enc = encode_jpeg_baseline(pixels, w, h, **kw)
+    out = decode_jpeg(enc)
+    assert (out["width"], out["height"]) == (w, h)
+    got = np.frombuffer(out["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+    want = np.frombuffer(pixels, np.uint8).reshape(h, w, 3).astype(int)
+    if kw.get("grayscale"):
+        want = (0.299 * want[..., 0] + 0.587 * want[..., 1]
+                + 0.114 * want[..., 2]).round().astype(int)[..., None] \
+            .repeat(3, -1)
+    return int(np.abs(got - want).max())
+
+
+def test_roundtrip_exact_on_solid_color():
+    assert _roundtrip(8, 8, bytes([100, 150, 200] * 64)) == 0
+
+
+def test_roundtrip_random_image_within_dct_rounding():
+    px = RNG.integers(0, 256, size=(24, 16, 3), dtype=np.uint8).tobytes()
+    assert _roundtrip(16, 24, px) <= 3
+
+
+def test_roundtrip_non_multiple_of_8_dims():
+    px = RNG.integers(0, 256, size=(10, 13, 3), dtype=np.uint8).tobytes()
+    assert _roundtrip(13, 10, px) <= 3
+
+
+def test_roundtrip_grayscale():
+    assert _roundtrip(8, 8, bytes([100, 150, 200] * 64), grayscale=True) <= 1
+
+
+def test_subsampled_420_exact_on_flat_chroma():
+    """With constant chroma, 4:2:0 averaging+upsampling loses nothing;
+    odd dimensions exercise the padded-MCU crop."""
+    assert _roundtrip(32, 32, bytes([100, 150, 200] * 1024),
+                      subsample=True) <= 1
+    assert _roundtrip(13, 10, bytes([10, 220, 70] * 130), subsample=True) <= 1
+    # Full-resolution luma detail must survive 4:2:0 untouched.
+    v = RNG.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    lum = np.stack([v, v, v], axis=-1)
+    assert _roundtrip(16, 16, lum.tobytes(), subsample=True) <= 3
+
+
+def test_restart_markers_are_decode_invariant():
+    """RSTn resync must not change a single pixel vs the same image
+    encoded without restarts — and must decode at several intervals."""
+    px = RNG.integers(0, 256, size=(24, 40, 3), dtype=np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg_baseline(px, 40, 24))
+    for interval in (1, 2, 3):
+        rst = decode_jpeg(encode_jpeg_baseline(px, 40, 24,
+                                               restart_interval=interval))
+        assert rst["pixels"] == base["pixels"]
+
+
+def test_decode_media_dispatches_jpeg():
+    enc = encode_jpeg_baseline(bytes([9, 99, 199] * 64), 8, 8)
+    out = decode_media(enc, "image/jpeg")
+    assert out["width"] == 8 and len(out["pixels"]) == 8 * 8 * 3
+
+
+def test_progressive_jpeg_raises_not_implemented():
+    """A SOF2 (progressive) frame must fail loudly, not mis-decode."""
+    enc = bytearray(encode_jpeg_baseline(bytes([1, 2, 3] * 64), 8, 8))
+    idx = bytes(enc).find(b"\xFF\xC0")
+    enc[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(enc))
+
+
+def test_non_jpeg_payload_rejected():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"P6 1 1 255\nabc")
