@@ -423,3 +423,74 @@ def temperature_mixture_sample(df: DataFrame, id_col: str, source_col: str,
               .withColumn(out_col, F.row_number().over(w).cast("int"))
               .filter(F.col(out_col) <= F.col("_quota"))
               .drop("_quota"))
+
+
+def build_band_index(df: DataFrame, text_col: str,
+                     num_hashes: int = 8, num_bands: int = 4,
+                     shingle_n: int = 3) -> DataFrame:
+    """Distinct (band_id, band_hash) bucket set of a corpus — the
+    compact persisted sidecar incremental NEAR-dup needs (the analogue
+    of the fingerprint index incremental exact dedup reads). Presence-
+    only: no doc ids, so its size is the distinct bucket count, and at
+    100 TB the daily increment joins against this index — corpus text
+    is never re-shingled."""
+    rows_per_band = num_hashes // num_bands
+    sig = (df.select(word_shingles(text_col, shingle_n).alias("_sh"))
+             .filter(F.size("_sh") > 0)
+             .select(minhash_signature(F.col("_sh"), num_hashes)
+                     .alias("_sig")))
+    return (sig.select(F.explode(
+                lsh_bands(F.col("_sig"), num_bands, rows_per_band))
+                .alias("b"))
+               .select(F.col("b.band_id").alias("band_id"),
+                       F.col("b.band_hash").alias("band_hash"))
+               .distinct())
+
+
+def incremental_minhash_dedup(batch: DataFrame, corpus_index: DataFrame,
+                              id_col: str, text_col: str,
+                              num_hashes: int = 8, num_bands: int = 4,
+                              shingle_n: int = 3) -> DataFrame:
+    """Classify each doc of a new batch against an existing corpus's
+    band index — the production daily-increment shape for NEAR-dup
+    (the exact-dup analogue lives in the incremental fingerprint
+    anti-join):
+
+    - ``corpus_dup``: shares ≥1 band bucket with the corpus index;
+    - ``batch_dup``: not a corpus dup, but shares a bucket with a
+      LOWER-id batch doc that is itself not a corpus dup (one-hop,
+      deterministic — full clustering is `connected_dedup_clusters`);
+    - ``fresh`` otherwise (including docs too short to shingle).
+
+    Scale shape: the corpus side is its bucket index only; the batch
+    explodes to (doc, band) rows and semi/anti-joins on the bucket —
+    shuffle keys are band buckets (md5-uniform except for genuinely
+    repeated content; AQE skew-join covers hot buckets). Nothing
+    rescans corpus text, nothing is all-pairs."""
+    rows_per_band = num_hashes // num_bands
+    banded = (batch
+              .select(F.col(id_col),
+                      word_shingles(text_col, shingle_n).alias("_sh"))
+              .filter(F.size("_sh") > 0)
+              .select(id_col, minhash_signature(F.col("_sh"), num_hashes)
+                      .alias("_sig"))
+              .select(id_col, F.explode(
+                  lsh_bands(F.col("_sig"), num_bands, rows_per_band))
+                  .alias("b"))
+              .select(id_col, F.col("b.band_id").alias("band_id"),
+                      F.col("b.band_hash").alias("band_hash")))
+    corpus_dups = (banded.join(corpus_index, ["band_id", "band_hash"],
+                               "left_semi")
+                   .select(id_col).distinct())
+    clean = banded.join(corpus_dups, id_col, "left_anti")
+    batch_dups = (clean.alias("x")
+                  .join(clean.alias("y"), on=["band_id", "band_hash"])
+                  .filter(F.col(f"y.{id_col}") < F.col(f"x.{id_col}"))
+                  .select(F.col(f"x.{id_col}").alias(id_col)).distinct())
+    return (batch.select(id_col)
+            .join(corpus_dups.withColumn("_cd", F.lit(1)), id_col, "left")
+            .join(batch_dups.withColumn("_bd", F.lit(1)), id_col, "left")
+            .select(F.col(id_col),
+                    F.when(F.col("_cd") == 1, F.lit("corpus_dup"))
+                     .when(F.col("_bd") == 1, F.lit("batch_dup"))
+                     .otherwise(F.lit("fresh")).alias("status")))

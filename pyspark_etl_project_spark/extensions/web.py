@@ -1,0 +1,70 @@
+"""Web-crawl hygiene operators: URL canonicalization and URL-level
+dedup — the first dedup pass of any crawl pipeline (two fetches of the
+same page differ only in case, tracking params, fragments, or default
+ports; canonicalizing before content dedup removes the cheap bulk).
+
+Everything is pure column expressions over portable regex/string/array
+functions — no UDFs, no driver state — so the canonical form is
+bit-identical across engines (the DuckDB oracle replays the same
+rules) and the whole pass stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tracking parameters dropped during canonicalization (utm_* wildcard
+# plus the common click ids). Keep in sync with _TRACKING_RE_SQL below.
+TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of an http(s) URL:
+
+    - scheme and host lowercased; leading ``www.`` dropped
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+      other ports kept
+    - fragment dropped
+    - tracking query params dropped (``TRACKING_RE``), remaining params
+      sorted bytewise; empty query drops the ``?``
+    - trailing slashes trimmed from the path; empty path becomes ``/``
+    """
+    u = F.regexp_replace(F.col(col) if isinstance(col, str) else col,
+                         r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
+        r"^www\.", "")
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port = (F.when((scheme == "http") & (port == "80"), F.lit(""))
+             .when((scheme == "https") & (port == "443"), F.lit(""))
+             .otherwise(port))
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1),
+                            r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_RE)))
+    qstr = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")))
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Group documents by canonical URL: (canonical_url, n_docs,
+    n_raw_variants, keep_id = lowest id). One hash shuffle on the
+    canonical string; the canonicalization itself is map-side."""
+    return (df.select(F.col(id_col), F.col(url_col),
+                      canonical_url(url_col).alias("canonical_url"))
+              .groupBy("canonical_url")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.countDistinct(url_col).alias("n_raw_variants"),
+                   F.min(id_col).alias("keep_id")))

@@ -1808,3 +1808,165 @@ def multimodal_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return image_stats(synth_images(docs, "doc_id", fmt="jpeg"))
+
+
+# --- incremental NEAR-dup against a corpus band index -----------------------
+# The near-dup analogue of incremental_dedup_new_batch: the corpus
+# persists only its distinct (band_id, band_hash) bucket set; the daily
+# batch shingles/minhashes itself, semi-joins the index for corpus
+# collisions, and one-hop self-joins its own clean buckets for
+# intra-batch collisions. The oracle replays signatures, banding, and
+# the exact three-way status rule. Corpus text is never re-shingled —
+# the 100 TB daily-increment contract.
+
+def _mh_bands_sql(src: str) -> str:
+    return f"""(
+  SELECT doc_id, b AS band_id,
+         md5(sg[2*b+1] || '|' || sg[2*b+2]) AS band_hash
+  FROM (SELECT doc_id, [{_MINHASH_SIG_SQL}] AS sg
+        FROM (SELECT doc_id,
+                     list_distinct(list_transform(range(len(w) - 2),
+                         i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\\s+') AS w
+                    FROM {src}))
+        WHERE len(sh) > 0),
+       unnest(range(4)) AS t(b))"""
+
+
+from pyspark_etl_project_spark.extensions.dedup import (  # noqa: E402
+    build_band_index, incremental_minhash_dedup)
+
+
+@_q("incremental_neardup_new_batch", f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+newb AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' extratoken' AS text
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+cindex AS (
+  SELECT DISTINCT band_id, band_hash FROM {_mh_bands_sql('corpus')} c),
+bbands AS (SELECT * FROM {_mh_bands_sql('newb')} nb),
+corpus_dups AS (
+  SELECT DISTINCT doc_id FROM bbands b
+  WHERE EXISTS (SELECT 1 FROM cindex i
+                WHERE i.band_id = b.band_id
+                  AND i.band_hash = b.band_hash)),
+clean AS (
+  SELECT * FROM bbands WHERE doc_id NOT IN (SELECT doc_id FROM corpus_dups)),
+batch_dups AS (
+  SELECT DISTINCT x.doc_id FROM clean x
+  JOIN clean y ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+              AND y.doc_id < x.doc_id)
+SELECT n.doc_id,
+       CASE WHEN cd.doc_id IS NOT NULL THEN 'corpus_dup'
+            WHEN bd.doc_id IS NOT NULL THEN 'batch_dup'
+            ELSE 'fresh' END AS status
+FROM newb n
+LEFT JOIN corpus_dups cd ON n.doc_id = cd.doc_id
+LEFT JOIN batch_dups bd ON n.doc_id = bd.doc_id
+""")
+def incremental_neardup_new_batch_q(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    near = (docs.filter(F.col("doc_id") < 50)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" extratoken"))
+                     .alias("text")))
+    batch = near.unionByName(docs.filter(F.col("doc_id") >= 400))
+    index = build_band_index(corpus, "text")
+    return incremental_minhash_dedup(batch, index, "doc_id", "text")
+
+
+# --- URL canonicalization + URL-level dedup ---------------------------------
+# The first dedup pass of a crawl pipeline: collapse fetches that
+# differ only in case, www., default ports, tracking params, param
+# order, fragments, or trailing slashes. URLs are synthesized
+# deterministically from doc_id (messy on purpose: mixed-case scheme/
+# host, :80/:8080, utm params in shuffled order, fragments) and the
+# oracle replays BOTH the synthesis and every canonicalization rule —
+# engines must agree on the exact canonical string to group identically.
+
+from pyspark_etl_project_spark.extensions.web import url_dedup  # noqa: E402
+
+
+@_q("url_canonical_dedup", """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+               ELSE 'http' END)
+         || '://'
+         || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+         || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+         || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':8080'
+                  ELSE '' END)
+         || '/p/' || CAST(doc_id % 11 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN '?b=' || CAST(doc_id % 5 AS VARCHAR)
+                       || '&utm_source=feed&a=1'
+                  ELSE '?a=1&b=' || CAST(doc_id % 5 AS VARCHAR) END)
+         || (CASE WHEN doc_id % 3 = 0 THEN '#Sec' ELSE '' END) AS url
+  FROM documents WHERE doc_id < 500),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw),
+s2 AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM s1),
+s3 AS (
+  SELECT doc_id, url, scheme,
+         regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+         regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM s2),
+s4 AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_extract(hostport, ':(\\d+)$', 1) AS port0,
+         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '')
+           AS path0,
+         regexp_extract(pathq, '\\?(.*)$', 1) AS query
+  FROM s3),
+s5 AS (
+  SELECT doc_id, url, scheme, host,
+         CASE WHEN scheme = 'http' AND port0 = '80' THEN ''
+              WHEN scheme = 'https' AND port0 = '443' THEN ''
+              ELSE port0 END AS port,
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qn
+  FROM s4)
+SELECT scheme || '://' || host
+       || CASE WHEN port = '' THEN '' ELSE ':' || port END
+       || path
+       || CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS canonical_url,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT url) AS n_raw_variants,
+       MIN(doc_id) AS keep_id
+FROM s5 GROUP BY 1
+""")
+def url_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = F.col("doc_id")
+    url = F.concat(
+        F.when(doc % 3 == 0, F.lit("HTTP"))
+         .when(doc % 3 == 1, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(doc % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (doc % 7).cast("string"), F.lit(".Example.COM"),
+        F.when(doc % 5 == 0, F.lit(":80"))
+         .when(doc % 5 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), (doc % 11).cast("string"),
+        F.when(doc % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(doc % 2 == 0,
+               F.concat(F.lit("?b="), (doc % 5).cast("string"),
+                        F.lit("&utm_source=feed&a=1")))
+         .otherwise(F.concat(F.lit("?a=1&b="), (doc % 5).cast("string"))),
+        F.when(doc % 3 == 0, F.lit("#Sec")).otherwise(F.lit("")))
+    docs = (load(spark, sf_dir, "documents").filter(doc < 500)
+            .select(doc, url.alias("url")))
+    return url_dedup(docs, "doc_id", "url")

@@ -675,3 +675,28 @@ def test_winnowing_guarantees_shared_fingerprint_on_overlap(spark):
     fps5 = {r["fp"] for r in
             winnowing_fingerprints(shifted, "doc_id", "text").collect()}
     assert by_doc[1] & fps5
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule on a hand-picked URL: case folding,
+    www strip, default-port strip (scheme-aware), fragment and tracking
+    param removal, bytewise param sort, trailing-slash and empty-path
+    normalization."""
+    from pyspark_etl_project_spark.extensions.web import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/?z=2&utm_source=x&a=1#frag",
+         "http://example.com/Path?a=1&z=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        ("http://example.com:8080/x///", "http://example.com:8080/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com?fbclid=1&gclid=2&ref=3", "http://example.com/"),
+        ("http://sub.www.example.com/x", "http://sub.www.example.com/x"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonical_url("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
