@@ -76,6 +76,11 @@ HEADLINE = [
     "curation_pipeline_full",
     # round 6
     "doc_fingerprint_winnowing",
+    "bloom_pruned_lineitem_join",
+    "manifest_pruned_scan",
+    "intra_doc_line_dedup",
+    "gopher_quality_gate",
+    "embedding_gram_matrix",
 ]
 
 

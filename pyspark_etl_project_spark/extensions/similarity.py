@@ -415,3 +415,47 @@ def quantized_topk(embeddings: DataFrame, query_vec: list[float],
             .limit(k * rerank))
     return (cand.orderBy(F.col("rdot").desc(), F.col(id_col).asc())
                 .limit(k))
+
+
+def quantized_gram_matrix(embeddings: DataFrame, vec_col: str = "embedding",
+                          dims: int = 16, scale: int = 1000) -> DataFrame:
+    """Distributed gram matrix (sum of per-row outer products) over the
+    first ``dims`` embedding dimensions — the aggregation behind PCA /
+    whitening / covariance-based dimensionality reduction of a corpus's
+    embedding space: G = Σ_rows q·qᵀ, after integer quantization
+    (floor(x*scale)) so partial-sum order cannot change the answer
+    (float + is non-associative; integer + is — the repo-wide
+    cross-engine rule applied to linear algebra).
+
+    Shape: one map-only explode of the d(d+1)/2 upper-triangle products
+    per row, then ONE shuffle whose key space is d(d+1)/2 cells (136
+    for d=16) with map-side partial sums — shuffle bytes are
+    O(partitions · d²), independent of row count. The driver never sees
+    row data; the k×k result is the only small output. Eigen-decomposing
+    the k×k result is driver-trivial (same pattern as kmeans_refine's
+    k centroids).
+
+    Overflow headroom: |floor(x·1000)| ≲ 4e3 for unit-scale embeddings
+    ⇒ products ≲ 1.6e7; a signed-long sum holds ~5e11 such rows per
+    cell. Past that, re-quantize coarser or cast the partial column to
+    decimal(38,0) — noted here so the 100 TB operator has a documented
+    envelope.
+
+    Returns (i, j, gram) for 0 <= i <= j < dims.
+    """
+    q = F.transform(F.slice(F.col(vec_col), 1, dims),
+                    lambda x: F.floor(x.cast("double") * scale).cast("long"))
+    staged = embeddings.select(q.alias("_q"))
+    d = F.size(F.col("_q"))
+    pairs = F.flatten(F.transform(
+        F.col("_q"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_q"), i + 1, d - i),
+            lambda y, k: F.struct(i.alias("i"), (i + k).alias("j"),
+                                  (x * y).alias("p")))))
+    exploded = staged.select(F.explode(pairs).alias("_e")) \
+                     .select(F.col("_e.i").alias("i"),
+                             F.col("_e.j").alias("j"),
+                             F.col("_e.p").alias("p"))
+    return (exploded.groupBy("i", "j")
+            .agg(F.sum("p").cast("long").alias("gram")))

@@ -353,3 +353,74 @@ def dup_bp_from_ngrams(gram_col: Column | str) -> Column:
         F.floor((F.size(g) - F.size(F.array_distinct(g))).cast("bigint")
                 * 10000 / F.size(g)).cast("bigint")
     ).otherwise(F.lit(0).cast("bigint"))
+
+
+def dedup_lines_in_doc(col: Column | str, sep: str = "\n") -> Column:
+    """Remove repeated lines WITHIN a document, keeping the first
+    occurrence in order — the intra-document counterpart of the corpus
+    boilerplate scrub (remove_boilerplate_lines works ACROSS documents;
+    this collapses a doc that repeats its own navigation block or
+    footer on every page of a concatenated crawl).
+
+    Pure column expression: split -> array_distinct (Spark guarantees
+    first-occurrence order) -> re-join. No shuffle at all — a 100 TB
+    corpus pass stays map-only inside whole-stage codegen, which is the
+    property that makes per-document cleanup free to fuse into any scan.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_distinct(F.split(c, sep)), sep)
+
+
+# Gopher-style document-quality rules (Rae et al. 2021, "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher",
+# appendix A1.1 — public paper). Thresholds are the published ones;
+# every comparison is integer cross-multiplied so the keep/drop
+# decision is bit-identical across engines (no float ratios at the
+# boundary), mirroring the repo-wide cross-engine rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(col: Column | str,
+                         min_words: int = 50,
+                         max_words: int = 100_000) -> Column:
+    """Struct of per-rule booleans plus the composite ``keep`` flag.
+
+    Rules (integer-exact forms):
+      - word count in [min_words, max_words]
+      - mean word length in [3, 10]        (3*wc <= chars <= 10*wc)
+      - symbol-to-word ratio <= 0.1        (10 * (#'#' + #'...') <= wc)
+      - >= 80% of words contain a letter   (5*alpha_words >= 4*wc)
+      - >= 2 distinct Gopher stop words present
+
+    Map-only column math — composes with any scan; the corpus-level
+    drop-rate audit is one map-combinable aggregation on top.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    wc = F.size(t).cast("bigint")
+    chars = F.aggregate(t, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.length(x))
+    # '#' occurrences + literal '...' occurrences (the Gopher symbol set).
+    hashes = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    dots = F.floor((F.length(c)
+                    - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / 3)
+    symbols = (hashes + dots).cast("bigint")
+    alpha_words = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    lower_toks = tokens(F.lower(c))
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    sw_hits = F.size(F.array_distinct(
+        F.filter(lower_toks, lambda x: F.array_contains(sw, x))))
+    words_ok = (wc >= min_words) & (wc <= max_words)
+    word_len_ok = (chars >= 3 * wc) & (chars <= 10 * wc)
+    symbol_ok = 10 * symbols <= wc
+    alpha_ok = 5 * F.lit(1).cast("bigint") * alpha_words >= 4 * wc
+    stop_ok = sw_hits >= 2
+    return F.struct(
+        words_ok.alias("words_ok"),
+        word_len_ok.alias("word_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (words_ok & word_len_ok & symbol_ok & alpha_ok & stop_ok)
+        .alias("keep"),
+    )

@@ -222,3 +222,79 @@ def compact_small_files(spark, path: str, target_files: int) -> int:
         if name.startswith("part-") and name.endswith(".parquet"):
             n += 1
     return n
+
+
+def build_bloom(keys: DataFrame, key: str, num_bits: int = 1 << 16,
+                num_hashes: int = 3) -> list[int]:
+    """Distributed Bloom-filter build over a key column: every key sets
+    ``num_hashes`` bit positions (xxhash64 seeded 0..h-1, mod num_bits);
+    positions fold into 64-bit words with a bit_or aggregation. Only the
+    finished word table crosses to the driver — num_bits/64 longs (8 KiB
+    at the default 64 Ki bits), never the keys themselves, so the build
+    side can be arbitrarily large.
+
+    Returns the dense word list (length num_bits//64) ready to embed as
+    a literal array — the same role Spark's runtime row-level bloom
+    filter plays, but available to hand-built plans and stable across
+    engines (deterministic xxhash64, no sampling).
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos = keys.select(F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(num_bits))
+        for s in range(num_hashes)])).alias("_p"))
+    words = (pos
+             .select(F.floor(F.col("_p") / 64).cast("int").alias("_w"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(_p % 64 AS INT))").alias("_m"))
+             .groupBy("_w").agg(F.bit_or("_m").alias("_mask"))
+             .collect())
+    dense = [0] * (num_bits // 64)
+    for r in words:
+        dense[r["_w"]] = r["_mask"]
+    return dense
+
+
+def bloom_might_contain(col: Column | str, bloom_words: list[int],
+                        num_bits: int, num_hashes: int = 3) -> Column:
+    """Membership-test column against a built bloom word list. False
+    positives possible (standard Bloom semantics), false negatives
+    impossible — callers that need exactness follow with the real join;
+    the filter's job is to drop the non-matching bulk BEFORE the
+    shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.array(*[F.lit(w).cast("long") for w in bloom_words])
+    cond = F.lit(True)
+    for s in range(num_hashes):
+        p = F.pmod(F.xxhash64(c, F.lit(s)), F.lit(num_bits))
+        word = F.element_at(arr, F.floor(p / 64).cast("int") + 1)
+        cond = cond & (F.getbit(word, F.pmod(p, 64).cast("int")) == 1)
+    return cond
+
+
+def bloom_pruned_join(big: DataFrame, small: DataFrame, key: str,
+                      num_bits: int = 1 << 16, num_hashes: int = 3,
+                      how: str = "inner") -> DataFrame:
+    """Equi-join where the big side is pre-filtered by a Bloom filter of
+    the small side's keys before it ever shuffles — the manual form of
+    runtime row-level filtering for when the small side is too big to
+    broadcast as a hash relation but its key SET compresses into a few
+    KiB of bloom words.
+
+    Exactness: bloom false positives survive the prefilter but are
+    eliminated by the real join that follows, so the result equals the
+    plain join for inner/left_semi ("how" is restricted to those — an
+    outer join must keep non-matching big rows, which the prefilter
+    would drop).
+
+    Scale shape: at a 1000-executor 100 TB scan the win is shuffle
+    bytes — a selective small side (e.g. 0.1% of keys) turns a full
+    big-side shuffle into a 0.1%+fp shuffle for the cost of one
+    map-only scan with an 8 KiB broadcast-literal probe. The bloom
+    build itself shuffles only num_bits/64 words.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError("bloom_pruned_join supports inner/left_semi")
+    words = build_bloom(small.select(key), key, num_bits, num_hashes)
+    pruned = big.filter(bloom_might_contain(key, words, num_bits, num_hashes))
+    return pruned.join(small, on=key, how=how)

@@ -1970,3 +1970,216 @@ def url_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load(spark, sf_dir, "documents").filter(doc < 500)
             .select(doc, url.alias("url")))
     return url_dedup(docs, "doc_id", "url")
+
+
+# --- Bloom-pruned join ------------------------------------------------------
+# Runtime row-level filtering as an explicit operator: the big side is
+# prefiltered by an 8 KiB bloom of the small side's key set BEFORE it
+# shuffles; false positives die in the exact join that follows, so the
+# oracle is the plain join. The scale win is shuffle bytes (see
+# operators/joins.py:bloom_pruned_join notes).
+
+@_q("bloom_pruned_lineitem_join", """
+WITH sel AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000)
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem JOIN sel ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+""")
+def bloom_pruned_lineitem_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.joins import bloom_pruned_join
+
+    orders = load(spark, sf_dir, "orders")
+    sel = (orders
+           .filter((F.col("o_orderpriority") == "1-URGENT")
+                   & (F.col("o_totalprice") > 200000))
+           .select(F.col("o_orderkey").alias("l_orderkey")))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity")
+    joined = bloom_pruned_join(li, sel, "l_orderkey")
+    return (joined.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(F.col("l_quantity").cast("long")).cast("long")
+                  .alias("sum_qty"),
+                 F.countDistinct("l_orderkey").alias("n_orders")))
+
+
+# --- min-max manifest data skipping -----------------------------------------
+# Sorted-write layout + file-level stats manifest + prune-before-listing
+# read (extensions/skipping.py). The oracle is the plain filter: pruning
+# only drops files whose whole [min,max] misses the predicate range, so
+# the roundtrip must be value-identical to a full scan + filter.
+
+@_q("manifest_pruned_scan", """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id
+FROM documents WHERE n_chars BETWEEN 100 AND 300
+GROUP BY source
+""")
+def manifest_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark_etl_project_spark.extensions.skipping import (
+        pruned_scan, write_skipping_layout)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="skiplayout_")
+    write_skipping_layout(docs, path, "n_chars", num_files=8)
+    sel = pruned_scan(spark, path, "n_chars", 100, 300)
+    return (sel.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
+# --- intra-document repeated-line dedup -------------------------------------
+# Map-only within-doc line dedup (extensions/text.py:dedup_lines_in_doc)
+# — the complement of the cross-corpus boilerplate scrub. The feed
+# synthesizes newline-structured docs from the word corpus (10-word
+# lines, first three lines re-appended as the duplicate block) in BOTH
+# engines; the oracle rebuilds first-occurrence order with an explicit
+# (line, ordinal) window, not list_distinct, because DuckDB does not
+# guarantee list_distinct preserves order.
+
+@_q("intra_doc_line_dedup", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+l AS (
+  SELECT doc_id,
+         list_transform(range(len(w) // 10),
+                        i -> array_to_string(w[i*10+1:i*10+10], ' ')) AS lines
+  FROM t),
+d AS (
+  SELECT doc_id, list_concat(lines, lines[1:3]) AS doubled FROM l),
+e AS (
+  SELECT doc_id, len(doubled) AS n_in, unnest(doubled) AS line,
+         generate_subscripts(doubled, 1) AS ord
+  FROM d),
+r AS (
+  SELECT doc_id, n_in, line, ord,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY ord) AS rn
+  FROM e),
+agg AS (
+  SELECT doc_id, MAX(n_in) AS n_lines_in,
+         COUNT(*) AS n_lines_out,
+         string_agg(line, chr(10) ORDER BY ord) AS txt
+  FROM r WHERE rn = 1 GROUP BY doc_id)
+SELECT doc_id, CAST(n_lines_in AS BIGINT) AS n_lines_in,
+       CAST(n_lines_out AS BIGINT) AS n_lines_out,
+       md5(txt) AS fp
+FROM agg
+""")
+def intra_doc_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.text import dedup_lines_in_doc
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = X.tokens("text")
+    staged = docs.select("doc_id", w.alias("_w"))
+    nlines = F.floor(F.size("_w") / 10).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(F.col("_w"), i * 10 + 1, 10), " "))
+    doubled = F.concat(lines, F.slice(lines, 1, 3))
+    built = staged.select("doc_id",
+                          F.array_join(doubled, "\n").alias("_text"),
+                          F.size(doubled).cast("long").alias("n_lines_in"))
+    out = built.select(
+        "doc_id", "n_lines_in",
+        dedup_lines_in_doc("_text").alias("_clean"))
+    return out.select(
+        "doc_id", "n_lines_in",
+        F.size(F.split(F.col("_clean"), "\n")).cast("long")
+         .alias("n_lines_out"),
+        F.md5(F.col("_clean")).alias("fp"))
+
+
+# --- Gopher-style quality gate ----------------------------------------------
+# The published Gopher document-quality rules (Rae et al. 2021, appendix
+# A1.1) with every threshold as an integer cross-multiplication, so the
+# keep/drop decision is bit-identical across engines
+# (extensions/text.py:gopher_quality_flags).
+
+@_q("gopher_quality_gate", """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS w,
+         string_split_regex(trim(lower(text)), '\\s+') AS lw
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS wc,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS chars,
+         CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS symbols,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS alpha_words,
+         CAST(len(list_distinct(list_filter(lw,
+              x -> list_contains(['the','be','to','of','and','that',
+                                  'have','with'], x)))) AS BIGINT) AS sw_hits
+  FROM t),
+f AS (
+  SELECT doc_id, wc,
+         CAST(wc >= 30 AND wc <= 100000 AS INTEGER) AS words_ok,
+         CAST(chars >= 3 * wc AND chars <= 10 * wc AS INTEGER) AS word_len_ok,
+         CAST(10 * symbols <= wc AS INTEGER) AS symbol_ok,
+         CAST(5 * alpha_words >= 4 * wc AS INTEGER) AS alpha_ok,
+         CAST(sw_hits >= 2 AS INTEGER) AS stop_ok
+  FROM m)
+SELECT doc_id, wc, words_ok, word_len_ok, symbol_ok, alpha_ok, stop_ok,
+       words_ok * word_len_ok * symbol_ok * alpha_ok * stop_ok AS keep
+FROM f
+""")
+def gopher_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.text import gopher_quality_flags
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    g = gopher_quality_flags("text", min_words=30)
+    staged = docs.select("doc_id",
+                         X.token_count("text").cast("long").alias("wc"),
+                         g.alias("_g"))
+    return staged.select(
+        "doc_id", "wc",
+        F.col("_g.words_ok").cast("int").alias("words_ok"),
+        F.col("_g.word_len_ok").cast("int").alias("word_len_ok"),
+        F.col("_g.symbol_ok").cast("int").alias("symbol_ok"),
+        F.col("_g.alpha_ok").cast("int").alias("alpha_ok"),
+        F.col("_g.stop_ok").cast("int").alias("stop_ok"),
+        F.col("_g.keep").cast("int").alias("keep"))
+
+
+# --- integer-quantized embedding gram matrix --------------------------------
+# Distributed Σ q·qᵀ over the first 16 dims (extensions/similarity.py:
+# quantized_gram_matrix) — the covariance aggregation behind corpus-level
+# PCA/whitening. Integer quantization makes the sum order-independent,
+# so DuckDB replays it exactly via an ordinal self-join.
+
+@_q("embedding_gram_matrix", """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding[1:16],
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+           AS qv
+  FROM embeddings),
+u AS (
+  SELECT vec_id, unnest(qv) AS qi, generate_subscripts(qv, 1) AS idx FROM q)
+SELECT CAST(a.idx - 1 AS BIGINT) AS i, CAST(b.idx - 1 AS BIGINT) AS j,
+       CAST(SUM(a.qi * b.qi) AS BIGINT) AS gram
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.idx >= a.idx
+GROUP BY 1, 2
+""")
+def embedding_gram_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.similarity import (
+        quantized_gram_matrix)
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = quantized_gram_matrix(emb, "embedding", dims=16, scale=1000)
+    return g.select(F.col("i").cast("long").alias("i"),
+                    F.col("j").cast("long").alias("j"),
+                    F.col("gram"))

@@ -700,3 +700,110 @@ def test_canonical_url_rules(spark):
            df.select("i", canonical_url("url").alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_bloom_prunes_nonmatching_keys_and_join_is_exact(spark):
+    """The bloom prefilter must (a) never drop a true match, (b) drop
+    the bulk of non-matching keys before the join, (c) leave the final
+    join result exactly equal to the plain join."""
+    from pyspark_etl_project_spark.operators.joins import (
+        bloom_might_contain, bloom_pruned_join, build_bloom)
+
+    big = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    small = spark.range(0, 10_000, 100).withColumnRenamed("id", "k")  # 1%
+    words = build_bloom(small, "k", num_bits=1 << 14, num_hashes=3)
+    assert len(words) == (1 << 14) // 64
+    kept = big.filter(bloom_might_contain("k", words, 1 << 14)).count()
+    # All 100 true keys survive; false positives stay << big side.
+    assert kept >= 100
+    assert kept < 1000  # fp rate at 100 keys in 16Ki bits is ~0
+    got = sorted(r["k"] for r in
+                 bloom_pruned_join(big, small, "k").collect())
+    assert got == list(range(0, 10_000, 100))
+
+
+def test_manifest_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """Range layout + manifest: a selective range touches a strict
+    subset of files, and the pruned scan's rows equal full-scan+filter."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_project_spark.extensions.skipping import (
+        pruned_file_fraction, pruned_scan, write_skipping_layout)
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 997).alias("v"))
+    path = str(tmp_path / "layout")
+    write_skipping_layout(df, path, "v", num_files=8)
+    kept, total = pruned_file_fraction(spark, path, 0, 100)
+    assert total == 8
+    assert kept < total  # skipping actually skips
+    got = sorted(r["doc_id"] for r in
+                 pruned_scan(spark, path, "v", 0, 100).collect())
+    want = sorted(r["doc_id"] for r in
+                  df.filter((F.col("v") >= 0) & (F.col("v") <= 100)).collect())
+    assert got == want
+    # Empty range -> empty result with the same schema, no files listed.
+    empty = pruned_scan(spark, path, "v", 5000, 6000)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"doc_id", "v"}
+
+
+def test_dedup_lines_in_doc_keeps_first_occurrence_order(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_project_spark.extensions.text import dedup_lines_in_doc
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb\na"), (2, "x"), (3, "same\nsame\nsame")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["t"] for r in
+           df.select("doc_id", dedup_lines_in_doc("text").alias("t")).collect()}
+    assert got[1] == "a\nb\nc"
+    assert got[2] == "x"
+    assert got[3] == "same"
+
+
+def test_gopher_flags_each_rule_fires(spark):
+    """One document per rule violation; the clean document keeps."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_project_spark.extensions.text import gopher_quality_flags
+
+    good = ("the quick brown fox jumps over lazy dogs and keeps going "
+            * 5).strip()  # 55 words, letters, stopwords the/and/over
+    short = "too short to pass"
+    symbols = " ".join(["#tag"] * 60)  # symbol ratio 1 per word
+    nonalpha = " ".join(["123"] * 60)  # no alphabetic words
+    nostop = " ".join(["zxqwv"] * 60)  # no gopher stopwords
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, nonalpha), (5, nostop)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["g"] for r in
+            df.select("doc_id",
+                      gopher_quality_flags("text").alias("g")).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["words_ok"] is False and rows[2]["keep"] is False
+    assert rows[3]["symbol_ok"] is False and rows[3]["keep"] is False
+    assert rows[4]["alpha_ok"] is False and rows[4]["keep"] is False
+    assert rows[5]["stop_ok"] is False and rows[5]["keep"] is False
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """Distributed quantized gram == numpy on the same quantized data."""
+    import numpy as np
+
+    from pyspark_etl_project_spark.extensions.similarity import (
+        quantized_gram_matrix)
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    got = {(r["i"], r["j"]): r["gram"] for r in
+           quantized_gram_matrix(df, "embedding", dims=8).collect()}
+    q = np.floor(vecs.astype("float64") * 1000).astype("int64")
+    want = q.T @ q
+    assert len(got) == 8 * 9 // 2
+    for (i, j), g in got.items():
+        assert g == want[i][j], (i, j, g, want[i][j])

@@ -31,6 +31,9 @@ DEFAULT = [
     "temperature_mixture_sample", "curation_pipeline_full",
     # round 6
     "curated_corpus_roundtrip",
+    "bloom_pruned_lineitem_join", "manifest_pruned_scan",
+    "intra_doc_line_dedup", "gopher_quality_gate",
+    "embedding_gram_matrix",
 ]
 
 
