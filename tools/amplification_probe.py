@@ -145,6 +145,68 @@ def probe_incremental_dedup(spark: SparkSession, n: int) -> None:
                       .select("doc_id", "fingerprint"))
 
 
+def probe_bloom_pruned_join(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.operators.joins import bloom_pruned_join
+
+    # 1%-selective small side; probe checks the prune+join stays linear
+    # in the BIG side (the bloom build cost is fixed at num_bits/64
+    # words regardless of n).
+    big = spark.range(n).select(F.col("id").alias("k"),
+                                (F.col("id") % 7).alias("g"))
+    small = (spark.range(max(n // 100, 1))
+             .select((F.col("id") * 100).alias("k")))
+    joined = bloom_pruned_join(big, small, "k")
+    _materialize(joined.groupBy("g").agg(F.count(F.lit(1)).alias("c")))
+
+
+def probe_manifest_skipping(spark: SparkSession, n: int) -> None:
+    import shutil
+    import tempfile
+
+    from pyspark_etl_project_spark.extensions.skipping import (
+        pruned_scan, write_skipping_layout)
+
+    # Sorted write + manifest build + a 10%-selective pruned read; the
+    # write is the linear term, the manifest stays one row per file.
+    df = spark.range(n).select(F.col("id").alias("doc_id"),
+                               (F.col("id") % 100_000).alias("v"))
+    path = tempfile.mkdtemp(prefix="amp_skip_")
+    try:
+        write_skipping_layout(df, path, "v", num_files=16)
+        sel = pruned_scan(spark, path, "v", 0, 9_999)
+        _materialize(sel.groupBy().agg(F.count(F.lit(1)).alias("c")))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def probe_doc_quality_scan(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.text import (
+        dedup_lines_in_doc, gopher_quality_flags)
+
+    # Map-only pass: gopher rules + intra-doc line dedup fused into one
+    # scan — should be exactly linear (no shuffle at all).
+    docs = _docs_with_hot_lines(spark, n).withColumn(
+        "text", F.regexp_replace(F.col("text"), " ", "\n"))
+    out = docs.select(
+        "doc_id",
+        gopher_quality_flags("text", min_words=1).alias("q"),
+        F.md5(dedup_lines_in_doc("text")).alias("fp"))
+    _materialize(out.select("doc_id", F.col("q.keep").alias("keep"), "fp"))
+
+
+def probe_gram_matrix(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.similarity import (
+        quantized_gram_matrix)
+
+    # n synthetic 16-dim vectors; the shuffle key space is the constant
+    # 136 cells, so time must scale with the map-side explode only.
+    vecs = spark.range(n).select(
+        F.transform(F.sequence(F.lit(1), F.lit(16)),
+                    lambda i: ((F.col("id") * 31 + i) % 1000 / 1000.0)
+                    .cast("float")).alias("embedding"))
+    _materialize(quantized_gram_matrix(vecs, "embedding", dims=16))
+
+
 PROBES = {
     # name: (fn, base_n)  — 100× runs at base_n * AMP
     "boilerplate_scrub_30pct_hot_line": (probe_boilerplate, 10_000),
@@ -152,6 +214,11 @@ PROBES = {
     "deterministic_shuffle": (probe_deterministic_shuffle, 100_000),
     "curation_pipeline": (probe_curation_pipeline, 10_000),
     "incremental_dedup": (probe_incremental_dedup, 100_000),
+    # round-6 ops
+    "bloom_pruned_join_1pct": (probe_bloom_pruned_join, 100_000),
+    "manifest_skipping_write_read": (probe_manifest_skipping, 100_000),
+    "doc_quality_scan_maponly": (probe_doc_quality_scan, 10_000),
+    "gram_matrix_16d": (probe_gram_matrix, 10_000),
 }
 
 
