@@ -81,6 +81,8 @@ HEADLINE = [
     "intra_doc_line_dedup",
     "gopher_quality_gate",
     "embedding_gram_matrix",
+    "winnowing_contamination",
+    "doc_length_quantiles",
 ]
 
 

@@ -494,3 +494,42 @@ def incremental_minhash_dedup(batch: DataFrame, corpus_index: DataFrame,
                     F.when(F.col("_cd") == 1, F.lit("corpus_dup"))
                      .when(F.col("_bd") == 1, F.lit("batch_dup"))
                      .otherwise(F.lit("fresh")).alias("status")))
+
+
+def winnowing_contamination(train: DataFrame, holdout: DataFrame,
+                            id_col: str, text_col: str,
+                            k: int = 3, window: int = 4,
+                            broadcast_holdout: bool = True) -> DataFrame:
+    """Verbatim-overlap contamination between a train corpus and a
+    holdout/benchmark set via winnowing fingerprints (text.py:
+    winnowing_fingerprints): any shared passage of >= k + window - 1
+    tokens is GUARANTEED to share a selected fingerprint — the
+    containment guarantee n-gram Jaccard and minhash (which bound
+    set similarity, not substring overlap) cannot give, and it holds
+    under position shifts (a quoted benchmark item inside a longer
+    train document still collides).
+
+    Returns one row per contaminated train document:
+    (id_col, n_shared_fps, n_holdout_docs).
+
+    Scale shape: both fingerprint sets are per-doc map+window work
+    (one doc-key shuffle each); the holdout side is tiny by definition
+    (a benchmark), so its fingerprints broadcast and the train side
+    NEVER shuffles on the fingerprint — the whole check is one
+    broadcast-join pass plus the per-train-doc count. Set
+    ``broadcast_holdout=False`` only if the holdout is itself huge;
+    the join key (md5-derived hash) is uniform, so even the shuffled
+    form has no skew.
+    """
+    from pyspark_etl_project_spark.extensions.text import (
+        winnowing_fingerprints)
+
+    tf = winnowing_fingerprints(train, id_col, text_col, k, window)
+    hf = (winnowing_fingerprints(holdout, id_col, text_col, k, window)
+          .withColumnRenamed(id_col, "_holdout_id"))
+    if broadcast_holdout:
+        hf = F.broadcast(hf)
+    hits = tf.join(hf, "fp")
+    return (hits.groupBy(id_col)
+            .agg(F.countDistinct("fp").alias("n_shared_fps"),
+                 F.countDistinct("_holdout_id").alias("n_holdout_docs")))

@@ -2183,3 +2183,90 @@ def embedding_gram_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(F.col("i").cast("long").alias("i"),
                     F.col("j").cast("long").alias("j"),
                     F.col("gram"))
+
+
+# --- winnowing-based holdout contamination ----------------------------------
+# Verbatim-overlap contamination (extensions/dedup.py:
+# winnowing_contamination): any shared >= k+window-1 token passage
+# between a train doc and a holdout doc is guaranteed to collide on a
+# winnowing fingerprint, position-shift-robust. The feed embeds 50
+# holdout docs verbatim inside prefixed train clones — the oracle
+# replays the winnow on both sides and the fp join.
+
+def _winnow_cte(src: str, p: str) -> str:
+    """Winnowing fingerprint CTE chain over source CTE ``src`` with
+    prefix ``p`` — mirrors text.py:winnowing_fingerprints (k=3 grams,
+    window=4, md5-prefix hash)."""
+    return f"""
+{p}w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM {src}),
+{p}g AS (
+  SELECT doc_id, len(w) - 2 AS n_grams, i AS pos,
+         CAST(concat('0x', substring(
+             md5(concat_ws(' ', w[i+1], w[i+2], w[i+3])), 1, 8))
+           AS BIGINT) AS h
+  FROM {p}w, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+{p}f AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos, n_grams,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM {p}g) WHERE pos <= n_grams - 4)"""
+
+
+@_q("winnowing_contamination", f"""
+WITH tr AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 100
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, 'qq1 qq2 qq3 qq4 ' || text AS text
+  FROM documents WHERE doc_id < 50),
+ho AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+{_winnow_cte('tr', 't')},
+{_winnow_cte('ho', 'h')}
+SELECT t.doc_id AS doc_id,
+       COUNT(DISTINCT t.fp) AS n_shared_fps,
+       COUNT(DISTINCT h.doc_id) AS n_holdout_docs
+FROM tf t JOIN hf h ON t.fp = h.fp
+GROUP BY t.doc_id
+""")
+def winnowing_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import (
+        winnowing_contamination)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    holdout = docs.filter(F.col("doc_id") < 100)
+    clones = (docs.filter(F.col("doc_id") < 50)
+              .select((F.col("doc_id") + 10000).alias("doc_id"),
+                      F.concat(F.lit("qq1 qq2 qq3 qq4 "),
+                               F.col("text")).alias("text")))
+    train = docs.filter(F.col("doc_id") >= 100).unionByName(clones)
+    return winnowing_contamination(train, holdout, "doc_id", "text")
+
+
+# --- exact doc-length quantiles ---------------------------------------------
+# Exact nearest-rank quantiles via the two-phase range-partitioned row
+# number (operators/stats.py:exact_quantiles) — no approx sketch, no
+# single-task sort; the oracle computes the identical discrete
+# positions over the identical (wc, doc_id) total order.
+
+@_q("doc_length_quantiles", """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS wc
+  FROM documents),
+r AS (
+  SELECT wc, doc_id, row_number() OVER (ORDER BY wc, doc_id) AS rn FROM c),
+n AS (SELECT COUNT(*) AS cnt FROM c),
+p AS (
+  SELECT CAST(q AS BIGINT) AS q, ((cnt - 1) * q) // 100 + 1 AS pos
+  FROM n, unnest([0, 25, 50, 75, 90, 99, 100]) AS t(q))
+SELECT p.q, r.wc AS value FROM p JOIN r ON r.rn = p.pos
+""")
+def doc_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.stats import exact_quantiles
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count("text").cast("long").alias("wc"))
+    return exact_quantiles(docs, "wc", "doc_id",
+                           [0, 25, 50, 75, 90, 99, 100])

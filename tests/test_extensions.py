@@ -807,3 +807,38 @@ def test_gram_matrix_matches_numpy(spark):
     assert len(got) == 8 * 9 // 2
     for (i, j), g in got.items():
         assert g == want[i][j], (i, j, g, want[i][j])
+
+
+def test_winnowing_contamination_flags_embedded_passage_only(spark):
+    """A train doc embedding a holdout passage (shifted) is flagged;
+    a vocabulary-disjoint train doc is not."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        winnowing_contamination)
+
+    passage = " ".join(f"benchq{i}" for i in range(12))
+    holdout = spark.createDataFrame([(1, passage)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, "lead1 lead2 lead3 " + passage + " tail1 tail2"),
+         (11, " ".join(f"clean{i}" for i in range(20)))],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           winnowing_contamination(train, holdout, "doc_id", "text").collect()}
+    assert 10 in got and got[10]["n_holdout_docs"] == 1
+    assert got[10]["n_shared_fps"] >= 1
+    assert 11 not in got
+
+
+def test_exact_quantiles_match_sorted_positions(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_project_spark.operators.stats import exact_quantiles
+
+    vals = [((i * 37) % 101) for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, v long")
+    got = {r["q"]: r["value"] for r in
+           exact_quantiles(df, "v", "doc_id", [0, 50, 100]).collect()}
+    s = sorted(vals)
+    n = len(vals)
+    for q in (0, 50, 100):
+        assert got[q] == s[((n - 1) * q) // 100], (q, got[q])

@@ -33,7 +33,8 @@ DEFAULT = [
     "curated_corpus_roundtrip",
     "bloom_pruned_lineitem_join", "manifest_pruned_scan",
     "intra_doc_line_dedup", "gopher_quality_gate",
-    "embedding_gram_matrix",
+    "embedding_gram_matrix", "winnowing_contamination",
+    "doc_length_quantiles",
 ]
 
 
