@@ -83,6 +83,8 @@ HEADLINE = [
     "embedding_gram_matrix",
     "winnowing_contamination",
     "doc_length_quantiles",
+    "leakage_safe_split_counts",
+    "embedding_pca_project",
 ]
 
 

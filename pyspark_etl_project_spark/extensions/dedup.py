@@ -533,3 +533,27 @@ def winnowing_contamination(train: DataFrame, holdout: DataFrame,
     return (hits.groupBy(id_col)
             .agg(F.countDistinct("fp").alias("n_shared_fps"),
                  F.countDistinct("_holdout_id").alias("n_holdout_docs")))
+
+
+def leakage_safe_split(pairs: DataFrame, ids: DataFrame,
+                       fractions: dict[str, int],
+                       id_col: str = "doc_id",
+                       out_col: str = "split",
+                       salt: str = "split-v1") -> DataFrame:
+    """Train/val/test assignment that can never leak a near-duplicate
+    across splits: documents are first collapsed into near-dup clusters
+    (connected_dedup_clusters over the candidate-pair graph), then the
+    md5 split bucket is computed on the CLUSTER id, so every member of
+    a cluster lands in the same split by construction. Splitting on the
+    raw doc id — what deterministic_split does — puts two near-copies
+    of the same page on opposite sides of the train/test wall, the
+    classic eval-contamination bug this operator exists to close.
+
+    Returns (id_col, cluster_id, out_col). Scale shape: the cluster
+    pass is the pointer-doubling O(log diameter) join chain; the split
+    itself stays a pure map expression on cluster_id — no extra
+    shuffle beyond the clustering the dedup pipeline already ran.
+    """
+    clusters = connected_dedup_clusters(pairs, ids, id_col)
+    return deterministic_split(clusters, "cluster_id", fractions,
+                               out_col=out_col, salt=salt)

@@ -459,3 +459,66 @@ def quantized_gram_matrix(embeddings: DataFrame, vec_col: str = "embedding",
                              F.col("_e.p").alias("p"))
     return (exploded.groupBy("i", "j")
             .agg(F.sum("p").cast("long").alias("gram")))
+
+
+def pca_project(embeddings: DataFrame, vec_col: str = "embedding",
+                id_col: str = "vec_id", dims: int = 16, k: int = 2,
+                scale: int = 1000) -> DataFrame:
+    """Project each embedding onto the corpus's top-``k`` principal
+    components — distributed everywhere it matters, driver-side only
+    where the data is k-bounded (the kmeans_refine pattern):
+
+    1. covariance from TWO distributed aggregates: the quantized gram
+       matrix (d(d+1)/2 cells) and the per-dimension sums (d cells) —
+       the corpus is scanned once per aggregate, nothing row-shaped
+       reaches the driver;
+    2. a d x d eigen-decomposition on the driver (d=16: microseconds);
+    3. projection as a map-only column expression with the d*k component
+       loadings embedded as literals (32 doubles — nothing like the
+       bloom-words literal blowup).
+
+    Returns (id_col, pc) with pc an array<double> of length k, ordered
+    by descending eigenvalue. Eigenvector SIGN is normalized (first
+    nonzero loading positive) so results are deterministic across
+    LAPACK builds. No DuckDB oracle — eigendecomposition is not
+    SQL-expressible; correctness is unit-tested against numpy's PCA on
+    the same quantized covariance.
+    """
+    import numpy as np
+
+    q = F.transform(F.slice(F.col(vec_col), 1, dims),
+                    lambda x: F.floor(x.cast("double") * scale).cast("long"))
+    staged = embeddings.select(F.col(id_col), q.alias("_q"))
+    n = staged.count()
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    gram_rows = quantized_gram_matrix(embeddings, vec_col, dims, scale) \
+        .collect()
+    sums = (staged.select(F.posexplode("_q").alias("_i", "_v"))
+            .groupBy("_i").agg(F.sum("_v").alias("_s")).collect())
+    g = np.zeros((dims, dims))
+    for r in gram_rows:
+        g[r["i"]][r["j"]] = g[r["j"]][r["i"]] = r["gram"]
+    m = np.zeros(dims)
+    for r in sums:
+        m[r["_i"]] = r["_s"]
+    m = m / (n * scale)
+    cov = g / (n * scale * scale) - np.outer(m, m)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]  # d x k
+    for j in range(k):
+        nz = np.flatnonzero(np.abs(comps[:, j]) > 1e-12)
+        if len(nz) and comps[nz[0], j] < 0:
+            comps[:, j] = -comps[:, j]
+
+    x = F.transform(F.slice(F.col(vec_col), 1, dims),
+                    lambda v: v.cast("double"))
+    coords = []
+    for j in range(k):
+        comp = F.array(*[F.lit(float(comps[i, j])) for i in range(dims)])
+        offset = float(m @ comps[:, j])
+        coords.append(F.aggregate(
+            F.zip_with(x, comp, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v) - F.lit(offset))
+    return embeddings.select(F.col(id_col), F.array(*coords).alias("pc"))

@@ -2270,3 +2270,72 @@ def doc_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", X.token_count("text").cast("long").alias("wc"))
     return exact_quantiles(docs, "wc", "doc_id",
                            [0, 25, 50, 75, 90, 99, 100])
+
+
+# --- near-dup-aware (leakage-safe) split ------------------------------------
+# Split assignment computed on the near-dup CLUSTER id, so two
+# near-copies can never straddle the train/test wall (extensions/
+# dedup.py:leakage_safe_split). The oracle recomputes clusters with
+# DuckDB's recursive transitive closure and buckets the same way —
+# any Spark doc landing in a different split than its cluster's bucket
+# breaks the hash.
+
+@_q("leakage_safe_split_counts", f"""
+{_MINHASH_PAIRS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+nodes AS (SELECT doc_id FROM base),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), clusters AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+), assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, cluster_id,
+               CAST(concat('0x', substring(
+                   md5('split-v1|' || CAST(cluster_id AS VARCHAR)), 1, 4))
+                 AS INTEGER) % 100 AS b
+        FROM clusters))
+SELECT split, COUNT(*) AS n_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters,
+       MIN(cluster_id) AS min_cluster
+FROM assigned GROUP BY split
+""")
+def leakage_safe_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import leakage_safe_split
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    near = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" extratoken")).alias("text"))
+    base = docs.select("doc_id", "text").unionByName(near)
+    pairs = minhash_lsh_candidates(base, "doc_id", "text",
+                                   num_hashes=8, num_bands=4, shingle_n=3)
+    assigned = leakage_safe_split(pairs, base.select("doc_id"),
+                                  {"train": 90, "val": 5, "test": 5})
+    return (assigned.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("cluster_id").alias("n_clusters"),
+                 F.min("cluster_id").alias("min_cluster")))
+
+
+# --- PCA projection (rows-only gate) ----------------------------------------
+# Eigendecomposition is not SQL-expressible, so this is the repo's one
+# deliberately oracle-less registry entry (the driver records the
+# weaker rows-only check): the distributed parts — gram matrix,
+# per-dim sums, the map-only projection — are each individually
+# oracle-gated elsewhere (embedding_gram_matrix) or unit-tested
+# against numpy (tests/test_extensions.py::test_pca_project_matches_numpy).
+
+@_q("embedding_pca_project")
+def embedding_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.similarity import pca_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_project(emb, "embedding", id_col="vec_id", dims=16, k=2)

@@ -47,7 +47,15 @@ def _latest_green_round() -> dict[str, int]:
         except (ValueError, OSError, json.JSONDecodeError):
             continue
         for name, row in results.items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
+            if not isinstance(row, dict):
+                continue
+            # Full value-level match, OR a rows-only pass for a query
+            # that has no oracle twin (non-SQL-expressible ops get the
+            # driver's weaker rows-only check; hash_match is absent/None
+            # there, and such a query must not pin the never-green-first
+            # slot forever). A recorded hash FAILURE stays red.
+            hm = row.get("hash_match")
+            if hm is True or (hm is None and row.get("rows_match") is True):
                 green[name] = max(green.get(name, 0), rnd)
     return green
 

@@ -842,3 +842,71 @@ def test_exact_quantiles_match_sorted_positions(spark):
     n = len(vals)
     for q in (0, 50, 100):
         assert got[q] == s[((n - 1) * q) // 100], (q, got[q])
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """Every near-dup cluster lands wholly in one split; raw-id split
+    would provably leak on the same graph."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_project_spark.extensions.dedup import (
+        deterministic_split, leakage_safe_split)
+
+    # 50 clusters of 4 docs each: ids (c, c+1000, c+2000, c+3000) chained.
+    ids = spark.range(50).select(F.col("id").alias("c"))
+    docs = ids.select(F.explode(F.array(
+        F.col("c"), F.col("c") + 1000, F.col("c") + 2000, F.col("c") + 3000))
+        .alias("doc_id"))
+    pairs = ids.select(F.explode(F.array(*[
+        F.struct(((F.col("c") + i * 1000)).alias("id_a"),
+                 ((F.col("c") + (i + 1) * 1000)).alias("id_b"))
+        for i in range(3)])).alias("p")).select("p.id_a", "p.id_b")
+    assigned = leakage_safe_split(pairs, docs,
+                                  {"train": 60, "val": 20, "test": 20})
+    spread = (assigned.groupBy("cluster_id")
+              .agg(F.countDistinct("split").alias("n_splits")))
+    assert spread.filter(F.col("n_splits") > 1).count() == 0
+    assert assigned.count() == 200
+    # The naive per-doc split DOES break clusters on this graph (the
+    # failure mode the operator closes).
+    naive = deterministic_split(
+        assigned.select("doc_id", "cluster_id"), "doc_id",
+        {"train": 60, "val": 20, "test": 20})
+    naive_spread = (naive.groupBy("cluster_id")
+                    .agg(F.countDistinct("split").alias("n_splits")))
+    assert naive_spread.filter(F.col("n_splits") > 1).count() > 0
+
+
+def test_pca_project_matches_numpy(spark):
+    """Distributed PCA coords == numpy PCA on the same quantized
+    covariance (up to the shared sign convention)."""
+    import numpy as np
+
+    from pyspark_etl_project_spark.extensions.similarity import pca_project
+
+    rng = np.random.RandomState(11)
+    # Anisotropic cloud: dominant direction along (1,1,0,...)
+    base = rng.randn(120, 6) * np.array([3.0, 3.0, 0.5, 0.4, 0.3, 0.2])
+    vecs = (base @ np.eye(6)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["pc"] for r in
+           pca_project(df, "embedding", dims=6, k=2).collect()}
+
+    q = np.floor(vecs.astype("float64") * 1000)
+    n = len(q)
+    m = q.sum(axis=0) / (n * 1000)
+    cov = (q.T @ q) / (n * 1000 * 1000) - np.outer(m, m)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    comps = evecs[:, order]
+    for j in range(2):
+        nz = np.flatnonzero(np.abs(comps[:, j]) > 1e-12)
+        if len(nz) and comps[nz[0], j] < 0:
+            comps[:, j] = -comps[:, j]
+    want = (vecs.astype("float64") - m) @ comps
+    # centering in the operator subtracts m@comp from x@comp — same thing
+    for i in range(n):
+        for j in range(2):
+            assert abs(got[i][j] - want[i][j]) < 1e-6, (i, j)

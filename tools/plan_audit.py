@@ -34,7 +34,8 @@ DEFAULT = [
     "bloom_pruned_lineitem_join", "manifest_pruned_scan",
     "intra_doc_line_dedup", "gopher_quality_gate",
     "embedding_gram_matrix", "winnowing_contamination",
-    "doc_length_quantiles",
+    "doc_length_quantiles", "leakage_safe_split_counts",
+    "embedding_pca_project",
 ]
 
 
