@@ -85,6 +85,7 @@ HEADLINE = [
     "doc_length_quantiles",
     "leakage_safe_split_counts",
     "embedding_pca_project",
+    "multimodal_png_decode",
 ]
 
 

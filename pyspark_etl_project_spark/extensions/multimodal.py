@@ -51,13 +51,15 @@ def decode_media(payload: bytes, media_type: str):
     """Decode a media payload.
 
     Real pure-Python decoders: PPM P6 and 24-bit uncompressed BMP
-    (below), and baseline-sequential JPEG (extensions/jpeg.py — full
-    T.81 baseline: Huffman, IDCT, 4:2:0/4:2:2 upsampling, restart
-    markers). All return {"width", "height", "pixels"} with ``pixels``
-    a top-down RGB byte string (w*h*3). Remaining compressed formats
-    (PNG/video) raise NotImplementedError — their codecs are not in
-    this container; plug them into this dispatch. Progressive JPEG
-    raises NotImplementedError from the jpeg module with the SOF id."""
+    (below), baseline-sequential JPEG (extensions/jpeg.py — full T.81
+    baseline: Huffman, IDCT, 4:2:0/4:2:2 upsampling, restart markers),
+    and 8-bit truecolor PNG (extensions/png.py — stdlib zlib inflate +
+    all five scanline unfilters). All return {"width", "height",
+    "pixels"} with ``pixels`` a top-down RGB byte string (w*h*3).
+    Video remains NotImplementedError — no container/codec libs here;
+    plug ffmpeg into this dispatch. Progressive JPEG and
+    palette/alpha/interlaced PNG raise from their modules with precise
+    messages."""
     if media_type.startswith("text/"):
         return payload.decode("utf-8", errors="replace")
     if media_type in ("image/x-portable-pixmap", "image/ppm"):
@@ -67,6 +69,9 @@ def decode_media(payload: bytes, media_type: str):
     if media_type in ("image/jpeg", "image/jpg"):
         from pyspark_etl_project_spark.extensions.jpeg import decode_jpeg
         return decode_jpeg(payload)
+    if media_type == "image/png":
+        from pyspark_etl_project_spark.extensions.png import decode_png
+        return decode_png(payload)
     raise NotImplementedError(
         f"decode for {media_type!r} requires media libraries not present "
         "in this container; plug in PIL/ffmpeg here")
@@ -281,8 +286,9 @@ def _synth_pixels(doc_id: int, w: int, h: int) -> bytes:
 
 
 def synth_images(df: DataFrame, id_col: str, fmt: str = "ppm") -> DataFrame:
-    """Generate a MEDIA_SCHEMA frame of real raster payloads (PPM P6 or
-    24-bit BMP) with deterministic dimensions (w = 4 + id % 5,
+    """Generate a MEDIA_SCHEMA frame of real raster payloads (PPM P6,
+    24-bit BMP, PNG, or baseline JPEG) with deterministic dimensions
+    (w = 4 + id % 5,
     h = 3 + id % 4) and md5-derived pixels. Stand-in for reading an
     image corpus: the payloads are genuine files the decoders must
     actually parse (header, padding, channel order)."""
@@ -301,6 +307,15 @@ def synth_images(df: DataFrame, id_col: str, fmt: str = "ppm") -> DataFrame:
                 elif fmt == "bmp":
                     payload = encode_bmp(px, w, h)
                     mt = "image/bmp"
+                elif fmt == "png":
+                    # Lossless: the full md5-repeated pixel pattern
+                    # roundtrips exactly, and the row-cycled filters
+                    # (png.py:encode_png) force the decoder through
+                    # every unfilter path.
+                    from pyspark_etl_project_spark.extensions.png import (
+                        encode_png)
+                    payload = encode_png(px, w, h)
+                    mt = "image/png"
                 elif fmt == "jpeg":
                     # Solid md5-derived color: the one pixel pattern the
                     # lossy codec roundtrips EXACTLY (DC-only blocks at

@@ -2339,3 +2339,37 @@ def embedding_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return pca_project(emb, "embedding", id_col="vec_id", dims=16, k=2)
+
+
+# --- PNG decode, gated end-to-end -------------------------------------------
+# Same oracle as multimodal_image_decode (the full md5-repeated pixel
+# pattern — PNG is lossless, so unlike JPEG the arbitrary pattern
+# roundtrips exactly), but the payloads are REAL PNGs with row-cycled
+# scanline filters: any inflate/unfilter slip in extensions/png.py
+# shifts a channel sum and fails the hash.
+
+@_q("multimodal_png_decode", """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE doc_id < 200),
+b AS (
+  SELECT doc_id, w, h,
+         CAST(concat('0x', substr(hx, (i % 16) * 2 + 1, 2)) AS INTEGER) AS byte,
+         i % 3 AS chan
+  FROM d, unnest(range(w * h * 3)) AS t(i))
+SELECT doc_id,
+       CAST(MIN(w) AS INTEGER) AS width,
+       CAST(MIN(h) AS INTEGER) AS height,
+       CAST(MIN(w) * MIN(h) AS BIGINT) AS n_pixels,
+       CAST(SUM(CASE WHEN chan = 0 THEN byte ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN chan = 1 THEN byte ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN chan = 2 THEN byte ELSE 0 END) AS BIGINT) AS sum_b
+FROM b GROUP BY doc_id
+""")
+def multimodal_png_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        image_stats, synth_images)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return image_stats(synth_images(docs, "doc_id", fmt="png"))

@@ -89,3 +89,54 @@ def test_progressive_jpeg_raises_not_implemented():
 def test_non_jpeg_payload_rejected():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"P6 1 1 255\nabc")
+
+
+# --- PNG codec (extensions/png.py) -----------------------------------------
+
+def test_png_roundtrip_exercises_all_filters():
+    """Row-cycled filters mean a >=5-row image hits every unfilter
+    path; lossless roundtrip must be byte-exact."""
+    from pyspark_etl_project_spark.extensions.png import (
+        decode_png, encode_png)
+
+    w, h = 7, 9
+    px = bytes((i * 37 + (i // 3) * 11) % 256 for i in range(w * h * 3))
+    out = decode_png(encode_png(px, w, h))
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["pixels"] == px
+
+
+def test_png_crc_corruption_is_loud():
+    import pytest
+
+    from pyspark_etl_project_spark.extensions.png import (
+        decode_png, encode_png)
+
+    payload = bytearray(encode_png(b"\x01\x02\x03" * 4, 2, 2))
+    # Flip a byte inside the IDAT chunk body (after sig+IHDR chunk).
+    payload[8 + 25 + 12] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+
+
+def test_png_unsupported_variants_raise_precisely():
+    import struct
+    import zlib
+
+    import pytest
+
+    from pyspark_etl_project_spark.extensions.png import decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    rgba = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0))
+    with pytest.raises(NotImplementedError, match="color type=6"):
+        decode_png(rgba)
+    adam7 = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(adam7)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"BM123456")
