@@ -194,6 +194,35 @@ def probe_doc_quality_scan(spark: SparkSession, n: int) -> None:
     _materialize(out.select("doc_id", F.col("q.keep").alias("keep"), "fp"))
 
 
+def probe_winnow_contamination(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.dedup import (
+        winnowing_contamination)
+
+    # Train grows; holdout stays benchmark-sized (100 docs) — the probe
+    # checks the broadcast-join pass is linear in the train side only.
+    def corpus(rows, tag):
+        return spark.range(rows).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[
+                F.concat(F.lit(f"{tag}{i}w"), (F.col("id") + i) % 50)
+                for i in range(12)]).alias("text"))
+
+    train = corpus(n, "t")
+    holdout = corpus(100, "t")  # same vocab -> real fp collisions
+    _materialize(winnowing_contamination(train, holdout,
+                                         "doc_id", "text"))
+
+
+def probe_exact_quantiles(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.operators.stats import exact_quantiles
+
+    df = spark.range(n).select(F.col("id").alias("doc_id"),
+                               ((F.col("id") * 2654435761) % 100_000)
+                               .alias("v"))
+    _materialize(exact_quantiles(df, "v", "doc_id",
+                                 [0, 25, 50, 75, 90, 99, 100]))
+
+
 def probe_gram_matrix(spark: SparkSession, n: int) -> None:
     from pyspark_etl_project_spark.extensions.similarity import (
         quantized_gram_matrix)
@@ -219,6 +248,9 @@ PROBES = {
     "manifest_skipping_write_read": (probe_manifest_skipping, 100_000),
     "doc_quality_scan_maponly": (probe_doc_quality_scan, 10_000),
     "gram_matrix_16d": (probe_gram_matrix, 10_000),
+    "winnowing_contamination_fixed_holdout": (probe_winnow_contamination,
+                                              2_000),
+    "exact_quantiles": (probe_exact_quantiles, 100_000),
 }
 
 
