@@ -101,14 +101,17 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_SIG_SQL = ", ".join(
     f"list_min(list_transform(sh, s -> md5('{k}|' || s)))" for k in range(8))
 
-# Shared CTE prefix: base corpus (docs <200 + near-dup clones) -> shingles
-# -> minhash signatures -> banded buckets -> candidate pairs.
-_MINHASH_PAIRS_CTE = f"""
+# Shared CTE prefix: base corpus (docs < limit + near-dup clones) ->
+# shingles -> minhash signatures -> banded buckets -> candidate pairs.
+# Parameterized by the corpus cap so derived queries (leakage split)
+# can run a smaller feed without touching the gated 200-doc text.
+def _minhash_pairs_cte(limit: int) -> str:
+    return f"""
 WITH base AS (
-  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  SELECT doc_id, text FROM documents WHERE doc_id < {limit}
   UNION ALL
   SELECT doc_id + 1000000, text || ' extratoken'
-  FROM documents WHERE doc_id < 200
+  FROM documents WHERE doc_id < {limit}
 ), docs AS (
   SELECT doc_id,
          list_distinct(list_transform(range(len(w) - 2),
@@ -128,6 +131,9 @@ WITH base AS (
               AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )"""
+
+
+_MINHASH_PAIRS_CTE = _minhash_pairs_cte(200)
 
 @_q("dedup_minhash_lsh", f"""
 {_MINHASH_PAIRS_CTE}
@@ -2281,7 +2287,7 @@ def doc_length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # breaks the hash.
 
 @_q("leakage_safe_split_counts", f"""
-{_MINHASH_PAIRS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+{_minhash_pairs_cte(150).replace("WITH ", "WITH RECURSIVE ", 1)},
 nodes AS (SELECT doc_id FROM base),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -2310,7 +2316,7 @@ FROM assigned GROUP BY split
 def leakage_safe_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_etl_project_spark.extensions.dedup import leakage_safe_split
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     near = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
                        F.concat(F.col("text"),
                                 F.lit(" extratoken")).alias("text"))
