@@ -86,6 +86,7 @@ HEADLINE = [
     "leakage_safe_split_counts",
     "embedding_pca_project",
     "multimodal_png_decode",
+    "multimodal_wav_decode",
 ]
 
 

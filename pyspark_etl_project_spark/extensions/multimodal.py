@@ -53,13 +53,14 @@ def decode_media(payload: bytes, media_type: str):
     Real pure-Python decoders: PPM P6 and 24-bit uncompressed BMP
     (below), baseline-sequential JPEG (extensions/jpeg.py — full T.81
     baseline: Huffman, IDCT, 4:2:0/4:2:2 upsampling, restart markers),
-    and 8-bit truecolor PNG (extensions/png.py — stdlib zlib inflate +
-    all five scanline unfilters). All return {"width", "height",
-    "pixels"} with ``pixels`` a top-down RGB byte string (w*h*3).
-    Video remains NotImplementedError — no container/codec libs here;
-    plug ffmpeg into this dispatch. Progressive JPEG and
-    palette/alpha/interlaced PNG raise from their modules with precise
-    messages."""
+    8-bit truecolor PNG (extensions/png.py — stdlib zlib inflate + all
+    five scanline unfilters), and PCM16 WAV audio (_decode_wav below —
+    real RIFF chunk walk). Rasters return {"width", "height", "pixels"}
+    with ``pixels`` a top-down RGB byte string (w*h*3); audio returns
+    {"sample_rate", "n_channels", "samples"}. Video remains
+    NotImplementedError — no container/codec libs here; plug ffmpeg
+    into this dispatch. Progressive JPEG, palette/alpha/interlaced PNG,
+    and non-PCM16 WAV raise from their modules with precise messages."""
     if media_type.startswith("text/"):
         return payload.decode("utf-8", errors="replace")
     if media_type in ("image/x-portable-pixmap", "image/ppm"):
@@ -72,6 +73,8 @@ def decode_media(payload: bytes, media_type: str):
     if media_type == "image/png":
         from pyspark_etl_project_spark.extensions.png import decode_png
         return decode_png(payload)
+    if media_type in ("audio/wav", "audio/x-wav"):
+        return _decode_wav(payload)
     raise NotImplementedError(
         f"decode for {media_type!r} requires media libraries not present "
         "in this container; plug in PIL/ffmpeg here")
@@ -369,3 +372,127 @@ def image_stats(df: DataFrame) -> DataFrame:
                                               "sum_b"])
 
     return df.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
+
+
+# --- audio: PCM16 WAV (pure stdlib, real RIFF parsing) ----------------------
+
+AUDIO_STATS_SCHEMA = ("doc_id long, n_frames long, n_channels int, "
+                      "sample_rate int, sum_ch0 long, sum_ch1 long")
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM16 decoder: walks the chunk list (fmt before data,
+    ancillary chunks skipped — real encoders emit LIST/fact/cue chunks,
+    so a fixed-44-byte-header assumption breaks on real files), checks
+    PCM format 1 at 16 bits, and returns interleaved signed samples.
+    {"sample_rate", "n_channels", "samples"} — samples a list[int]."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _br, _ba, bits = \
+                struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 supported (format={audio_fmt}, bits={bits})")
+            fmt = (ch, rate)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt")
+            n = len(body) // 2
+            samples = list(struct.unpack(f"<{n}h", body[:2 * n]))
+    if fmt is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return {"sample_rate": fmt[1], "n_channels": fmt[0], "samples": samples}
+
+
+def encode_wav(samples: list[int], n_channels: int, rate: int) -> bytes:
+    """Minimal PCM16 WAV encoder (interleaved samples in)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, n_channels, rate,
+                      rate * n_channels * 2, n_channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _synth_samples(doc_id: int, n_values: int) -> list[int]:
+    """Deterministic int16 samples from md5(str(doc_id)) byte pairs —
+    value i = b(2i) + 256*b(2i+1), two's-complement signed. Same
+    hex-pair replay contract as _synth_pixels, so the decode path is
+    oracle-checkable in ANSI SQL."""
+    import hashlib
+
+    digest = hashlib.md5(str(doc_id).encode()).digest()
+    out = []
+    for i in range(n_values):
+        v = digest[(2 * i) % 16] + 256 * digest[(2 * i + 1) % 16]
+        out.append(v - 65536 if v >= 32768 else v)
+    return out
+
+
+def synth_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """MEDIA_SCHEMA frame of real PCM16 WAV payloads: n_frames =
+    40 + id % 17, channels = 1 + id % 2, rate = 8000 * (1 + id % 2),
+    md5-derived samples. Genuine RIFF files the decoder must actually
+    parse (chunk walk, alignment, sign handling)."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, mts, sizes, payloads = [], [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                frames, ch = 40 + did % 17, 1 + did % 2
+                rate = 8000 * (1 + did % 2)
+                payload = encode_wav(_synth_samples(did, frames * ch),
+                                     ch, rate)
+                ids.append(did)
+                mts.append("audio/wav")
+                sizes.append(len(payload))
+                payloads.append(payload)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "media_type": pd.Series(mts, dtype="object"),
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            })
+
+    return df.select(F.col(id_col)).mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads with the real RIFF parser and emit exact
+    per-channel sample sums (integers — bit-portable, same contract as
+    image_stats). Map-side only."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
+                                        pdf["payload"]):
+                wav = decode_media(bytes(payload), mt)
+                s = wav["samples"]
+                ch = wav["n_channels"]
+                rows.append((int(did), len(s) // ch, ch,
+                             wav["sample_rate"],
+                             sum(s[0::ch]),
+                             sum(s[1::ch]) if ch > 1 else 0))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames",
+                                              "n_channels", "sample_rate",
+                                              "sum_ch0", "sum_ch1"])
+
+    return df.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)

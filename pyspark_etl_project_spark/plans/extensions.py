@@ -2379,3 +2379,42 @@ def multimodal_png_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return image_stats(synth_images(docs, "doc_id", fmt="png"))
+
+
+# --- WAV audio decode, gated end-to-end -------------------------------------
+# The audio modality with a REAL decoder: PCM16 RIFF/WAVE payloads
+# (multimodal.py:encode_wav/_decode_wav — chunk walk, word alignment,
+# two's-complement samples), md5-derived samples replayed byte-for-byte
+# in SQL. A sign slip, channel de-interleave bug, or chunk misparse
+# shifts a channel sum and fails the hash.
+
+@_q("multimodal_wav_decode", """
+WITH d AS (
+  SELECT doc_id, 40 + doc_id % 17 AS frames, 1 + doc_id % 2 AS ch,
+         8000 * (1 + doc_id % 2) AS rate,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE doc_id < 200),
+v AS (
+  SELECT doc_id, frames, ch, rate, i % ch AS chan,
+         CAST(concat('0x', substr(hx, ((2*i) % 16) * 2 + 1, 2)) AS INTEGER)
+         + 256 * CAST(concat('0x', substr(hx, ((2*i+1) % 16) * 2 + 1, 2))
+                      AS INTEGER) AS raw
+  FROM d, unnest(range(frames * ch)) AS t(i))
+SELECT doc_id,
+       CAST(MIN(frames) AS BIGINT) AS n_frames,
+       CAST(MIN(ch) AS INTEGER) AS n_channels,
+       CAST(MIN(rate) AS INTEGER) AS sample_rate,
+       CAST(SUM(CASE WHEN chan = 0 THEN
+           raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END
+           ELSE 0 END) AS BIGINT) AS sum_ch0,
+       CAST(SUM(CASE WHEN chan = 1 THEN
+           raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END
+           ELSE 0 END) AS BIGINT) AS sum_ch1
+FROM v GROUP BY doc_id
+""")
+def multimodal_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        audio_stats, synth_audio)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return audio_stats(synth_audio(docs, "doc_id"))

@@ -140,3 +140,42 @@ def test_png_unsupported_variants_raise_precisely():
         decode_png(adam7)
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"BM123456")
+
+
+# --- WAV codec (extensions/multimodal.py) ----------------------------------
+
+def test_wav_roundtrip_stereo_signed():
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        _decode_wav, encode_wav)
+
+    samples = [0, -1, 32767, -32768, 123, -456]  # stereo interleaved
+    wav = _decode_wav(encode_wav(samples, 2, 16000))
+    assert wav["sample_rate"] == 16000
+    assert wav["n_channels"] == 2
+    assert wav["samples"] == samples
+
+
+def test_wav_skips_ancillary_chunks_and_rejects_non_pcm():
+    import struct
+
+    import pytest
+
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        _decode_wav, encode_wav)
+
+    base = encode_wav([5, 7], 1, 8000)
+    # Inject a LIST chunk (odd length -> exercises word alignment)
+    # between WAVE and fmt.
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    payload = base[:12] + extra + base[12:]
+    payload = payload[:4] + struct.pack(
+        "<I", len(payload) - 8) + payload[8:]
+    wav = _decode_wav(payload)
+    assert wav["samples"] == [5, 7]
+
+    mutable = bytearray(base)
+    mutable[20] = 3  # audio format IEEE float
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        _decode_wav(bytes(mutable))
+    with pytest.raises(ValueError, match="RIFF"):
+        _decode_wav(b"nonsense")
