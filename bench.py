@@ -87,6 +87,7 @@ HEADLINE = [
     "embedding_pca_project",
     "multimodal_png_decode",
     "multimodal_wav_decode",
+    "multimodal_video_decode",
 ]
 
 

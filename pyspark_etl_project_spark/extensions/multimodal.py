@@ -1,16 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed via Arrow-batched mapInPandas.
 
-Raster formats are decoded END-TO-END by pure-Python parsers: PPM P6
-and 24-bit BMP below (header parse, row padding, BGR/bottom-up
-handling), and baseline-sequential JPEG via the numpy codec in
-extensions/jpeg.py (Huffman entropy decode, dequantize + IDCT, 4:2:0
-chroma upsampling, restart-marker resync) — so the decode path is
-real, not a stub, for compressed and uncompressed families alike.
-Remaining formats (PNG, video containers) raise NotImplementedError:
-their codecs are not in this container, and the swap-in point is the
-same ``decode_media`` dispatch. The Spark-side plumbing — schema,
-batching, partitioning, UDF signatures — is identical either way.
+Every modality has a REAL end-to-end decoder: PPM P6 and 24-bit BMP
+below (header parse, row padding, BGR/bottom-up handling),
+baseline-sequential JPEG via the numpy codec in extensions/jpeg.py
+(Huffman entropy decode, dequantize + IDCT, 4:2:0 chroma upsampling,
+restart-marker resync), 8-bit truecolor PNG via extensions/png.py
+(zlib inflate + all five unfilters), PCM16 WAV audio and YUV4MPEG2
+video below. Only compressed video containers (mp4/webm) raise
+NotImplementedError — their demux/codec belongs to ffmpeg, and the
+swap-in point is the same ``decode_media`` dispatch. The Spark-side
+plumbing — schema, batching, partitioning, UDF signatures — is
+identical either way.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a
 time (spark.sql.execution.arrow.maxRecordsPerBatch bounds peak);
@@ -54,13 +55,16 @@ def decode_media(payload: bytes, media_type: str):
     (below), baseline-sequential JPEG (extensions/jpeg.py — full T.81
     baseline: Huffman, IDCT, 4:2:0/4:2:2 upsampling, restart markers),
     8-bit truecolor PNG (extensions/png.py — stdlib zlib inflate + all
-    five scanline unfilters), and PCM16 WAV audio (_decode_wav below —
-    real RIFF chunk walk). Rasters return {"width", "height", "pixels"}
-    with ``pixels`` a top-down RGB byte string (w*h*3); audio returns
-    {"sample_rate", "n_channels", "samples"}. Video remains
-    NotImplementedError — no container/codec libs here; plug ffmpeg
-    into this dispatch. Progressive JPEG, palette/alpha/interlaced PNG,
-    and non-PCM16 WAV raise from their modules with precise messages."""
+    five scanline unfilters), PCM16 WAV audio (_decode_wav below —
+    real RIFF chunk walk), and YUV4MPEG2 video (_decode_y4m below —
+    header tags, FRAME walk, C420/C444 planes). Rasters return
+    {"width", "height", "pixels"} with ``pixels`` a top-down RGB byte
+    string (w*h*3); audio returns {"sample_rate", "n_channels",
+    "samples"}; video returns {"width", "height", "n_frames",
+    "frames"}. Compressed video containers (mp4/webm) remain
+    NotImplementedError — demux/codec belongs to ffmpeg; plug it into
+    this dispatch. Progressive JPEG, palette/alpha/interlaced PNG,
+    non-PCM16 WAV, and exotic chroma raise with precise messages."""
     if media_type.startswith("text/"):
         return payload.decode("utf-8", errors="replace")
     if media_type in ("image/x-portable-pixmap", "image/ppm"):
@@ -75,6 +79,8 @@ def decode_media(payload: bytes, media_type: str):
         return decode_png(payload)
     if media_type in ("audio/wav", "audio/x-wav"):
         return _decode_wav(payload)
+    if media_type in ("video/yuv4mpeg", "video/x-yuv4mpeg"):
+        return _decode_y4m(payload)
     raise NotImplementedError(
         f"decode for {media_type!r} requires media libraries not present "
         "in this container; plug in PIL/ffmpeg here")
@@ -496,3 +502,136 @@ def audio_stats(df: DataFrame) -> DataFrame:
                                               "sum_ch0", "sum_ch1"])
 
     return df.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
+
+
+# --- video: YUV4MPEG2 (Y4M), pure stdlib -----------------------------------
+# The uncompressed interchange format the ffmpeg/x264 toolchain pipes
+# between stages — a real public video container with a text header and
+# raw YUV planes, so the decode path is genuinely parseable without
+# codec libraries. Compressed containers (mp4/webm) still route to the
+# NotImplementedError dispatch arm; their demux/codec belongs to ffmpeg.
+
+VIDEO_STATS_SCHEMA = ("doc_id long, n_frames long, width int, height int, "
+                      "sum_y long, sum_u long, sum_v long")
+
+
+def _decode_y4m(payload: bytes) -> dict:
+    """YUV4MPEG2 decoder (C420 and C444 chroma): parses the stream
+    header (W/H/F/C tags), walks FRAME headers (parameters after FRAME
+    are legal and skipped), and returns per-frame y/u/v planes.
+    {"width", "height", "n_frames", "frames": [(y, u, v), ...]}."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    chroma = "420"
+    for tag in payload[9:nl].split():
+        t = tag.decode("ascii", errors="replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            chroma = t[1:]
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if chroma.startswith("420"):
+        cw, chh = w // 2, h // 2
+    elif chroma.startswith("444"):
+        cw, chh = w, h
+    else:
+        raise NotImplementedError(f"chroma subsampling C{chroma} "
+                                  "not supported (only 420/444)")
+    ysz, csz = w * h, cw * chh
+    pos = nl + 1
+    frames = []
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME header at byte {pos}")
+        pos = fnl + 1
+        if pos + ysz + 2 * csz > len(payload):
+            raise ValueError("truncated Y4M frame")
+        y = payload[pos:pos + ysz]
+        u = payload[pos + ysz:pos + ysz + csz]
+        v = payload[pos + ysz + csz:pos + ysz + 2 * csz]
+        frames.append((y, u, v))
+        pos += ysz + 2 * csz
+    return {"width": w, "height": h, "n_frames": len(frames),
+            "frames": frames}
+
+
+def encode_y4m(frames: list[tuple[bytes, bytes, bytes]], w: int, h: int,
+               chroma: str = "420") -> bytes:
+    """Minimal Y4M encoder (C420/C444, 25:1 fps, progressive)."""
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{chroma}\n".encode())
+    for y, u, v in frames:
+        out += b"FRAME\n" + y + u + v
+    return bytes(out)
+
+
+def synth_videos(df: DataFrame, id_col: str) -> DataFrame:
+    """MEDIA_SCHEMA frame of real Y4M payloads: even dims
+    w = 4 + 2*(id % 3), h = 4 + 2*(id % 2), n_frames = 2 + id % 3,
+    C420, planes filled from the md5(str(id)) byte stream in plane
+    order (the same hex-pair replay contract as images/audio)."""
+    import hashlib
+
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, mts, sizes, payloads = [], [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 4 + 2 * (did % 3), 4 + 2 * (did % 2)
+                nf = 2 + did % 3
+                ysz, csz = w * h, (w // 2) * (h // 2)
+                digest = hashlib.md5(str(did).encode()).digest()
+                need = nf * (ysz + 2 * csz)
+                stream = (digest * (need // 16 + 1))[:need]
+                frames = []
+                off = 0
+                for _ in range(nf):
+                    frames.append((stream[off:off + ysz],
+                                   stream[off + ysz:off + ysz + csz],
+                                   stream[off + ysz + csz:
+                                          off + ysz + 2 * csz]))
+                    off += ysz + 2 * csz
+                payload = encode_y4m(frames, w, h)
+                ids.append(did)
+                mts.append("video/yuv4mpeg")
+                sizes.append(len(payload))
+                payloads.append(payload)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "media_type": pd.Series(mts, dtype="object"),
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            })
+
+    return df.select(F.col(id_col)).mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def video_stats(df: DataFrame) -> DataFrame:
+    """Decode Y4M payloads with the real parser and emit exact per-plane
+    byte sums across frames (the image_stats/audio_stats contract)."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
+                                        pdf["payload"]):
+                vid = decode_media(bytes(payload), mt)
+                sy = sum(sum(f[0]) for f in vid["frames"])
+                su = sum(sum(f[1]) for f in vid["frames"])
+                sv = sum(sum(f[2]) for f in vid["frames"])
+                rows.append((int(did), vid["n_frames"], vid["width"],
+                             vid["height"], sy, su, sv))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "width",
+                                              "height", "sum_y", "sum_u",
+                                              "sum_v"])
+
+    return df.mapInPandas(batches, schema=VIDEO_STATS_SCHEMA)

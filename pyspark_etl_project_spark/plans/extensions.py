@@ -2418,3 +2418,44 @@ def multimodal_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return audio_stats(synth_audio(docs, "doc_id"))
+
+
+# --- Y4M video decode, gated end-to-end -------------------------------------
+# The video modality with a real decoder: YUV4MPEG2 payloads
+# (multimodal.py:_decode_y4m — header tags, FRAME walk, C420 plane
+# split). The md5 byte stream fills planes in (Y,U,V) frame order, so
+# the oracle derives each byte's plane from its stream position: within
+# a frame of size w*h*3/2, offsets < w*h are Y, the next quarter U, the
+# last quarter V. A frame-boundary or plane-split slip shifts a sum.
+
+@_q("multimodal_video_decode", """
+WITH d AS (
+  SELECT doc_id,
+         4 + 2 * (doc_id % 3) AS w, 4 + 2 * (doc_id % 2) AS h,
+         2 + doc_id % 3 AS nf,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE doc_id < 200),
+b AS (
+  SELECT doc_id, w, h, nf,
+         CAST(concat('0x', substr(hx, (i % 16) * 2 + 1, 2)) AS INTEGER)
+           AS byte,
+         i % (w * h * 3 // 2) AS off
+  FROM d, unnest(range(nf * (w * h * 3 // 2))) AS t(i))
+SELECT doc_id,
+       CAST(MIN(nf) AS BIGINT) AS n_frames,
+       CAST(MIN(w) AS INTEGER) AS width,
+       CAST(MIN(h) AS INTEGER) AS height,
+       CAST(SUM(CASE WHEN off < w * h THEN byte ELSE 0 END) AS BIGINT)
+         AS sum_y,
+       CAST(SUM(CASE WHEN off >= w * h AND off < w * h + (w * h) // 4
+                THEN byte ELSE 0 END) AS BIGINT) AS sum_u,
+       CAST(SUM(CASE WHEN off >= w * h + (w * h) // 4
+                THEN byte ELSE 0 END) AS BIGINT) AS sum_v
+FROM b GROUP BY doc_id
+""")
+def multimodal_video_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        synth_videos, video_stats)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return video_stats(synth_videos(docs, "doc_id"))

@@ -179,3 +179,40 @@ def test_wav_skips_ancillary_chunks_and_rejects_non_pcm():
         _decode_wav(bytes(mutable))
     with pytest.raises(ValueError, match="RIFF"):
         _decode_wav(b"nonsense")
+
+
+# --- Y4M video codec (extensions/multimodal.py) -----------------------------
+
+def test_y4m_roundtrip_c420_multiframe():
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        _decode_y4m, encode_y4m)
+
+    w, h = 6, 4
+    f1 = (bytes(range(w * h)), bytes(range(6)), bytes(range(10, 16)))
+    f2 = (bytes(reversed(range(w * h))), bytes(6), bytes(b"\xff" * 6))
+    vid = _decode_y4m(encode_y4m([f1, f2], w, h))
+    assert (vid["width"], vid["height"], vid["n_frames"]) == (w, h, 2)
+    assert vid["frames"] == [f1, f2]
+
+
+def test_y4m_frame_params_and_c444_and_errors():
+    import pytest
+
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        _decode_y4m, encode_y4m)
+
+    # C444: full-size chroma planes.
+    w, h = 2, 2
+    f = (b"\x01\x02\x03\x04", b"\x05\x06\x07\x08", b"\x09\x0a\x0b\x0c")
+    vid = _decode_y4m(encode_y4m([f], w, h, chroma="444"))
+    assert vid["frames"] == [f]
+    # Parameters after FRAME are legal and skipped.
+    base = encode_y4m([f], w, h, chroma="444")
+    patched = base.replace(b"FRAME\n", b"FRAME Ixyz\n")
+    assert _decode_y4m(patched)["frames"] == [f]
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        _decode_y4m(b"RIFF....")
+    with pytest.raises(NotImplementedError, match="C411"):
+        _decode_y4m(b"YUV4MPEG2 W4 H4 C411\n")
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_y4m(b"YUV4MPEG2 W4 H4\nFRAME\n\x00\x01")
