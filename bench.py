@@ -88,6 +88,10 @@ HEADLINE = [
     "multimodal_png_decode",
     "multimodal_wav_decode",
     "multimodal_video_decode",
+    "rare_token_quality_score",
+    "bpe_pair_counts",
+    "next_token_conditional_topk",
+    "domain_blocklist_filter",
 ]
 
 

@@ -424,3 +424,126 @@ def gopher_quality_flags(col: Column | str,
         (words_ok & word_len_ok & symbol_ok & alpha_ok & stop_ok)
         .alias("keep"),
     )
+
+
+# --- corpus-frequency statistics (round 6) ---------------------------------
+
+# Lowercased alphanumeric word tokens — the shared tokenization rule for
+# the corpus-frequency operators below. One regex split per document;
+# the DuckDB oracles replay the identical character class.
+ALNUM_TOKEN_RE = r"[^a-z0-9]+"
+
+
+def alnum_tokens(col: Column | str) -> Column:
+    """Lowercased alphanumeric tokens (split on any non-[a-z0-9] run,
+    empties dropped — so leading/trailing punctuation never yields a
+    phantom token)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), ALNUM_TOKEN_RE),
+                    lambda x: x != "")
+
+
+def corpus_token_frequencies(df, text_col: str):
+    """Global (token, freq) table: explode + groupBy. Partial (map-side)
+    aggregation absorbs the per-document token multiplicity before the
+    shuffle, so shuffle rows ~ distinct tokens per partition — at 100 TB
+    the exchange carries the vocabulary, not the corpus."""
+    return (df.select(F.explode(alnum_tokens(text_col)).alias("token"))
+              .groupBy("token")
+              .agg(F.count(F.lit(1)).alias("freq")))
+
+
+def rare_token_scores(df, id_col: str, text_col: str,
+                      materialize: bool = True):
+    """Per-document corpus-frequency quality signals — the integer-exact
+    core of a unigram-LM quality filter (documents dominated by tokens
+    the corpus itself rarely uses are the noisy tail a perplexity filter
+    would drop; this keeps the decision engine-exact by ranking on raw
+    corpus frequencies instead of float log-probs).
+
+    Output per document: ``n_tokens``, ``n_rare`` (tokens whose corpus
+    frequency is below the corpus mean: ``freq * n_vocab < n_total`` —
+    pure bigint math, no division), ``rare_ppm`` (rare fraction in
+    parts-per-million via bigint floor division), ``mean_freq_x1000``
+    (mean corpus frequency of the document's tokens, ×1000, floored).
+
+    Shape at 100 TB: the corpus is tokenized ONCE into a per-(doc,
+    token) count frame — everything downstream (vocabulary frequencies,
+    corpus totals, the score join) derives from that frame, so with
+    ``materialize`` (a lazy localCheckpoint, the cluster-canonical
+    pattern) the raw text is scanned exactly once and the reused
+    intermediate is the compact count table, not the corpus. The token
+    join shuffles both sides by token; the probe side is pre-shrunk to
+    distinct (doc, token) pairs (per-doc multiplicity is carried as a
+    weight, not as rows), the build side is unique per key, and AQE
+    skew-split covers the frequent-token probe skew. If the vocabulary
+    fits the broadcast threshold (true even for web-scale vocabularies
+    after minimum-count pruning) Spark picks a broadcast hash join and
+    the shuffle disappears entirely."""
+    tok_counts = (df.select(F.col(id_col),
+                            F.explode(alnum_tokens(text_col)).alias("token"))
+                    .groupBy(id_col, "token")
+                    .agg(F.count(F.lit(1)).alias("cnt")))
+    if materialize:
+        tok_counts = tok_counts.localCheckpoint(eager=False)
+    freq = (tok_counts.groupBy("token")
+            .agg(F.sum("cnt").cast("bigint").alias("freq")))
+    totals = freq.agg(
+        F.sum("freq").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).alias("n_vocab"))
+    scored = (tok_counts.join(freq, "token")
+                        .join(F.broadcast(totals)))
+    rare_w = F.expr("cast(freq * n_vocab < n_total as bigint) * cnt")
+    return (scored.groupBy(id_col)
+            .agg(F.sum("cnt").alias("n_tokens"),
+                 F.sum(rare_w).alias("n_rare"),
+                 F.expr("sum(cast(freq * n_vocab < n_total as bigint) * cnt) "
+                        "* 1000000 div sum(cnt)").alias("rare_ppm"),
+                 F.expr("sum(freq * cnt) * 1000 div sum(cnt)")
+                  .alias("mean_freq_x1000")))
+
+
+def char_pair_counts(df, text_col: str, top_k: int = 50):
+    """Adjacent character-pair frequencies over the corpus — the
+    statistic a BPE/WordPiece trainer recomputes every merge round.
+    Counted the way real trainers do it: aggregate the corpus to
+    (distinct word, freq) FIRST, then enumerate each distinct word's
+    adjacent pairs once and weight by the word frequency — pair
+    enumeration cost scales with the vocabulary, not the corpus.
+    A pair repeated inside one word ('aaa' → 'aa' twice) counts per
+    occurrence. Top-k by (count desc, pair asc) — a total order, so the
+    cut line is deterministic."""
+    words = (df.select(F.explode(alnum_tokens(text_col)).alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+               .filter(F.char_length("w") >= 2))
+    pairs = words.select(
+        F.explode(F.expr(
+            "transform(sequence(1, char_length(w) - 1), "
+            "i -> substring(w, i, 2))")).alias("pair"),
+        "freq")
+    return (pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), "pair")
+            .limit(top_k))
+
+
+def next_token_topk(df, text_col: str, k: int = 3):
+    """Per-word top-k continuations with counts — the conditional
+    bigram table P(next | word) reduced to its integer-exact core
+    (counts, not probabilities). One shuffle to count (w1, w2) pairs
+    (map-side combined), one w1-partitioned window for the top-k cut;
+    tie-break (count desc, w2 asc) makes every rank deterministic.
+    Output rows ~ vocabulary × k, independent of corpus size."""
+    from pyspark.sql import Window
+
+    toks = (df.select(alnum_tokens(text_col).alias("t"))
+              .filter(F.size("t") >= 2))
+    bigrams = (toks.select(F.explode(F.expr(
+        "transform(sequence(1, size(t) - 1), "
+        "i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"
+    )).alias("b")).select("b.w1", "b.w2"))
+    counts = (bigrams.groupBy("w1", "w2")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("w1").orderBy(F.desc("n"), F.col("w2"))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))

@@ -68,3 +68,53 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    F.countDistinct(url_col).alias("n_raw_variants"),
                    F.min(id_col).alias("keep_id")))
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of an http(s) URL with any leading ``www.``
+    dropped and the port stripped — the key both the canonicalizer above
+    and the blocklist filter below agree on."""
+    u = F.regexp_replace(F.col(col) if isinstance(col, str) else col,
+                         r"#.*$", "")
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
+        r"^www\.", "")
+
+
+def blocklist_verdicts(df: DataFrame, id_col: str, url_col: str,
+                       blocklist: list[str]) -> DataFrame:
+    """Match each URL's host against a domain blocklist with DNS-suffix
+    semantics (an entry blocks the exact host AND every subdomain of
+    it), the standard crawl-hygiene filter in front of a training-data
+    pipeline. Returns the input ids plus ``host`` and ``matched_domain``
+    (null = kept).
+
+    When several entries match one host the MOST SPECIFIC (longest)
+    wins — and that choice is always deterministic, because two distinct
+    suffixes of the same host string can never have equal length.
+
+    Scale shape: the blocklist is a broadcast (it is a curated list —
+    thousands of rows at most), the suffix predicate makes this a
+    broadcast nested-loop join, and the per-id longest-match aggregate
+    shuffles only ids that matched ≥2 entries' worth of rows — the
+    filter is effectively map-side at any corpus size. For million-entry
+    blocklists swap the nested loop for an equi-join on the reversed
+    registered domain; the operator contract is unchanged."""
+    spark = df.sparkSession
+    bl = F.broadcast(
+        spark.createDataFrame([(d,) for d in blocklist], "domain string"))
+    hosts = df.select(F.col(id_col), url_host(url_col).alias("host"))
+    cond = ((F.col("host") == F.col("domain"))
+            | F.col("host").endswith(F.concat(F.lit("."), F.col("domain"))))
+    joined = hosts.join(bl, cond, "left")
+    # Longest-match pick; coalesce(-1) keeps the unmatched (null-domain)
+    # row orderable below any real match.
+    best = F.max(F.struct(
+        F.coalesce(F.length("domain"), F.lit(-1)).alias("l"),
+        F.col("domain").alias("d")))
+    return (joined.groupBy(id_col, "host")
+            .agg(best.alias("_m"))
+            .select(F.col(id_col), "host",
+                    F.col("_m.d").alias("matched_domain")))

@@ -2459,3 +2459,160 @@ def multimodal_video_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return video_stats(synth_videos(docs, "doc_id"))
+
+
+# --- corpus-frequency quality + tokenizer statistics (round 6) ---------------
+# The integer-exact core of a unigram-LM quality filter: rank documents
+# by how often the corpus itself uses their tokens (extensions/
+# text.py:rare_token_scores). No float log-probs anywhere — the
+# rare/common cut is bigint math (freq * n_vocab < n_total), so the
+# decision is bit-identical across engines at any scale.
+
+@_q("rare_token_quality_score", """
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(token)),
+freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+         FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab FROM freq)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN freq * n_vocab < n_total THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN freq * n_vocab < n_total THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS rare_ppm,
+       CAST(SUM(freq) * 1000 // COUNT(*) AS BIGINT) AS mean_freq_x1000
+FROM tok JOIN freq USING (token) CROSS JOIN tot
+GROUP BY doc_id
+""")
+def rare_token_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.rare_token_scores(docs, "doc_id", "text")
+
+
+# --- BPE merge-round statistic ------------------------------------------------
+# Adjacent character-pair counts the way a real BPE trainer computes
+# them: corpus → (distinct word, freq) first, pairs enumerated once per
+# DISTINCT word and weighted by freq — enumeration cost scales with the
+# vocabulary, not the corpus (extensions/text.py:char_pair_counts).
+
+@_q("bpe_pair_counts", """
+WITH tok AS (
+  SELECT t.w FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(w)),
+words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+          GROUP BY w HAVING length(w) >= 2),
+pairs AS (
+  SELECT p.pair, freq
+  FROM words,
+       UNNEST(list_transform(range(1, length(w)),
+                             i -> substr(w, i, 2))) AS p(pair))
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 50
+""")
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.char_pair_counts(docs, "text", top_k=50)
+
+
+# --- conditional bigram continuation table -----------------------------------
+# Per-word top-3 next tokens with counts (extensions/text.py:
+# next_token_topk) — P(next | word) reduced to its integer-exact core.
+# Output rows ~ vocabulary × k, independent of corpus size.
+
+@_q("next_token_conditional_topk", """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+bg AS (
+  SELECT split_part(p.pair, ' ', 1) AS w1, split_part(p.pair, ' ', 2) AS w2
+  FROM toks,
+       UNNEST(list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1])) AS p(pair)
+  WHERE len(t) >= 2)
+SELECT w1, w2, n, rk FROM (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY COUNT(*) DESC, w2)
+           AS rk
+  FROM bg GROUP BY w1, w2)
+WHERE rk <= 3
+""")
+def next_token_conditional_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.next_token_topk(docs, "text", k=3)
+
+
+# --- domain blocklist filter ---------------------------------------------------
+# Crawl-hygiene URL filtering with DNS-suffix semantics (an entry blocks
+# the host and every subdomain; most-specific entry wins — always
+# deterministic, two distinct suffixes of one host can't tie on length).
+# The blocklist is broadcast; the suffix predicate runs as a broadcast
+# nested-loop join, map-side at any corpus size
+# (extensions/web.py:blocklist_verdicts).
+
+@_q("domain_blocklist_filter", """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 1 THEN 'WWW.' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN 'cdn.' ELSE '' END)
+         || 'Site' || CAST(doc_id % 7 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 4 THEN '.Example.ORG'
+                  ELSE '.Example.COM' END)
+         || '/p/' || CAST(doc_id % 11 AS VARCHAR) AS url
+  FROM documents WHERE doc_id < 400),
+h AS (
+  SELECT doc_id,
+         regexp_replace(
+           lower(regexp_extract(
+             regexp_extract(
+               regexp_replace(regexp_replace(url, '#.*$', ''),
+                              '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+               '^([^/?]*)', 1),
+             '^([^:]*)', 1)),
+           '^www\\.', '') AS host
+  FROM raw),
+bl AS (SELECT * FROM (VALUES ('example.com'), ('site1.example.com'),
+                             ('cdn.site3.example.com')) AS b(domain)),
+m AS (
+  SELECT doc_id, host, arg_max(domain, length(domain)) AS matched
+  FROM h LEFT JOIN bl ON host = domain OR host LIKE '%.' || domain
+  GROUP BY doc_id, host)
+SELECT COALESCE(matched, 'KEPT') AS verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+FROM m GROUP BY 1
+""")
+def domain_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.web import blocklist_verdicts
+
+    doc = F.col("doc_id")
+    url = F.concat(
+        F.when(doc % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(doc % 3 == 1, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(doc % 2 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.lit("Site"), (doc % 7).cast("string"),
+        F.when(doc % 5 == 4, F.lit(".Example.ORG"))
+         .otherwise(F.lit(".Example.COM")),
+        F.lit("/p/"), (doc % 11).cast("string"))
+    docs = (load(spark, sf_dir, "documents").filter(doc < 400)
+            .select(doc, url.alias("url")))
+    verdicts = blocklist_verdicts(
+        docs, "doc_id", "url",
+        ["example.com", "site1.example.com", "cdn.site3.example.com"])
+    return (verdicts
+            .groupBy(F.coalesce("matched_domain", F.lit("KEPT"))
+                     .alias("verdict"))
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.countDistinct("host").alias("n_hosts")))

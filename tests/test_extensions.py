@@ -115,8 +115,13 @@ def test_multimodal_media_column_and_features(spark):
 
 def test_decode_media_stub_contract():
     assert decode_media(b"abc", "text/plain") == "abc"
-    with pytest.raises(NotImplementedError):
+    # PNG has a real decoder now (extensions/png.py): a truncated
+    # signature is a malformed payload, not an unsupported format.
+    with pytest.raises(ValueError):
         decode_media(b"\x89PNG", "image/png")
+    # Compressed containers stay behind the documented codec guard.
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
 def test_ppm_bmp_decode_roundtrip():
@@ -910,3 +915,64 @@ def test_pca_project_matches_numpy(spark):
     for i in range(n):
         for j in range(2):
             assert abs(got[i][j] - want[i][j]) < 1e-6, (i, j)
+
+
+# --- corpus-frequency statistics (round 6) ----------------------------------
+
+def test_rare_token_scores_integer_exact(spark):
+    from pyspark_etl_project_spark.extensions.text import rare_token_scores
+
+    # Corpus freqs: the=3, cat=2, dog=1 -> n_total=6, n_vocab=3, mean=2.
+    # "rare" = freq*3 < 6, i.e. freq < 2 -> only 'dog'.
+    df = spark.createDataFrame(
+        [(1, "The cat, the DOG!"), (2, "the cat")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            rare_token_scores(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_rare"] == 1
+    assert rows[1]["rare_ppm"] == 250000          # 1/4 in ppm, floored
+    assert rows[1]["mean_freq_x1000"] == (3 + 2 + 3 + 1) * 1000 // 4
+    assert rows[2]["n_rare"] == 0
+    assert rows[2]["mean_freq_x1000"] == (3 + 2) * 1000 // 2
+
+
+def test_char_pair_counts_repeats_and_weighting(spark):
+    from pyspark_etl_project_spark.extensions.text import char_pair_counts
+
+    # 'aaa' twice and 'ab' once: 'aa' = 2 per occurrence * 2 occurrences,
+    # 'ab' = 1; single-char word 'x' contributes nothing.
+    df = spark.createDataFrame([("aaa ab aaa x",)], "text string")
+    out = {r["pair"]: r["n_occurrences"]
+           for r in char_pair_counts(df, "text").collect()}
+    assert out == {"aa": 4, "ab": 1}
+
+
+def test_next_token_topk_rank_and_tiebreak(spark):
+    from pyspark_etl_project_spark.extensions.text import next_token_topk
+
+    # After 'a': b (x2), c (x1), d (x1) -> ranks b=1 then c,d tie on
+    # count broken by token order (c before d). k=2 cuts 'd'.
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "a d")],
+        "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): (r["n"], r["rk"])
+           for r in next_token_topk(df, "text", k=2).collect()}
+    assert out == {("a", "b"): (2, 1), ("a", "c"): (1, 2)}
+
+
+def test_blocklist_verdicts_suffix_and_specificity(spark):
+    from pyspark_etl_project_spark.extensions.web import blocklist_verdicts
+
+    df = spark.createDataFrame(
+        [(1, "https://WWW.ads.Example.COM/x"),     # subdomain of example.com
+         (2, "http://sub.bad.example.com/y"),      # matches both entries
+         (3, "http://example.com:80/z"),           # exact match, port stripped
+         (4, "https://fine.example.org/")],        # kept
+        "doc_id long, url string")
+    out = {r["doc_id"]: r["matched_domain"] for r in
+           blocklist_verdicts(df, "doc_id", "url",
+                              ["example.com", "bad.example.com"]).collect()}
+    assert out[1] == "example.com"
+    assert out[2] == "bad.example.com"   # most specific wins
+    assert out[3] == "example.com"
+    assert out[4] is None
