@@ -92,6 +92,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "next_token_conditional_topk",
     "domain_blocklist_filter",
+    "bpe_train_merges",
 ]
 
 

@@ -547,3 +547,74 @@ def next_token_topk(df, text_col: str, k: int = 3):
     w = Window.partitionBy("w1").orderBy(F.desc("n"), F.col("w2"))
     return (counts.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
+
+
+def bpe_train(df, text_col: str, n_merges: int = 6):
+    """Learn ``n_merges`` BPE merges over the corpus and return the
+    merge table: (merge_round, sym_l, sym_r, merged, pair_count).
+
+    The real trainer loop, distributed the way k-means refine is:
+    the corpus is collapsed ONCE to (distinct word, freq) and each word
+    to its symbol array (chars to start; no end-of-word marker — the
+    marker is one extra literal in the init expression if a caller
+    wants it). Every round is then
+      1. adjacent-pair counts over the vocabulary, weighted by word
+         frequency — map-side combined, shuffle keyed on the pair;
+      2. top-1 pair with total-order tie-break (count desc, l, r asc) —
+         a LIMIT-1 collect, so the driver holds one row per round,
+         never anything corpus-sized;
+      3. merge application as a map-only array fold (greedy
+         leftmost non-overlapping, the BPE rule: 'lll' + (l,l) → 'll l';
+         the fold needs no lookahead because merged = l||r can never
+         equal l), then a lazy localCheckpoint so plan depth stays
+         constant across rounds (the cluster-canonical pattern).
+    Per-round cost scales with the VOCABULARY (pair enumeration over
+    distinct words), not the corpus — the property that makes BPE
+    training feasible at 100 TB. Oracle twin: the same rounds unrolled
+    as chained CTEs with list_reduce replaying the identical fold."""
+    spark = df.sparkSession
+    words = (df.select(F.explode(alnum_tokens(text_col)).alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+               .withColumn("sym", F.expr(
+                   "transform(sequence(1, char_length(w)), "
+                   "i -> substring(w, i, 1))"))
+               .drop("w")
+               .localCheckpoint(eager=False))
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        pairs = (words.filter(F.size("sym") >= 2)
+                 .select(F.explode(F.expr(
+                     "transform(sequence(1, size(sym) - 1), "
+                     "i -> struct(element_at(sym, i) as l, "
+                     "element_at(sym, i + 1) as r))")).alias("p"),
+                     "freq")
+                 .groupBy("p.l", "p.r")
+                 .agg(F.sum("freq").cast("bigint").alias("n")))
+        top = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merged = left + right
+
+        def make_step(_l, _r, _m):
+            def step(acc, x):
+                hit = ((F.size(acc) > 0)
+                       & (F.element_at(acc, -1) == F.lit(_l))
+                       & (x == F.lit(_r)))
+                return (F.when(hit,
+                               F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                                        F.array(F.lit(_m))))
+                         .otherwise(F.concat(acc, F.array(x))))
+            return step
+
+        step = make_step(left, right, merged)
+
+        words = (words.withColumn(
+                     "sym",
+                     F.aggregate("sym", F.array().cast("array<string>"), step))
+                 .localCheckpoint(eager=False))
+        merges.append((rnd, left, right, merged, n))
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, sym_l string, sym_r string, "
+        "merged string, pair_count long")

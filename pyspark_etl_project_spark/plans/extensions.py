@@ -2616,3 +2616,56 @@ def domain_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_urls"),
                  F.min("doc_id").alias("min_doc_id"),
                  F.countDistinct("host").alias("n_hosts")))
+
+
+# --- BPE trainer loop, oracle-gated per round --------------------------------
+# The iterative merge-learning loop (extensions/text.py:bpe_train): each
+# round counts vocabulary-weighted adjacent symbol pairs, takes the
+# top-1 with a total-order tie-break, and applies the merge as a
+# greedy-leftmost array fold. The oracle unrolls the SAME rounds as
+# chained CTEs — DuckDB's list_reduce replays the identical fold — so
+# every round's chosen pair AND its count are hash-gated, not just row
+# shapes. Driver state is one row per round (the k-means pattern).
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    parts = ["""WITH words AS (
+  SELECT t.w AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(w)
+  GROUP BY t.w),
+w0 AS (
+  SELECT list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS sym,
+         freq
+  FROM words)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT split_part(u.pr, ' ', 1) AS l, split_part(u.pr, ' ', 2) AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM w{r - 1},
+       UNNEST(list_transform(range(1, len(sym)),
+                             i -> sym[i] || ' ' || sym[i+1])) AS u(pr)
+  GROUP BY 1, 2),
+t{r} AS (SELECT l, r, n FROM p{r} ORDER BY n DESC, l, r LIMIT 1),
+w{r} AS (
+  SELECT list_reduce(
+           list_transform(sym, x -> [x]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = t.l
+                              AND x[1] = t.r
+                            THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                             t.l || t.r)
+                            ELSE list_append(acc, x[1]) END) AS sym,
+         freq
+  FROM w{r - 1} CROSS JOIN t{r} t)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_round, l AS sym_l, r AS sym_r,"
+        f" l || r AS merged, n AS pair_count FROM t{r}"
+        for r in range(1, n_merges + 1))
+    return "".join(parts) + "\n" + unions
+
+
+@_q("bpe_train_merges", _bpe_oracle_sql(6))
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.bpe_train(docs, "text", n_merges=6)

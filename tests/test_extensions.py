@@ -976,3 +976,22 @@ def test_blocklist_verdicts_suffix_and_specificity(spark):
     assert out[2] == "bad.example.com"   # most specific wins
     assert out[3] == "example.com"
     assert out[4] is None
+
+
+def test_bpe_train_merges_hand_example(spark):
+    """Three rounds on a corpus tiny enough to verify by hand, covering
+    the greedy-leftmost rule ('aaa' -> [aa, a], not [a, aa]) and merged
+    symbols feeding later rounds ((aa, ab) in round 3)."""
+    from pyspark_etl_project_spark.extensions.text import bpe_train
+
+    # words: aaab x2, ab x1.
+    # r1: (a,a) = 2*2 = 4 beats (a,b) = 2+1 = 3 -> 'aa'; aaab -> [aa,a,b]
+    # r2: (a,b) = 2+1 = 3 beats (aa,a) = 2 -> 'ab'; aaab -> [aa,ab], ab -> [ab]
+    # r3: (aa,ab) = 2 -> 'aaab'
+    df = spark.createDataFrame([(1, "aaab aaab ab")], "doc_id long, text string")
+    got = [(r["merge_round"], r["sym_l"], r["sym_r"], r["merged"],
+            r["pair_count"])
+           for r in bpe_train(df, "text", 3).orderBy("merge_round").collect()]
+    assert got == [(1, "a", "a", "aa", 4),
+                   (2, "a", "b", "ab", 3),
+                   (3, "aa", "ab", "aaab", 2)]
