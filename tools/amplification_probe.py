@@ -236,6 +236,53 @@ def probe_gram_matrix(spark: SparkSession, n: int) -> None:
     _materialize(quantized_gram_matrix(vecs, "embedding", dims=16))
 
 
+def _zipf_docs(spark: SparkSession, n: int) -> DataFrame:
+    """Docs of 20 tokens: ~80% drawn from a tiny skewed head vocabulary
+    (log2-bucketed — 'w1' alone covers ~a quarter of all tokens, the
+    frequent-token join skew rare_token_scores must survive) and ~20%
+    singleton rare tokens (the vocabulary tail that makes the corpus
+    vocab grow linearly with the data)."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda i: F.when(
+                (F.col("id") * 7 + i) % 5 < 4,
+                F.concat(F.lit("w"), F.floor(F.log2(
+                    (F.col("id") * 31 + i) % 4096 + 2)).cast("int")))
+            .otherwise(F.concat(F.lit("r"),
+                                (F.col("id") * 20 + i).cast("string")))
+        )).alias("text"))
+
+
+def probe_rare_token_scores(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.text import rare_token_scores
+
+    _materialize(rare_token_scores(_zipf_docs(spark, n), "doc_id", "text"))
+
+
+def probe_bpe_train_rounds(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.text import bpe_train
+
+    # Two merge rounds; the per-round cost must track the VOCABULARY
+    # (which the rare-token tail makes grow with n), never the corpus.
+    bpe_train(_zipf_docs(spark, n), "text", n_merges=2).collect()
+
+
+def probe_blocklist_filter(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.web import blocklist_verdicts
+
+    # 1000-entry blocklist (broadcast) over n URLs; ~10% of hosts match.
+    urls = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://sub"), (F.col("id") % 3).cast("string"),
+                 F.lit(".host"), (F.col("id") % 10_000).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string"))
+         .alias("url"))
+    bl = [f"host{i}.example.com" for i in range(1000)]
+    _materialize(blocklist_verdicts(urls, "doc_id", "url", bl))
+
+
 PROBES = {
     # name: (fn, base_n)  — 100× runs at base_n * AMP
     "boilerplate_scrub_30pct_hot_line": (probe_boilerplate, 10_000),
@@ -251,6 +298,9 @@ PROBES = {
     "winnowing_contamination_fixed_holdout": (probe_winnow_contamination,
                                               2_000),
     "exact_quantiles": (probe_exact_quantiles, 100_000),
+    "rare_token_scores_zipf": (probe_rare_token_scores, 10_000),
+    "bpe_train_2rounds_growing_vocab": (probe_bpe_train_rounds, 10_000),
+    "blocklist_filter_1k_entries": (probe_blocklist_filter, 100_000),
 }
 
 
