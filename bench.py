@@ -93,6 +93,7 @@ HEADLINE = [
     "next_token_conditional_topk",
     "domain_blocklist_filter",
     "bpe_train_merges",
+    "bpe_encode_token_counts",
 ]
 
 

@@ -574,12 +574,26 @@ def bpe_train(df, text_col: str, n_merges: int = 6):
     as chained CTEs with list_reduce replaying the identical fold."""
     spark = df.sparkSession
     words = (df.select(F.explode(alnum_tokens(text_col)).alias("w"))
-               .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-               .withColumn("sym", F.expr(
-                   "transform(sequence(1, char_length(w)), "
-                   "i -> substring(w, i, 1))"))
-               .drop("w")
-               .localCheckpoint(eager=False))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    merges, _ = _bpe_rounds(words, n_merges)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, sym_l string, sym_r string, "
+        "merged string, pair_count long")
+
+
+def _bpe_rounds(words, n_merges: int):
+    """The BPE merge loop over a (w, freq) vocabulary frame. Returns
+    (merges, final_vocab) where merges is a list of (round, l, r,
+    merged, count) tuples — one row of driver state per round — and
+    final_vocab keeps (w, sym, freq) with ``sym`` the word's symbol
+    array after all merges (the trained tokenizer's view of the
+    vocabulary, ready for encode joins)."""
+    words = (words
+             .withColumn("sym", F.expr(
+                 "transform(sequence(1, char_length(w)), "
+                 "i -> substring(w, i, 1))"))
+             .localCheckpoint(eager=False))
     merges = []
     for rnd in range(1, n_merges + 1):
         pairs = (words.filter(F.size("sym") >= 2)
@@ -614,7 +628,42 @@ def bpe_train(df, text_col: str, n_merges: int = 6):
                      F.aggregate("sym", F.array().cast("array<string>"), step))
                  .localCheckpoint(eager=False))
         merges.append((rnd, left, right, merged, n))
-    return spark.createDataFrame(
-        merges,
-        "merge_round int, sym_l string, sym_r string, "
-        "merged string, pair_count long")
+    return merges, words
+
+
+def bpe_encode_stats(df, id_col: str, text_col: str, n_merges: int = 4):
+    """Train ``n_merges`` BPE merges on the corpus, then ENCODE the
+    corpus with them — the inference half of the tokenizer, reported as
+    per-document integer stats: ``n_words``, ``n_chars`` (symbol count
+    before any merge), ``n_bpe_tokens`` (after the merges), and
+    ``tokens_per_char_ppm`` (n_bpe_tokens/n_chars in parts-per-million,
+    bigint floor division — the compression the learned merges achieve
+    on that document).
+
+    Encoding never re-folds the corpus: the merge folds run once per
+    DISTINCT word (the trained vocabulary keeps each word's final
+    symbol array), and documents join their (word, count) multiset to
+    that vocabulary — corpus-sized work is one tokenize pass plus one
+    join keyed on the word, with the per-doc multiplicity carried as a
+    weight. The word-count frame is checkpointed once and feeds both
+    the trainer's vocabulary and the encode join, so the raw text is
+    scanned exactly once."""
+    tok_counts = (df.select(F.col(id_col),
+                            F.explode(alnum_tokens(text_col)).alias("w"))
+                    .groupBy(id_col, "w")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .localCheckpoint(eager=False))
+    words = tok_counts.groupBy("w").agg(F.sum("cnt").cast("bigint")
+                                        .alias("freq"))
+    _, vocab = _bpe_rounds(words, n_merges)
+    enc = tok_counts.join(
+        vocab.select("w", F.size("sym").alias("n_sym")), "w")
+    return (enc.groupBy(id_col)
+            .agg(F.sum("cnt").alias("n_words"),
+                 F.sum(F.col("cnt") * F.char_length("w")).cast("bigint")
+                  .alias("n_chars"),
+                 F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint")
+                  .alias("n_bpe_tokens"),
+                 F.expr("sum(cnt * n_sym) * 1000000 "
+                        "div sum(cnt * char_length(w))")
+                  .alias("tokens_per_char_ppm")))

@@ -2627,17 +2627,12 @@ def domain_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every round's chosen pair AND its count are hash-gated, not just row
 # shapes. Driver state is one row per round (the k-means pattern).
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    parts = ["""WITH words AS (
-  SELECT t.w AS w, CAST(COUNT(*) AS BIGINT) AS freq
-  FROM documents,
-       UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                          x -> x <> '')) AS t(w)
-  GROUP BY t.w),
-w0 AS (
-  SELECT list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS sym,
-         freq
-  FROM words)"""]
+def _bpe_round_ctes(n_merges: int, carry_w: bool) -> str:
+    """The p{r}/t{r}/w{r} CTE blocks shared by the train and encode
+    oracles; ``carry_w`` threads the word string through the rounds so
+    the encode oracle can join documents back to the final vocabulary."""
+    w_sel = "w, " if carry_w else ""
+    parts = []
     for r in range(1, n_merges + 1):
         parts.append(f""",
 p{r} AS (
@@ -2649,7 +2644,7 @@ p{r} AS (
   GROUP BY 1, 2),
 t{r} AS (SELECT l, r, n FROM p{r} ORDER BY n DESC, l, r LIMIT 1),
 w{r} AS (
-  SELECT list_reduce(
+  SELECT {w_sel}list_reduce(
            list_transform(sym, x -> [x]),
            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = t.l
                               AND x[1] = t.r
@@ -2658,14 +2653,68 @@ w{r} AS (
                             ELSE list_append(acc, x[1]) END) AS sym,
          freq
   FROM w{r - 1} CROSS JOIN t{r} t)""")
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    head = """WITH words AS (
+  SELECT t.w AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(w)
+  GROUP BY t.w),
+w0 AS (
+  SELECT list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS sym,
+         freq
+  FROM words)"""
     unions = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS merge_round, l AS sym_l, r AS sym_r,"
         f" l || r AS merged, n AS pair_count FROM t{r}"
         for r in range(1, n_merges + 1))
-    return "".join(parts) + "\n" + unions
+    return head + _bpe_round_ctes(n_merges, carry_w=False) + "\n" + unions
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    head = """WITH tok AS (
+  SELECT doc_id, t.w AS w
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(w)),
+dc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM tok GROUP BY doc_id, w),
+words AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS freq FROM dc GROUP BY w),
+w0 AS (
+  SELECT w,
+         list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS sym,
+         freq
+  FROM words)"""
+    tail = f"""
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * length(w)) AS BIGINT) AS n_chars,
+       CAST(SUM(cnt * n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(cnt * n_sym) * 1000000 // SUM(cnt * length(w)) AS BIGINT)
+         AS tokens_per_char_ppm
+FROM dc JOIN (SELECT w, len(sym) AS n_sym FROM w{n_merges}) v USING (w)
+GROUP BY doc_id"""
+    return head + _bpe_round_ctes(n_merges, carry_w=True) + tail
 
 
 @_q("bpe_train_merges", _bpe_oracle_sql(6))
 def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return X.bpe_train(docs, "text", n_merges=6)
+
+
+# --- BPE encode: the inference half, per-doc token counts --------------------
+# Train the merges, then ENCODE the corpus with them (extensions/
+# text.py:bpe_encode_stats): the fold runs once per DISTINCT word and
+# documents join their (word, count) multiset to the trained
+# vocabulary, so corpus-sized work is one tokenize pass + one keyed
+# join. Output is integer-exact per-doc compression stats; the oracle
+# replays train AND encode (chained CTEs carrying the word string).
+
+@_q("bpe_encode_token_counts", _bpe_encode_oracle_sql(4))
+def bpe_encode_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.bpe_encode_stats(docs, "doc_id", "text", n_merges=4)

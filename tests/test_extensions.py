@@ -995,3 +995,16 @@ def test_bpe_train_merges_hand_example(spark):
     assert got == [(1, "a", "a", "aa", 4),
                    (2, "a", "b", "ab", 3),
                    (3, "aa", "ab", "aaab", 2)]
+
+
+def test_bpe_encode_stats_hand_example(spark):
+    """Same tiny corpus as the trainer test, 2 merges: aa then ab.
+    Vocab after: aaab -> [aa, ab] (2 syms), ab -> [ab] (1 sym)."""
+    from pyspark_etl_project_spark.extensions.text import bpe_encode_stats
+
+    df = spark.createDataFrame([(1, "aaab aaab ab")], "doc_id long, text string")
+    r = bpe_encode_stats(df, "doc_id", "text", n_merges=2).first()
+    assert r["n_words"] == 3
+    assert r["n_chars"] == 10          # 4 + 4 + 2
+    assert r["n_bpe_tokens"] == 5      # 2 + 2 + 1
+    assert r["tokens_per_char_ppm"] == 500000

@@ -38,7 +38,7 @@ DEFAULT = [
     "embedding_pca_project",
     "rare_token_quality_score", "bpe_pair_counts",
     "next_token_conditional_topk", "domain_blocklist_filter",
-    "bpe_train_merges",
+    "bpe_train_merges", "bpe_encode_token_counts",
 ]
 
 
