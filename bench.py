@@ -94,6 +94,8 @@ HEADLINE = [
     "domain_blocklist_filter",
     "bpe_train_merges",
     "bpe_encode_token_counts",
+    "cross_source_overlap",
+    "source_dataset_card",
 ]
 
 

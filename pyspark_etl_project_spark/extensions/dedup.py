@@ -557,3 +557,50 @@ def leakage_safe_split(pairs: DataFrame, ids: DataFrame,
     clusters = connected_dedup_clusters(pairs, ids, id_col)
     return deterministic_split(clusters, "cluster_id", fractions,
                                out_col=out_col, salt=salt)
+
+
+def cross_source_overlap(df, id_col: str, text_col: str, source_col: str,
+                         k: int = 3, window: int = 4):
+    """Pairwise source content-overlap matrix — the curation diagnostic
+    that answers "how much of source A is also in source B" before
+    mixing corpora (two crawls of the web overlap heavily; training on
+    both double-counts the shared content). Overlap is measured on
+    winnowing fingerprints (extensions/text.py:winnowing_fingerprints),
+    so PARTIAL verbatim overlap registers — a whole-document hash would
+    call two near-identical crawls disjoint.
+
+    Returns one row per unordered source pair (source_a < source_b):
+    ``n_shared_fps`` (distinct fingerprints present in both) and
+    ``containment_ppm`` (shared / the smaller side's fingerprint count,
+    in parts-per-million — the asymmetric-size-robust overlap measure).
+
+    Scale shape: fingerprinting is the winnowing pass (per-doc window,
+    no global state); the source tag joins back on the doc id (uniform
+    key); the pair join shuffles on the fingerprint — per-fingerprint
+    groups are bounded by the NUMBER OF SOURCES, so the self-join can
+    never explode the way a doc-level self-join would; per-source
+    totals are k rows and broadcast into the final ppm expression."""
+    from pyspark_etl_project_spark.extensions.text import (
+        winnowing_fingerprints)
+
+    fps = winnowing_fingerprints(df.select(id_col, text_col),
+                                 id_col, text_col, k=k, window=window)
+    src_fps = (fps.join(df.select(id_col, F.col(source_col).alias("_src")),
+                        id_col)
+                  .select("_src", "fp").distinct())
+    totals = (src_fps.groupBy("_src")
+              .agg(F.count(F.lit(1)).alias("n_fps")))
+    a, b = src_fps.alias("a"), src_fps.alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a._src") < F.col("b._src")))
+              .groupBy(F.col("a._src").alias("source_a"),
+                       F.col("b._src").alias("source_b"))
+              .agg(F.countDistinct("a.fp").alias("n_shared_fps")))
+    ta = F.broadcast(totals.select(F.col("_src").alias("source_a"),
+                                   F.col("n_fps").alias("_na")))
+    tb = F.broadcast(totals.select(F.col("_src").alias("source_b"),
+                                   F.col("n_fps").alias("_nb")))
+    return (pairs.join(ta, "source_a").join(tb, "source_b")
+            .select("source_a", "source_b", "n_shared_fps",
+                    F.expr("n_shared_fps * 1000000 div least(_na, _nb)")
+                     .alias("containment_ppm")))

@@ -667,3 +667,34 @@ def bpe_encode_stats(df, id_col: str, text_col: str, n_merges: int = 4):
                  F.expr("sum(cnt * n_sym) * 1000000 "
                         "div sum(cnt * char_length(w))")
                   .alias("tokens_per_char_ppm")))
+
+
+def source_dataset_card(df, source_col: str, text_col: str,
+                        lang_col: str, min_words: int = 30):
+    """Per-source dataset-card statistics — the one-row-per-source
+    summary a curation pipeline publishes next to a corpus: volume
+    (docs, chars), language spread, quality (Gopher keep rate), and
+    exact-duplicate rate. Every rate is integer ppm so the card is
+    engine-exact.
+
+    One shuffle total: all signals are map-side column expressions
+    (gopher flags, normalized fingerprint, char length) aggregated in a
+    single groupBy(source) with two distinct-aggregates (langs,
+    fingerprints) that Spark plans as Expand + partial aggregation —
+    no joins, no second corpus pass."""
+    g = gopher_quality_flags(text_col, min_words=min_words)
+    staged = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("_lang"),
+        F.char_length(text_col).cast("bigint").alias("_chars"),
+        g["keep"].cast("bigint").alias("_keep"),
+        normalized_fingerprint(text_col).alias("_fp"))
+    return (staged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("_lang").alias("n_langs"),
+                 F.sum("_chars").alias("total_chars"),
+                 F.expr("sum(_chars) div count(1)").alias("mean_chars"),
+                 F.expr("sum(_keep) * 1000000 div count(1)")
+                  .alias("gopher_keep_ppm"),
+                 F.expr("(count(1) - count(distinct _fp)) * 1000000 "
+                        "div count(1)").alias("exact_dup_ppm")))

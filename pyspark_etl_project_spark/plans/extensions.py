@@ -2718,3 +2718,97 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_encode_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return X.bpe_encode_stats(docs, "doc_id", "text", n_merges=4)
+
+
+# --- cross-source content-overlap matrix -------------------------------------
+# "How much of source A is also in source B" on winnowing fingerprints
+# (extensions/dedup.py:cross_source_overlap) — partial verbatim overlap
+# registers, whole-doc hashing would not. Containment is ppm of the
+# SMALLER side so asymmetric source sizes don't hide the overlap.
+
+@_q("cross_source_overlap", """
+WITH w0 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, len(w) - 2 AS n_grams, i AS pos,
+         CAST(concat('0x', substring(
+             md5(concat_ws(' ', w[i+1], w[i+2], w[i+3])), 1, 8))
+           AS BIGINT) AS h
+  FROM w0, unnest(range(greatest(len(w) - 2, 0))) AS t(i)),
+mins AS (
+  SELECT doc_id, pos, n_grams,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g),
+fps AS (SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n_grams - 4),
+sf AS (SELECT DISTINCT d.source AS src, fps.fp
+       FROM fps JOIN documents d USING (doc_id)),
+tot AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_fps FROM sf GROUP BY src),
+pr AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared_fps
+  FROM sf a JOIN sf b ON a.fp = b.fp AND a.src < b.src
+  GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared_fps,
+       CAST(n_shared_fps * 1000000 // least(ta.n_fps, tb.n_fps) AS BIGINT)
+         AS containment_ppm
+FROM pr
+JOIN tot ta ON ta.src = source_a
+JOIN tot tb ON tb.src = source_b
+""")
+def cross_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import (
+        cross_source_overlap)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return cross_source_overlap(docs, "doc_id", "text", "source")
+
+
+# --- per-source dataset card --------------------------------------------------
+# The one-row-per-source summary published next to a curated corpus
+# (extensions/text.py:source_dataset_card): volume, language spread,
+# Gopher keep rate, exact-dup rate — all integer ppm, one shuffle.
+
+@_q("source_dataset_card", """
+WITH t AS (
+  SELECT source, lang, CAST(length(text) AS BIGINT) AS chars,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         string_split_regex(trim(text), '\\s+') AS w,
+         string_split_regex(trim(lower(text)), '\\s+') AS lw,
+         text
+  FROM documents),
+m AS (
+  SELECT source, lang, chars, fp,
+         CAST(len(w) AS BIGINT) AS wc,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS wchars,
+         CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS symbols,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS alpha_words,
+         CAST(len(list_distinct(list_filter(lw,
+              x -> list_contains(['the','be','to','of','and','that',
+                                  'have','with'], x)))) AS BIGINT) AS sw_hits
+  FROM t),
+k AS (
+  SELECT source, lang, chars, fp,
+         CAST(wc >= 30 AND wc <= 100000 AS BIGINT)
+         * CAST(wchars >= 3 * wc AND wchars <= 10 * wc AS BIGINT)
+         * CAST(10 * symbols <= wc AS BIGINT)
+         * CAST(5 * alpha_words >= 4 * wc AS BIGINT)
+         * CAST(sw_hits >= 2 AS BIGINT) AS keep
+  FROM m)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(chars) AS BIGINT) AS total_chars,
+       CAST(SUM(chars) // COUNT(*) AS BIGINT) AS mean_chars,
+       CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS gopher_keep_ppm,
+       CAST((COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*) AS BIGINT)
+         AS exact_dup_ppm
+FROM k GROUP BY source
+""")
+def source_dataset_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.source_dataset_card(docs, "source", "text", "lang")

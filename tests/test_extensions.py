@@ -1008,3 +1008,42 @@ def test_bpe_encode_stats_hand_example(spark):
     assert r["n_chars"] == 10          # 4 + 4 + 2
     assert r["n_bpe_tokens"] == 5      # 2 + 2 + 1
     assert r["tokens_per_char_ppm"] == 500000
+
+
+def test_cross_source_overlap_containment(spark):
+    from pyspark_etl_project_spark.extensions.dedup import (
+        cross_source_overlap)
+
+    shared = " ".join(f"w{i}" for i in range(12))     # long verbatim overlap
+    df = spark.createDataFrame(
+        [(1, shared + " tail_a only_a", "A"),
+         (2, shared + " tail_b other_b", "B"),
+         (3, " ".join(f"z{i}" for i in range(12)), "C")],
+        "doc_id long, text string, source string")
+    rows = {(r["source_a"], r["source_b"]): r for r in
+            cross_source_overlap(df, "doc_id", "text", "source").collect()}
+    assert ("A", "B") in rows            # the shared prefix registers
+    assert rows[("A", "B")]["n_shared_fps"] > 0
+    assert 0 < rows[("A", "B")]["containment_ppm"] <= 1_000_000
+    assert ("A", "C") not in rows and ("B", "C") not in rows
+
+
+def test_source_dataset_card_exact_rates(spark):
+    from pyspark_etl_project_spark.extensions.text import source_dataset_card
+
+    # Source A: 2 docs, exact whitespace-variant duplicates (fingerprint
+    # collides) in 1 lang; source B: 1 unique doc, different lang.
+    df = spark.createDataFrame(
+        [(1, "A", "en", "tiny doc one"),
+         (2, "A", "en", "tiny  doc   one"),
+         (3, "B", "de", "ein anderes dokument")],
+        "doc_id long, source string, lang string, text string")
+    rows = {r["source"]: r for r in
+            source_dataset_card(df, "source", "text", "lang").collect()}
+    a = rows["A"]
+    assert a["n_docs"] == 2 and a["n_langs"] == 1
+    assert a["exact_dup_ppm"] == 500000        # 1 of 2 collapses
+    assert a["gopher_keep_ppm"] == 0           # far below 30 words
+    assert a["total_chars"] == 12 + 15 and a["mean_chars"] == 13
+    b = rows["B"]
+    assert b["n_docs"] == 1 and b["exact_dup_ppm"] == 0

@@ -39,6 +39,7 @@ DEFAULT = [
     "rare_token_quality_score", "bpe_pair_counts",
     "next_token_conditional_topk", "domain_blocklist_filter",
     "bpe_train_merges", "bpe_encode_token_counts",
+    "cross_source_overlap", "source_dataset_card",
 ]
 
 
