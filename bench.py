@@ -96,6 +96,8 @@ HEADLINE = [
     "bpe_encode_token_counts",
     "cross_source_overlap",
     "source_dataset_card",
+    "mad_length_outliers",
+    "keyword_topic_tags",
 ]
 
 

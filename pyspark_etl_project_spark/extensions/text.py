@@ -698,3 +698,40 @@ def source_dataset_card(df, source_col: str, text_col: str,
                   .alias("gopher_keep_ppm"),
                  F.expr("(count(1) - count(distinct _fp)) * 1000000 "
                         "div count(1)").alias("exact_dup_ppm")))
+
+
+def keyword_topic_tags(df, id_col: str, text_col: str,
+                       topics: dict[str, list[str]]):
+    """FlashText-style multi-keyword topic tagging: a curated
+    keyword→topic table (broadcast — keyword lists are thousands of
+    rows) joins the exploded token stream on EQUALITY, so tagging cost
+    is one map-side hash probe per token, independent of how many
+    keywords exist — never a per-(doc × pattern) regex scan. Per-doc
+    rollup: ``primary_topic`` (most keyword hits; ties broken by topic
+    name — deterministic), its hit count, distinct topics touched, and
+    total hits. Documents with no keyword hit are absent (inner join) —
+    the caller left-joins if untagged docs matter.
+
+    Shuffle story: the keyword join is map-side (broadcast); the only
+    exchanges are the (doc, topic) count and the per-doc window/rollup,
+    both keyed on the uniform doc id."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    kw = F.broadcast(spark.createDataFrame(
+        [(w, t) for t, ws in sorted(topics.items()) for w in ws],
+        "token string, topic string"))
+    tok = df.select(F.col(id_col),
+                    F.explode(alnum_tokens(text_col)).alias("token"))
+    per_topic = (tok.join(kw, "token")
+                 .groupBy(id_col, "topic")
+                 .agg(F.count(F.lit(1)).alias("n_hits")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("n_hits"), "topic")
+    return (per_topic.withColumn("rk", F.row_number().over(w))
+            .groupBy(id_col)
+            .agg(F.max(F.when(F.col("rk") == 1, F.col("topic")))
+                 .alias("primary_topic"),
+                 F.max(F.when(F.col("rk") == 1, F.col("n_hits")))
+                 .alias("primary_hits"),
+                 F.count(F.lit(1)).alias("n_topics"),
+                 F.sum("n_hits").alias("total_hits")))

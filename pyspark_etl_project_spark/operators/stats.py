@@ -38,3 +38,35 @@ def exact_quantiles(df: DataFrame, value_col: str, tiebreak_col: str,
                               [value_col, tiebreak_col], "_rn")
     out = ranked.join(pos_df, ranked["_rn"] == pos_df["_pos"])
     return out.select("q", F.col(value_col).alias("value"))
+
+
+def mad_length_outliers(df: DataFrame, id_col: str, value_col: str,
+                        k_mad: int = 3) -> DataFrame:
+    """Robust outlier flagging by median absolute deviation — the
+    corpus-cleaning gate that survives what a mean/stddev z-score
+    cannot (a handful of giant documents drag the mean and hide
+    themselves; the median and MAD are immune to half the data being
+    garbage). Integer-exact end-to-end: both the median and the MAD
+    are nearest-rank order statistics (exact_quantiles — the two-phase
+    range-partitioned row number, never a one-task sort), and the cut
+    ``abs_dev > k_mad * mad`` is bigint arithmetic.
+
+    Returns (id_col, value_col, abs_dev, is_outlier 0/1). Scale shape:
+    two exact-quantile passes (one range exchange each) and two 1-row
+    broadcasts — nothing else."""
+    from pyspark.sql import functions as F
+
+    vals = df.select(F.col(id_col), F.col(value_col).cast("bigint")
+                     .alias(value_col))
+    med = (exact_quantiles(vals, value_col, id_col, [50])
+           .select(F.col("value").alias("_med")))
+    dev = (vals.join(F.broadcast(med))
+           .withColumn("abs_dev",
+                       F.abs(F.col(value_col) - F.col("_med"))))
+    mad = (exact_quantiles(dev.select(id_col, "abs_dev"), "abs_dev",
+                           id_col, [50])
+           .select(F.col("value").alias("_mad")))
+    return (dev.join(F.broadcast(mad))
+            .select(id_col, value_col, "abs_dev",
+                    (F.col("abs_dev") > k_mad * F.col("_mad"))
+                    .cast("int").alias("is_outlier")))

@@ -2812,3 +2812,79 @@ FROM k GROUP BY source
 def source_dataset_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return X.source_dataset_card(docs, "source", "text", "lang")
+
+
+# --- robust length outliers (median absolute deviation) ----------------------
+# The mean/stddev-immune outlier gate (operators/stats.py:
+# mad_length_outliers): median and MAD are nearest-rank order
+# statistics through the two-phase range row number, and the cut is
+# bigint — engine-exact at the boundary.
+
+@_q("mad_length_outliers", """
+WITH c AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+n AS (SELECT COUNT(*) AS cnt FROM c),
+r AS (SELECT n_chars, doc_id,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rn FROM c),
+med AS (SELECT r.n_chars AS m FROM r, n WHERE r.rn = ((cnt - 1) * 50) // 100 + 1),
+d AS (SELECT doc_id, n_chars, abs(n_chars - m) AS abs_dev FROM c, med),
+r2 AS (SELECT abs_dev, doc_id,
+              row_number() OVER (ORDER BY abs_dev, doc_id) AS rn FROM d),
+mad AS (SELECT r2.abs_dev AS md FROM r2, n
+        WHERE r2.rn = ((cnt - 1) * 50) // 100 + 1)
+SELECT doc_id, n_chars, CAST(abs_dev AS BIGINT) AS abs_dev,
+       CAST(abs_dev > 3 * md AS INTEGER) AS is_outlier
+FROM d, mad
+""")
+def mad_length_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.stats import mad_length_outliers
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.char_length("text").alias("n_chars"))
+    return mad_length_outliers(docs, "doc_id", "n_chars", k_mad=3)
+
+
+# --- keyword topic tagging ----------------------------------------------------
+# Broadcast keyword->topic equi-join over the token stream
+# (extensions/text.py:keyword_topic_tags): tagging cost is one hash
+# probe per token regardless of keyword count.
+
+_TOPIC_KEYWORDS = {
+    "storage": ["table", "row", "part", "scan"],
+    "compute": ["hash", "merge", "agg", "sort"],
+    "runtime": ["slow", "fast", "batch", "stream"],
+}
+
+@_q("keyword_topic_tags", """
+WITH kw AS (
+  SELECT * FROM (VALUES
+    ('table', 'storage'), ('row', 'storage'), ('part', 'storage'),
+    ('scan', 'storage'),
+    ('hash', 'compute'), ('merge', 'compute'), ('agg', 'compute'),
+    ('sort', 'compute'),
+    ('slow', 'runtime'), ('fast', 'runtime'), ('batch', 'runtime'),
+    ('stream', 'runtime')) AS v(token, topic)),
+tok AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(token)),
+pt AS (
+  SELECT doc_id, topic, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM tok JOIN kw USING (token)
+  GROUP BY doc_id, topic),
+rk AS (
+  SELECT doc_id, topic, n_hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, topic) AS rk
+  FROM pt)
+SELECT doc_id,
+       MAX(CASE WHEN rk = 1 THEN topic END) AS primary_topic,
+       MAX(CASE WHEN rk = 1 THEN n_hits END) AS primary_hits,
+       CAST(COUNT(*) AS BIGINT) AS n_topics,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits
+FROM rk GROUP BY doc_id
+""")
+def keyword_topic_tags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.keyword_topic_tags(docs, "doc_id", "text", _TOPIC_KEYWORDS)

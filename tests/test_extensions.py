@@ -1047,3 +1047,35 @@ def test_source_dataset_card_exact_rates(spark):
     assert a["total_chars"] == 12 + 15 and a["mean_chars"] == 13
     b = rows["B"]
     assert b["n_docs"] == 1 and b["exact_dup_ppm"] == 0
+
+
+def test_mad_length_outliers_robust_to_giants(spark):
+    from pyspark_etl_project_spark.operators.stats import mad_length_outliers
+
+    # 9 docs near length 10, one at 1000. median=10, MAD=1 -> the giant
+    # (abs_dev 990 > 3) is the only outlier; a z-score with the giant
+    # included would have sigma ~313 and also flag it, but the point
+    # here is the exact integer cut.
+    rows = [(i, 9 + (i % 3)) for i in range(9)] + [(9, 1000)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = {r["doc_id"]: r["is_outlier"] for r in
+           mad_length_outliers(df, "doc_id", "n").collect()}
+    assert out[9] == 1
+    assert sum(out.values()) == 1
+
+
+def test_keyword_topic_tags_tiebreak_and_counts(spark):
+    from pyspark_etl_project_spark.extensions.text import keyword_topic_tags
+
+    topics = {"a_topic": ["cat", "dog"], "b_topic": ["fish", "bird"]}
+    df = spark.createDataFrame(
+        [(1, "cat dog fish"),         # a:2 b:1 -> a_topic
+         (2, "cat fish"),             # 1-1 tie -> a_topic (name order)
+         (3, "no keywords here")],    # untagged -> absent
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            keyword_topic_tags(df, "doc_id", "text", topics).collect()}
+    assert rows[1]["primary_topic"] == "a_topic"
+    assert rows[1]["primary_hits"] == 2 and rows[1]["total_hits"] == 3
+    assert rows[2]["primary_topic"] == "a_topic" and rows[2]["n_topics"] == 2
+    assert 3 not in rows

@@ -40,6 +40,7 @@ DEFAULT = [
     "next_token_conditional_topk", "domain_blocklist_filter",
     "bpe_train_merges", "bpe_encode_token_counts",
     "cross_source_overlap", "source_dataset_card",
+    "mad_length_outliers", "keyword_topic_tags",
 ]
 
 
