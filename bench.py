@@ -98,6 +98,7 @@ HEADLINE = [
     "source_dataset_card",
     "mad_length_outliers",
     "keyword_topic_tags",
+    "pagerank_doc_links",
 ]
 
 

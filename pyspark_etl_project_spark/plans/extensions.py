@@ -2888,3 +2888,55 @@ FROM rk GROUP BY doc_id
 def keyword_topic_tags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return X.keyword_topic_tags(docs, "doc_id", "text", _TOPIC_KEYWORDS)
+
+
+# --- integer-exact PageRank over a synthetic doc-link graph ------------------
+# Iterative importance scoring (extensions/graph.py:pagerank_integer),
+# fully hash-gated: fixed-point bigint arithmetic makes every
+# iteration's scores bit-identical across engines, and the oracle
+# unrolls the iterations as chained CTEs (the bpe_train pattern). The
+# deterministic 3-out-regular graph (three affine maps mod 500 — no
+# self-loops or parallel edges at this modulus, so outdeg is exactly 3)
+# replaces a real link table the same way the url-synth queries do.
+
+def _pagerank_oracle_sql(n_iter: int) -> str:
+    head = """WITH nodes AS (
+  SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+edges AS (
+  SELECT id AS src, (id * 7 + 1) % 500 AS dst FROM nodes
+  UNION ALL SELECT id, (id * 13 + 2) % 500 FROM nodes
+  UNION ALL SELECT id, (id * 31 + 3) % 500 FROM nodes),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src),
+s0 AS (SELECT id, CAST(1000000 AS BIGINT) AS score FROM nodes)"""
+    parts = [head]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+s{k} AS (
+  SELECT n.id,
+         CAST(150000 + (850 * COALESCE(inc.t, 0)) // 1000 AS BIGINT)
+           AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(s.score // d.outdeg) AS t
+    FROM edges e
+    JOIN deg d ON d.src = e.src
+    JOIN s{k - 1} s ON s.id = e.src
+    GROUP BY e.dst) inc ON inc.id = n.id)""")
+    return ("".join(parts)
+            + f"\nSELECT id AS doc_id, score FROM s{n_iter}")
+
+
+@_q("pagerank_doc_links", _pagerank_oracle_sql(3))
+def pagerank_doc_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.graph import pagerank_integer
+
+    nodes = (load(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") < 500).select("doc_id"))
+    i = F.col("doc_id")
+    edges = (nodes.select(i.alias("src"), ((i * 7 + 1) % 500).alias("dst"))
+             .unionByName(nodes.select(i.alias("src"),
+                                       ((i * 13 + 2) % 500).alias("dst")))
+             .unionByName(nodes.select(i.alias("src"),
+                                       ((i * 31 + 3) % 500).alias("dst"))))
+    return (pagerank_integer(nodes, edges, id_col="doc_id", n_iter=3)
+            .select("doc_id", F.col("score").cast("long").alias("score")))

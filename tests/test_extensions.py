@@ -1079,3 +1079,19 @@ def test_keyword_topic_tags_tiebreak_and_counts(spark):
     assert rows[1]["primary_hits"] == 2 and rows[1]["total_hits"] == 3
     assert rows[2]["primary_topic"] == "a_topic" and rows[2]["n_topics"] == 2
     assert 3 not in rows
+
+
+def test_pagerank_integer_hand_example(spark):
+    """Two iterations on a 3-node graph small enough to verify by hand
+    (1->2, 1->3, 2->3, 3->1; outdeg 2,1,1; scale 1e6, damping 850/1000)."""
+    from pyspark_etl_project_spark.extensions.graph import pagerank_integer
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (3, 1)],
+                                  "src long, dst long")
+    got = {r["id"]: r["score"] for r in
+           pagerank_integer(nodes, edges, n_iter=2).collect()}
+    # iter1: s = {1: 1_000_000, 2: 575_000, 3: 1_425_000}
+    # iter2: s1 = 150000 + 850*1425000//1000, s2 = 150000 + 850*500000//1000,
+    #        s3 = 150000 + 850*(500000 + 575000)//1000
+    assert got == {1: 1_361_250, 2: 575_000, 3: 1_063_750}

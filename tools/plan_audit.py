@@ -41,6 +41,7 @@ DEFAULT = [
     "bpe_train_merges", "bpe_encode_token_counts",
     "cross_source_overlap", "source_dataset_card",
     "mad_length_outliers", "keyword_topic_tags",
+    "pagerank_doc_links",
 ]
 
 
