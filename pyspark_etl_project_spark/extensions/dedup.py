@@ -585,13 +585,21 @@ def cross_source_overlap(df, id_col: str, text_col: str, source_col: str,
 
     fps = winnowing_fingerprints(df.select(id_col, text_col),
                                  id_col, text_col, k=k, window=window)
+    # The (src, fp) set feeds three consumers (totals + both self-join
+    # sides); a lazy localCheckpoint materializes the winnowing pass
+    # once instead of replaying it per consumer.
     src_fps = (fps.join(df.select(id_col, F.col(source_col).alias("_src")),
                         id_col)
-                  .select("_src", "fp").distinct())
+                  .select("_src", "fp").distinct()
+                  .localCheckpoint(eager=False))
     totals = (src_fps.groupBy("_src")
               .agg(F.count(F.lit(1)).alias("n_fps")))
     a, b = src_fps.alias("a"), src_fps.alias("b")
-    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+    # shuffle_hash: both sides are large and already keyed on fp; a
+    # hash join avoids the sort-merge sort passes (the repo-wide join
+    # posture — banding keys bound the per-key group size).
+    pairs = (a.join(b.hint("shuffle_hash"),
+                    (F.col("a.fp") == F.col("b.fp"))
                     & (F.col("a._src") < F.col("b._src")))
               .groupBy(F.col("a._src").alias("source_a"),
                        F.col("b._src").alias("source_b"))

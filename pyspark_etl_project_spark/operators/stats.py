@@ -56,13 +56,18 @@ def mad_length_outliers(df: DataFrame, id_col: str, value_col: str,
     broadcasts — nothing else."""
     from pyspark.sql import functions as F
 
-    vals = df.select(F.col(id_col), F.col(value_col).cast("bigint")
-                     .alias(value_col))
+    # vals feeds the median branch AND the deviation frame; dev feeds
+    # the MAD branch AND the output. Lazy localCheckpoints pin each so
+    # the quantile side-branches don't replay the upstream lineage.
+    vals = (df.select(F.col(id_col), F.col(value_col).cast("bigint")
+                      .alias(value_col))
+            .localCheckpoint(eager=False))
     med = (exact_quantiles(vals, value_col, id_col, [50])
            .select(F.col("value").alias("_med")))
     dev = (vals.join(F.broadcast(med))
            .withColumn("abs_dev",
-                       F.abs(F.col(value_col) - F.col("_med"))))
+                       F.abs(F.col(value_col) - F.col("_med")))
+           .localCheckpoint(eager=False))
     mad = (exact_quantiles(dev.select(id_col, "abs_dev"), "abs_dev",
                            id_col, [50])
            .select(F.col("value").alias("_mad")))
