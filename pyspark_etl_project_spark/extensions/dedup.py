@@ -612,3 +612,132 @@ def cross_source_overlap(df, id_col: str, text_col: str, source_col: str,
             .select("source_a", "source_b", "n_shared_fps",
                     F.expr("n_shared_fps * 1000000 div least(_na, _nb)")
                      .alias("containment_ppm")))
+
+
+def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 8, min_count: int = 2) -> DataFrame:
+    """Exact duplicated-substring-span detection (the ExactSubstr side
+    of "Deduplicating Training Data Makes Language Models Better", Lee
+    et al. 2022): a token span is a duplicate if some k-token window of
+    it occurs ``min_count``-or-more times in the whole corpus.
+    Overlapping/adjacent duplicated windows are merged into maximal
+    spans; returns one row per input document with integer columns
+    ``n_tokens``, ``n_dup_spans``, ``dup_tokens`` (positions covered by
+    a merged span) and ``clean_tokens`` — the doc-level signal a
+    curation pipeline thresholds on before scrubbing.
+
+    The reference's identity unit is a whole-row md5 (CDC H1); this is
+    the corpus-scale sub-document generalization: the suffix-array scan
+    of the paper is re-expressed as a distributed k-gram frequency pass,
+    which finds exactly the spans whose every length-k window is
+    corpus-duplicated (for merged maximal spans the two formulations
+    mark the same token positions).
+
+    Scale shape (3 shuffles, all key-bounded):
+    1. gram-frequency window: one shuffle on the gram string. At 100 TB
+       you would group on xxhash64(gram) to shrink the shuffle key; the
+       raw string is kept here so the DuckDB oracle replays it
+       verbatim. Per-gram groups are doc-frequency-bounded the same way
+       jaccard_pairs' inverted index is, and a boilerplate gram that IS
+       skewed hits AQE's skew split (no k² blowup exists — no
+       self-join, just a count).
+    2. span merge: one shuffle on doc_id (window ordered by start).
+       The "newly covered tokens" running-max trick folds interval
+       merging into the same window pass — no groupBy(doc, island)
+       second shuffle, and the following per-doc aggregate reuses the
+       doc_id partitioning.
+    3. the left join marrying zero-dup docs back: doc_id keyed.
+    Nothing is collected; no UDFs."""
+    from pyspark_etl_project_spark.extensions.text import ngram_array, tokens
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    toks = toks.withColumn("_n", F.size("_w"))
+    grams = toks.select(
+        id_col, "_n",
+        F.posexplode(ngram_array(F.col("_w"), k)).alias("_start", "_gram"))
+    w_gram = Window.partitionBy("_gram")
+    dup = (grams
+           .withColumn("_c", F.count(F.lit(1)).over(w_gram))
+           .filter(F.col("_c") >= min_count)
+           .drop("_c", "_gram"))
+    w_doc = (Window.partitionBy(id_col).orderBy("_start")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    # -2 sentinel: a real previous span can end at -1 + k - 1 >= 0, so
+    # -1 would make the doc's FIRST dup window look "adjacent" to a
+    # phantom span (start == pe + 1) and never open an island.
+    pe = F.coalesce(F.max(F.col("_start") + F.lit(k - 1)).over(w_doc),
+                    F.lit(-2))
+    spans = (dup
+             .withColumn("_island",
+                         F.when(F.col("_start") > pe + 1, 1).otherwise(0))
+             .withColumn("_newcov",
+                         F.col("_start") + F.lit(k - 1)
+                         - F.greatest(pe, F.col("_start") - 1))
+             .groupBy(id_col)
+             .agg(F.sum("_island").alias("_spans"),
+                  F.sum("_newcov").alias("_cov")))
+    return (toks.select(id_col, "_n")
+            .join(spans, id_col, "left")
+            .select(
+                id_col,
+                F.col("_n").cast("int").alias("n_tokens"),
+                F.coalesce(F.col("_spans"), F.lit(0)).cast("int")
+                 .alias("n_dup_spans"),
+                F.coalesce(F.col("_cov"), F.lit(0)).cast("int")
+                 .alias("dup_tokens"),
+                (F.col("_n") - F.coalesce(F.col("_cov"), F.lit(0)))
+                .cast("int").alias("clean_tokens")))
+
+
+def duplicate_span_scrub(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 8, min_count: int = 2) -> DataFrame:
+    """Scrub corpus-duplicated spans out of the text itself: every
+    token position covered by a corpus-duplicated k-gram window (see
+    duplicate_span_stats) is dropped and the survivors are rejoined in
+    order. Returns (id, clean_text, n_tokens, kept_tokens).
+
+    Scale shape: dup-gram marking is the same single gram-keyed window
+    shuffle as duplicate_span_stats; covered positions explode k rows
+    per dup gram (bounded blowup, k is a small constant) and distinct
+    on (doc, pos) reuses the doc-keyed shuffle; the surviving-token
+    reassembly is a left-anti join plus one groupBy(doc) — sort_array
+    on (pos, token) structs rebuilds order without a window. All
+    engine-parity string ops; no UDFs."""
+    from pyspark_etl_project_spark.extensions.text import ngram_array, tokens
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    toks = toks.withColumn("_n", F.size("_w"))
+    grams = toks.select(
+        id_col,
+        F.posexplode(ngram_array(F.col("_w"), k)).alias("_start", "_gram"))
+    w_gram = Window.partitionBy("_gram")
+    covered = (grams
+               .withColumn("_c", F.count(F.lit(1)).over(w_gram))
+               .filter(F.col("_c") >= min_count)
+               .select(id_col,
+                       F.explode(
+                           F.sequence(F.col("_start"),
+                                      F.col("_start") + F.lit(k - 1)))
+                       .alias("_pos"))
+               .distinct())
+    positions = toks.select(
+        id_col, "_n",
+        F.posexplode("_w").alias("_pos", "_tok"))
+    kept = positions.join(covered, [id_col, "_pos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.min("_n").alias("_n"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("_pos"), F.col("_tok")))),
+                            lambda s: s["_tok"]),
+                        " ").alias("clean_text"),
+                    F.count(F.lit(1)).alias("_kept")))
+    return (toks.select(id_col, F.col("_n").alias("_nt"))
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("clean_text"), F.lit(""))
+                     .alias("clean_text"),
+                    F.col("_nt").cast("int").alias("n_tokens"),
+                    F.coalesce(F.col("_kept"), F.lit(0)).cast("int")
+                     .alias("kept_tokens")))

@@ -2940,3 +2940,91 @@ def pagerank_doc_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ((i * 31 + 3) % 500).alias("dst"))))
     return (pagerank_integer(nodes, edges, id_col="doc_id", n_iter=3)
             .select("doc_id", F.col("score").cast("long").alias("score")))
+
+
+# --- exact duplicated-substring spans (Lee et al. ExactSubstr) ---------------
+# The suffix-array substring dedup of "Deduplicating Training Data Makes
+# Language Models Better", as a distributed k-gram frequency pass: a span
+# is duplicated iff every k-token window of it repeats corpus-wide, and
+# overlapping windows merge into maximal spans inside ONE doc-keyed
+# window pass (running-max coverage trick — no per-island groupBy).
+# Generalizes the reference's whole-row md5 identity (CDC H1,
+# ETL/CSV_Batch_Processing.py:84-86) below row granularity.
+
+@_q("dup_span_stats", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), tok AS (SELECT doc_id, len(w) AS n_tokens, w FROM t),
+g AS (
+  SELECT doc_id, n_tokens, i AS start,
+         array_to_string(w[i+1:i+8], ' ') AS gram
+  FROM tok, unnest(range(CASE WHEN n_tokens >= 8
+                          THEN n_tokens - 8 + 1 ELSE 0 END)) AS r(i)
+), d AS (
+  SELECT doc_id, n_tokens, start
+  FROM (SELECT doc_id, n_tokens, start,
+               COUNT(*) OVER (PARTITION BY gram) AS c FROM g)
+  WHERE c >= 2
+), s AS (
+  SELECT doc_id, n_tokens, start,
+         COALESCE(MAX(start + 7) OVER (
+             PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) AS pe
+  FROM d
+), agg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN start > pe + 1 THEN 1 ELSE 0 END) AS n_spans,
+         SUM(start + 7 - GREATEST(pe, start - 1)) AS cov
+  FROM s GROUP BY doc_id
+)
+SELECT tok.doc_id, CAST(tok.n_tokens AS INTEGER) AS n_tokens,
+       CAST(COALESCE(agg.n_spans, 0) AS INTEGER) AS n_dup_spans,
+       CAST(COALESCE(agg.cov, 0) AS INTEGER) AS dup_tokens,
+       CAST(tok.n_tokens - COALESCE(agg.cov, 0) AS INTEGER) AS clean_tokens
+FROM tok LEFT JOIN agg USING (doc_id)
+""")
+def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import duplicate_span_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, "doc_id", "text", k=8, min_count=2)
+
+
+@_q("dup_span_scrub_text", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE doc_id < 150
+), tok AS (SELECT doc_id, len(w) AS n_tokens, w FROM t),
+g AS (
+  SELECT doc_id, i AS start, array_to_string(w[i+1:i+8], ' ') AS gram
+  FROM tok, unnest(range(CASE WHEN n_tokens >= 8
+                          THEN n_tokens - 8 + 1 ELSE 0 END)) AS r(i)
+), m AS (
+  SELECT doc_id, start
+  FROM (SELECT doc_id, start, COUNT(*) OVER (PARTITION BY gram) AS c FROM g)
+  WHERE c >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, start + j AS pos
+  FROM m, unnest(range(8)) AS u(j)
+), p AS (
+  SELECT doc_id, n_tokens, j AS pos, w[j+1] AS tok
+  FROM tok, unnest(range(n_tokens)) AS q(j)
+), kept AS (
+  SELECT p.doc_id, p.n_tokens, p.pos, p.tok
+  FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+  WHERE cov.doc_id IS NULL
+), r AS (
+  SELECT doc_id, MIN(n_tokens) AS n_tokens, COUNT(*) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT tok.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       CAST(tok.n_tokens AS INTEGER) AS n_tokens,
+       CAST(COALESCE(r.kept_tokens, 0) AS INTEGER) AS kept_tokens
+FROM tok LEFT JOIN r USING (doc_id)
+""")
+def dup_span_scrub_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import duplicate_span_scrub
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return duplicate_span_scrub(docs, "doc_id", "text", k=8, min_count=2)

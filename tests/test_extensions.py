@@ -1095,3 +1095,70 @@ def test_pagerank_integer_hand_example(spark):
     # iter2: s1 = 150000 + 850*1425000//1000, s2 = 150000 + 850*500000//1000,
     #        s3 = 150000 + 850*(500000 + 575000)//1000
     assert got == {1: 1_361_250, 2: 575_000, 3: 1_063_750}
+
+
+def test_duplicate_span_stats_hand_example(spark):
+    """Docs A and B share one 10-token passage (every 8-gram inside it
+    repeats); C is unique. The two overlapping dup 8-grams per doc must
+    merge into ONE 10-token span; C reports zeros."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        duplicate_span_stats)
+
+    passage = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, "alpha beta " + passage),
+         (2, passage + " gamma delta"),
+         (3, " ".join(f"u{i}" for i in range(12)))],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           duplicate_span_stats(df, "doc_id", "text", k=8).collect()}
+    assert got[1]["n_tokens"] == 12
+    assert got[1]["n_dup_spans"] == 1
+    assert got[1]["dup_tokens"] == 10
+    assert got[1]["clean_tokens"] == 2
+    assert got[2]["dup_tokens"] == 10
+    assert got[3] == {"doc_id": 3, "n_tokens": 12, "n_dup_spans": 0,
+                      "dup_tokens": 0, "clean_tokens": 12}
+
+
+def test_duplicate_span_stats_disjoint_spans(spark):
+    """Two separated duplicated passages in one doc stay two spans
+    (merge only fires on overlap/adjacency)."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        duplicate_span_stats)
+
+    p1 = " ".join(f"a{i}" for i in range(8))
+    p2 = " ".join(f"b{i}" for i in range(8))
+    filler = " ".join(f"f{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [(1, f"{p1} {filler} {p2}"),
+         (2, p1), (3, p2)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           duplicate_span_stats(df, "doc_id", "text", k=8).collect()}
+    assert got[1]["n_dup_spans"] == 2
+    assert got[1]["dup_tokens"] == 16
+    assert got[2] == {"doc_id": 2, "n_tokens": 8, "n_dup_spans": 1,
+                      "dup_tokens": 8, "clean_tokens": 0}
+
+
+def test_duplicate_span_scrub_rebuilds_in_order(spark):
+    """Scrub drops exactly the covered positions and rejoins survivors
+    in original order; a fully-duplicated doc scrubs to ''."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        duplicate_span_scrub)
+
+    passage = " ".join(f"w{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [(1, "alpha " + passage + " omega"),
+         (2, passage),
+         (3, "unique tokens only here nothing repeats at all")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           duplicate_span_scrub(df, "doc_id", "text", k=8).collect()}
+    assert got[1]["clean_text"] == "alpha omega"
+    assert got[1]["kept_tokens"] == 2
+    assert got[2]["clean_text"] == ""
+    assert got[2]["kept_tokens"] == 0
+    assert got[3]["clean_text"] == got[3]["clean_text"].strip()
+    assert got[3]["kept_tokens"] == 8
