@@ -891,3 +891,59 @@ def event_gap_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (gap > F.lit(6 * 3600 * 1_000_000)))
               .select("user_id", F.col("prev_ts").alias("gap_start"),
                       F.col("ts").alias("gap_end"), gap.alias("gap_us")))
+
+
+# --- order-priority late-shipment check (TPC-H Q4 plan shape) -------------
+# EXISTS with a cross-table predicate → left_semi join whose condition
+# spans both sides (orderkey equi + shipdate-vs-orderdate range), then a
+# small groupBy on priority. The semi join shuffles on the order key
+# once; the range predicate rides the same join (no second pass). The
+# testdata carries no commit/receipt dates, so "late" is
+# ship-more-than-90-days-after-order.
+
+@_q("order_priority_late_ship", """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""")
+def order_priority_late_ship_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = ((o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"]
+               > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")))
+    return (o.join(li, cond, "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+# --- customer order-count distribution (TPC-H Q13 plan shape) -------------
+# Double aggregation over a LEFT OUTER join: customers keep their zero
+# row, the first groupBy shuffles on the customer key, and the second
+# (the histogram of per-customer counts) reduces to at-most-max-orders
+# rows — map-side partial aggregation makes it nearly free. The filtered
+# outer side keeps its pushed-down predicate at the scan.
+
+@_q("customer_order_distribution", """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+""")
+def customer_order_distribution_q(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = (load(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "5-LOW"))
+    per_cust = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+                 .groupBy(c["c_custkey"])
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
