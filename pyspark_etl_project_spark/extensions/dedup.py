@@ -741,3 +741,31 @@ def duplicate_span_scrub(df: DataFrame, id_col: str, text_col: str,
                     F.col("_nt").cast("int").alias("n_tokens"),
                     F.coalesce(F.col("_kept"), F.lit(0)).cast("int")
                      .alias("kept_tokens")))
+
+
+def topk_neighbors(pairs: DataFrame, k: int = 3,
+                   scale: int = 1_000_000) -> DataFrame:
+    """Per-document k-nearest-neighbors from an undirected similarity
+    pair list (id_a < id_b with inter_n/union_n, e.g. jaccard_pairs
+    output): symmetrize, score by integer Jaccard ppm, keep each doc's
+    top k with a deterministic (score desc, neighbor asc) tiebreak.
+    The dedup-review UI shape — "show me what this doc nearly is".
+
+    Scale: the symmetrized list is 2|pairs| rows; rank is one window
+    shuffle on doc_id. Candidate generation upstream already bounded
+    the pair count (stop-shingle cap), so no doc can drag in more than
+    its candidate set. Integer ppm scoring keeps the cut exact."""
+    a = pairs.select(F.col("id_a").alias("doc_id"),
+                     F.col("id_b").alias("neighbor"),
+                     "inter_n", "union_n")
+    b = pairs.select(F.col("id_b").alias("doc_id"),
+                     F.col("id_a").alias("neighbor"),
+                     "inter_n", "union_n")
+    sym = a.unionByName(b).withColumn(
+        "jaccard_ppm",
+        F.expr(f"inter_n * {scale} div union_n"))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.desc("jaccard_ppm"), F.asc("neighbor")))
+    return (sym.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .select("doc_id", "rank", "neighbor", "jaccard_ppm"))

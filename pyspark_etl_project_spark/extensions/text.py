@@ -735,3 +735,46 @@ def keyword_topic_tags(df, id_col: str, text_col: str,
                  .alias("primary_hits"),
                  F.count(F.lit(1)).alias("n_topics"),
                  F.sum("n_hits").alias("total_hits")))
+
+
+def ngram_novelty(df, text_col: str, group_col: str, n: int = 3):
+    """Per-group n-gram novelty: total n-gram occurrences vs distinct
+    n-grams, with novelty = distinct/total in integer ppm. The corpus
+    self-repetition diagnostic (a crawl that re-serves the same pages
+    under one source scores low) — the corpus-level complement of the
+    per-doc dup_ngram_bp signal.
+
+    Scale: one explode then a two-level aggregate; Spark plans the
+    COUNT DISTINCT as partial-agg on (group, gram) before the final
+    group shuffle, so the wide key never reaches one reducer."""
+    c = F.col(group_col)
+    g = df.select(c.alias("grp"),
+                  F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    return (g.groupBy(F.col("grp").alias(group_col))
+             .agg(F.count(F.lit(1)).alias("total_ngrams"),
+                  F.countDistinct("gram").alias("distinct_ngrams"))
+             .withColumn("novelty_ppm",
+                         F.expr("distinct_ngrams * 1000000 div total_ngrams")))
+
+
+def curriculum_buckets(df, id_col: str, order_col: str,
+                       n_buckets: int = 10):
+    """Deterministic curriculum bucketing: rank every row by
+    (``order_col``, ``id_col``) with the two-phase range-partitioned
+    row number (operators/scd2.py:dense_row_number — never a
+    one-task global window), then bucket i = (rank-1)*n_buckets div N.
+    Integer-exact ntile: bucket sizes differ by at most one and the
+    assignment is reproducible across runs and cluster sizes — the
+    property a resumable curriculum schedule needs.
+
+    The row total joins back as a broadcast single-row aggregate (no
+    driver-side action). Returns the input columns plus ``bucket``."""
+    from pyspark_etl_project_spark.operators.scd2 import dense_row_number
+
+    numbered = dense_row_number(df, [order_col, id_col], "_rn")
+    total = numbered.agg(F.count(F.lit(1)).alias("_total"))
+    return (numbered.crossJoin(F.broadcast(total))
+            .withColumn("bucket",
+                        F.expr(f"cast((_rn - 1) * {n_buckets} div _total"
+                               " as int)"))
+            .drop("_rn", "_total"))

@@ -3028,3 +3028,118 @@ def dup_span_scrub_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return duplicate_span_scrub(docs, "doc_id", "text", k=8, min_count=2)
+
+
+# --- per-doc top-k nearest neighbors by n-gram Jaccard -----------------------
+# The dedup-review companion of dedup_ngram_jaccard: same inverted-index
+# candidate generation (shingle-keyed shuffle, stop-shingle cap 50),
+# then symmetrize and keep each doc's 3 best by integer-ppm Jaccard with
+# a (score desc, neighbor asc) tiebreak — one doc-keyed window shuffle.
+
+@_q("neardup_topk_neighbors", """
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(w) - 2),
+                       i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id < 300)
+), inv0 AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), rare AS (
+  SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) <= 50
+), inv AS (
+  SELECT inv0.doc_id, inv0.s FROM inv0 JOIN rare USING (s)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_n
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(sh) AS sz FROM docs),
+pp AS (
+  SELECT id_a, id_b, inter_n, (sa.sz + sb.sz - inter_n) AS union_n
+  FROM pairs
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+), sym AS (
+  SELECT id_a AS doc_id, id_b AS neighbor, inter_n, union_n FROM pp
+  UNION ALL
+  SELECT id_b AS doc_id, id_a AS neighbor, inter_n, union_n FROM pp
+), ranked AS (
+  SELECT doc_id, neighbor, inter_n * 1000000 // union_n AS jaccard_ppm,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY inter_n * 1000000 // union_n DESC,
+                                     neighbor) AS rnk
+  FROM sym)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rank, neighbor,
+       CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm
+FROM ranked WHERE rnk <= 3
+""")
+def neardup_topk_neighbors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import topk_neighbors
+
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300)
+            .select("doc_id", word_shingles("text", 3).alias("sh")))
+    pairs = jaccard_pairs(docs, "doc_id", "sh", threshold_num=0,
+                          threshold_den=1, max_doc_freq=50)
+    return topk_neighbors(pairs, k=3)
+
+
+# --- corpus n-gram novelty per source ----------------------------------------
+# Distinct-vs-total trigram occurrences per source bucket, integer ppm:
+# the corpus-level self-repetition diagnostic (per-doc repetition is
+# text_repetition_signals; this catches a source whose DOCS repeat each
+# other). COUNT DISTINCT plans as a two-level partial aggregate.
+
+@_q("ngram_novelty_per_source", """
+WITH g AS (
+  SELECT source,
+         unnest(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' '))) AS gram
+  FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents)
+)
+SELECT source, COUNT(*) AS total_ngrams,
+       COUNT(DISTINCT gram) AS distinct_ngrams,
+       CAST(COUNT(DISTINCT gram) * 1000000 // COUNT(*) AS BIGINT)
+         AS novelty_ppm
+FROM g GROUP BY source
+""")
+def ngram_novelty_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.ngram_novelty(docs, "text", "source", n=3)
+
+
+# --- deterministic curriculum buckets ----------------------------------------
+# Integer-exact ntile over (token count, doc_id) via the two-phase
+# range-partitioned row number — the schedule a curriculum trainer
+# resumes from must not depend on cluster size or run order. Gate
+# checks the per-bucket occupancy and token-length envelope.
+
+@_q("curriculum_length_buckets", """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rn,
+         COUNT(*) OVER () AS total
+  FROM t
+)
+SELECT CAST((rn - 1) * 10 // total AS INTEGER) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_tokens) AS INTEGER) AS min_tokens,
+       CAST(MAX(n_tokens) AS INTEGER) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM r GROUP BY 1
+""")
+def curriculum_length_buckets_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", X.token_count("text").alias("n_tokens")))
+    b = X.curriculum_buckets(docs, "doc_id", "n_tokens", n_buckets=10)
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_tokens").cast("int").alias("min_tokens"),
+                 F.max("n_tokens").cast("int").alias("max_tokens"),
+                 F.sum("n_tokens").cast("long").alias("sum_tokens")))

@@ -1162,3 +1162,61 @@ def test_duplicate_span_scrub_rebuilds_in_order(spark):
     assert got[2]["kept_tokens"] == 0
     assert got[3]["clean_text"] == got[3]["clean_text"].strip()
     assert got[3]["kept_tokens"] == 8
+
+
+def test_topk_neighbors_symmetrize_and_tiebreak(spark):
+    """Pairs symmetrize both directions; equal scores break on the
+    smaller neighbor id; k cuts after ranking."""
+    from pyspark_etl_project_spark.extensions.dedup import topk_neighbors
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 5, 10),   # jaccard 500000
+         (1, 3, 5, 10),   # tie with (1,2) -> neighbor 2 ranks first
+         (1, 4, 9, 10),   # 900000, best
+         (2, 3, 1, 10)],
+        "id_a long, id_b long, inter_n long, union_n long")
+    got = [(r["doc_id"], r["rank"], r["neighbor"], r["jaccard_ppm"])
+           for r in topk_neighbors(pairs, k=2)
+           .orderBy("doc_id", "rank").collect()]
+    assert got == [
+        (1, 1, 4, 900000), (1, 2, 2, 500000),
+        (2, 1, 1, 500000), (2, 2, 3, 100000),
+        (3, 1, 1, 500000), (3, 2, 2, 100000),
+        (4, 1, 1, 900000)]
+
+
+def test_ngram_novelty_counts(spark):
+    """'a b c a b c' has 4 trigrams, 3 distinct ('a b c' twice plus the
+    two wrap phrases) -> 750000 ppm; all-unique trigrams -> 1000000."""
+    from pyspark_etl_project_spark.extensions.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [("s1", "a b c a b c"), ("s2", "p q r s t")],
+        "source string, text string")
+    got = {r["source"]: r.asDict() for r in
+           ngram_novelty(df, "text", "source", n=3).collect()}
+    assert got["s1"]["total_ngrams"] == 4
+    assert got["s1"]["distinct_ngrams"] == 3
+    assert got["s1"]["novelty_ppm"] == 750000
+    assert got["s2"] == {"source": "s2", "total_ngrams": 3,
+                         "distinct_ngrams": 3, "novelty_ppm": 1000000}
+
+
+def test_curriculum_buckets_exact_ntile(spark):
+    """12 rows into 4 buckets -> occupancy 3/3/3/3, ordered by the
+    order column with id tiebreak; reruns give identical buckets."""
+    from pyspark_etl_project_spark.extensions.text import curriculum_buckets
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 12) for i in range(12)], "doc_id long, v long")
+    out = curriculum_buckets(df, "doc_id", "v", n_buckets=4)
+    rows = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    sizes = {}
+    for b in rows.values():
+        sizes[b] = sizes.get(b, 0) + 1
+    assert sizes == {0: 3, 1: 3, 2: 3, 3: 3}
+    # v = (7i) mod 12 is a permutation of 0..11: bucket = v * 4 // 12
+    assert all(rows[i] == ((i * 7) % 12) * 4 // 12 for i in range(12))
+    again = {r["doc_id"]: r["bucket"]
+             for r in curriculum_buckets(df, "doc_id", "v", 4).collect()}
+    assert again == rows
