@@ -633,14 +633,15 @@ def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str,
     corpus-duplicated (for merged maximal spans the two formulations
     mark the same token positions).
 
-    Scale shape (3 shuffles, all key-bounded):
-    1. gram-frequency window: one shuffle on the gram string. At 100 TB
-       you would group on xxhash64(gram) to shrink the shuffle key; the
-       raw string is kept here so the DuckDB oracle replays it
-       verbatim. Per-gram groups are doc-frequency-bounded the same way
-       jaccard_pairs' inverted index is, and a boilerplate gram that IS
-       skewed hits AQE's skew split (no k² blowup exists — no
-       self-join, just a count).
+    Scale shape (all key-bounded):
+    1. gram-frequency pass: a map-combined groupBy on the gram string
+       (one row per distinct gram reaches the shuffle) plus a
+       left_semi join marking dup positions — a join, so a boilerplate
+       gram present in 30% of docs hits AQE's skew split instead of
+       funneling one task (a count WINDOW over the gram would). At
+       100 TB you would group on xxhash64(gram) to shrink the shuffle
+       key; the raw string is kept so the DuckDB oracle replays it
+       verbatim.
     2. span merge: one shuffle on doc_id (window ordered by start).
        The "newly covered tokens" running-max trick folds interval
        merging into the same window pass — no groupBy(doc, island)
@@ -655,11 +656,18 @@ def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str,
     grams = toks.select(
         id_col, "_n",
         F.posexplode(ngram_array(F.col("_w"), k)).alias("_start", "_gram"))
-    w_gram = Window.partitionBy("_gram")
-    dup = (grams
-           .withColumn("_c", F.count(F.lit(1)).over(w_gram))
-           .filter(F.col("_c") >= min_count)
-           .drop("_c", "_gram"))
+    # Duplicated-gram marking is groupBy + left_semi, NOT a count
+    # window over the gram: a window partitioned on the gram funnels
+    # every occurrence of a hot gram (a boilerplate passage present in
+    # 30% of docs) into ONE task with no partial aggregation and no
+    # AQE skew split. The groupBy map-combines to one row per distinct
+    # gram before its shuffle, and the semi join back is a join — AQE
+    # splits an oversized gram partition across tasks.
+    dup_grams = (grams.groupBy("_gram")
+                 .agg(F.count(F.lit(1)).alias("_c"))
+                 .filter(F.col("_c") >= min_count)
+                 .select("_gram"))
+    dup = grams.join(dup_grams, "_gram", "left_semi").drop("_gram")
     w_doc = (Window.partitionBy(id_col).orderBy("_start")
              .rowsBetween(Window.unboundedPreceding, -1))
     # -2 sentinel: a real previous span can end at -1 + k - 1 >= 0, so
@@ -710,10 +718,13 @@ def duplicate_span_scrub(df: DataFrame, id_col: str, text_col: str,
     grams = toks.select(
         id_col,
         F.posexplode(ngram_array(F.col("_w"), k)).alias("_start", "_gram"))
-    w_gram = Window.partitionBy("_gram")
-    covered = (grams
-               .withColumn("_c", F.count(F.lit(1)).over(w_gram))
-               .filter(F.col("_c") >= min_count)
+    # Same skew-safe marking as duplicate_span_stats: map-combined
+    # gram counts + left_semi, never a gram-partitioned count window.
+    dup_grams = (grams.groupBy("_gram")
+                 .agg(F.count(F.lit(1)).alias("_c"))
+                 .filter(F.col("_c") >= min_count)
+                 .select("_gram"))
+    covered = (grams.join(dup_grams, "_gram", "left_semi")
                .select(id_col,
                        F.explode(
                            F.sequence(F.col("_start"),
@@ -751,19 +762,24 @@ def topk_neighbors(pairs: DataFrame, k: int = 3,
     top k with a deterministic (score desc, neighbor asc) tiebreak.
     The dedup-review UI shape — "show me what this doc nearly is".
 
-    Scale: the symmetrized list is 2|pairs| rows; rank is one window
+    Scale: the symmetrized list is 2|pairs| rows, produced by a single
+    explode (no second pass over the pair lineage); rank is one window
     shuffle on doc_id. Candidate generation upstream already bounded
     the pair count (stop-shingle cap), so no doc can drag in more than
     its candidate set. Integer ppm scoring keeps the cut exact."""
-    a = pairs.select(F.col("id_a").alias("doc_id"),
-                     F.col("id_b").alias("neighbor"),
-                     "inter_n", "union_n")
-    b = pairs.select(F.col("id_b").alias("doc_id"),
-                     F.col("id_a").alias("neighbor"),
-                     "inter_n", "union_n")
-    sym = a.unionByName(b).withColumn(
-        "jaccard_ppm",
-        F.expr(f"inter_n * {scale} div union_n"))
+    # Symmetrize with ONE explode, not a self-union: a union replays
+    # the whole candidate-generation lineage per branch (audited: 34
+    # plan exchanges / 12 scans on the gated query vs 17/6 this way).
+    both = F.array(
+        F.struct(F.col("id_a").alias("doc_id"),
+                 F.col("id_b").alias("neighbor"),
+                 F.col("inter_n"), F.col("union_n")),
+        F.struct(F.col("id_b").alias("doc_id"),
+                 F.col("id_a").alias("neighbor"),
+                 F.col("inter_n"), F.col("union_n")))
+    sym = (pairs.select(F.explode(both).alias("e")).select("e.*")
+           .withColumn("jaccard_ppm",
+                       F.expr(f"inter_n * {scale} div union_n")))
     w = (Window.partitionBy("doc_id")
          .orderBy(F.desc("jaccard_ppm"), F.asc("neighbor")))
     return (sym.withColumn("rank", F.row_number().over(w))

@@ -772,7 +772,11 @@ def curriculum_buckets(df, id_col: str, order_col: str,
     from pyspark_etl_project_spark.operators.scd2 import dense_row_number
 
     numbered = dense_row_number(df, [order_col, id_col], "_rn")
-    total = numbered.agg(F.count(F.lit(1)).alias("_total"))
+    # Count from the RAW input, not the numbered frame: the numbered
+    # lineage carries the range exchange + offsets side plan, and a
+    # third consumer of it would replay those plan nodes. Row count is
+    # invariant under numbering, so the cheap branch is safe.
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
     return (numbered.crossJoin(F.broadcast(total))
             .withColumn("bucket",
                         F.expr(f"cast((_rn - 1) * {n_buckets} div _total"

@@ -283,6 +283,58 @@ def probe_blocklist_filter(spark: SparkSession, n: int) -> None:
     _materialize(blocklist_verdicts(urls, "doc_id", "url", bl))
 
 
+def probe_dup_span_hot_passage(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.dedup import (
+        duplicate_span_stats)
+
+    # 16-token docs; 30% carry the SAME 10-token passage, so every
+    # k-gram of the passage occurs in 0.3n docs — the hot-gram skew the
+    # groupBy+semi-join marking must absorb (a gram-partitioned count
+    # window would funnel 0.3n rows into one task here).
+    passage = "cookie banner please accept all terms to continue reading now"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 3,
+               F.concat_ws(" ",
+                           F.concat(F.lit("u"), F.col("id")),
+                           F.lit(passage),
+                           F.concat(F.lit("v"), F.col("id")),
+                           F.lit("alpha beta gamma delta")))
+         .otherwise(F.concat_ws(" ", *[
+             F.concat(F.lit(f"t{i}x"), F.col("id")) for i in range(16)]))
+         .alias("text"))
+    _materialize(duplicate_span_stats(docs, "doc_id", "text", k=8))
+
+
+def probe_topk_neighbors(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.dedup import (
+        jaccard_pairs, topk_neighbors, word_shingles)
+
+    # Clusters of 4 near-identical docs (shared 6-token core + 2 unique
+    # tokens) — candidate pairs stay bounded per shingle by the
+    # max_doc_freq cap while every doc has real neighbors to rank.
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ",
+                    F.lit("shared core tokens run the corpus"),
+                    F.concat(F.lit("c"), (F.col("id") / 4).cast("long")),
+                    F.concat(F.lit("q"), F.col("id")))
+         .alias("text"))
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
+    pairs = jaccard_pairs(sh, "doc_id", "sh", threshold_num=0,
+                          threshold_den=1, max_doc_freq=50)
+    _materialize(topk_neighbors(pairs, k=3))
+
+
+def probe_curriculum_buckets(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.text import curriculum_buckets
+
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 2654435761) % 4096).alias("n_tokens"))
+    _materialize(curriculum_buckets(docs, "doc_id", "n_tokens", 10))
+
+
 PROBES = {
     # name: (fn, base_n)  — 100× runs at base_n * AMP
     "boilerplate_scrub_30pct_hot_line": (probe_boilerplate, 10_000),
@@ -301,6 +353,10 @@ PROBES = {
     "rare_token_scores_zipf": (probe_rare_token_scores, 10_000),
     "bpe_train_2rounds_growing_vocab": (probe_bpe_train_rounds, 10_000),
     "blocklist_filter_1k_entries": (probe_blocklist_filter, 100_000),
+    # round-6 second wave
+    "dup_span_30pct_hot_passage": (probe_dup_span_hot_passage, 10_000),
+    "jaccard_topk_neighbors_clustered": (probe_topk_neighbors, 10_000),
+    "curriculum_buckets_rangeparted": (probe_curriculum_buckets, 100_000),
 }
 
 

@@ -42,6 +42,10 @@ DEFAULT = [
     "cross_source_overlap", "source_dataset_card",
     "mad_length_outliers", "keyword_topic_tags",
     "pagerank_doc_links",
+    # round 6, second wave
+    "dup_span_stats", "dup_span_scrub_text", "neardup_topk_neighbors",
+    "ngram_novelty_per_source", "curriculum_length_buckets",
+    "order_priority_late_ship", "customer_order_distribution",
 ]
 
 
