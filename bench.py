@@ -99,6 +99,13 @@ HEADLINE = [
     "mad_length_outliers",
     "keyword_topic_tags",
     "pagerank_doc_links",
+    # round 6, second wave
+    "dup_span_stats",
+    "neardup_topk_neighbors",
+    "ngram_novelty_per_source",
+    "curriculum_length_buckets",
+    "order_priority_late_ship",
+    "customer_order_distribution",
 ]
 
 

@@ -785,3 +785,29 @@ def topk_neighbors(pairs: DataFrame, k: int = 3,
     return (sym.withColumn("rank", F.row_number().over(w))
                .filter(F.col("rank") <= k)
                .select("doc_id", "rank", "neighbor", "jaccard_ppm"))
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_ppm: Column,
+                    salt: str = "wsample-v1") -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep a row iff its
+    seeded md5 uniform (48 hash bits mod 1e6) falls under the row's
+    integer ppm weight — the quality-proportional subsampling step of a
+    curation pipeline (keep high-quality docs with probability ~1,
+    low-quality with probability ~weight), reproducible across runs,
+    engines and cluster sizes because there is no RNG state at all.
+
+    ``weight_ppm`` is any integer column expression in [0, 1_000_000].
+    Map-only: no shuffle, no collect; the filter composes with scan
+    pushdown for any plain input columns it references. The mod-1e6
+    fold of 48 uniform bits has bias < 4e-9 — far below the ppm
+    resolution of the weights themselves.
+
+    Returns the input rows that survive, plus ``weight_ppm`` and the
+    drawn ``u_ppm`` (both useful for audit / inverse-propensity
+    reweighting downstream)."""
+    h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    u = (F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+         % F.lit(1_000_000)).alias("u_ppm")
+    return (df.withColumn("weight_ppm", weight_ppm.cast("long"))
+              .withColumn("u_ppm", u)
+              .filter(F.col("u_ppm") < F.col("weight_ppm")))

@@ -3143,3 +3143,35 @@ def curriculum_length_buckets_q(spark: SparkSession,
                  F.min("n_tokens").cast("int").alias("min_tokens"),
                  F.max("n_tokens").cast("int").alias("max_tokens"),
                  F.sum("n_tokens").cast("long").alias("sum_tokens")))
+
+
+# --- deterministic quality-weighted sampling ---------------------------------
+# Keep probability proportional to token count (capped at 1): the
+# quality-proportional subsample of a curation pipeline, RNG-free —
+# md5(salt|id) 48-bit uniform vs an integer ppm weight, replayed
+# bit-for-bit by the oracle. Map-only plan: zero shuffles.
+
+@_q("weighted_quality_sample", """
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CAST(concat('0x', substr(md5(concat('wsample-v1|',
+              CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT) % 1000000
+           AS u_ppm
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(LEAST(1000000, n_tokens * 2000) AS BIGINT) AS weight_ppm,
+       u_ppm
+FROM d
+WHERE u_ppm < LEAST(1000000, n_tokens * 2000)
+""")
+def weighted_quality_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import weighted_sample
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    X.token_count("text").alias("n_tokens")))
+    w = F.least(F.lit(1_000_000), F.col("n_tokens") * 2000)
+    return (weighted_sample(docs, "doc_id", w)
+            .select("doc_id", "source", "weight_ppm", "u_ppm"))

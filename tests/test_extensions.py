@@ -1220,3 +1220,26 @@ def test_curriculum_buckets_exact_ntile(spark):
     again = {r["doc_id"]: r["bucket"]
              for r in curriculum_buckets(df, "doc_id", "v", 4).collect()}
     assert again == rows
+
+
+def test_weighted_sample_matches_hashlib(spark):
+    """The kept set is exactly {id : md5-48-bit-uniform % 1e6 < w};
+    weight >= 1e6 keeps everything, weight 0 keeps nothing."""
+    import hashlib
+
+    from pyspark_etl_project_spark.extensions.dedup import weighted_sample
+
+    def u(i):
+        return int(hashlib.md5(f"wsample-v1|{i}".encode())
+                   .hexdigest()[:12], 16) % 1_000_000
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    kept = {r["doc_id"]: r["u_ppm"] for r in
+            weighted_sample(df, "doc_id", F.lit(300_000)).collect()}
+    expect = {i: u(i) for i in range(200) if u(i) < 300_000}
+    assert kept == expect
+    assert 0 < len(kept) < 200
+    all_kept = weighted_sample(df, "doc_id", F.lit(1_000_000)).count()
+    assert all_kept == 200
+    none_kept = weighted_sample(df, "doc_id", F.lit(0)).count()
+    assert none_kept == 0
