@@ -811,3 +811,58 @@ def weighted_sample(df: DataFrame, id_col: str, weight_ppm: Column,
     return (df.withColumn("weight_ppm", weight_ppm.cast("long"))
               .withColumn("u_ppm", u)
               .filter(F.col("u_ppm") < F.col("weight_ppm")))
+
+
+def minhash_calibration(df: DataFrame, id_col: str, text_col: str,
+                        num_hashes: int = 8, num_bands: int = 4,
+                        shingle_n: int = 3) -> DataFrame:
+    """Estimator-quality harness for the MinHash dedup path: for every
+    LSH candidate pair, the signature-agreement estimate of Jaccard
+    (matching positions / num_hashes) side-by-side with the EXACT
+    shingle Jaccard, plus the integer-ppm error. This is how a curation
+    run picks num_hashes/num_bands: if err_ppm is wide at the
+    dedup threshold, the signature is too short for the corpus.
+
+    One pass computes shingles+signature per doc; candidates come from
+    the banded join (bucket-keyed shuffle, never n²); the per-pair
+    exact Jaccard intersects the two shingle ARRAYS carried into the
+    pair row — array work bounded by doc shingle counts, no extra
+    shuffle beyond the two signature joins. All integer outputs."""
+    base = (df.select(F.col(id_col).alias("_id"),
+                      word_shingles(text_col, shingle_n).alias("_sh"))
+              .filter(F.size("_sh") > 0)
+              .select("_id", "_sh",
+                      minhash_signature(F.col("_sh"), num_hashes)
+                      .alias("_sig")))
+    rows_per_band = num_hashes // num_bands
+    banded = base.select("_id", F.explode(
+        lsh_bands(F.col("_sig"), num_bands, rows_per_band)).alias("b"))
+    flat = banded.select("_id", F.col("b.band_id").alias("band_id"),
+                         F.col("b.band_hash").alias("band_hash"))
+    pairs = (flat.alias("x").join(flat.alias("y"),
+                                  on=["band_id", "band_hash"])
+             .filter(F.col("x._id") < F.col("y._id"))
+             .groupBy(F.col("x._id").alias("id_a"),
+                      F.col("y._id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+    a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"),
+                    F.col("_sig").alias("_siga"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"),
+                    F.col("_sig").alias("_sigb"))
+    est = F.expr("aggregate(zip_with(_siga, _sigb, "
+                 "(x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("est_matches", est)
+            .withColumn("inter_n", inter)
+            .withColumn("union_n",
+                        F.size("_sha") + F.size("_shb") - F.col("inter_n"))
+            .select("id_a", "id_b", "n_shared_bands",
+                    F.col("est_matches").cast("int").alias("est_matches"),
+                    F.expr(f"est_matches * 1000000 div {num_hashes}")
+                     .alias("est_ppm"),
+                    F.expr("inter_n * 1000000 div union_n")
+                     .alias("exact_ppm"),
+                    F.expr(f"abs(est_matches * 1000000 div {num_hashes}"
+                           " - inter_n * 1000000 div union_n)")
+                     .alias("err_ppm")))

@@ -3175,3 +3175,46 @@ def weighted_quality_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.least(F.lit(1_000_000), F.col("n_tokens") * 2000)
     return (weighted_sample(docs, "doc_id", w)
             .select("doc_id", "source", "weight_ppm", "u_ppm"))
+
+
+# --- MinHash estimator calibration -------------------------------------------
+# For every LSH candidate pair: signature-agreement Jaccard estimate vs
+# the exact shingle Jaccard, integer ppm, plus the absolute error — the
+# harness that sizes num_hashes/num_bands before a corpus-wide run.
+# Oracle recomputes both estimates independently from the shared
+# minhash CTE (signatures) plus the shingle sets.
+
+@_q("minhash_estimator_calibration", f"""
+{_MINHASH_PAIRS_CTE},
+enriched AS (
+  SELECT p.id_a, p.id_b, p.n_shared_bands,
+         len(list_filter(range(8),
+             i -> sa.sg[i+1] = sb.sg[i+1])) AS est_matches,
+         len(list_intersect(da.sh, db.sh)) AS inter_n,
+         len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))
+           AS union_n
+  FROM pairs p
+  JOIN sig sa ON p.id_a = sa.doc_id
+  JOIN sig sb ON p.id_b = sb.doc_id
+  JOIN docs da ON p.id_a = da.doc_id
+  JOIN docs db ON p.id_b = db.doc_id
+)
+SELECT id_a, id_b, n_shared_bands,
+       CAST(est_matches AS INTEGER) AS est_matches,
+       CAST(est_matches * 1000000 // 8 AS BIGINT) AS est_ppm,
+       CAST(inter_n * 1000000 // union_n AS BIGINT) AS exact_ppm,
+       CAST(abs(est_matches * 1000000 // 8
+                - inter_n * 1000000 // union_n) AS BIGINT) AS err_ppm
+FROM enriched
+""")
+def minhash_estimator_calibration_q(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import minhash_calibration
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    near = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" extratoken")).alias("text"))
+    base = docs.select("doc_id", "text").unionByName(near)
+    return minhash_calibration(base, "doc_id", "text",
+                               num_hashes=8, num_bands=4, shingle_n=3)

@@ -1243,3 +1243,25 @@ def test_weighted_sample_matches_hashlib(spark):
     assert all_kept == 200
     none_kept = weighted_sample(df, "doc_id", F.lit(0)).count()
     assert none_kept == 0
+
+
+def test_minhash_calibration_exact_on_identical_docs(spark):
+    """Identical docs agree on all 8 signature positions and have exact
+    Jaccard 1.0 -> est_ppm = exact_ppm = 1e6, err 0; a near-dup pair
+    keeps err_ppm = |est - exact| consistent with its own columns."""
+    from pyspark_etl_project_spark.extensions.dedup import minhash_calibration
+
+    text = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, text + " extra")],
+        "doc_id long, text string")
+    rows = {(r["id_a"], r["id_b"]): r.asDict() for r in
+            minhash_calibration(df, "doc_id", "text").collect()}
+    ident = rows[(1, 2)]
+    assert ident["est_matches"] == 8
+    assert ident["est_ppm"] == 1_000_000
+    assert ident["exact_ppm"] == 1_000_000
+    assert ident["err_ppm"] == 0
+    for r in rows.values():
+        assert r["err_ppm"] == abs(r["est_ppm"] - r["exact_ppm"])
+        assert 0 <= r["est_matches"] <= 8
