@@ -8,7 +8,7 @@ heuristics, document fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Tiny embedded stopword lists for the n-gram language heuristic.
@@ -782,3 +782,50 @@ def curriculum_buckets(df, id_col: str, order_col: str,
                         F.expr(f"cast((_rn - 1) * {n_buckets} div _total"
                                " as int)"))
             .drop("_rn", "_total"))
+
+
+def kmv_distinct_sketch(df, group_col: str, value_col: str,
+                        k: int = 64, salt: str = "kmv-v1"):
+    """KMV (k-minimum-values) distinct-count sketch per group, fully
+    deterministic: each distinct value hashes to a 48-bit md5 integer;
+    the k-th smallest hash h_k estimates the distinct count as
+    (k-1) * 2^48 div h_k (pure integer math, so the oracle replays the
+    estimator bit-for-bit — unlike HLL implementations whose hash
+    seeds differ per engine). The sketch shape a 100 TB cardinality
+    pass would ship: per group only k hashes survive, merged
+    associatively; here the k-th minimum is selected by a grouped
+    window over the (group, hash) distinct set.
+
+    Returns (group, kth_min_hash, est_distinct, exact_distinct,
+    err_ppm) — the calibration view; a production caller would drop
+    the exact column (whose computation is the expensive part this
+    sketch exists to avoid)."""
+    c = F.col(group_col)
+    hashed = (df.select(c.alias("grp"), F.col(value_col).alias("v"))
+                .distinct()
+                .withColumn("h", F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{salt}|"),
+                                               F.col("v"))), 1, 12),
+                    16, 10).cast("long")))
+    w = Window.partitionBy("grp").orderBy("h")
+    kth = (hashed.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == k)
+           .select("grp", F.col("h").alias("kth_min_hash")))
+    exact = hashed.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("exact_distinct"))
+    max_h = 1 << 48
+    return (exact.join(kth, "grp", "left")
+            .select(F.col("grp").alias(group_col),
+                    "kth_min_hash",
+                    F.expr(f"cast(case when kth_min_hash is null then"
+                           " exact_distinct else"
+                           f" ({k} - 1) * cast({max_h} as bigint)"
+                           " div kth_min_hash end as bigint)")
+                     .alias("est_distinct"),
+                    "exact_distinct",
+                    F.expr("abs(cast((case when kth_min_hash is null then"
+                           " exact_distinct else"
+                           f" ({k} - 1) * cast({max_h} as bigint)"
+                           " div kth_min_hash end) as bigint)"
+                           " - exact_distinct) * 1000000"
+                           " div exact_distinct").alias("err_ppm")))

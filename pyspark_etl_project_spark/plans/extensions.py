@@ -3218,3 +3218,52 @@ def minhash_estimator_calibration_q(spark: SparkSession,
     base = docs.select("doc_id", "text").unionByName(near)
     return minhash_calibration(base, "doc_id", "text",
                                num_hashes=8, num_bands=4, shingle_n=3)
+
+
+# --- KMV distinct-count sketch calibration -----------------------------------
+# Deterministic k-minimum-values sketch (48-bit md5 hashes, integer
+# estimator (k-1)*2^48 div h_k) per source over distinct trigrams,
+# alongside the exact count and the integer-ppm error — the sketch an
+# engine would ship for 100 TB cardinality estimates, gated exactly
+# because the hash is engine-portable md5, not an engine-seeded HLL.
+
+@_q("kmv_distinct_sketch_trigrams", """
+WITH t AS (
+  SELECT source, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), g AS (
+  SELECT source, unnest(list_transform(range(len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' '))) AS v
+  FROM t
+), d AS (
+  SELECT DISTINCT source AS grp, v FROM g
+), h AS (
+  SELECT grp, CAST(concat('0x', substr(md5('kmv-v1|' || v), 1, 12))
+               AS BIGINT) AS h
+  FROM d
+), kth AS (
+  SELECT grp, h AS kth_min_hash
+  FROM (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h)
+               AS rn FROM h)
+  WHERE rn = 64
+), exact AS (
+  SELECT grp, COUNT(*) AS exact_distinct FROM h GROUP BY grp
+)
+SELECT exact.grp AS source, kth.kth_min_hash,
+       CAST(CASE WHEN kth.kth_min_hash IS NULL THEN exact.exact_distinct
+            ELSE 63 * CAST(281474976710656 AS BIGINT) // kth.kth_min_hash
+            END AS BIGINT) AS est_distinct,
+       CAST(exact.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(abs((CASE WHEN kth.kth_min_hash IS NULL
+                 THEN exact.exact_distinct
+                 ELSE 63 * CAST(281474976710656 AS BIGINT)
+                      // kth.kth_min_hash END) - exact.exact_distinct)
+            * 1000000 // exact.exact_distinct AS BIGINT) AS err_ppm
+FROM exact LEFT JOIN kth ON exact.grp = kth.grp
+""")
+def kmv_distinct_sketch_trigrams_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select("source",
+                        F.explode(X.word_ngrams(F.col("text"), 3))
+                        .alias("gram"))
+    return X.kmv_distinct_sketch(grams, "source", "gram", k=64)

@@ -1265,3 +1265,27 @@ def test_minhash_calibration_exact_on_identical_docs(spark):
     for r in rows.values():
         assert r["err_ppm"] == abs(r["est_ppm"] - r["exact_ppm"])
         assert 0 <= r["est_matches"] <= 8
+
+
+def test_kmv_sketch_small_group_falls_back_exact(spark):
+    """A group with fewer than k distinct values has no k-th minimum:
+    est falls back to the exact count (err 0); a large group's estimate
+    matches the hand-computed integer formula."""
+    import hashlib
+
+    from pyspark_etl_project_spark.extensions.text import kmv_distinct_sketch
+
+    rows = [("small", f"v{i}") for i in range(5)]
+    rows += [("big", f"w{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = {r["grp"]: r.asDict() for r in
+           kmv_distinct_sketch(df, "grp", "v", k=16).collect()}
+    assert got["small"]["kth_min_hash"] is None
+    assert got["small"]["est_distinct"] == 5
+    assert got["small"]["err_ppm"] == 0
+    hs = sorted(int(hashlib.md5(f"kmv-v1|w{i}".encode()).hexdigest()[:12], 16)
+                for i in range(300))
+    kth = hs[15]
+    assert got["big"]["kth_min_hash"] == kth
+    assert got["big"]["est_distinct"] == 15 * (1 << 48) // kth
+    assert got["big"]["exact_distinct"] == 300
