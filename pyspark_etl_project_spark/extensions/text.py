@@ -829,3 +829,39 @@ def kmv_distinct_sketch(df, group_col: str, value_col: str,
                            " div kth_min_hash end) as bigint)"
                            " - exact_distinct) * 1000000"
                            " div exact_distinct").alias("err_ppm")))
+
+
+def collocations_topk(df, text_col: str, k: int = 50,
+                      min_count: int = 5):
+    """Top-k collocations by integer lift — the PMI-style association
+    mining pass (which token pairs co-occur far above chance) that
+    feeds phrase vocabularies and tokenizer merges. Lift is kept in
+    exact integer milli-units, lift_milli = c_ab * N * 1000 div
+    (c_a * c_b) (PMI's exp without the log — same ranking), so the
+    cut and tiebreak are engine-exact.
+
+    Scale: bigram and unigram counts are map-combined groupBys; the
+    two enrichment joins shuffle on the token (vocabulary-keyed, Zipf
+    head absorbed by AQE skew split); the final top-k compiles to
+    TakeOrderedAndProject (per-partition heap, k rows to the driver).
+    The deterministic (lift desc, pair asc) order makes the k-cut
+    reproducible."""
+    toks = tokens(F.col(text_col))
+    uni = (df.select(F.explode(toks).alias("t"))
+             .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    bi = (df.select(F.explode(ngram_array(toks, 2)).alias("g"))
+            .groupBy("g").agg(F.count(F.lit(1)).alias("pair_n"))
+            .filter(F.col("pair_n") >= min_count)
+            .withColumn("tok_a", F.split("g", " ")[0])
+            .withColumn("tok_b", F.split("g", " ")[1]))
+    total = (df.select(F.explode(ngram_array(toks, 2)).alias("g"))
+               .agg(F.count(F.lit(1)).alias("_n")))
+    ua = uni.select(F.col("t").alias("tok_a"), F.col("c").alias("_ca"))
+    ub = uni.select(F.col("t").alias("tok_b"), F.col("c").alias("_cb"))
+    return (bi.join(ua, "tok_a").join(ub, "tok_b")
+            .crossJoin(F.broadcast(total))
+            .withColumn("lift_milli",
+                        F.expr("pair_n * _n * 1000 div (_ca * _cb)"))
+            .orderBy(F.desc("lift_milli"), "tok_a", "tok_b")
+            .limit(k)
+            .select("tok_a", "tok_b", "pair_n", "lift_milli"))

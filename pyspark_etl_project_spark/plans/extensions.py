@@ -3267,3 +3267,39 @@ def kmv_distinct_sketch_trigrams_q(spark: SparkSession,
                         F.explode(X.word_ngrams(F.col("text"), 3))
                         .alias("gram"))
     return X.kmv_distinct_sketch(grams, "source", "gram", k=64)
+
+
+# --- collocation mining (integer-lift PMI proxy) -----------------------------
+# Which adjacent token pairs co-occur above chance: lift in exact
+# milli-units (PMI's exp, same ranking, no float log), min support 5,
+# deterministic (lift desc, pair asc) top-50 — compiles to
+# TakeOrderedAndProject, never a global sort.
+
+@_q("collocations_topk", """
+WITH t AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+), uni AS (
+  SELECT unnest(w) AS t FROM t
+), uc AS (
+  SELECT t, COUNT(*) AS c FROM uni GROUP BY t
+), bi AS (
+  SELECT array_to_string(w[i+1:i+2], ' ') AS g
+  FROM t, unnest(range(CASE WHEN len(w) >= 2 THEN len(w) - 1
+                        ELSE 0 END)) AS r(i)
+), bc AS (
+  SELECT g, COUNT(*) AS pair_n FROM bi GROUP BY g HAVING COUNT(*) >= 5
+), tot AS (SELECT COUNT(*) AS n FROM bi)
+SELECT string_split(bc.g, ' ')[1] AS tok_a,
+       string_split(bc.g, ' ')[2] AS tok_b,
+       bc.pair_n,
+       CAST(bc.pair_n * tot.n * 1000 // (ca.c * cb.c) AS BIGINT)
+         AS lift_milli
+FROM bc, tot
+JOIN uc ca ON string_split(bc.g, ' ')[1] = ca.t
+JOIN uc cb ON string_split(bc.g, ' ')[2] = cb.t
+ORDER BY lift_milli DESC, tok_a, tok_b
+LIMIT 50
+""")
+def collocations_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.collocations_topk(docs, "text", k=50, min_count=5)

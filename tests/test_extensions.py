@@ -1289,3 +1289,21 @@ def test_kmv_sketch_small_group_falls_back_exact(spark):
     assert got["big"]["kth_min_hash"] == kth
     assert got["big"]["est_distinct"] == 15 * (1 << 48) // kth
     assert got["big"]["exact_distinct"] == 300
+
+
+def test_collocations_lift_hand_example(spark):
+    """'new york' appears 5 times among 55 bigrams; 'new'/'york' appear
+    only together -> lift = 5*55*1000/(5*5) = 11000; chance-level pairs
+    rank below."""
+    from pyspark_etl_project_spark.extensions.text import collocations_topk
+
+    filler = "a b " * 5  # bigrams: a-b etc., high-frequency chance pairs
+    docs = [(f"new york {filler.strip()}",) for _ in range(5)]
+    df = spark.createDataFrame(docs, "text string")
+    rows = [(r["tok_a"], r["tok_b"], r["pair_n"], r["lift_milli"])
+            for r in collocations_topk(df, "text", k=3, min_count=5)
+            .collect()]
+    # 5 docs x 12 tokens -> 11 bigrams/doc, 55 total
+    assert rows[0][:3] == ("new", "york", 5)
+    assert rows[0][3] == 5 * 55 * 1000 // (5 * 5)
+    assert all(r[3] <= rows[0][3] for r in rows[1:])
