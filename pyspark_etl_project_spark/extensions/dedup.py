@@ -866,3 +866,42 @@ def minhash_calibration(df: DataFrame, id_col: str, text_col: str,
                     F.expr(f"abs(est_matches * 1000000 div {num_hashes}"
                            " - inter_n * 1000000 div union_n)")
                      .alias("err_ppm")))
+
+
+def containment_pairs(df: DataFrame, id_col: str, shingle_col: str,
+                      threshold_num: int, threshold_den: int,
+                      max_doc_freq: int | None = 1000) -> DataFrame:
+    """Asymmetric containment near-dup pairs: score = |A∩B| / min(|A|,
+    |B|) — the measure that catches a short document quoted verbatim
+    inside a long one, where symmetric Jaccard is diluted below any
+    dedup threshold by the long side's size. Same inverted-index
+    candidate generation and stop-shingle cap as jaccard_pairs (shuffle
+    on the shingle, never n²); the containment cut is exact integer
+    math against the SMALLER set size. Returns (id_a, id_b, inter_n,
+    size_small, containment_ppm) with id_a < id_b."""
+    sizes = df.select(F.col(id_col).alias("_id"),
+                      F.size(shingle_col).alias("_sz"))
+    inv = df.select(F.col(id_col).alias("_id"),
+                    F.explode(shingle_col).alias("_sh"))
+    if max_doc_freq is not None:
+        rare = (inv.groupBy("_sh")
+                   .agg(F.count(F.lit(1)).alias("_df"))
+                   .filter(F.col("_df") <= max_doc_freq)
+                   .select("_sh"))
+        inv = inv.join(rare, "_sh")
+    pairs = (inv.alias("a").join(inv.alias("b"), on="_sh")
+             .filter(F.col("a._id") < F.col("b._id"))
+             .groupBy(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter_n")))
+    return (pairs
+            .join(sizes.withColumnRenamed("_id", "id_a")
+                       .withColumnRenamed("_sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("_id", "id_b")
+                       .withColumnRenamed("_sz", "sz_b"), "id_b")
+            .withColumn("size_small", F.least("sz_a", "sz_b"))
+            .filter(F.col("inter_n") * threshold_den
+                    >= F.col("size_small") * threshold_num)
+            .select("id_a", "id_b", "inter_n", "size_small",
+                    F.expr("inter_n * 1000000 div size_small")
+                     .alias("containment_ppm")))

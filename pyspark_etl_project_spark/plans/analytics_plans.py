@@ -947,3 +947,40 @@ def customer_order_distribution_q(spark: SparkSession,
                  .agg(F.count("o_orderkey").alias("c_count")))
     return (per_cust.groupBy("c_count")
             .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+# --- per-user event transition matrix -------------------------------------
+# Markov transition counts and integer-ppm probabilities between
+# consecutive events of the same user: one lead() window over the
+# user key (one shuffle — ties broken on event_id so the sequence is
+# total), then a 25-cell aggregate. The behavioral-analytics shape
+# (what follows a click?) built from lag/lead, not a self-join.
+
+@_q("event_transition_matrix", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), t AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type)
+            AS BIGINT) AS prob_ppm
+FROM t
+""")
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.select("user_id", "event_type",
+                     F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    t = (seq.groupBy("event_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+    wt = Window.partitionBy("event_type")
+    return t.withColumn(
+        "prob_ppm",
+        F.expr("n * 1000000 div sum(n) over (partition by event_type)"))

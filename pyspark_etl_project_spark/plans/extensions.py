@@ -3303,3 +3303,47 @@ LIMIT 50
 def collocations_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return X.collocations_topk(docs, "text", k=50, min_count=5)
+
+
+# --- asymmetric containment pairs --------------------------------------------
+# |A∩B| / min(|A|,|B|) >= 3/5 over 3-gram shingles: finds quote-
+# inclusion near-dups whose symmetric Jaccard stays under the dedup
+# threshold (the long side dilutes the union). Same inverted-index /
+# stop-shingle machinery as dedup_ngram_jaccard.
+
+@_q("containment_neardup_pairs", """
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(w) - 2),
+                       i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id < 300)
+), inv0 AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), rare AS (
+  SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) <= 50
+), inv AS (
+  SELECT inv0.doc_id, inv0.s FROM inv0 JOIN rare USING (s)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_n
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(sh) AS sz FROM docs)
+SELECT id_a, id_b, inter_n,
+       LEAST(sa.sz, sb.sz) AS size_small,
+       CAST(inter_n * 1000000 // LEAST(sa.sz, sb.sz) AS BIGINT)
+         AS containment_ppm
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE inter_n * 5 >= LEAST(sa.sz, sb.sz) * 3
+""")
+def containment_neardup_pairs_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import containment_pairs
+
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300)
+            .select("doc_id", word_shingles("text", 3).alias("sh")))
+    return containment_pairs(docs, "doc_id", "sh", threshold_num=3,
+                             threshold_den=5, max_doc_freq=50)

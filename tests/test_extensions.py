@@ -1307,3 +1307,24 @@ def test_collocations_lift_hand_example(spark):
     assert rows[0][:3] == ("new", "york", 5)
     assert rows[0][3] == 5 * 55 * 1000 // (5 * 5)
     assert all(r[3] <= rows[0][3] for r in rows[1:])
+
+
+def test_containment_pairs_catch_subset_jaccard_misses(spark):
+    """Doc 2 is a verbatim subset of doc 1 (10 of its 10 shingles are
+    in doc 1's 40): containment 1e6 passes the 3/5 cut while Jaccard
+    10/40 = 0.25 would fail a 0.5 dedup threshold."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        containment_pairs, jaccard_pairs)
+
+    big = [f"s{i}" for i in range(40)]
+    small = big[5:15]
+    other = [f"z{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)],
+        "doc_id long, sh array<string>")
+    got = containment_pairs(df, "doc_id", "sh", 3, 5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"], r["inter_n"], r["size_small"],
+            r["containment_ppm"]) == (1, 2, 10, 10, 1_000_000)
+    assert jaccard_pairs(df, "doc_id", "sh", 1, 2).count() == 0
