@@ -828,12 +828,17 @@ def minhash_calibration(df: DataFrame, id_col: str, text_col: str,
     exact Jaccard intersects the two shingle ARRAYS carried into the
     pair row — array work bounded by doc shingle counts, no extra
     shuffle beyond the two signature joins. All integer outputs."""
+    # The shingle+signature frame feeds FOUR consumers (banding and
+    # both pair sides); a lazy localCheckpoint materializes that pass
+    # once instead of replaying the corpus scan per consumer (same
+    # posture as cross_source_overlap).
     base = (df.select(F.col(id_col).alias("_id"),
                       word_shingles(text_col, shingle_n).alias("_sh"))
               .filter(F.size("_sh") > 0)
               .select("_id", "_sh",
                       minhash_signature(F.col("_sh"), num_hashes)
-                      .alias("_sig")))
+                      .alias("_sig"))
+              .localCheckpoint(eager=False))
     rows_per_band = num_hashes // num_bands
     banded = base.select("_id", F.explode(
         lsh_bands(F.col("_sig"), num_bands, rows_per_band)).alias("b"))

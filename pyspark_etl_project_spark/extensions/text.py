@@ -849,13 +849,16 @@ def collocations_topk(df, text_col: str, k: int = 50,
     toks = tokens(F.col(text_col))
     uni = (df.select(F.explode(toks).alias("t"))
              .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
-    bi = (df.select(F.explode(ngram_array(toks, 2)).alias("g"))
-            .groupBy("g").agg(F.count(F.lit(1)).alias("pair_n"))
-            .filter(F.col("pair_n") >= min_count)
-            .withColumn("tok_a", F.split("g", " ")[0])
-            .withColumn("tok_b", F.split("g", " ")[1]))
-    total = (df.select(F.explode(ngram_array(toks, 2)).alias("g"))
-               .agg(F.count(F.lit(1)).alias("_n")))
+    # One bigram explode serves both the pair counts and the corpus
+    # total: the unfiltered count table is vocabulary-sized, so summing
+    # it for N costs a vocab-scan, not a second corpus explode.
+    bc0 = (df.select(F.explode(ngram_array(toks, 2)).alias("g"))
+             .groupBy("g").agg(F.count(F.lit(1)).alias("pair_n"))
+             .localCheckpoint(eager=False))
+    bi = (bc0.filter(F.col("pair_n") >= min_count)
+             .withColumn("tok_a", F.split("g", " ")[0])
+             .withColumn("tok_b", F.split("g", " ")[1]))
+    total = bc0.agg(F.sum("pair_n").alias("_n"))
     ua = uni.select(F.col("t").alias("tok_a"), F.col("c").alias("_ca"))
     ub = uni.select(F.col("t").alias("tok_b"), F.col("c").alias("_cb"))
     return (bi.join(ua, "tok_a").join(ub, "tok_b")
