@@ -106,6 +106,12 @@ HEADLINE = [
     "curriculum_length_buckets",
     "order_priority_late_ship",
     "customer_order_distribution",
+    "weighted_quality_sample",
+    "minhash_estimator_calibration",
+    "kmv_distinct_sketch_trigrams",
+    "collocations_topk",
+    "containment_neardup_pairs",
+    "event_transition_matrix",
 ]
 
 
