@@ -3347,3 +3347,44 @@ def containment_neardup_pairs_q(spark: SparkSession,
             .select("doc_id", word_shingles("text", 3).alias("sh")))
     return containment_pairs(docs, "doc_id", "sh", threshold_num=3,
                              threshold_den=5, max_doc_freq=50)
+
+
+# --- tokenizer fertility by language -----------------------------------------
+# Tokens-per-word (fertility) per detected language bucket — the
+# diagnostic that catches a tokenizer exploding on a language it was
+# not trained for (high fertility = more subword pieces per word =
+# worse effective context length for that language). Map-only feature
+# pass + one tiny groupBy; integer ppm.
+
+@_q("tokenizer_fertility_by_lang", """
+WITH f AS (
+  SELECT CASE WHEN list_has_any(w, ['the', 'and', 'of']) THEN 'en'
+              WHEN list_has_any(w, ['der', 'und', 'die']) THEN 'de'
+              WHEN list_has_any(w, ['el', 'de', 'la']) THEN 'es'
+              ELSE 'und' END AS lang,
+         len(w) AS n_words,
+         len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces
+  FROM (SELECT text,
+               string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+       CAST(SUM(n_pieces) * 1000000 // SUM(n_words) AS BIGINT)
+         AS fertility_ppm
+FROM f GROUP BY lang
+""")
+def tokenizer_fertility_by_lang_q(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    f = docs.select(X.lang_id("text").alias("lang"),
+                    X.token_count(F.lower(F.col("text"))).alias("n_words"),
+                    X.bpe_ish_token_count("text").alias("n_pieces"))
+    return (f.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("total_words"),
+                 F.sum("n_pieces").cast("long").alias("total_pieces"))
+            .withColumn("fertility_ppm",
+                        F.expr("total_pieces * 1000000 div total_words")))

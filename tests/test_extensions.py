@@ -1328,3 +1328,15 @@ def test_containment_pairs_catch_subset_jaccard_misses(spark):
     assert (r["id_a"], r["id_b"], r["inter_n"], r["size_small"],
             r["containment_ppm"]) == (1, 2, 10, 10, 1_000_000)
     assert jaccard_pairs(df, "doc_id", "sh", 1, 2).count() == 0
+
+
+def test_tokenizer_fertility_shapes(spark):
+    """'don't stop' -> 2 words, 4 bpe-ish pieces (don / ' / t / stop);
+    fertility 2e6 ppm."""
+    from pyspark_etl_project_spark.extensions.text import (
+        bpe_ish_token_count, token_count)
+
+    df = spark.createDataFrame([("don't stop",)], "text string")
+    r = df.select(token_count("text").alias("w"),
+                  bpe_ish_token_count("text").alias("p")).first()
+    assert (r["w"], r["p"]) == (2, 4)
