@@ -676,11 +676,13 @@ def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str,
     pe = F.coalesce(F.max(F.col("_start") + F.lit(k - 1)).over(w_doc),
                     F.lit(-2))
     spans = (dup
+             .withColumn("_pe", pe)
              .withColumn("_island",
-                         F.when(F.col("_start") > pe + 1, 1).otherwise(0))
+                         F.when(F.col("_start") > F.col("_pe") + 1, 1)
+                          .otherwise(0))
              .withColumn("_newcov",
                          F.col("_start") + F.lit(k - 1)
-                         - F.greatest(pe, F.col("_start") - 1))
+                         - F.greatest(F.col("_pe"), F.col("_start") - 1))
              .groupBy(id_col)
              .agg(F.sum("_island").alias("_spans"),
                   F.sum("_newcov").alias("_cov")))

@@ -318,3 +318,38 @@ def test_curated_corpus_write_prunes_and_stats_match(spark, tmp_path):
     for (s, lg), (n, tot) in stats.items():
         want = [r for r in rows if r[1] == s and r[2] == lg]
         assert n == len(want) and tot == sum(r[3] for r in want)
+
+
+def test_weighted_sample_is_map_only(spark):
+    """The Bernoulli filter must compile to a scan + project/filter with
+    ZERO exchanges — any shuffle here would be a design regression."""
+    from pyspark_etl_project_spark.plans.extensions import (
+        weighted_quality_sample_q)
+
+    plan = _formatted_plan(weighted_quality_sample_q(spark, SF_SMALL))
+    assert "Exchange" not in plan
+
+
+def test_dup_span_marking_is_join_not_window(spark):
+    """Duplicated-gram marking must be a (skew-splittable) join after a
+    map-combined groupBy — never a count window partitioned on the gram
+    (one-task funnel for a boilerplate gram). The plan therefore has a
+    partial aggregate and NO Window node before the doc-keyed phase's
+    running max (exactly one Window total, on the doc key)."""
+    from pyspark_etl_project_spark.plans.extensions import dup_span_stats_q
+
+    import re
+
+    plan = _formatted_plan(dup_span_stats_q(spark, SF_SMALL))
+    nodes = re.findall(r"\(\d+\) Window\n(Input[^\n]*\nArguments[^\n]*)",
+                       plan)
+    assert len(nodes) == 1, plan.count(") Window")
+    assert "_gram" not in nodes[0]
+    assert "HashAggregate" in plan
+
+
+def test_collocations_topk_is_take_ordered(spark):
+    from pyspark_etl_project_spark.plans.extensions import collocations_topk_q
+
+    plan = _formatted_plan(collocations_topk_q(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
