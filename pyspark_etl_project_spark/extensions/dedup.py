@@ -94,7 +94,12 @@ def jaccard_pairs(df: DataFrame, id_col: str, shingle_col: str,
     stop-shingle the union sz_a+sz_b-inter_n double-counts it: both the
     intersection and the resulting Jaccard are underestimates, not just
     the recall. What stays exact is engine/oracle parity — both sides
-    compute the same capped statistic. None disables the cap."""
+    compute the same capped statistic. None disables the cap.
+
+    The input frame feeds four consumers (sizes + both self-join sides
+    + the doc-frequency cap); a lazy localCheckpoint materializes the
+    caller's shingling pass once instead of replaying it per branch."""
+    df = df.localCheckpoint(eager=False)
     sizes = df.select(F.col(id_col).alias("_id"), F.size(shingle_col).alias("_sz"))
     inv = df.select(F.col(id_col).alias("_id"),
                     F.explode(shingle_col).alias("_sh"))
@@ -885,7 +890,9 @@ def containment_pairs(df: DataFrame, id_col: str, shingle_col: str,
     candidate generation and stop-shingle cap as jaccard_pairs (shuffle
     on the shingle, never n²); the containment cut is exact integer
     math against the SMALLER set size. Returns (id_a, id_b, inter_n,
-    size_small, containment_ppm) with id_a < id_b."""
+    size_small, containment_ppm) with id_a < id_b. Input checkpointed
+    lazily for the same multi-consumer reason as jaccard_pairs."""
+    df = df.localCheckpoint(eager=False)
     sizes = df.select(F.col(id_col).alias("_id"),
                       F.size(shingle_col).alias("_sz"))
     inv = df.select(F.col(id_col).alias("_id"),
