@@ -2963,7 +2963,7 @@ g AS (
 ), d AS (
   SELECT doc_id, n_tokens, start
   FROM (SELECT doc_id, n_tokens, start,
-               COUNT(*) OVER (PARTITION BY gram) AS c FROM g)
+               COUNT(*) OVER (PARTITION BY md5(gram)) AS c FROM g)
   WHERE c >= 2
 ), s AS (
   SELECT doc_id, n_tokens, start,
@@ -3001,7 +3001,8 @@ g AS (
                           THEN n_tokens - 8 + 1 ELSE 0 END)) AS r(i)
 ), m AS (
   SELECT doc_id, start
-  FROM (SELECT doc_id, start, COUNT(*) OVER (PARTITION BY gram) AS c FROM g)
+  FROM (SELECT doc_id, start,
+               COUNT(*) OVER (PARTITION BY md5(gram)) AS c FROM g)
   WHERE c >= 2
 ), cov AS (
   SELECT DISTINCT doc_id, start + j AS pos
