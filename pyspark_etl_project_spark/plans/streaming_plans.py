@@ -314,3 +314,111 @@ def streaming_stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFram
               .select("view_event_id", "purchase_event_id", "user_id"))
     out = run_stream_to_memory(joined, output_mode="append")
     return out.select("view_event_id", "purchase_event_id", "user_id")
+
+
+# --- continuous near-dup index maintenance (foreachBatch) --------------------
+# The always-on half of incremental dedup: each micro-batch bands its
+# documents and appends to a persistent (doc_id, band_id, band_hash)
+# index; the verdict (corpus_dup / stream_dup / fresh) is computed from
+# the accumulated index and is invariant to how the file source split
+# the batches (partners are "lower doc_id", not "earlier batch" — the
+# source's batch order is not contractual). Oracle rebuilds signatures,
+# buckets and both joins from scratch in SQL.
+
+@_q("streaming_band_index_dedup", None)
+def streaming_band_index_dedup_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark_etl_project_spark.extensions.dedup import build_band_index
+    from pyspark_etl_project_spark.plans.tables import load
+    from pyspark_etl_project_spark.streaming.ingest import (
+        foreach_batch_band_index, stream_documents)
+
+    corpus = (load(spark, sf_dir, "documents")
+              .filter(F.col("doc_id") < 300).select("doc_id", "text"))
+    corpus_index = build_band_index(corpus, "text")
+
+    stream, _watch = stream_documents(spark, sf_dir, min_doc_id=300,
+                                      files=2)
+    bands_path = os.path.join(tempfile.mkdtemp(prefix="band_idx_"),
+                              "bands")
+    foreach_batch_band_index(stream, bands_path)
+
+    bands = spark.read.parquet(bands_path)
+    hits = (bands.join(F.broadcast(corpus_index),
+                       ["band_id", "band_hash"], "inner")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_corpus_hits")))
+    a, b = bands.alias("a"), bands.alias("b")
+    prior = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col("b.doc_id") < F.col("a.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_id"))
+             .agg(F.countDistinct("b.doc_id").alias("n_prior_partners")))
+    seen = bands.select("doc_id").distinct()
+    return (seen.join(hits, "doc_id", "left")
+            .join(prior, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_corpus_hits", F.lit(0)).cast("int")
+                     .alias("n_corpus_hits"),
+                    F.coalesce("n_prior_partners", F.lit(0)).cast("int")
+                     .alias("n_prior_partners"))
+            .withColumn("verdict",
+                        F.when(F.col("n_corpus_hits") > 0, "corpus_dup")
+                         .when(F.col("n_prior_partners") > 0, "stream_dup")
+                         .otherwise("fresh")))
+
+
+def _band_sig_cte() -> str:
+    from pyspark_etl_project_spark.plans.extensions import _MINHASH_SIG_SQL
+
+    return f"""
+WITH sd AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(w) - 2),
+                       i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id >= 300)
+), cd AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(w) - 2),
+                       i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id < 300)
+), ssig AS (
+  SELECT doc_id, [{_MINHASH_SIG_SQL}] AS sg FROM sd WHERE len(sh) > 0
+), csig AS (
+  SELECT doc_id, [{_MINHASH_SIG_SQL}] AS sg FROM cd WHERE len(sh) > 0
+), sb AS (
+  SELECT doc_id, b AS band_id,
+         md5(sg[2*b+1] || '|' || sg[2*b+2]) AS band_hash
+  FROM ssig, unnest(range(4)) AS t(b)
+), cb AS (
+  SELECT DISTINCT b AS band_id,
+         md5(sg[2*b+1] || '|' || sg[2*b+2]) AS band_hash
+  FROM csig, unnest(range(4)) AS t(b)
+), hits AS (
+  SELECT sb.doc_id, COUNT(*) AS n_corpus_hits
+  FROM sb JOIN cb USING (band_id, band_hash) GROUP BY sb.doc_id
+), prior AS (
+  SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_prior_partners
+  FROM sb a JOIN sb b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND b.doc_id < a.doc_id
+  GROUP BY a.doc_id
+)
+SELECT s.doc_id,
+       CAST(COALESCE(h.n_corpus_hits, 0) AS INTEGER) AS n_corpus_hits,
+       CAST(COALESCE(p.n_prior_partners, 0) AS INTEGER)
+         AS n_prior_partners,
+       CASE WHEN COALESCE(h.n_corpus_hits, 0) > 0 THEN 'corpus_dup'
+            WHEN COALESCE(p.n_prior_partners, 0) > 0 THEN 'stream_dup'
+            ELSE 'fresh' END AS verdict
+FROM (SELECT DISTINCT doc_id FROM sb) s
+LEFT JOIN hits h ON s.doc_id = h.doc_id
+LEFT JOIN prior p ON s.doc_id = p.doc_id"""
+
+
+ORACLE["streaming_band_index_dedup"] = _band_sig_cte()

@@ -146,3 +146,75 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_documents(spark: SparkSession, sf_dir: str,
+                     min_doc_id: int = 300,
+                     files: int = 2) -> tuple[DataFrame, str]:
+    """File-source stream over a slice of the documents table, split
+    into ``files`` parquet files so the stream genuinely delivers
+    multiple micro-batches under maxFilesPerTrigger=1 (a single-file
+    stream would collapse every incremental operator into one batch).
+    Returns (stream, watch_dir). The split is on doc_id ranges, but
+    downstream operators must stay batch-split-invariant — the file
+    source orders by file discovery, which is not contractual."""
+    import os
+    import tempfile
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") >= min_doc_id)
+            .select("doc_id", "text"))
+    watch_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    lo = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = (lo[1] - lo[0] + files) // files if lo[0] is not None else 1
+    for i in range(files):
+        part = docs.filter(
+            (F.col("doc_id") >= lo[0] + i * span)
+            & (F.col("doc_id") < lo[0] + (i + 1) * span))
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(watch_dir, f"chunk{i}"))
+    schema = T.StructType([T.StructField("doc_id", T.LongType(), True),
+                           T.StructField("text", T.StringType(), True)])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(watch_dir, "chunk*")))
+    return stream, watch_dir
+
+
+def foreach_batch_band_index(stream: DataFrame, bands_path: str,
+                             num_hashes: int = 8, num_bands: int = 4,
+                             shingle_n: int = 3) -> None:
+    """Continuous near-dup index maintenance: every micro-batch's docs
+    are banded (shingle → minhash → LSH buckets) and APPENDED to the
+    persistent (doc_id, band_id, band_hash) index — the always-on
+    ingestion half of the daily-increment dedup
+    (extensions/dedup.py:incremental_minhash_dedup). Verdicts are
+    computed from the accumulated index AFTER the drain so the result
+    is invariant to how the source splits batches (the file source's
+    batch order is not contractual); the per-batch work stays a pure
+    map + explode + append, no state store needed."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        lsh_bands, minhash_signature, word_shingles)
+
+    rows_per_band = num_hashes // num_bands
+
+    def handle(batch: DataFrame, _epoch: int) -> None:
+        banded = (batch
+                  .select("doc_id",
+                          word_shingles("text", shingle_n).alias("_sh"))
+                  .filter(F.size("_sh") > 0)
+                  .select("doc_id",
+                          minhash_signature(F.col("_sh"), num_hashes)
+                          .alias("_sig"))
+                  .select("doc_id", F.explode(
+                      lsh_bands(F.col("_sig"), num_bands, rows_per_band))
+                      .alias("b"))
+                  .select("doc_id", F.col("b.band_id").alias("band_id"),
+                          F.col("b.band_hash").alias("band_hash")))
+        banded.write.mode("append").parquet(bands_path)
+
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -320,3 +320,31 @@ def test_stream_restart_resumes_from_checkpoint_without_reprocessing(spark, tmp_
 
     delivered = [row for batch in seen if batch for row in batch]
     assert delivered == [0, 1, 2, 3, 4, 5, 6, 7]   # each row exactly once
+
+
+def test_streaming_band_index_split_invariant(spark):
+    """The accumulated band index gives the same verdicts whether the
+    stream delivered one batch or two (batch order is not contractual
+    for the file source — the operator must not depend on it)."""
+    import os
+    import tempfile
+
+    from pyspark_etl_project_spark.streaming.ingest import (
+        foreach_batch_band_index, stream_documents)
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(files):
+        stream, _ = stream_documents(spark, sf, min_doc_id=30, files=files)
+        path = os.path.join(tempfile.mkdtemp(prefix=f"bi{files}_"), "b")
+        foreach_batch_band_index(stream, path)
+        bands = spark.read.parquet(path)
+        a, b = bands.alias("a"), bands.alias("b")
+        prior = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                        & (F.col("a.band_hash") == F.col("b.band_hash"))
+                        & (F.col("b.doc_id") < F.col("a.doc_id")))
+                 .groupBy(F.col("a.doc_id").alias("doc_id"))
+                 .agg(F.countDistinct("b.doc_id").alias("p")))
+        return {r["doc_id"]: r["p"] for r in prior.collect()}
+
+    assert run(1) == run(2)
