@@ -984,3 +984,150 @@ def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.withColumn(
         "prob_ppm",
         F.expr("n * 1000000 div sum(n) over (partition by event_type)"))
+
+
+# --- event-rate anomaly detection ------------------------------------------
+# Hourly event counts per type vs the trailing-24h hourly average,
+# entirely integer (ratio in basis points, spike = rate > 1.5x the
+# trailing mean with a warmup guard). Two bounded shuffles: the hourly
+# pre-aggregate (map-combined; the window then runs over the SMALL
+# hourly series, never raw events) and the per-type hour window.
+
+@_q("event_rate_anomalies", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), trail AS (
+  SELECT event_type, hour_ts, n,
+         COUNT(*) OVER w AS trail_hours,
+         CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS trail_n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(hour_ts)
+               RANGE BETWEEN 86400000000 PRECEDING
+                         AND 3600000000 PRECEDING)
+)
+SELECT event_type, hour_ts, n,
+       CAST(trail_hours AS INTEGER) AS trail_hours,
+       trail_n,
+       CAST(CASE WHEN trail_n > 0
+            THEN n * trail_hours * 10000 // trail_n ELSE 0 END AS BIGINT)
+         AS rate_bp,
+       CAST(CASE WHEN trail_hours >= 6 AND trail_n > 0
+                  AND n * trail_hours * 2 > trail_n * 3
+            THEN 1 ELSE 0 END AS INTEGER) AS is_spike
+FROM trail
+""")
+def event_rate_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour_ts"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("event_type")
+               .orderBy(F.unix_micros("hour_ts"))
+               .rangeBetween(-86_400_000_000, -3_600_000_000))
+    return (hourly
+            .withColumn("trail_hours",
+                        F.count(F.lit(1)).over(w).cast("int"))
+            .withColumn("trail_n",
+                        F.coalesce(F.sum("n").over(w), F.lit(0))
+                         .cast("long"))
+            .withColumn("rate_bp",
+                        F.expr("cast(case when trail_n > 0 then"
+                               " n * trail_hours * 10000 div trail_n"
+                               " else 0 end as bigint)"))
+            .withColumn("is_spike",
+                        F.expr("cast(case when trail_hours >= 6"
+                               " and trail_n > 0"
+                               " and n * trail_hours * 2 > trail_n * 3"
+                               " then 1 else 0 end as int)")))
+
+
+# --- ANALYZE-style column statistics, one pass ------------------------------
+# NDV / null count / min / max for four heterogeneous lineitem columns
+# in a SINGLE aggregate pass (what `ANALYZE TABLE ... COMPUTE
+# STATISTICS FOR COLUMNS` gathers for the optimizer), then stacked to
+# long format driver-side-free. Numeric bounds are floored to integer
+# cents and timestamps to epoch-us BIGINTs before stringifying, so the
+# representation is engine-exact (no float/timestamp formatting
+# dependence).
+
+@_q("table_column_stats", """
+WITH s AS (
+  SELECT COUNT(DISTINCT l_quantity) AS ndv_q,
+         SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_q,
+         CAST(FLOOR(MIN(l_quantity) * 100) AS BIGINT) AS min_q,
+         CAST(FLOOR(MAX(l_quantity) * 100) AS BIGINT) AS max_q,
+         COUNT(DISTINCT l_returnflag) AS ndv_r,
+         SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_r,
+         MIN(l_returnflag) AS min_r, MAX(l_returnflag) AS max_r,
+         COUNT(DISTINCT l_shipdate) AS ndv_s,
+         SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_s,
+         MIN(epoch_us(l_shipdate)) AS min_s,
+         MAX(epoch_us(l_shipdate)) AS max_s,
+         COUNT(DISTINCT l_extendedprice) AS ndv_e,
+         SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+           AS null_e,
+         CAST(FLOOR(MIN(l_extendedprice) * 100) AS BIGINT) AS min_e,
+         CAST(FLOOR(MAX(l_extendedprice) * 100) AS BIGINT) AS max_e
+  FROM lineitem
+)
+SELECT 'l_quantity' AS column_name, CAST(ndv_q AS BIGINT) AS ndv,
+       CAST(null_q AS BIGINT) AS n_nulls,
+       CAST(min_q AS VARCHAR) AS min_repr, CAST(max_q AS VARCHAR) AS max_repr
+FROM s
+UNION ALL
+SELECT 'l_returnflag', CAST(ndv_r AS BIGINT), CAST(null_r AS BIGINT),
+       min_r, max_r FROM s
+UNION ALL
+SELECT 'l_shipdate', CAST(ndv_s AS BIGINT), CAST(null_s AS BIGINT),
+       CAST(min_s AS VARCHAR), CAST(max_s AS VARCHAR) FROM s
+UNION ALL
+SELECT 'l_extendedprice', CAST(ndv_e AS BIGINT), CAST(null_e AS BIGINT),
+       CAST(min_e AS VARCHAR), CAST(max_e AS VARCHAR) FROM s
+""")
+def table_column_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    nul = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))  # noqa: E731
+    s = li.agg(
+        F.countDistinct("l_quantity").alias("ndv_q"),
+        nul("l_quantity").alias("null_q"),
+        F.floor(F.min("l_quantity") * 100).cast("long").alias("min_q"),
+        F.floor(F.max("l_quantity") * 100).cast("long").alias("max_q"),
+        F.countDistinct("l_returnflag").alias("ndv_r"),
+        nul("l_returnflag").alias("null_r"),
+        F.min("l_returnflag").alias("min_r"),
+        F.max("l_returnflag").alias("max_r"),
+        F.countDistinct("l_shipdate").alias("ndv_s"),
+        nul("l_shipdate").alias("null_s"),
+        # l_shipdate is TIMESTAMP_NTZ; the UTC session (enforced by
+        # plans/tables.py:load) makes the cast epoch-exact vs DuckDB.
+        F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+         .alias("min_s"),
+        F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+         .alias("max_s"),
+        F.countDistinct("l_extendedprice").alias("ndv_e"),
+        nul("l_extendedprice").alias("null_e"),
+        F.floor(F.min("l_extendedprice") * 100).cast("long").alias("min_e"),
+        F.floor(F.max("l_extendedprice") * 100).cast("long").alias("max_e"))
+    rows = F.array(
+        F.struct(F.lit("l_quantity").alias("column_name"),
+                 F.col("ndv_q").cast("long").alias("ndv"),
+                 F.col("null_q").cast("long").alias("n_nulls"),
+                 F.col("min_q").cast("string").alias("min_repr"),
+                 F.col("max_q").cast("string").alias("max_repr")),
+        F.struct(F.lit("l_returnflag").alias("column_name"),
+                 F.col("ndv_r").cast("long").alias("ndv"),
+                 F.col("null_r").cast("long").alias("n_nulls"),
+                 F.col("min_r").alias("min_repr"),
+                 F.col("max_r").alias("max_repr")),
+        F.struct(F.lit("l_shipdate").alias("column_name"),
+                 F.col("ndv_s").cast("long").alias("ndv"),
+                 F.col("null_s").cast("long").alias("n_nulls"),
+                 F.col("min_s").cast("string").alias("min_repr"),
+                 F.col("max_s").cast("string").alias("max_repr")),
+        F.struct(F.lit("l_extendedprice").alias("column_name"),
+                 F.col("ndv_e").cast("long").alias("ndv"),
+                 F.col("null_e").cast("long").alias("n_nulls"),
+                 F.col("min_e").cast("string").alias("min_repr"),
+                 F.col("max_e").cast("string").alias("max_repr")))
+    return s.select(F.explode(rows).alias("r")).select("r.*")
