@@ -868,3 +868,52 @@ def collocations_topk(df, text_col: str, k: int = 50,
             .orderBy(F.desc("lift_milli"), "tok_a", "tok_b")
             .limit(k)
             .select("tok_a", "tok_b", "pair_n", "lift_milli"))
+
+
+def cms_heavy_hitters(df, text_col: str, depth: int = 4,
+                      width: int = 1024, top_k: int = 20,
+                      salt: str = "cms-v1"):
+    """Count-min-sketch calibration for token heavy hitters: every
+    token occurrence increments ``depth`` hashed cells (md5-derived, so
+    the sketch is bit-identical across engines and replayable by the
+    SQL oracle); a token's estimate is the MIN over its cells — always
+    >= the true count, inflated only by collisions. Returns the top-k
+    tokens BY EXACT COUNT with (exact_n, cms_est, overcount) — the
+    view that sizes depth x width for a corpus before relying on the
+    sketch alone.
+
+    Scale: the sketch table is depth*width integer cells regardless of
+    corpus size (the groupBy on (seed, cell) map-combines); the exact
+    side exists only for calibration. Top-k compiles to
+    TakeOrderedAndProject with a deterministic (count desc, token asc)
+    cut."""
+    toks = (df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+              .groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+              .localCheckpoint(eager=False))
+    cells = None
+    for d in range(depth):
+        cell = (toks.select(
+            F.lit(d).alias("seed"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|{d}|"), F.col("t"))),
+                1, 12), 16, 10).cast("long") % width).alias("cell"),
+            "n"))
+        cells = cell if cells is None else cells.unionByName(cell)
+    sketch = cells.groupBy("seed", "cell").agg(F.sum("n").alias("cn"))
+    probes = None
+    for d in range(depth):
+        p = toks.select(
+            "t", "n", F.lit(d).alias("seed"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|{d}|"), F.col("t"))),
+                1, 12), 16, 10).cast("long") % width).alias("cell"))
+        probes = p if probes is None else probes.unionByName(p)
+    est = (probes.join(sketch, ["seed", "cell"])
+           .groupBy("t", "n").agg(F.min("cn").alias("cms_est")))
+    return (est
+            .orderBy(F.desc("n"), "t").limit(top_k)
+            .select(F.col("t").alias("token"),
+                    F.col("n").cast("long").alias("exact_n"),
+                    F.col("cms_est").cast("long").alias("cms_est"),
+                    (F.col("cms_est") - F.col("n")).cast("long")
+                    .alias("overcount")))

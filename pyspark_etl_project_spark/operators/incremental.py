@@ -61,3 +61,19 @@ def merge_agg_state(state: DataFrame, batch_partial: DataFrame,
         aggs.append(expr.alias(out))
     return (state.unionByName(batch_partial)
             .groupBy(*keys).agg(*aggs))
+
+
+def incremental_join_view(view: DataFrame, delta: DataFrame,
+                          dim: DataFrame, on) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view: the new
+    fact rows (``delta``) join the dimension and UNION onto the
+    existing view — the standard IVM delta rule for an inner
+    equi-join where only the fact side receives inserts
+    (ΔV = Δfact ⋈ dim). The materialized view is never recomputed and
+    the fact history is never rescanned; at 100 TB the per-batch cost
+    is |Δ| ⋈ dim (broadcast when the dim fits), not |fact| ⋈ dim.
+
+    Column contract: ``view`` already has the joined shape; the
+    delta⋈dim result is column-pruned + reordered to match it."""
+    enriched = delta.join(F.broadcast(dim), on)
+    return view.unionByName(enriched.select(*view.columns))

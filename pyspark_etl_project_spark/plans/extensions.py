@@ -3389,3 +3389,79 @@ def tokenizer_fertility_by_lang_q(spark: SparkSession,
                  F.sum("n_pieces").cast("long").alias("total_pieces"))
             .withColumn("fertility_ppm",
                         F.expr("total_pieces * 1000000 div total_words")))
+
+
+# --- incremental join-view maintenance ---------------------------------------
+# IVM delta rule for an insert-only fact ⋈ dim view: the maintained
+# view (base orders < 10000 ⋈ customer, then + the 10000..11000 delta
+# joined alone) must equal the from-scratch join — the oracle IS the
+# from-scratch join, so the gate proves maintenance == recompute.
+
+@_q("incremental_join_view_orders", """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey,
+       CAST(FLOOR(CAST(o.o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+         AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey < 11000
+""")
+def incremental_join_view_orders_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.incremental import (
+        incremental_join_view)
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cents = (F.floor(F.col("o_totalprice").cast("decimal(18,6)") * 100)
+             .cast("long"))
+    base = (o.filter(F.col("o_orderkey") < 10000)
+             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+             .select("o_orderkey", "o_custkey", "c_name", "c_nationkey",
+                     cents.alias("total_cents")))
+    delta = (o.filter((F.col("o_orderkey") >= 10000)
+                      & (F.col("o_orderkey") < 11000))
+              .withColumn("total_cents", cents))
+    return incremental_join_view(
+        base, delta,
+        c.select("c_custkey", "c_name", "c_nationkey"),
+        on=F.col("o_custkey") == F.col("c_custkey"))
+
+
+# --- count-min-sketch heavy-hitter calibration -------------------------------
+# md5-derived CMS (4 x 1024 integer cells, engine-identical): top-20
+# exact-count tokens with sketch estimate and collision overcount.
+# The sketch table's size is CONSTANT in corpus size — the 100 TB
+# frequency pass this calibrates would keep only depth*width cells.
+
+@_q("cms_heavy_hitters_tokens", """
+WITH tok AS (
+  SELECT t, COUNT(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+    FROM documents) GROUP BY t
+), cells AS (
+  SELECT d.seed,
+         CAST(concat('0x', substr(md5('cms-v1|' || d.seed || '|' || t),
+              1, 12)) AS BIGINT) % 1024 AS cell,
+         n
+  FROM tok, (SELECT unnest(range(4)) AS seed) d
+), sketch AS (
+  SELECT seed, cell, SUM(n) AS cn FROM cells GROUP BY seed, cell
+), probes AS (
+  SELECT t, n, d.seed,
+         CAST(concat('0x', substr(md5('cms-v1|' || d.seed || '|' || t),
+              1, 12)) AS BIGINT) % 1024 AS cell
+  FROM tok, (SELECT unnest(range(4)) AS seed) d
+), est AS (
+  SELECT p.t, p.n, MIN(s.cn) AS cms_est
+  FROM probes p JOIN sketch s ON p.seed = s.seed AND p.cell = s.cell
+  GROUP BY p.t, p.n
+)
+SELECT t AS token, CAST(n AS BIGINT) AS exact_n,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - n AS BIGINT) AS overcount
+FROM est ORDER BY n DESC, t LIMIT 20
+""")
+def cms_heavy_hitters_tokens_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.cms_heavy_hitters(docs, "text", depth=4, width=1024,
+                               top_k=20)

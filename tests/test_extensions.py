@@ -1340,3 +1340,39 @@ def test_tokenizer_fertility_shapes(spark):
     r = df.select(token_count("text").alias("w"),
                   bpe_ish_token_count("text").alias("p")).first()
     assert (r["w"], r["p"]) == (2, 4)
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """CMS min-over-cells is >= the exact count for every token, and
+    exact for a corpus small enough to avoid any cell collisions."""
+    from pyspark_etl_project_spark.extensions.text import cms_heavy_hitters
+
+    df = spark.createDataFrame(
+        [("alpha alpha beta",), ("alpha beta gamma",)], "text string")
+    rows = {r["token"]: r for r in
+            cms_heavy_hitters(df, "text", depth=4, width=1024,
+                              top_k=10).collect()}
+    assert rows["alpha"]["exact_n"] == 3
+    assert all(r["cms_est"] >= r["exact_n"] for r in rows.values())
+    assert all(r["overcount"] == r["cms_est"] - r["exact_n"]
+               for r in rows.values())
+    # 3 distinct tokens in 4x1024 cells: collision-free -> exact
+    assert all(r["overcount"] == 0 for r in rows.values())
+
+
+def test_incremental_join_view_equals_recompute(spark):
+    """The IVM delta rule (view ∪ Δ⋈dim) must equal the from-scratch
+    join, including a delta key that repeats an existing fact key."""
+    from pyspark_etl_project_spark.operators.incremental import (
+        incremental_join_view)
+
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    base_facts = spark.createDataFrame([(10, 1), (11, 2)],
+                                       "fid long, k long")
+    delta = spark.createDataFrame([(12, 1)], "fid long, k long")
+    view = (base_facts.join(dim, "k").select("fid", "k", "name"))
+    got = incremental_join_view(
+        view, delta, dim, on="k").orderBy("fid").collect()
+    full = (base_facts.unionByName(delta).join(dim, "k")
+            .select("fid", "k", "name").orderBy("fid").collect())
+    assert got == full
