@@ -318,3 +318,35 @@ def dense_row_number(df: DataFrame, order_cols: list[str], out_col: str,
                         (F.row_number().over(w)
                          + F.col("_dense_off")).cast("long"))
             .drop("_dense_pid", "_dense_off"))
+
+
+def asof_snapshot(mart: DataFrame, asof_ts: str,
+                  start_col: str = "START_DATE",
+                  end_col: str = "END_DATE") -> DataFrame:
+    """Time travel over the SCD2 mart: the table AS OF ``asof_ts`` is
+    every version whose validity interval covers the instant
+    (start <= t < end) — START_DATE inclusive, END_DATE exclusive, the
+    same convention the merge writes (an expiring row's END_DATE equals
+    its successor's START_DATE, so an as-of exactly at a load boundary
+    sees the POST-load state, never both versions).
+
+    Map-only over the mart scan; both bounds push down to parquet and
+    combine with the mart's bucket/partition layout, so a snapshot at
+    100 TB reads only row groups whose min-max straddle the instant.
+    The selected versions are then presented AS THEY WERE at t: in a
+    replace-only SCD2 (expiry happens solely when a successor arrives)
+    every version alive at t was open at t, so its contemporaneous
+    END_DATE was the open sentinel and its ACTIVE_FLAG 1 — the
+    snapshot rewrites both, rather than leaking the FUTURE expiry
+    stamp into the historical view.
+
+    (Cites the reference's manual history queries over ACTIVE_FLAG /
+    START_DATE / END_DATE, Setup/SQL_DDL_Script.sql:155-157.)"""
+    t = F.lit(asof_ts).cast("timestamp")
+    flag = "ACTIVE_FLAG" if "ACTIVE_FLAG" in mart.columns else None
+    snap = mart.filter((F.col(start_col) <= t) & (F.col(end_col) > t))
+    snap = snap.withColumn(end_col,
+                           F.lit(SCD2_OPEN_END_DATE).cast("timestamp"))
+    if flag:
+        snap = snap.withColumn(flag, F.lit(1))
+    return snap

@@ -631,3 +631,40 @@ def observed_load_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(m["n_rows"], m["n_high_qty"], m["price_cents"])],
         "n_rows long, n_high_qty long, price_cents long")
+
+
+# --- SCD2 time travel: AS OF between the two loads ---------------------------
+# The snapshot at a t with load1 <= t < load2 must reconstruct EXACTLY
+# the post-load-1 mart: survivors still open, rows later expired by
+# load 2 are visible because their END_DATE (= load-2 ts) lies after t,
+# and load-2 fresh rows are excluded by START_DATE. The oracle is
+# literally the load1 CTE — time travel == the historical state, not a
+# re-derivation.
+
+@_q("scd2_asof_snapshot", f"""
+WITH s1 AS ({_att_staged_sql(0, 500, False, 61)}),
+load1 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY ssi) AS csd_id, s1.*,
+         1 AS is_valid_data, 1 AS active_flag,
+         TIMESTAMP '{_T1_2L}' AS start_date,
+         TIMESTAMP '2099-12-31 00:00:00' AS end_date
+  FROM s1)
+SELECT csd_id, 3 AS source_id, ssi, agent_id, interaction_date,
+       support_area_id, interaction_status, interaction_type,
+       customer_type_id, handle_time, work_time, first_contact_resolution,
+       query_status, solution_type, customer_rating, source_hash_key,
+       data_load_id, is_valid_data, active_flag, start_date, end_date
+FROM load1
+""")
+def scd2_asof_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.scd2 import asof_snapshot
+
+    orders = load(spark, sf_dir, "orders")
+    dims = _seed_dims(spark)
+    staged1 = csv_transform(_att_feed(orders, 0, 500, shift=False), dims, 61)
+    mart1, _ = run_load(empty_mart(spark), staged1, _T1_2L, source_id=3,
+                        dense_ids=True, surrogate_offset=0)
+    mart1 = mart1.localCheckpoint(eager=False)
+    staged2 = csv_transform(_att_feed(orders, 250, 750, shift=True), dims, 62)
+    mart2, _ = run_load(mart1, staged2, _T2_2L, source_id=3, dense_ids=True)
+    return _mart_lower(asof_snapshot(mart2, "2024-05-15 00:00:00"))

@@ -353,3 +353,36 @@ def test_watermark_store_is_source_partitioned_and_migrates(spark, tmp_path):
     plan = df._jdf.queryExecution().explainString(mode)
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "source" in pf.group(1), plan
+
+
+def test_asof_snapshot_boundary_semantics(spark):
+    """AS OF exactly at a load boundary sees the POST-load state
+    (START inclusive, END exclusive), and the snapshot presents the
+    contemporaneous open end/flag, not the future expiry stamp."""
+    from pyspark_etl_project_spark.operators.scd2 import asof_snapshot
+
+    rows = [
+        # key A: v1 expired at T2, v2 open
+        (1, "A", 0, "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+        (2, "A", 1, "2024-02-01 00:00:00", "2099-12-31 00:00:00"),
+        # key B: single open version
+        (3, "B", 1, "2024-01-15 00:00:00", "2099-12-31 00:00:00"),
+    ]
+    mart = spark.createDataFrame(
+        rows, "csd_id long, ssi string, ACTIVE_FLAG int, sd string, ed string"
+    ).select("csd_id", "ssi", "ACTIVE_FLAG",
+             F.col("sd").cast("timestamp").alias("START_DATE"),
+             F.col("ed").cast("timestamp").alias("END_DATE"))
+
+    def snap_ids(ts):
+        return {(r["csd_id"], r["ACTIVE_FLAG"], str(r["END_DATE"]))
+                for r in asof_snapshot(mart, ts).collect()}
+
+    # mid-January: v1 of A (presented open) + B
+    assert snap_ids("2024-01-20 00:00:00") == {
+        (1, 1, "2099-12-31 00:00:00"), (3, 1, "2099-12-31 00:00:00")}
+    # exactly at the T2 boundary: v2 replaces v1
+    assert snap_ids("2024-02-01 00:00:00") == {
+        (2, 1, "2099-12-31 00:00:00"), (3, 1, "2099-12-31 00:00:00")}
+    # before any load: empty
+    assert snap_ids("2023-12-31 00:00:00") == set()
