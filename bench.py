@@ -112,6 +112,13 @@ HEADLINE = [
     "collocations_topk",
     "containment_neardup_pairs",
     "event_transition_matrix",
+    "tokenizer_fertility_by_lang",
+    "streaming_band_index_dedup",
+    "event_rate_anomalies",
+    "table_column_stats",
+    "incremental_join_view_orders",
+    "cms_heavy_hitters_tokens",
+    "scd2_asof_snapshot",
 ]
 
 
