@@ -3465,3 +3465,80 @@ def cms_heavy_hitters_tokens_q(spark: SparkSession,
     docs = load(spark, sf_dir, "documents")
     return X.cms_heavy_hitters(docs, "text", depth=4, width=1024,
                                top_k=20)
+
+
+# --- ANN recall calibration ---------------------------------------------------
+# Per query: the sign-LSH bucketed top-5 vs the EXACT brute-force
+# top-5, overlap counted and recall in whole percent — the calibration
+# run that decides num_bits before trusting the ANN path (completes
+# the estimator-quality series: minhash, KMV, CMS, now ANN). Exact and
+# approx sides share one query/corpus pass; the overlap join is
+# (query, vec) keyed.
+
+@_q("ann_recall_calibration", f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         {_BUCKET4_SQL.format(col='embedding')} AS b
+  FROM embeddings WHERE vec_id < 8
+), cs AS (
+  SELECT vec_id, embedding,
+         {_BUCKET4_SQL.format(col='embedding')} AS b
+  FROM embeddings WHERE vec_id >= 8
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_PAIR_COS_SQL} DESC,
+                                       e.vec_id ASC) AS rn
+    FROM cs e, qs q) WHERE rn <= 5
+), approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_PAIR_COS_SQL} DESC,
+                                       e.vec_id ASC) AS rn
+    FROM cs e JOIN qs q USING (b)) WHERE rn <= 5
+), ov AS (
+  SELECT exact.query_id, COUNT(*) AS n_overlap
+  FROM exact JOIN approx USING (query_id, vec_id)
+  GROUP BY exact.query_id
+), an AS (
+  SELECT query_id, COUNT(*) AS n_ann FROM approx GROUP BY query_id
+)
+SELECT q.query_id,
+       CAST(5 AS INTEGER) AS n_exact,
+       CAST(COALESCE(an.n_ann, 0) AS INTEGER) AS n_ann,
+       CAST(COALESCE(ov.n_overlap, 0) AS INTEGER) AS n_overlap,
+       CAST(COALESCE(ov.n_overlap, 0) * 100 // 5 AS INTEGER)
+         AS recall_pct
+FROM qs q
+LEFT JOIN an ON q.query_id = an.query_id
+LEFT JOIN ov ON q.query_id = ov.query_id
+""")
+def ann_recall_calibration_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("query_vec"))
+                  .localCheckpoint(eager=False))
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    exact = topk_for_queries(corpus, queries, k=5, num_bits=None)
+    approx = topk_for_queries(corpus, queries, k=5, num_bits=4)
+    ov = (exact.select("query_id", "vec_id")
+          .join(approx.select("query_id", "vec_id"),
+                ["query_id", "vec_id"])
+          .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap")))
+    an = (approx.groupBy("query_id")
+          .agg(F.count(F.lit(1)).alias("n_ann")))
+    return (queries.select("query_id")
+            .join(an, "query_id", "left")
+            .join(ov, "query_id", "left")
+            .select("query_id",
+                    F.lit(5).cast("int").alias("n_exact"),
+                    F.coalesce("n_ann", F.lit(0)).cast("int")
+                     .alias("n_ann"),
+                    F.coalesce("n_overlap", F.lit(0)).cast("int")
+                     .alias("n_overlap"),
+                    F.expr("cast(coalesce(n_overlap, 0) * 100 div 5"
+                           " as int)").alias("recall_pct")))
