@@ -335,6 +335,39 @@ def probe_curriculum_buckets(spark: SparkSession, n: int) -> None:
     _materialize(curriculum_buckets(docs, "doc_id", "n_tokens", 10))
 
 
+
+def probe_cms_sketch(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.text import cms_heavy_hitters
+
+    # Zipf-ish head plus a growing unique tail: the sketch table must
+    # stay 4x1024 cells while the corpus and vocabulary grow 100x.
+    docs = spark.range(n).select(
+        F.concat_ws(" ",
+                    F.lit("the of and"),
+                    F.concat(F.lit("w"), F.col("id") % (max(n // 20, 1))),
+                    F.concat(F.lit("u"), F.col("id"))).alias("text"))
+    _materialize(cms_heavy_hitters(docs, "text", top_k=20))
+
+
+def probe_kmv_sketch(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.text import kmv_distinct_sketch
+
+    docs = spark.range(n).select(
+        (F.col("id") % 12).cast("string").alias("grp"),
+        F.concat(F.lit("v"), (F.col("id") * 2654435761) % (n * 4))
+         .alias("v"))
+    _materialize(kmv_distinct_sketch(docs, "grp", "v", k=64))
+
+
+def probe_column_stats(spark: SparkSession, n: int) -> None:
+    docs = spark.range(n).select(
+        (F.col("id") % 50).cast("double").alias("a"),
+        (F.col("id") % 7).cast("string").alias("b"))
+    _materialize(docs.agg(
+        F.countDistinct("a"), F.min("a"), F.max("a"),
+        F.countDistinct("b"), F.min("b"), F.max("b")))
+
+
 PROBES = {
     # name: (fn, base_n)  — 100× runs at base_n * AMP
     "boilerplate_scrub_30pct_hot_line": (probe_boilerplate, 10_000),
@@ -357,6 +390,9 @@ PROBES = {
     "dup_span_30pct_hot_passage": (probe_dup_span_hot_passage, 10_000),
     "jaccard_topk_neighbors_clustered": (probe_topk_neighbors, 10_000),
     "curriculum_buckets_rangeparted": (probe_curriculum_buckets, 100_000),
+    "cms_sketch_constant_cells": (probe_cms_sketch, 10_000),
+    "kmv_sketch_64min": (probe_kmv_sketch, 100_000),
+    "column_stats_one_pass": (probe_column_stats, 100_000),
 }
 
 
