@@ -522,3 +522,39 @@ def pca_project(embeddings: DataFrame, vec_col: str = "embedding",
             F.zip_with(x, comp, lambda a, b: a * b),
             F.lit(0.0), lambda acc, v: acc + v) - F.lit(offset))
     return embeddings.select(F.col(id_col), F.array(*coords).alias("pc"))
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   round_digits: int = 6) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: per
+    query, the k corpus vectors MOST similar by cosine whose label
+    DIFFERS from the query's — the near-boundary negatives that teach
+    a retriever the most (easy negatives are already far away).
+
+    Plan shape: the labeled query set broadcasts (BroadcastNestedLoop
+    — queries are the small side by construction), the label-mismatch
+    predicate rides the join so same-label pairs never reach the
+    scorer, and the per-query cut is one window on query_id. Returns
+    (query_id, query_label, neg_rank, vec_id, neg_label, cos_sim)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"),
+                       F.col(label_col).alias("query_label"))
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("_cv"),
+                      F.col(label_col).alias("neg_label"))
+    joined = (c.crossJoin(F.broadcast(q))
+               .filter(F.col("neg_label") != F.col("query_label")))
+    scored = joined.select(
+        "query_id", "query_label", "vec_id", "neg_label",
+        F.round(cosine(F.col("_cv"), F.col("_qv")),
+                round_digits).alias("cos_sim"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()))
+    return (scored.withColumn("neg_rank",
+                              F.row_number().over(w).cast("int"))
+                  .filter(F.col("neg_rank") <= k)
+                  .select("query_id", "query_label", "neg_rank",
+                          "vec_id", "neg_label", "cos_sim"))

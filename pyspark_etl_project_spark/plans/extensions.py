@@ -3542,3 +3542,37 @@ def ann_recall_calibration_q(spark: SparkSession,
                      .alias("n_overlap"),
                     F.expr("cast(coalesce(n_overlap, 0) * 100 div 5"
                            " as int)").alias("recall_pct")))
+
+
+# --- hard-negative mining -----------------------------------------------------
+# Per query: the 3 most-cosine-similar corpus vectors with a DIFFERENT
+# label — the contrastive-training negatives that sit near the decision
+# boundary. Label mismatch rides the broadcast join; one query-keyed
+# window cuts k.
+
+@_q("hard_negative_mining", f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS query_label
+  FROM embeddings WHERE vec_id < 8
+), cs AS (
+  SELECT vec_id, embedding, label AS neg_label
+  FROM embeddings WHERE vec_id >= 8
+)
+SELECT query_id, query_label, CAST(rn AS INTEGER) AS neg_rank,
+       vec_id, neg_label, cos_sim
+FROM (
+  SELECT q.query_id, q.query_label, e.vec_id, e.neg_label,
+         {_PAIR_COS_SQL} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY {_PAIR_COS_SQL} DESC,
+                                     e.vec_id ASC) AS rn
+  FROM cs e, qs q WHERE e.neg_label <> q.query_label)
+WHERE rn <= 3
+""")
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.similarity import hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return hard_negatives(corpus, queries, k=3)

@@ -1376,3 +1376,23 @@ def test_incremental_join_view_equals_recompute(spark):
     full = (base_facts.unionByName(delta).join(dim, "k")
             .select("fid", "k", "name").orderBy("fid").collect())
     assert got == full
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    """Negatives never share the query's label, and the nearest
+    different-label vector ranks first."""
+    from pyspark_etl_project_spark.extensions.similarity import (
+        hard_negatives)
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7),
+         (10, [0.99, 0.1], 7),    # same label: excluded despite cos~1
+         (11, [0.9, 0.2], 3),     # best different-label
+         (12, [0.0, 1.0], 3),
+         (13, [-1.0, 0.0], 5)],
+        "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(emb.filter("vec_id >= 10"),
+                         emb.filter("vec_id < 10"), k=2).collect()
+    assert [r["vec_id"] for r in out] == [11, 12]
+    assert all(r["neg_label"] != r["query_label"] for r in out)
+    assert [r["neg_rank"] for r in out] == [1, 2]
