@@ -1131,3 +1131,59 @@ def table_column_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("min_e").cast("string").alias("min_repr"),
                  F.col("max_e").cast("string").alias("max_repr")))
     return s.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# --- full-outer reconciliation report --------------------------------------
+# The ETL reconciliation classic (and the engine's FULL OUTER join
+# shape): two overlapping extracts of the same feed diffed by key —
+# matched / left-only / right-only, with an exact cents delta where
+# both sides are present. One co-partitioned shuffle on the key.
+
+@_q("source_reconciliation_report", """
+WITH a AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+           AS cents
+  FROM orders WHERE o_orderkey < 5000
+), b AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey >= 2500 AND o_orderkey < 7500
+)
+SELECT CASE WHEN a.k IS NULL THEN 'right_only'
+            WHEN b.k IS NULL THEN 'left_only'
+            WHEN a.cents <> b.cents THEN 'value_mismatch'
+            ELSE 'matched' END AS status,
+       COUNT(*) AS n_keys,
+       CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                THEN abs(a.cents - b.cents) ELSE 0 END) AS BIGINT)
+         AS abs_delta_cents
+FROM a FULL OUTER JOIN b ON a.k = b.k
+GROUP BY 1
+""")
+def source_reconciliation_report_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cents = (F.floor(F.col("o_totalprice").cast("decimal(18,6)") * 100)
+             .cast("long"))
+    a = (o.filter(F.col("o_orderkey") < 5000)
+          .select(F.col("o_orderkey").alias("k"), cents.alias("cents_a")))
+    b = (o.filter((F.col("o_orderkey") >= 2500)
+                  & (F.col("o_orderkey") < 7500))
+          .select(F.col("o_orderkey").alias("k"),
+                  (cents + F.when(F.col("o_orderkey") % 10 == 0, 1)
+                            .otherwise(0)).alias("cents_b")))
+    j = a.join(b, "k", "full_outer")
+    status = (F.when(F.col("cents_a").isNull(), "right_only")
+               .when(F.col("cents_b").isNull(), "left_only")
+               .when(F.col("cents_a") != F.col("cents_b"),
+                     "value_mismatch")
+               .otherwise("matched"))
+    delta = F.when(F.col("cents_a").isNotNull()
+                   & F.col("cents_b").isNotNull(),
+                   F.abs(F.col("cents_a") - F.col("cents_b"))).otherwise(0)
+    return (j.select(status.alias("status"), delta.alias("_d"))
+             .groupBy("status")
+             .agg(F.count(F.lit(1)).alias("n_keys"),
+                  F.sum("_d").cast("long").alias("abs_delta_cents")))

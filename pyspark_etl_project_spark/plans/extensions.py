@@ -3576,3 +3576,61 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     corpus = emb.filter(F.col("vec_id") >= 8)
     return hard_negatives(corpus, queries, k=3)
+
+
+# --- embedding degeneracy stats per label ------------------------------------
+# Collapsed-embedding detector: per label, quantized-norm envelope and
+# the quantized per-dim centroid (integer micro-units — float sums
+# across partitions are order-dependent, so every accumulation happens
+# in exact BIGINTs after a fixed 1e6 quantization; the centroid
+# array compares cell-exact cross-engine). A label whose norm band is
+# tight around 0 or whose centroid norm approaches the mean member
+# norm is collapsing toward a point.
+
+@_q("embedding_degeneracy_stats", """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+                                  AS BIGINT)) AS qe
+  FROM embeddings
+), n AS (
+  SELECT label, qe,
+         CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nq
+  FROM q
+)
+, dims AS (
+  SELECT label, i.d AS dim, qe[i.d + 1] AS v
+  FROM q, (SELECT unnest(range(16)) AS d) i
+), cent AS (
+  SELECT label, list(s ORDER BY dim) AS centroid_sum_q
+  FROM (SELECT label, dim, CAST(SUM(v) AS BIGINT) AS s
+        FROM dims GROUP BY label, dim)
+  GROUP BY label
+), agg AS (
+  SELECT label, COUNT(*) AS n_vecs,
+         CAST(MIN(nq) AS BIGINT) AS min_norm_q,
+         CAST(MAX(nq) AS BIGINT) AS max_norm_q
+  FROM n GROUP BY label
+)
+SELECT agg.label, agg.n_vecs, agg.min_norm_q, agg.max_norm_q,
+       cent.centroid_sum_q
+FROM agg JOIN cent ON agg.label = cent.label
+""")
+def embedding_degeneracy_stats_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qe = F.transform("embedding",
+                     lambda x: F.floor(x.cast("double") * 1_000_000)
+                     .cast("long"))
+    nq = F.aggregate(F.col("_qe"), F.lit(0).cast("long"),
+                     lambda acc, x: acc + x * x)
+    base = (emb.select("label", qe.alias("_qe"))
+               .withColumn("_nq", nq))
+    sums = [F.sum(F.element_at("_qe", i + 1)).cast("long")
+            for i in range(16)]
+    return (base.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.min("_nq").cast("long").alias("min_norm_q"),
+                 F.max("_nq").cast("long").alias("max_norm_q"),
+                 F.array(*sums).alias("centroid_sum_q")))
