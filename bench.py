@@ -119,6 +119,11 @@ HEADLINE = [
     "incremental_join_view_orders",
     "cms_heavy_hitters_tokens",
     "scd2_asof_snapshot",
+    "ann_recall_calibration",
+    "hard_negative_mining",
+    "source_reconciliation_report",
+    "embedding_degeneracy_stats",
+    "dup_span_scrub_text",
 ]
 
 

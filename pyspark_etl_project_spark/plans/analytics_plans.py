@@ -1174,7 +1174,9 @@ def source_reconciliation_report_q(spark: SparkSession,
           .select(F.col("o_orderkey").alias("k"),
                   (cents + F.when(F.col("o_orderkey") % 10 == 0, 1)
                             .otherwise(0)).alias("cents_b")))
-    j = a.join(b, "k", "full_outer")
+    # full outer cannot broadcast; shuffled-hash keeps the repo's
+    # no-sort-merge posture (both sides already key-partitioned).
+    j = a.join(b.hint("shuffle_hash"), "k", "full_outer")
     status = (F.when(F.col("cents_a").isNull(), "right_only")
                .when(F.col("cents_b").isNull(), "left_only")
                .when(F.col("cents_a") != F.col("cents_b"),

@@ -3525,15 +3525,17 @@ def ann_recall_calibration_q(spark: SparkSession,
     corpus = emb.filter(F.col("vec_id") >= 8)
     exact = topk_for_queries(corpus, queries, k=5, num_bits=None)
     approx = topk_for_queries(corpus, queries, k=5, num_bits=4)
+    # Every derived frame here is <= |queries| * k rows — broadcast
+    # them all so no sort-merge join appears (repo invariant).
     ov = (exact.select("query_id", "vec_id")
-          .join(approx.select("query_id", "vec_id"),
+          .join(F.broadcast(approx.select("query_id", "vec_id")),
                 ["query_id", "vec_id"])
           .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap")))
     an = (approx.groupBy("query_id")
           .agg(F.count(F.lit(1)).alias("n_ann")))
     return (queries.select("query_id")
-            .join(an, "query_id", "left")
-            .join(ov, "query_id", "left")
+            .join(F.broadcast(an), "query_id", "left")
+            .join(F.broadcast(ov), "query_id", "left")
             .select("query_id",
                     F.lit(5).cast("int").alias("n_exact"),
                     F.coalesce("n_ann", F.lit(0)).cast("int")

@@ -53,6 +53,8 @@ DEFAULT = [
     "event_rate_anomalies", "table_column_stats",
     "incremental_join_view_orders", "cms_heavy_hitters_tokens",
     "scd2_asof_snapshot",
+    "ann_recall_calibration", "hard_negative_mining",
+    "source_reconciliation_report", "embedding_degeneracy_stats",
 ]
 
 
