@@ -3636,3 +3636,42 @@ def embedding_degeneracy_stats_q(spark: SparkSession,
                  F.min("_nq").cast("long").alias("min_norm_q"),
                  F.max("_nq").cast("long").alias("max_norm_q"),
                  F.array(*sums).alias("centroid_sum_q")))
+
+
+# --- custom Python DataSource WRITER roundtrip -------------------------------
+# The write-side connector surface: documents flow through the
+# `jsonlsink` Python DataSource writer (per-task JSONL files, commit
+# manifest), are read back as JSON, and the per-source aggregate must
+# equal the direct-from-parquet aggregate (the oracle). Proves
+# task-level write -> commit -> read fidelity including string escaping.
+
+@_q("jsonl_sink_roundtrip", """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents WHERE doc_id < 200 GROUP BY source
+""")
+def jsonl_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark_etl_project_spark.sources.jsonl_sink import (
+        JsonlSinkDataSource)
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "source", "text"))
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_sink_"), "out")
+    docs.write.format("jsonlsink").option("path", path).mode("append").save()
+    back = (spark.read
+            .schema("doc_id bigint, source string, text string")
+            .json(os.path.join(path, "part-*.jsonl")))
+    return (back.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).cast("long").alias("total_chars"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))

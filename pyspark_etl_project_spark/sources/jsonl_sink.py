@@ -1,0 +1,95 @@
+"""Custom batch SINK via the Python DataSource writer API (Spark 4) —
+the write-side complement of sources/docsynth_source.py, completing the
+engine's connector matrix (reader + writer, both pure-Python
+extensions). `jsonlsink` streams each partition's rows to one JSONL
+file and reports per-task row counts through WriterCommitMessages,
+which commit() folds into a `_SUCCESS`-style manifest.
+
+Scale design: each task writes exactly one file named by its partition
+id (deterministic on retry — a re-attempted task OVERWRITES its own
+file rather than duplicating rows, the idempotence a speculative
+1000-executor write needs); the driver sees only k commit messages
+(one integer per task), never data. JSON encoding is json.dumps with
+sort_keys for byte-stable output. A shared filesystem is assumed, as
+for any production sink; the local[] test rig satisfies that
+trivially. The roundtrip is oracle-gated (`jsonl_sink_roundtrip`).
+
+Reference parity note: the reference lands every feed through
+driver-side pandas `to_sql` row loops (ETL/CSV_Batch_Processing.py
+:311-324); this is the executor-parallel replacement surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class JsonlCommit(WriterCommitMessage):
+    def __init__(self, partition_id: int, n_rows: int):
+        self.partition_id = partition_id
+        self.n_rows = n_rows
+
+
+class JsonlSinkDataSource(DataSource):
+    """`df.write.format("jsonlsink").option("path", dir).mode("append")
+    .save()`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlSinkWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonlsink requires .option('path', ...)")
+        return JsonlSinkWriter(path, [f.name for f in schema.fields])
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, path: str, columns: list[str]):
+        self.path = path
+        self.columns = columns
+
+    def write(self, iterator) -> JsonlCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        tmp = out + ".tmp"
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = {c: row[i] for i, c in enumerate(self.columns)}
+                fh.write(json.dumps(rec, sort_keys=True,
+                                    default=str) + "\n")
+                n += 1
+        os.replace(tmp, out)  # atomic per-task publish; retries overwrite
+        return JsonlCommit(pid, n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(
+                [f"part-{m.partition_id:05d}.jsonl" for m in messages
+                 if m is not None]),
+            "total_rows": sum(m.n_rows for m in messages
+                              if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            p = os.path.join(self.path, f"part-{m.partition_id:05d}.jsonl")
+            if os.path.exists(p):
+                os.remove(p)

@@ -1396,3 +1396,35 @@ def test_hard_negatives_exclude_same_label(spark):
     assert [r["vec_id"] for r in out] == [11, 12]
     assert all(r["neg_label"] != r["query_label"] for r in out)
     assert [r["neg_rank"] for r in out] == [1, 2]
+
+
+def test_jsonl_sink_manifest_and_idempotent_files(spark, tmp_path):
+    """The writer publishes one file per partition plus a commit
+    manifest whose total matches; rewriting the same data overwrites
+    files instead of duplicating rows."""
+    import json
+    import os
+
+    from pyspark_etl_project_spark.sources.jsonl_sink import (
+        JsonlSinkDataSource)
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass
+    df = (spark.createDataFrame([(i, f"t{i}") for i in range(20)],
+                                "doc_id long, text string")
+          .repartition(4))
+    path = str(tmp_path / "out")
+    df.write.format("jsonlsink").option("path", path).mode("append").save()
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 20
+    assert len(manifest["files"]) == 4
+    back = spark.read.schema("doc_id long, text string").json(
+        os.path.join(path, "part-*.jsonl"))
+    assert back.count() == 20
+    # second write of the same frame overwrites per-partition files
+    df.write.format("jsonlsink").option("path", path).mode("append").save()
+    again = spark.read.schema("doc_id long, text string").json(
+        os.path.join(path, "part-*.jsonl"))
+    assert again.count() == 20
