@@ -3675,3 +3675,72 @@ def jsonl_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("text")).cast("long").alias("total_chars"),
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id")))
+
+
+# --- retrieval MRR by label relevance ----------------------------------------
+# Mean-reciprocal-rank eval over the exact cosine top-10: a retrieved
+# vector is relevant iff it shares the query's label; per query the
+# reciprocal rank of the first relevant hit in integer milli-units
+# (1000 div rank — no float harmonic), 0 when nothing relevant lands
+# in the window. The standard retrieval-eval loop, one broadcast join
+# + one query-keyed window.
+
+@_q("retrieval_mrr_by_label", f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id < 8
+), cs AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 8
+), ranked AS (
+  SELECT q.query_id, q.qlabel, e.label, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY {_PAIR_COS_SQL} DESC,
+                                     e.vec_id ASC) AS rn
+  FROM cs e, qs q
+), top10 AS (
+  SELECT * FROM ranked WHERE rn <= 10
+), firstrel AS (
+  SELECT query_id, MIN(rn) AS first_rel_rank
+  FROM top10 WHERE label = qlabel GROUP BY query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(f.first_rel_rank, 0) AS INTEGER) AS first_rel_rank,
+       CAST(CASE WHEN f.first_rel_rank IS NULL THEN 0
+            ELSE 1000 // f.first_rel_rank END AS INTEGER) AS rr_milli
+FROM qs q LEFT JOIN firstrel f ON q.query_id = f.query_id
+""")
+def retrieval_mrr_by_label_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.similarity import (
+        topk_for_queries)
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("query_vec"),
+                          F.col("label").alias("qlabel"))
+                  .localCheckpoint(eager=False))
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    top = topk_for_queries(corpus, queries.select("query_id", "query_vec"),
+                           k=10, num_bits=None)
+    labeled = top.join(
+        F.broadcast(emb.select(F.col("vec_id"),
+                               F.col("label").alias("rlabel"))),
+        "vec_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("vec_id"))
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    firstrel = (ranked
+                .join(F.broadcast(queries.select("query_id", "qlabel")),
+                      "query_id")
+                .filter(F.col("rlabel") == F.col("qlabel"))
+                .groupBy("query_id")
+                .agg(F.min("rn").alias("first_rel_rank")))
+    return (queries.select("query_id")
+            .join(F.broadcast(firstrel), "query_id", "left")
+            .select("query_id",
+                    F.coalesce("first_rel_rank", F.lit(0)).cast("int")
+                     .alias("first_rel_rank"),
+                    F.expr("cast(case when first_rel_rank is null"
+                           " then 0 else 1000 div first_rel_rank end"
+                           " as int)").alias("rr_milli")))

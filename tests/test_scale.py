@@ -353,3 +353,26 @@ def test_collocations_topk_is_take_ordered(spark):
 
     plan = _formatted_plan(collocations_topk_q(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_join_uses_dynamic_partition_pruning(spark, tmp_path):
+    """Joining the split-partitioned curated corpus against a FILTERED
+    small dim on the partition column must plan dynamic partition
+    pruning — at 100 TB the fact scan reads only the splits the dim
+    survives, decided at runtime from the broadcast."""
+    import pyspark.sql.functions as F
+
+    from pyspark_etl_project_spark.extensions.corpus import (
+        write_curated_corpus)
+    from pyspark_etl_project_spark.plans.tables import load
+
+    docs = (load(spark, SF_SMALL, "documents")
+            .select("doc_id", "text", "lang", "source",
+                    (F.col("doc_id") % 3).cast("string").alias("split")))
+    path = str(tmp_path / "corpus")
+    write_curated_corpus(docs, path)
+    corpus = spark.read.parquet(path)
+    dim = spark.createDataFrame([("0", 10), ("1", 2)],
+                                "split string, w int")
+    plan = _formatted_plan(corpus.join(dim.filter("w > 5"), "split"))
+    assert "dynamicpruning" in plan.lower()
