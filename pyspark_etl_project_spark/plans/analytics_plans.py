@@ -1189,3 +1189,41 @@ def source_reconciliation_report_q(spark: SparkSession,
              .groupBy("status")
              .agg(F.count(F.lit(1)).alias("n_keys"),
                   F.sum("_d").cast("long").alias("abs_delta_cents")))
+
+
+# --- exact integer dispersion by group -------------------------------------
+# Decomposable variance without floats: per event type, n, Σcents and
+# Σcents² in BIGINTs; the variance NUMERATOR n·Σx² − (Σx)² is exact
+# integer math (the float division by n² is left to the reader of the
+# stats table, keeping the gate bit-exact). Map-side combinable — the
+# partial-agg shape incremental stats maintenance merges. Value range
+# note: cents ≤ ~10⁵ here so Σx² fits BIGINT through sf100; a 100 TB
+# run would hold Σx² in DECIMAL(38,0) — same plan shape.
+
+@_q("value_dispersion_by_type", """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(cents * cents) AS BIGINT) AS sumsq_cents,
+       CAST(COUNT(*) * SUM(cents * cents) - SUM(cents) * SUM(cents)
+            AS BIGINT) AS var_numer
+FROM (SELECT event_type,
+             CAST(FLOOR(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)
+               AS cents
+      FROM events)
+GROUP BY event_type
+""")
+def value_dispersion_by_type_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cents = (F.floor(F.col("value").cast("decimal(18,6)") * 100)
+             .cast("long"))
+    return (ev.select("event_type", cents.alias("_c"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("_c").cast("long").alias("sum_cents"),
+                 F.sum(F.col("_c") * F.col("_c")).cast("long")
+                  .alias("sumsq_cents"))
+            .withColumn("var_numer",
+                        (F.col("n") * F.col("sumsq_cents")
+                         - F.col("sum_cents") * F.col("sum_cents"))
+                        .cast("long")))

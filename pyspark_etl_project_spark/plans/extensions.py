@@ -3744,3 +3744,54 @@ def retrieval_mrr_by_label_q(spark: SparkSession,
                     F.expr("cast(case when first_rel_rank is null"
                            " then 0 else 1000 div first_rel_rank end"
                            " as int)").alias("rr_milli")))
+
+
+# --- dedup cluster-size histogram --------------------------------------------
+# The audit view over near-dup clustering: how many clusters of each
+# size (size 1 = unique docs, heavy tails = template families). Reuses
+# the minhash candidate pairs + connected components; the histogram is
+# two tiny aggregates on top. Oracle extends the recursive-CTE closure.
+
+@_q("dedup_cluster_size_histogram", f"""
+{_MINHASH_PAIRS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+nodes AS (SELECT doc_id FROM base),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), clusters AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+), sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS INTEGER) AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+""")
+def dedup_cluster_size_histogram_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import (
+        connected_dedup_clusters, minhash_lsh_candidates)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    near = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" extratoken")).alias("text"))
+    base = docs.select("doc_id", "text").unionByName(near)
+    pairs = minhash_lsh_candidates(base, "doc_id", "text",
+                                   num_hashes=8, num_bands=4, shingle_n=3)
+    clusters = connected_dedup_clusters(pairs, base.select("doc_id"))
+    sizes = (clusters.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (sizes.groupBy(F.col("cluster_size").cast("int")
+                          .alias("cluster_size"))
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .withColumn("n_docs",
+                        (F.col("cluster_size") * F.col("n_clusters"))
+                        .cast("long")))
