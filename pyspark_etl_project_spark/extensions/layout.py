@@ -116,3 +116,26 @@ def deterministic_shuffle(df: DataFrame, id_col: str, seed: int,
     if key_col is not None:
         return numbered.withColumnRenamed("_shuffle_key", key_col)
     return numbered.drop("_shuffle_key")
+
+
+def compact_small_files(spark, src_path: str, dst_path: str,
+                        order_col: str, target_rows_per_file: int):
+    """Small-files compaction — the lakehouse maintenance pass that
+    rewrites a fragmented directory (streaming appends, per-batch
+    files) into ceil(n / target) range-partitioned files sorted by
+    ``order_col``, so downstream scans get both fewer tasks and
+    min-max-prunable files. Row count is preserved exactly; the
+    only shuffle is the range exchange that also fixes the layout.
+
+    Returns (rows_written, files_written)."""
+    import math
+    import os
+
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    parts = max(1, math.ceil(n / target_rows_per_file))
+    (df.repartitionByRange(parts, F.col(order_col))
+       .sortWithinPartitions(order_col)
+       .write.mode("overwrite").parquet(dst_path))
+    files = [f for f in os.listdir(dst_path) if f.endswith(".parquet")]
+    return n, len(files)

@@ -350,3 +350,15 @@ def asof_snapshot(mart: DataFrame, asof_ts: str,
     if flag:
         snap = snap.withColumn(flag, F.lit(1))
     return snap
+
+
+def vacuum_expired(mart: DataFrame, horizon_ts: str,
+                   end_col: str = "END_DATE") -> DataFrame:
+    """History retention for the SCD2 mart: drop versions that EXPIRED
+    before the horizon (END_DATE < horizon) — open rows (sentinel end)
+    and recently-closed history survive, so any AS-OF query inside the
+    retention window still reconstructs exactly (asof_snapshot only
+    needs versions with end > t). Map-only pushed filter; at scale it
+    runs as a partition rewrite during compaction, same predicate."""
+    t = F.lit(horizon_ts).cast("timestamp")
+    return mart.filter(F.col(end_col) >= t)

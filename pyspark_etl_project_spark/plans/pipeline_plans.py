@@ -668,3 +668,63 @@ def scd2_asof_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged2 = csv_transform(_att_feed(orders, 250, 750, shift=True), dims, 62)
     mart2, _ = run_load(mart1, staged2, _T2_2L, source_id=3, dense_ids=True)
     return _mart_lower(asof_snapshot(mart2, "2024-05-15 00:00:00"))
+
+
+# --- SCD2 history vacuum -----------------------------------------------------
+# Retention pass over the two-load mart with the horizon ABOVE load 2's
+# expiry stamp: the load-2-expired versions drop, open rows and fresh
+# history survive. The oracle applies the same end>=horizon predicate
+# to its independently-built mart — proving the vacuum keeps exactly
+# the AS-OF-reconstructible set for the retention window.
+
+@_q("scd2_vacuum_expired", f"""
+WITH s1 AS ({_att_staged_sql(0, 500, False, 61)}),
+s2 AS ({_att_staged_sql(250, 750, True, 62)}),
+load1 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY ssi) AS csd_id, s1.*,
+         1 AS is_valid_data, 1 AS active_flag,
+         TIMESTAMP '{_T1_2L}' AS start_date,
+         TIMESTAMP '2099-12-31 00:00:00' AS end_date
+  FROM s1),
+routed AS (
+  SELECT s2.*, l.source_hash_key AS old_hash
+  FROM s2 LEFT JOIN load1 l USING (ssi)),
+arrivals AS (
+  SELECT * FROM routed WHERE old_hash IS NULL OR old_hash <> source_hash_key),
+survivors AS (
+  SELECT * FROM load1 WHERE ssi NOT IN (SELECT ssi FROM arrivals)),
+fresh AS (
+  SELECT (SELECT MAX(csd_id) FROM load1) + ROW_NUMBER() OVER (ORDER BY ssi)
+           AS csd_id,
+         ssi, agent_id, interaction_date, support_area_id,
+         interaction_status, interaction_type, customer_type_id, handle_time,
+         work_time, first_contact_resolution, query_status, solution_type,
+         customer_rating, source_hash_key, data_load_id,
+         1 AS is_valid_data, 1 AS active_flag,
+         TIMESTAMP '{_T2_2L}' AS start_date,
+         TIMESTAMP '2099-12-31 00:00:00' AS end_date
+  FROM arrivals)
+SELECT csd_id, 3 AS source_id, ssi, agent_id, interaction_date,
+       support_area_id, interaction_status, interaction_type,
+       customer_type_id, handle_time, work_time, first_contact_resolution,
+       query_status, solution_type, customer_rating, source_hash_key,
+       data_load_id, is_valid_data, active_flag, start_date, end_date
+FROM (SELECT csd_id, ssi, agent_id, interaction_date, support_area_id,
+             interaction_status, interaction_type, customer_type_id,
+             handle_time, work_time, first_contact_resolution, query_status,
+             solution_type, customer_rating, source_hash_key, data_load_id,
+             is_valid_data, active_flag, start_date, end_date FROM survivors
+      UNION ALL SELECT * FROM fresh)
+""")
+def scd2_vacuum_expired_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.scd2 import vacuum_expired
+
+    orders = load(spark, sf_dir, "orders")
+    dims = _seed_dims(spark)
+    staged1 = csv_transform(_att_feed(orders, 0, 500, shift=False), dims, 61)
+    mart1, _ = run_load(empty_mart(spark), staged1, _T1_2L, source_id=3,
+                        dense_ids=True, surrogate_offset=0)
+    mart1 = mart1.localCheckpoint(eager=False)
+    staged2 = csv_transform(_att_feed(orders, 250, 750, shift=True), dims, 62)
+    mart2, _ = run_load(mart1, staged2, _T2_2L, source_id=3, dense_ids=True)
+    return _mart_lower(vacuum_expired(mart2, "2024-07-01 00:00:00"))

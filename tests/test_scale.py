@@ -376,3 +376,29 @@ def test_corpus_join_uses_dynamic_partition_pruning(spark, tmp_path):
                                 "split string, w int")
     plan = _formatted_plan(corpus.join(dim.filter("w > 5"), "split"))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_compact_small_files_preserves_rows_and_bounds_files(spark, tmp_path):
+    """64 tiny appended files compact to ceil(n/target) range-sorted
+    files with identical row count."""
+    import pyspark.sql.functions as F
+
+    from pyspark_etl_project_spark.extensions.layout import (
+        compact_small_files)
+
+    src = str(tmp_path / "frag")
+    for i in range(8):
+        (spark.range(i * 100, (i + 1) * 100)
+         .select(F.col("id").alias("k"))
+         .repartition(8)
+         .write.mode("append").parquet(src))
+    import os
+    n_src_files = len([f for f in os.listdir(src)
+                       if f.endswith(".parquet")])
+    assert n_src_files >= 32  # genuinely fragmented
+    dst = str(tmp_path / "compact")
+    rows, files = compact_small_files(spark, src, dst, "k",
+                                      target_rows_per_file=200)
+    assert rows == 800
+    assert files == 4
+    assert spark.read.parquet(dst).count() == 800
