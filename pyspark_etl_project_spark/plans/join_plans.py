@@ -205,3 +205,34 @@ def salted_join_supplier_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy(F.col("s_nationkey").alias("nation_key"))
             .agg(F.count(F.lit(1)).alias("n_lines"),
                  F.floor(F.sum("qty") * 100).cast("long").alias("qty_cents")))
+
+
+# --- forward as-of: next error after each purchase --------------------------
+# The other as-of direction (operators/joins.py:asof_join
+# direction='forward', previously untested by the gate): for every
+# purchase, the EARLIEST error event at-or-after it for the same user
+# — the "did the checkout break afterwards" diagnostic join. Same
+# single user-keyed shuffle as backward; DuckDB's native ASOF with a
+# >= comparator is the oracle.
+
+@_q("asof_join_forward_error", """
+SELECT l.user_id, l.event_id, l.ts AS purchase_ts,
+       r.event_id AS error_event_id, r.ts AS error_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+ON l.user_id = r.user_id AND r.ts >= l.ts
+""")
+def asof_join_forward_error_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "event_id",
+                           F.col("ts").alias("purchase_ts")))
+    errors = (ev.filter(F.col("event_type") == "error")
+                .select("user_id", F.col("ts").alias("ets"),
+                        F.col("event_id").alias("error_event_id"),
+                        F.col("ts").alias("error_ts")))
+    return asof_join(purchases, errors, on="user_id",
+                     left_ts="purchase_ts", right_ts="ets",
+                     right_cols=["error_event_id", "error_ts"],
+                     direction="forward")
