@@ -1227,3 +1227,68 @@ def value_dispersion_by_type_q(spark: SparkSession,
                         (F.col("n") * F.col("sumsq_cents")
                          - F.col("sum_cents") * F.col("sum_cents"))
                         .cast("long")))
+
+
+# --- deterministic grouped mode + discrete percentiles ----------------------
+# mode() builtins tie-break arbitrarily (engine-dependent), so the
+# mode is derived explicitly: highest count, then smallest value — and
+# the discrete median is the value at sorted position ceil(n/2)
+# (percentile_disc semantics) via the same rank machinery. Everything
+# integer-cents; two bounded shuffles (value-count groupBy + group
+# window over the small count table).
+
+@_q("grouped_mode_median_disc", """
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(FLOOR(l_quantity * 100) AS BIGINT) AS q
+  FROM lineitem
+), counts AS (
+  SELECT flag, q, COUNT(*) AS c FROM v GROUP BY flag, q
+), mode_pick AS (
+  SELECT flag, q AS mode_cents, c AS mode_count FROM (
+    SELECT flag, q, c,
+           ROW_NUMBER() OVER (PARTITION BY flag
+                              ORDER BY c DESC, q ASC) AS rn
+    FROM counts) WHERE rn = 1
+), ordered AS (
+  SELECT flag, q, c,
+         SUM(c) OVER (PARTITION BY flag ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY flag) AS total
+  FROM counts
+), med AS (
+  SELECT flag, MIN(q) AS median_disc_cents
+  FROM ordered WHERE cum >= (total + 1) // 2 GROUP BY flag
+)
+SELECT m.flag AS l_returnflag, m.mode_cents,
+       CAST(m.mode_count AS BIGINT) AS mode_count,
+       d.median_disc_cents
+FROM mode_pick m JOIN med d ON m.flag = d.flag
+""")
+def grouped_mode_median_disc_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(F.col("l_returnflag").alias("flag"),
+                  F.floor(F.col("l_quantity") * 100).cast("long")
+                   .alias("q"))
+    counts = v.groupBy("flag", "q").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.localCheckpoint(eager=False)
+    w_mode = (Window.partitionBy("flag")
+              .orderBy(F.desc("c"), F.asc("q")))
+    mode_pick = (counts.withColumn("rn", F.row_number().over(w_mode))
+                 .filter("rn = 1")
+                 .select("flag", F.col("q").alias("mode_cents"),
+                         F.col("c").cast("long").alias("mode_count")))
+    w_cum = (Window.partitionBy("flag").orderBy("q")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_tot = Window.partitionBy("flag")
+    med = (counts
+           .withColumn("cum", F.sum("c").over(w_cum))
+           .withColumn("total", F.sum("c").over(w_tot))
+           .filter(F.expr("cum >= (total + 1) div 2"))
+           .groupBy("flag")
+           .agg(F.min("q").alias("median_disc_cents")))
+    return (mode_pick.join(med, "flag")
+            .select(F.col("flag").alias("l_returnflag"), "mode_cents",
+                    "mode_count", "median_disc_cents"))
