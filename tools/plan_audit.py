@@ -55,6 +55,10 @@ DEFAULT = [
     "scd2_asof_snapshot",
     "ann_recall_calibration", "hard_negative_mining",
     "source_reconciliation_report", "embedding_degeneracy_stats",
+    "jsonl_sink_roundtrip", "retrieval_mrr_by_label",
+    "dedup_cluster_size_histogram", "value_dispersion_by_type",
+    "scd2_vacuum_expired", "asof_join_forward_error",
+    "grouped_mode_median_disc",
 ]
 
 
