@@ -118,7 +118,9 @@ HEADLINE = [
     "table_column_stats",
     "incremental_join_view_orders",
     "cms_heavy_hitters_tokens",
-    "scd2_asof_snapshot",
+    # scd2_asof_snapshot is oracle-gated but not benched: its cost is
+    # ~entirely the two-load mart construction, already represented by
+    # the etl pipeline entries (the snapshot itself is a pushed filter).
     "ann_recall_calibration",
     "hard_negative_mining",
     "source_reconciliation_report",
