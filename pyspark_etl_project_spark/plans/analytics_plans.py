@@ -1292,3 +1292,64 @@ def grouped_mode_median_disc_q(spark: SparkSession,
     return (mode_pick.join(med, "flag")
             .select(F.col("flag").alias("l_returnflag"), "mode_cents",
                     "mode_count", "median_disc_cents"))
+
+
+# --- join-skew diagnostic report -------------------------------------------
+# The operability view a 100 TB join needs BEFORE it runs: per-key
+# group sizes of the prospective join key, reduced to the skew signal
+# (heaviest key, p50/p99/max group size by explicit rank, and the
+# ratio that decides salting). Group sizes are one map-combined
+# groupBy; the percentile ranks run over the (small) distinct-key
+# table, never the fact rows.
+
+@_q("join_skew_report", """
+WITH g AS (
+  SELECT o_custkey AS k, COUNT(*) AS sz FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT k, sz,
+         ROW_NUMBER() OVER (ORDER BY sz, k) AS rn,
+         COUNT(*) OVER () AS n
+  FROM g
+)
+SELECT
+  (SELECT COUNT(*) FROM g) AS n_keys,
+  (SELECT MIN(k) FROM g WHERE sz = (SELECT MAX(sz) FROM g))
+    AS heaviest_key,
+  CAST((SELECT MAX(sz) FROM g) AS BIGINT) AS max_group,
+  CAST((SELECT MIN(sz) FROM r WHERE rn >= (n + 1) // 2) AS BIGINT)
+    AS p50_group,
+  CAST((SELECT MIN(sz) FROM r WHERE rn >= (n * 99 + 99) // 100)
+       AS BIGINT) AS p99_group,
+  CAST((SELECT MAX(sz) FROM g) * 100
+       // (SELECT MIN(sz) FROM r WHERE rn >= (n + 1) // 2) AS BIGINT)
+    AS max_over_p50_pct
+""")
+def join_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    from pyspark_etl_project_spark.operators.scd2 import dense_row_number
+
+    g = (o.groupBy(F.col("o_custkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("sz"))
+          .localCheckpoint(eager=False))
+    # rank via the two-phase range-partitioned row number: the
+    # distinct-key table is small HERE, but at 100 TB a fact key can
+    # have ~1e9 distinct values — a bare Window.orderBy would funnel
+    # them into one task.
+    n_total = g.agg(F.count(F.lit(1)).alias("n"))
+    r = (dense_row_number(g, ["sz", "k"], "rn")
+         .crossJoin(F.broadcast(n_total)))
+    heaviest = (g.orderBy(F.desc("sz"), F.asc("k")).limit(1)
+                .select(F.col("k").alias("heaviest_key"),
+                        F.col("sz").cast("long").alias("max_group")))
+    p50 = (r.filter(F.expr("rn >= (n + 1) div 2"))
+           .agg(F.min("sz").cast("long").alias("p50_group")))
+    p99 = (r.filter(F.expr("rn >= (n * 99 + 99) div 100"))
+           .agg(F.min("sz").cast("long").alias("p99_group")))
+    nk = g.agg(F.count(F.lit(1)).alias("n_keys"))
+    return (nk.crossJoin(F.broadcast(heaviest))
+              .crossJoin(F.broadcast(p50))
+              .crossJoin(F.broadcast(p99))
+              .withColumn("max_over_p50_pct",
+                          F.expr("max_group * 100 div p50_group"))
+              .select("n_keys", "heaviest_key", "max_group",
+                      "p50_group", "p99_group", "max_over_p50_pct"))

@@ -3795,3 +3795,42 @@ def dedup_cluster_size_histogram_q(spark: SparkSession,
             .withColumn("n_docs",
                         (F.col("cluster_size") * F.col("n_clusters"))
                         .cast("long")))
+
+
+# --- bigram-LM surprise scoring ----------------------------------------------
+# Perplexity-proxy document scoring with an integer estimator: corpus
+# bigram frequencies as the LM, per-doc mean inverse probability
+# (surprise_i = total_bigrams div count(bigram_i), averaged per doc).
+# Gibberish scores high (its bigrams are corpus-rare), boilerplate low.
+# The bigram-level complement of rare_token_quality_score's unigram LM.
+# Two map-combined counts + one vocabulary-keyed join; all BIGINT.
+
+@_q("bigram_surprise_score", """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), bg AS (
+  SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS g
+  FROM t, unnest(range(CASE WHEN len(w) >= 2 THEN len(w) - 1
+                        ELSE 0 END)) AS r(i)
+), bc AS (
+  SELECT g, COUNT(*) AS c FROM bg GROUP BY g
+), tot AS (SELECT COUNT(*) AS n FROM bg)
+SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(tot.n // bc.c) // COUNT(*) AS BIGINT) AS mean_surprise
+FROM bg JOIN bc USING (g), tot
+GROUP BY bg.doc_id
+""")
+def bigram_surprise_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    bg = (docs.select("doc_id",
+                      F.explode(X.ngram_array(toks, 2)).alias("g"))
+              .localCheckpoint(eager=False))
+    bc = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    tot = bg.agg(F.count(F.lit(1)).alias("n"))
+    return (bg.join(bc, "g")
+              .crossJoin(F.broadcast(tot))
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.expr("cast(sum(n div c) div count(1) as bigint)")
+                    .alias("mean_surprise")))
