@@ -933,3 +933,34 @@ def containment_pairs(df: DataFrame, id_col: str, shingle_col: str,
             .select("id_a", "id_b", "inter_n", "size_small",
                     F.expr("inter_n * 1000000 div size_small")
                      .alias("containment_ppm")))
+
+
+def survivorship_merge(df: DataFrame, id_col: str, text_col: str,
+                       source_col: str, quality_col: str) -> DataFrame:
+    """Dedup with survivorship: one keeper per exact content
+    fingerprint — highest ``quality_col`` then lowest id (NOT blind
+    min-id: the best copy survives) — carrying merged provenance from
+    every dropped duplicate (distinct sources as a sorted CSV, copy
+    count, max quality). Curation pipelines need the merge, not just
+    the drop: a doc found by 5 crawls is evidence of importance, and
+    dropping 4 rows silently loses that signal.
+
+    One fingerprint-keyed shuffle serves both the keeper window and
+    the provenance aggregate (same partitioning, reused)."""
+    from pyspark_etl_project_spark.extensions.text import (
+        normalized_fingerprint)
+
+    fp = df.withColumn("_fp", normalized_fingerprint(F.col(text_col)))
+    w = (Window.partitionBy("_fp")
+         .orderBy(F.desc(quality_col), F.asc(id_col)))
+    keep = (fp.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .select(F.col("_fp"), F.col(id_col).alias("keep_id")))
+    prov = (fp.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.array_join(F.array_sort(
+                     F.collect_set(F.col(source_col))), ",")
+                  .alias("sources_csv"),
+                 F.max(quality_col).alias("max_quality")))
+    return (keep.join(prov, "_fp")
+            .select("keep_id", "n_copies", "sources_csv", "max_quality"))

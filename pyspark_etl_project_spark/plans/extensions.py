@@ -3834,3 +3834,82 @@ def bigram_surprise_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_bigrams"),
                    F.expr("cast(sum(n div c) div count(1) as bigint)")
                     .alias("mean_surprise")))
+
+
+# --- dedup survivorship merge ------------------------------------------------
+# The keeper per normalized fingerprint is the highest-quality copy
+# (token count as the quality proxy; id tiebreak), and the dropped
+# copies MERGE their provenance onto it — distinct sources as a sorted
+# CSV, copy count, best quality. Dedup that preserves evidence instead
+# of discarding it.
+
+@_q("dedup_survivorship_merge", """
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS q,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), keep AS (
+  SELECT fp, doc_id AS keep_id FROM (
+    SELECT fp, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY fp
+                              ORDER BY q DESC, doc_id ASC) AS rn
+    FROM d) WHERE rn = 1
+), prov AS (
+  SELECT fp, COUNT(*) AS n_copies,
+         string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
+         CAST(MAX(q) AS INTEGER) AS max_quality
+  FROM d GROUP BY fp
+)
+SELECT k.keep_id, p.n_copies, p.sources_csv, p.max_quality
+FROM keep k JOIN prov p ON k.fp = p.fp
+""")
+def dedup_survivorship_merge_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import (
+        survivorship_merge)
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "text", "source",
+                    X.token_count("text").alias("q")))
+    out = survivorship_merge(docs, "doc_id", "text", "source", "q")
+    return out.withColumn("max_quality",
+                          F.col("max_quality").cast("int"))
+
+
+# --- small-files compaction roundtrip ----------------------------------------
+# Gate for the lakehouse maintenance sink (extensions/layout.py:
+# compact_small_files): a deliberately fragmented write (8 appends x 8
+# partitions) compacts into range-sorted files; the read-back aggregate
+# must equal the direct aggregate, and the file count is pinned in the
+# result so the gate also proves the layout contract, not only the rows.
+
+@_q("compaction_roundtrip", """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(4 AS INTEGER) AS files_written
+FROM documents WHERE doc_id < 400 GROUP BY source
+""")
+def compaction_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark_etl_project_spark.extensions.layout import (
+        compact_small_files)
+
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400)
+            .select("doc_id", "source", "n_chars"))
+    work = tempfile.mkdtemp(prefix="compact_rt_")
+    frag = os.path.join(work, "frag")
+    for i in range(8):
+        (docs.filter(F.col("doc_id") % 8 == i)
+             .repartition(8).write.mode("append").parquet(frag))
+    dst = os.path.join(work, "compact")
+    n, files = compact_small_files(spark, frag, dst, "doc_id",
+                                   target_rows_per_file=100)
+    return (spark.read.parquet(dst)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"))
+            .withColumn("files_written", F.lit(files).cast("int")))
