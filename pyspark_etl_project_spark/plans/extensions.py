@@ -3913,3 +3913,68 @@ def compaction_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("total_chars"))
             .withColumn("files_written", F.lit(files).cast("int")))
+
+
+# --- MinHash-LSH candidate recall/precision vs exact Jaccard -----------------
+# The dedup-method twin of ann_recall_calibration: ground truth = exact
+# 3-gram Jaccard >= 1/5 over the clone-augmented corpus, prediction =
+# banded MinHash candidates (8 hashes, 4 bands). TP/FN/FP counts and
+# integer percentages — the measurement that sizes bands/hashes before
+# a corpus-wide near-dup run. Both pair sets reuse their gated
+# machinery; the confusion join is (id_a, id_b)-keyed.
+
+@_q("minhash_vs_jaccard_eval", f"""
+{_MINHASH_PAIRS_CTE},
+sizes AS (SELECT doc_id, len(sh) AS sz FROM docs),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+jpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_n
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT id_a, id_b FROM jpairs
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE inter_n * 5 >= (sa.sz + sb.sz - inter_n) * 1
+), pred AS (SELECT id_a, id_b FROM pairs)
+SELECT
+  (SELECT COUNT(*) FROM truth) AS n_truth,
+  (SELECT COUNT(*) FROM pred) AS n_pred,
+  (SELECT COUNT(*) FROM truth JOIN pred USING (id_a, id_b)) AS n_tp,
+  CAST((SELECT COUNT(*) FROM truth JOIN pred USING (id_a, id_b)) * 100
+       // GREATEST((SELECT COUNT(*) FROM truth), 1) AS INTEGER)
+    AS recall_pct,
+  CAST((SELECT COUNT(*) FROM truth JOIN pred USING (id_a, id_b)) * 100
+       // GREATEST((SELECT COUNT(*) FROM pred), 1) AS INTEGER)
+    AS precision_pct
+""")
+def minhash_vs_jaccard_eval_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.dedup import (
+        jaccard_pairs, minhash_lsh_candidates)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    near = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" extratoken")).alias("text"))
+    base = (docs.select("doc_id", "text").unionByName(near)
+            .localCheckpoint(eager=False))
+    sh = base.select("doc_id", word_shingles("text", 3).alias("sh"))
+    truth = (jaccard_pairs(sh, "doc_id", "sh", threshold_num=1,
+                           threshold_den=5, max_doc_freq=None)
+             .select("id_a", "id_b"))
+    pred = (minhash_lsh_candidates(base, "doc_id", "text",
+                                   num_hashes=8, num_bands=4,
+                                   shingle_n=3)
+            .select("id_a", "id_b"))
+    tp = truth.join(F.broadcast(pred), ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    np_ = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    ntp = tp.agg(F.count(F.lit(1)).alias("n_tp"))
+    return (nt.crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(ntp))
+            .withColumn("recall_pct",
+                        F.expr("cast(n_tp * 100 div greatest(n_truth, 1)"
+                               " as int)"))
+            .withColumn("precision_pct",
+                        F.expr("cast(n_tp * 100 div greatest(n_pred, 1)"
+                               " as int)")))
