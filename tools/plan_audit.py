@@ -59,6 +59,9 @@ DEFAULT = [
     "dedup_cluster_size_histogram", "value_dispersion_by_type",
     "scd2_vacuum_expired", "asof_join_forward_error",
     "grouped_mode_median_disc",
+    "bigram_surprise_score", "join_skew_report",
+    "dedup_survivorship_merge", "compaction_roundtrip",
+    "minhash_vs_jaccard_eval",
 ]
 
 
