@@ -3978,3 +3978,58 @@ def minhash_vs_jaccard_eval_q(spark: SparkSession,
             .withColumn("precision_pct",
                         F.expr("cast(n_tp * 100 div greatest(n_pred, 1)"
                                " as int)")))
+
+
+# --- TF-IDF weighted doc-doc similarity --------------------------------------
+# The weighted complement of n-gram Jaccard: token weights tf *
+# (1e6 div df) — integer IDF proxy, no float log — and doc-pair scores
+# as the sparse dot product over an inverted token index (shuffle on
+# the token, stop-token cap 100, never an all-pairs join). Top-20
+# pairs by integer score with pair tiebreak; rare shared vocabulary
+# dominates, which is exactly what separates topical similarity from
+# boilerplate overlap.
+
+@_q("tfidf_doc_similarity_topk", """
+WITH tok AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+    FROM documents WHERE doc_id < 300) GROUP BY doc_id, t
+), df AS (
+  SELECT t, COUNT(*) AS dfreq FROM tok GROUP BY t
+), keep AS (SELECT t, dfreq FROM df WHERE dfreq <= 100),
+w AS (
+  SELECT tok.doc_id, tok.t,
+         tok.tf * (1000000 // keep.dfreq) AS wgt
+  FROM tok JOIN keep ON tok.t = keep.t
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.wgt * b.wgt) AS BIGINT) AS score
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, score FROM pairs
+ORDER BY score DESC, id_a, id_b LIMIT 20
+""")
+def tfidf_doc_similarity_topk_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300))
+    tok = (docs.select("doc_id",
+                       F.explode(X.tokens(F.col("text"))).alias("t"))
+               .groupBy("doc_id", "t")
+               .agg(F.count(F.lit(1)).alias("tf"))
+               .localCheckpoint(eager=False))
+    keep = (tok.groupBy("t").agg(F.count(F.lit(1)).alias("dfreq"))
+               .filter(F.col("dfreq") <= 100))
+    w = (tok.join(keep, "t")
+            .select("doc_id", "t",
+                    F.expr("tf * (1000000 div dfreq)").alias("wgt")))
+    pairs = (w.alias("a")
+             .join(w.alias("b").hint("shuffle_hash"),
+                   (F.col("a.t") == F.col("b.t"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.sum(F.col("a.wgt") * F.col("b.wgt")).cast("long")
+                  .alias("score")))
+    return (pairs.orderBy(F.desc("score"), "id_a", "id_b").limit(20))
