@@ -4033,3 +4033,69 @@ def tfidf_doc_similarity_topk_q(spark: SparkSession,
              .agg(F.sum(F.col("a.wgt") * F.col("b.wgt")).cast("long")
                   .alias("score")))
     return (pairs.orderBy(F.desc("score"), "id_a", "id_b").limit(20))
+
+
+# --- length-distribution drift between source groups -------------------------
+# Data-drift monitor: decile grids of document length for two source
+# cohorts (even vs odd source index — stand-ins for "last week" vs
+# "this week") computed with the exact rank machinery, then the
+# per-decile integer gap. Persistent one-sided gaps = the ingest mix
+# changed. Ranks run per cohort over the (tiny) distinct-length count
+# table; no full sort of the corpus.
+
+@_q("length_drift_deciles", """
+WITH d AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+         THEN 'even' ELSE 'odd' END AS cohort,
+         n_chars
+  FROM documents
+), counts AS (
+  SELECT cohort, n_chars, COUNT(*) AS c FROM d GROUP BY cohort, n_chars
+), r AS (
+  SELECT cohort, n_chars, c,
+         SUM(c) OVER (PARTITION BY cohort ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY cohort) AS total
+  FROM counts
+), dec AS (
+  SELECT cohort, q.decile,
+         MIN(n_chars) AS val
+  FROM r, (SELECT unnest(range(1, 10)) AS decile) q
+  WHERE cum * 10 >= total * q.decile
+  GROUP BY cohort, q.decile
+)
+SELECT e.decile AS decile,
+       CAST(e.val AS BIGINT) AS even_chars,
+       CAST(o.val AS BIGINT) AS odd_chars,
+       CAST(e.val - o.val AS BIGINT) AS gap
+FROM (SELECT decile, val FROM dec WHERE cohort = 'even') e
+JOIN (SELECT decile, val FROM dec WHERE cohort = 'odd') o
+  ON e.decile = o.decile
+""")
+def length_drift_deciles_q(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cohort = F.when(F.substring("source", 4, 10).cast("int") % 2 == 0,
+                    "even").otherwise("odd")
+    counts = (docs.select(cohort.alias("cohort"), "n_chars")
+              .groupBy("cohort", "n_chars")
+              .agg(F.count(F.lit(1)).alias("c")))
+    w_cum = (Window.partitionBy("cohort").orderBy("n_chars")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_tot = Window.partitionBy("cohort")
+    r = (counts.withColumn("cum", F.sum("c").over(w_cum))
+               .withColumn("total", F.sum("c").over(w_tot)))
+    deciles = spark.range(1, 10).select(F.col("id").cast("int")
+                                        .alias("decile"))
+    dec = (r.crossJoin(F.broadcast(deciles))
+           .filter(F.col("cum") * 10 >= F.col("total") * F.col("decile"))
+           .groupBy("cohort", "decile")
+           .agg(F.min("n_chars").alias("val")))
+    e = (dec.filter("cohort = 'even'")
+         .select("decile", F.col("val").cast("long").alias("even_chars")))
+    o = (dec.filter("cohort = 'odd'")
+         .select("decile", F.col("val").cast("long").alias("odd_chars")))
+    return (e.join(F.broadcast(o), "decile")
+            .withColumn("gap", (F.col("even_chars")
+                                - F.col("odd_chars")).cast("long")))
