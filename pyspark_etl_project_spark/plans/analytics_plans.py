@@ -1353,3 +1353,185 @@ def join_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.expr("max_group * 100 div p50_group"))
               .select("n_keys", "heaviest_key", "max_group",
                       "p50_group", "p99_group", "max_over_p50_pct"))
+
+
+# --- conversion latency deciles --------------------------------------------
+# view -> next purchase latency per user (forward as-of), reduced to an
+# exact decile grid in integer microseconds — the funnel-health metric
+# a growth dashboard tracks. The as-of join is the single user-keyed
+# shuffle; the decile grid runs over the (small) distinct-latency
+# count table.
+
+@_q("conversion_latency_deciles", """
+WITH m AS (
+  SELECT l.ts AS vts, r.ts AS pts
+  FROM (SELECT * FROM events WHERE event_type = 'view') l
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND r.ts >= l.ts
+), lat AS (
+  SELECT epoch_us(pts) - epoch_us(vts) AS us FROM m
+), counts AS (
+  SELECT us, COUNT(*) AS c FROM lat GROUP BY us
+), r AS (
+  SELECT us, c,
+         SUM(c) OVER (ORDER BY us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER () AS total
+  FROM counts
+)
+SELECT q.decile, CAST(MIN(us) AS BIGINT) AS latency_us
+FROM r, (SELECT unnest(range(1, 10)) AS decile) q
+WHERE cum * 10 >= total * q.decile
+GROUP BY q.decile
+""")
+def conversion_latency_deciles_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+               .select("user_id", F.col("ts").alias("vts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", F.col("ts").alias("_pts"),
+                           F.col("ts").alias("pts")))
+    m = asof_join(views, purchases, on="user_id", left_ts="vts",
+                  right_ts="_pts", right_cols=["pts"],
+                  direction="forward").filter(F.col("pts").isNotNull())
+    lat = m.select((F.unix_micros("pts") - F.unix_micros("vts"))
+                   .alias("us"))
+    counts = lat.groupBy("us").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (Window.orderBy("us")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_tot = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    # the count table is distinct latencies (bounded, micro-dedup'd);
+    # a driver-visible global window over it is the small-side plan —
+    # at larger cardinality swap in dense_row_number as elsewhere.
+    r = (counts.withColumn("cum", F.sum("c").over(w_cum))
+               .withColumn("total", F.sum("c").over(w_tot)))
+    deciles = spark.range(1, 10).select(F.col("id").cast("int")
+                                        .alias("decile"))
+    return (r.crossJoin(F.broadcast(deciles))
+            .filter(F.col("cum") * 10 >= F.col("total") * F.col("decile"))
+            .groupBy("decile")
+            .agg(F.min("us").cast("long").alias("latency_us")))
+
+
+# --- market-basket lift between event types within sessions -----------------
+# Which event types co-occur in the same 30-minute session above
+# chance: distinct (session, type) pairs from the sessionizer, pair
+# co-occurrence counts via a session-keyed self-join (per-session
+# group bounded by the 5 event types — no blowup), and integer lift
+# lift_milli = co * n_sessions * 1000 div (cnt_a * cnt_b).
+
+@_q("session_basket_lift", """
+WITH s AS (
+  SELECT user_id, ts, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                > 1800000000 OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           THEN 1 ELSE 0 END AS brk
+    FROM events)
+), st AS (
+  SELECT DISTINCT user_id, sess, event_type FROM s
+), totals AS (
+  SELECT COUNT(DISTINCT user_id || '|' || sess) AS n_sessions FROM st
+), cnt AS (
+  SELECT event_type, COUNT(*) AS c FROM st GROUP BY event_type
+), co AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_co
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sess = b.sess
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT co.type_a, co.type_b, co.n_co,
+       CAST(co.n_co * t.n_sessions * 1000 // (ca.c * cb.c) AS BIGINT)
+         AS lift_milli
+FROM co, totals t
+JOIN cnt ca ON co.type_a = ca.event_type
+JOIN cnt cb ON co.type_b = cb.event_type
+""")
+def session_basket_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+           > 1_800_000_000), 1).otherwise(0)
+    s = (ev.withColumn("brk", brk)
+           .withColumn("sess", F.sum("brk").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    st = (s.select("user_id", "sess", "event_type").distinct()
+           .localCheckpoint(eager=False))
+    totals = (st.select("user_id", "sess").distinct()
+              .agg(F.count(F.lit(1)).alias("n_sessions")))
+    cnt = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    co = (st.alias("a")
+          .join(st.alias("b").hint("shuffle_hash"),
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.sess") == F.col("b.sess"))
+                & (F.col("a.event_type") < F.col("b.event_type")))
+          .groupBy(F.col("a.event_type").alias("type_a"),
+                   F.col("b.event_type").alias("type_b"))
+          .agg(F.count(F.lit(1)).alias("n_co")))
+    ca = F.broadcast(cnt.select(F.col("event_type").alias("type_a"),
+                                F.col("c").alias("_ca")))
+    cb = F.broadcast(cnt.select(F.col("event_type").alias("type_b"),
+                                F.col("c").alias("_cb")))
+    return (co.crossJoin(F.broadcast(totals))
+              .join(ca, "type_a").join(cb, "type_b")
+              .select("type_a", "type_b", "n_co",
+                      F.expr("cast(n_co * n_sessions * 1000"
+                             " div (_ca * _cb) as bigint)")
+                       .alias("lift_milli")))
+
+
+# --- gaps-and-islands: longest daily activity streak ------------------------
+# Classic islands: per user, consecutive-calendar-day runs found by the
+# date - dense_rank trick (island key = day minus rank-of-day is
+# constant within a run), then the longest streak. Two user-keyed
+# shuffles (distinct days, rank window); the island groupBy reuses the
+# user partitioning.
+
+@_q("user_activity_streaks", """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+), ranked AS (
+  SELECT user_id, d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+), islands AS (
+  SELECT user_id, d - CAST(rn AS INTEGER) AS island, COUNT(*) AS len
+  FROM ranked GROUP BY user_id, d - CAST(rn AS INTEGER)
+)
+SELECT user_id,
+       CAST(MAX(len) AS INTEGER) AS longest_streak,
+       CAST(COUNT(*) AS INTEGER) AS n_streaks,
+       CAST(SUM(len) AS INTEGER) AS active_days
+FROM islands GROUP BY user_id
+""")
+def user_activity_streaks_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = (ev.select("user_id",
+                      F.to_date(F.date_trunc("day", "ts")).alias("d"))
+              .distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    ranked = days.withColumn("rn", F.row_number().over(w))
+    islands = (ranked
+               .withColumn("island", F.date_sub(F.col("d"), F.col("rn")))
+               .groupBy("user_id", "island")
+               .agg(F.count(F.lit(1)).alias("len")))
+    return (islands.groupBy("user_id")
+            .agg(F.max("len").cast("int").alias("longest_streak"),
+                 F.count(F.lit(1)).cast("int").alias("n_streaks"),
+                 F.sum("len").cast("int").alias("active_days")))
