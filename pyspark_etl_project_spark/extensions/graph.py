@@ -63,3 +63,52 @@ def pagerank_integer(nodes: DataFrame, edges: DataFrame,
                           .alias("score"))
                   .localCheckpoint(eager=False))
     return scores
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Exact triangle counting on an undirected graph via the
+    degree-ordered node-iterator: orient every edge from the
+    lower-(degree, id) endpoint to the higher, join the oriented edge
+    list with itself on the source to enumerate wedges (u→v, u→w with
+    v < w in the same order), and close each wedge against the
+    oriented edge set. Degree orientation is what makes this scale: a
+    hub of degree d contributes wedges only for its ~sqrt-bounded
+    lower-ordered neighbors, so the wedge count is O(m^1.5) worst-case
+    instead of Σd² — the standard distributed formulation.
+
+    Input edges may be directed/duplicated; they are symmetrized and
+    de-duplicated first. Returns a single row (n_triangles bigint).
+
+    Shuffles: degree groupBy, two joins keyed on endpoint ids, the
+    wedge-close join on the (v, w) pair — all equi-joins on id keys,
+    AQE-skew-splittable; no window over a hub's neighborhood."""
+    e = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b")))
+    und = (e.select("a", "b")
+           .unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+           .distinct()
+           .localCheckpoint(eager=False))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # total order: (degree, id) — ties broken by id, so orientation is
+    # deterministic and every undirected edge appears exactly once.
+    da = deg.select(F.col("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("degb"))
+    oriented = (und.join(da, "a").join(db, "b")
+                .filter((F.col("dega") < F.col("degb"))
+                        | ((F.col("dega") == F.col("degb"))
+                           & (F.col("a") < F.col("b"))))
+                .select("a", "b")
+                .localCheckpoint(eager=False))
+    w1 = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    w2 = oriented.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    wedges = (w1.join(w2, "u").filter(F.col("v") < F.col("w")))
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("v"), F.col("b").alias("w"))
+                .unionByName(
+                    oriented.select(F.col("b").alias("v"),
+                                    F.col("a").alias("w"))),
+        ["v", "w"])
+    return closed.agg(F.count(F.lit(1)).cast("long")
+                      .alias("n_triangles"))

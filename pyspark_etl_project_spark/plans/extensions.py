@@ -4099,3 +4099,48 @@ def length_drift_deciles_q(spark: SparkSession,
     return (e.join(F.broadcast(o), "decile")
             .withColumn("gap", (F.col("even_chars")
                                 - F.col("odd_chars")).cast("long")))
+
+
+# --- triangle counting on the doc-link graph ---------------------------------
+# Degree-ordered node-iterator (orient low->high by (deg, id), wedge
+# join, close against the symmetric edge set — O(m^1.5) wedges, never
+# Σdeg² at a hub) over the same synthetic 3-out link graph the
+# PageRank query uses. The oracle replays orientation, wedges and the
+# closing join in SQL; the single output row is the exact count.
+
+@_q("triangle_count_doc_links", """
+WITH nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+e0 AS (
+  SELECT id AS a, (id * 7 + 1) % 500 AS b FROM nodes
+  UNION ALL SELECT id, (id * 13 + 2) % 500 FROM nodes
+  UNION ALL SELECT id, (id * 31 + 3) % 500 FROM nodes
+), e1 AS (SELECT a, b FROM e0 WHERE a <> b),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e1 UNION ALL SELECT b AS a, a AS b FROM e1)
+), deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+ori AS (
+  SELECT u.a, u.b FROM und u
+  JOIN deg x ON u.a = x.a
+  JOIN deg y ON u.b = y.a
+  WHERE x.d < y.d OR (x.d = y.d AND u.a < u.b)
+), wed AS (
+  SELECT o1.b AS v, o2.b AS w
+  FROM ori o1 JOIN ori o2 ON o1.a = o2.a AND o1.b < o2.b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM wed JOIN und ON wed.v = und.a AND wed.w = und.b
+""")
+def triangle_count_doc_links_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.graph import triangle_count
+
+    nodes = (load(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") < 500).select("doc_id"))
+    i = F.col("doc_id")
+    edges = (nodes.select(i.alias("src"), ((i * 7 + 1) % 500).alias("dst"))
+             .unionByName(nodes.select(i.alias("src"),
+                                       ((i * 13 + 2) % 500).alias("dst")))
+             .unionByName(nodes.select(i.alias("src"),
+                                       ((i * 31 + 3) % 500).alias("dst"))))
+    return triangle_count(edges)

@@ -1428,3 +1428,17 @@ def test_jsonl_sink_manifest_and_idempotent_files(spark, tmp_path):
     again = spark.read.schema("doc_id long, text string").json(
         os.path.join(path, "part-*.jsonl"))
     assert again.count() == 20
+
+
+def test_triangle_count_hand_graphs(spark):
+    """K4 has 4 triangles; adding a pendant edge changes nothing;
+    duplicate/directed edges do not double-count."""
+    from pyspark_etl_project_spark.extensions.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    dup = k4 + [(b, a) for a, b in k4] + [(0, 9)]  # reversed + pendant
+    df = spark.createDataFrame(dup, "src long, dst long")
+    assert triangle_count(df).first()["n_triangles"] == 4
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                 "src long, dst long")
+    assert triangle_count(path).first()["n_triangles"] == 0
