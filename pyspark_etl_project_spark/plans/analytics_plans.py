@@ -1535,3 +1535,116 @@ def user_activity_streaks_q(spark: SparkSession,
             .agg(F.max("len").cast("int").alias("longest_streak"),
                  F.count(F.lit(1)).cast("int").alias("n_streaks"),
                  F.sum("len").cast("int").alias("active_days")))
+
+
+# --- interval-union coverage per user ---------------------------------------
+# Each event opens a 5-minute activity window; total ACTIVE time per
+# user is the measure of the union of overlapping intervals — the
+# running-max "newly covered" trick (same algebra as the dup-span
+# merge) in one user-keyed window pass, no interval self-join.
+
+@_q("user_active_coverage", """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+         COALESCE(MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) AS pe
+  FROM iv
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN s > pe THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_bursts,
+       CAST(SUM(GREATEST(e - GREATEST(pe, s), 0)) AS BIGINT)
+         AS active_us
+FROM m GROUP BY user_id
+""")
+def user_active_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select("user_id", F.unix_micros("ts").alias("s"),
+                   (F.unix_micros("ts") + 300_000_000).alias("e"))
+    w = (Window.partitionBy("user_id").orderBy("s", "e")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    m = iv.withColumn("pe", F.coalesce(F.max("e").over(w), F.lit(-1)))
+    return (m.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("s") > F.col("pe"), 1).otherwise(0))
+                  .cast("int").alias("n_bursts"),
+                 F.sum(F.greatest(F.col("e") - F.greatest("pe", "s"),
+                                  F.lit(0))).cast("long")
+                  .alias("active_us")))
+
+
+# --- percentile winsorization ------------------------------------------------
+# Robust-mean preparation: clip order totals at the exact p01/p99
+# cents bounds (rank-derived, no float percentile), report the clip
+# envelope and the winsorized sum per order priority. The clip bounds
+# come from the per-group count table (two window passes over distinct
+# values), then a broadcast join back to the facts — the facts
+# themselves are never globally sorted.
+
+@_q("winsorized_order_totals", """
+WITH v AS (
+  SELECT o_orderpriority AS pri,
+         CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+), counts AS (
+  SELECT pri, cents, COUNT(*) AS c FROM v GROUP BY pri, cents
+), r AS (
+  SELECT pri, cents, c,
+         SUM(c) OVER (PARTITION BY pri ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY pri) AS total
+  FROM counts
+), bounds AS (
+  SELECT pri,
+         MIN(CASE WHEN cum * 100 >= total * 1 THEN cents END) AS lo,
+         MIN(CASE WHEN cum * 100 >= total * 99 THEN cents END) AS hi
+  FROM r GROUP BY pri
+)
+SELECT v.pri AS o_orderpriority, COUNT(*) AS n_orders,
+       b.lo AS p01_cents, b.hi AS p99_cents,
+       CAST(SUM(CASE WHEN v.cents < b.lo THEN 1
+                     WHEN v.cents > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       CAST(SUM(LEAST(GREATEST(v.cents, b.lo), b.hi)) AS BIGINT)
+         AS winsorized_cents
+FROM v JOIN bounds b ON v.pri = b.pri
+GROUP BY v.pri, b.lo, b.hi
+""")
+def winsorized_order_totals_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cents = (F.floor(F.col("o_totalprice").cast("decimal(18,6)") * 100)
+             .cast("long"))
+    v = (o.select(F.col("o_orderpriority").alias("pri"),
+                  cents.alias("cents"))
+          .localCheckpoint(eager=False))
+    counts = v.groupBy("pri", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (Window.partitionBy("pri").orderBy("cents")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_tot = Window.partitionBy("pri")
+    r = (counts.withColumn("cum", F.sum("c").over(w_cum))
+               .withColumn("total", F.sum("c").over(w_tot)))
+    bounds = (r.groupBy("pri")
+              .agg(F.min(F.when(F.col("cum") * 100 >= F.col("total"),
+                                F.col("cents"))).alias("lo"),
+                   F.min(F.when(F.col("cum") * 100
+                                >= F.col("total") * 99,
+                                F.col("cents"))).alias("hi")))
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")),
+                      F.col("hi"))
+    flag = F.when((F.col("cents") < F.col("lo"))
+                  | (F.col("cents") > F.col("hi")), 1).otherwise(0)
+    return (v.join(F.broadcast(bounds), "pri")
+            .groupBy(F.col("pri").alias("o_orderpriority"),
+                     F.col("lo").alias("p01_cents"),
+                     F.col("hi").alias("p99_cents"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(flag).cast("long").alias("n_clipped"),
+                 F.sum(clipped).cast("long").alias("winsorized_cents"))
+            .select("o_orderpriority", "n_orders", "p01_cents",
+                    "p99_cents", "n_clipped", "winsorized_cents"))
