@@ -112,3 +112,51 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
         ["v", "w"])
     return closed.agg(F.count(F.lit(1)).cast("long")
                       .alias("n_triangles"))
+
+
+def label_propagation_majority(nodes: DataFrame, edges: DataFrame,
+                               id_col: str = "id", src_col: str = "src",
+                               dst_col: str = "dst",
+                               n_iter: int = 2) -> DataFrame:
+    """Synchronous majority label propagation (community detection):
+    every node starts as its own label; each round every node adopts
+    the most frequent label among its (symmetrized) neighbors, ties
+    broken by the SMALLER label — a deterministic total order, so the
+    whole iterative computation is value-reproducible and oracle-
+    gatable (LPA's usual random tie-break makes runs incomparable).
+
+    Per round: one join of the static symmetric edge list to current
+    labels (both keyed on the node id — co-partitioned after round 1),
+    a (node, label) count, and a count-desc/label-asc argmax window
+    over per-node label counts (group width bounded by the node's
+    degree). Labels are lazily localCheckpointed per round — constant
+    plan depth, same pattern as pagerank_integer. Isolated nodes keep
+    their own label."""
+    from pyspark.sql import Window
+
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .unionByName(
+               edges.select(F.col(dst_col).alias("a"),
+                            F.col(src_col).alias("b")))
+           .distinct()
+           .localCheckpoint(eager=False))
+    labels = nodes.select(F.col(id_col).alias("nid"),
+                          F.col(id_col).alias("label"))
+    for _ in range(n_iter):
+        neigh = (und.join(labels.withColumnRenamed("nid", "b"), "b")
+                 .select(F.col("a").alias("nid"), "label"))
+        cnt = (neigh.groupBy("nid", "label")
+               .agg(F.count(F.lit(1)).alias("c")))
+        w = (Window.partitionBy("nid")
+             .orderBy(F.desc("c"), F.asc("label")))
+        picked = (cnt.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .select("nid", "label"))
+        labels = (labels.select("nid")
+                  .join(picked, "nid", "left")
+                  .withColumn("label",
+                              F.coalesce("label", F.col("nid")))
+                  .localCheckpoint(eager=False))
+    return labels.select(F.col("nid").alias(id_col), "label")

@@ -4144,3 +4144,57 @@ def triangle_count_doc_links_q(spark: SparkSession,
              .unionByName(nodes.select(i.alias("src"),
                                        ((i * 31 + 3) % 500).alias("dst"))))
     return triangle_count(edges)
+
+
+# --- majority label propagation, hash-gated per round ------------------------
+# Deterministic LPA (ties to the smaller label) on the same synthetic
+# 3-out link graph; every round is replayed by an unrolled CTE chain —
+# the pagerank oracle pattern — so the gate checks the full iterative
+# fixpoint trajectory, not just final row counts.
+
+def _lpa_oracle_sql(n_iter: int) -> str:
+    parts = ["""
+WITH nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+e0 AS (
+  SELECT id AS a, (id * 7 + 1) % 500 AS b FROM nodes
+  UNION ALL SELECT id, (id * 13 + 2) % 500 FROM nodes
+  UNION ALL SELECT id, (id * 31 + 3) % 500 FROM nodes
+), e1 AS (SELECT a, b FROM e0 WHERE a <> b),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e1 UNION ALL SELECT b AS a, a AS b FROM e1)
+), l0 AS (SELECT id AS nid, id AS label FROM nodes)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+c{k} AS (
+  SELECT u.a AS nid, l.label, COUNT(*) AS c
+  FROM und u JOIN l{k - 1} l ON u.b = l.nid GROUP BY u.a, l.label
+), p{k} AS (
+  SELECT nid, label FROM (
+    SELECT nid, label,
+           ROW_NUMBER() OVER (PARTITION BY nid
+                              ORDER BY c DESC, label) AS rn
+    FROM c{k}) WHERE rn = 1
+), l{k} AS (
+  SELECT n.nid, COALESCE(p.label, n.nid) AS label
+  FROM (SELECT nid FROM l0) n LEFT JOIN p{k} p ON n.nid = p.nid)""")
+    return ("".join(parts)
+            + f"\nSELECT nid AS doc_id, label FROM l{n_iter}")
+
+
+@_q("label_propagation_communities", _lpa_oracle_sql(2))
+def label_propagation_communities_q(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.graph import (
+        label_propagation_majority)
+
+    nodes = (load(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") < 500).select("doc_id"))
+    i = F.col("doc_id")
+    edges = (nodes.select(i.alias("src"), ((i * 7 + 1) % 500).alias("dst"))
+             .unionByName(nodes.select(i.alias("src"),
+                                       ((i * 13 + 2) % 500).alias("dst")))
+             .unionByName(nodes.select(i.alias("src"),
+                                       ((i * 31 + 3) % 500).alias("dst"))))
+    return label_propagation_majority(nodes, edges, id_col="doc_id",
+                                      n_iter=2)

@@ -1442,3 +1442,22 @@ def test_triangle_count_hand_graphs(spark):
     path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
                                  "src long, dst long")
     assert triangle_count(path).first()["n_triangles"] == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disjoint triangles converge to their min-id labels; the tie
+    break is the smaller label (node 1's neighbors 2,3 initially vote
+    {2,3} -> picks 2... after round 2 all of {1,2,3} agree on 1)."""
+    from pyspark_etl_project_spark.extensions.graph import (
+        label_propagation_majority)
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 9]],
+                                  "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9)],
+        "src long, dst long")
+    got = {r["id"]: r["label"] for r in
+           label_propagation_majority(nodes, edges, n_iter=3).collect()}
+    assert got[7] == got[8] == got[9]
+    assert got[1] == got[2] == got[3]
+    assert got[1] != got[7]
