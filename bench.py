@@ -126,6 +126,20 @@ HEADLINE = [
     "source_reconciliation_report",
     "embedding_degeneracy_stats",
     "dup_span_scrub_text",
+    "bigram_surprise_score",
+    "join_skew_report",
+    "dedup_survivorship_merge",
+    "compaction_roundtrip",
+    "minhash_vs_jaccard_eval",
+    "tfidf_doc_similarity_topk",
+    "length_drift_deciles",
+    "conversion_latency_deciles",
+    "session_basket_lift",
+    "user_activity_streaks",
+    "triangle_count_doc_links",
+    "user_active_coverage",
+    "winsorized_order_totals",
+    "label_propagation_communities",
 ]
 
 
