@@ -368,6 +368,39 @@ def probe_column_stats(spark: SparkSession, n: int) -> None:
         F.countDistinct("b"), F.min("b"), F.max("b")))
 
 
+
+def probe_triangle_count(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.graph import triangle_count
+
+    # Ring of 4-cliques plus a HUB connected to every 100th node — the
+    # hub is the wedge-explosion hazard the degree orientation must
+    # defuse (its neighbors orient INTO it, so it spawns no wedges).
+    base = spark.range(n)
+    ring = base.select(F.col("id").alias("src"),
+                       ((F.col("id") + 1) % n).alias("dst"))
+    clique = base.select(F.col("id").alias("src"),
+                         ((F.col("id") + 2) % n).alias("dst"))
+    clique2 = base.select(F.col("id").alias("src"),
+                          ((F.col("id") + 3) % n).alias("dst"))
+    hub = (base.filter(F.col("id") % 100 == 0)
+           .select(F.lit(n + 1).alias("src"), F.col("id").alias("dst")))
+    edges = ring.unionByName(clique).unionByName(clique2).unionByName(hub)
+    triangle_count(edges).collect()
+
+
+def probe_label_propagation(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.graph import (
+        label_propagation_majority)
+
+    nodes = spark.range(n).select(F.col("id"))
+    edges = (nodes.select(F.col("id").alias("src"),
+                          ((F.col("id") + 1) % n).alias("dst"))
+             .unionByName(nodes.select(
+                 F.col("id").alias("src"),
+                 ((F.col("id") * 17 + 3) % n).alias("dst"))))
+    _materialize(label_propagation_majority(nodes, edges, n_iter=2))
+
+
 PROBES = {
     # name: (fn, base_n)  — 100× runs at base_n * AMP
     "boilerplate_scrub_30pct_hot_line": (probe_boilerplate, 10_000),
@@ -393,6 +426,8 @@ PROBES = {
     "cms_sketch_constant_cells": (probe_cms_sketch, 10_000),
     "kmv_sketch_64min": (probe_kmv_sketch, 100_000),
     "column_stats_one_pass": (probe_column_stats, 100_000),
+    "triangle_count_hub": (probe_triangle_count, 10_000),
+    "label_propagation_2rounds": (probe_label_propagation, 10_000),
 }
 
 
