@@ -380,6 +380,38 @@ def image_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
 
 
+GRAY_STATS_SCHEMA = ("doc_id long, n_pixels long, sum_luma long, "
+                     "min_luma int, max_luma int")
+
+
+def grayscale_stats(df: DataFrame) -> DataFrame:
+    """Decode and convert to 8-bit grayscale with the integer ITU
+    BT.601 luma, y = (299*r + 587*g + 114*b) div 1000 — pure integer
+    arithmetic, so per-image luma sums and extrema replay exactly in
+    the SQL oracle (a float luma would drift in the last ulp). The
+    transform half of the image path: decode feeds a per-pixel map,
+    still one Arrow batch at a time, nothing leaves the executor."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
+                                        pdf["payload"]):
+                img = decode_media(bytes(payload), mt)
+                px = img["pixels"]
+                lum = [(299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2])
+                       // 1000 for i in range(0, len(px), 3)]
+                rows.append((int(did), len(lum), sum(lum),
+                             min(lum) if lum else 0,
+                             max(lum) if lum else 0))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_pixels",
+                                              "sum_luma", "min_luma",
+                                              "max_luma"])
+
+    return df.mapInPandas(batches, schema=GRAY_STATS_SCHEMA)
+
+
 # --- audio: PCM16 WAV (pure stdlib, real RIFF parsing) ----------------------
 
 AUDIO_STATS_SCHEMA = ("doc_id long, n_frames long, n_channels int, "

@@ -4198,3 +4198,81 @@ def label_propagation_communities_q(spark: SparkSession,
                                        ((i * 31 + 3) % 500).alias("dst"))))
     return label_propagation_majority(nodes, edges, id_col="doc_id",
                                       n_iter=2)
+
+
+# --- grayscale luma transform, gated end-to-end ------------------------------
+# The transform half of the image path: decode (real PPM parser) then
+# per-pixel integer BT.601 luma (299r+587g+114b div 1000). The oracle
+# replays decode AND transform from the md5 byte pattern — pixel-exact.
+
+@_q("multimodal_grayscale", """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE doc_id < 200),
+px AS (
+  SELECT doc_id, p,
+         (299 * CAST(concat('0x', substr(hx, ((3*p) % 16) * 2 + 1, 2))
+                 AS INTEGER)
+          + 587 * CAST(concat('0x', substr(hx, ((3*p+1) % 16) * 2 + 1, 2))
+                 AS INTEGER)
+          + 114 * CAST(concat('0x', substr(hx, ((3*p+2) % 16) * 2 + 1, 2))
+                 AS INTEGER)) // 1000 AS y
+  FROM d, unnest(range(w * h)) AS t(p))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(SUM(y) AS BIGINT) AS sum_luma,
+       CAST(MIN(y) AS INTEGER) AS min_luma,
+       CAST(MAX(y) AS INTEGER) AS max_luma
+FROM px GROUP BY doc_id
+""")
+def multimodal_grayscale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        grayscale_stats, synth_images)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return grayscale_stats(synth_images(docs, "doc_id", fmt="ppm"))
+
+
+# --- balanced k-way token sharding -------------------------------------------
+# Partition the corpus into k=8 shards with near-equal token budgets:
+# snake-order assignment over the global (tokens desc, id) rank —
+# shard = rank%k on even passes, k-1-rank%k on odd — the deterministic
+# LPT-lite that bounds shard imbalance by one document. Rank comes
+# from the two-phase range row number; gate checks per-shard doc count
+# and token sum exactly.
+
+@_q("balanced_token_shards", """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+  FROM t
+), s AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+              ELSE 7 - (rk % 8) END AS shard
+  FROM r
+)
+SELECT CAST(shard AS INTEGER) AS shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM s GROUP BY shard
+""")
+def balanced_token_shards_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.scd2 import dense_row_number
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", X.token_count("text").alias("n_tokens"))
+            .withColumn("_neg", -F.col("n_tokens")))
+    ranked = (dense_row_number(docs, ["_neg", "doc_id"], "_rn")
+              .withColumn("rk", F.col("_rn") - 1))
+    shard = F.expr("case when (rk div 8) % 2 = 0 then rk % 8"
+                   " else 7 - (rk % 8) end")
+    return (ranked.withColumn("shard", shard.cast("int"))
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("shard_tokens")))
