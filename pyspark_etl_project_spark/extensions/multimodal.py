@@ -536,6 +536,44 @@ def audio_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
 
 
+MIXDOWN_SCHEMA = ("doc_id long, n_frames long, n_channels int, "
+                  "sum_mono long, min_mono int, max_mono int")
+
+
+def audio_mixdown_stats(df: DataFrame) -> DataFrame:
+    """Stereo→mono mixdown over the real WAV decode path: per frame
+    mono = trunc((ch0 + ch1) / 2) — truncation toward zero chosen
+    EXPLICITLY because the engines disagree on negative integer
+    division (DuckDB's // truncates, Python's // floors); trunc is the
+    one semantics both can state exactly. Mono-input docs pass
+    through (ch1 = ch0). Emits per-doc mono sample sum and extrema —
+    integers, oracle-replayable down to the sign convention."""
+    import pandas as pd
+
+    def trunc2(t: int) -> int:
+        return abs(t) // 2 * (1 if t >= 0 else -1)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
+                                        pdf["payload"]):
+                a = decode_media(bytes(payload), mt)
+                ch = a["n_channels"]
+                sm = a["samples"]  # interleaved
+                c0 = sm[0::ch]
+                c1 = sm[1::ch] if ch > 1 else c0
+                mono = [trunc2(x + y) for x, y in zip(c0, c1)]
+                rows.append((int(did), len(mono), ch, sum(mono),
+                             min(mono) if mono else 0,
+                             max(mono) if mono else 0))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames",
+                                              "n_channels", "sum_mono",
+                                              "min_mono", "max_mono"])
+
+    return df.mapInPandas(batches, schema=MIXDOWN_SCHEMA)
+
+
 # --- video: YUV4MPEG2 (Y4M), pure stdlib -----------------------------------
 # The uncompressed interchange format the ffmpeg/x264 toolchain pipes
 # between stages — a real public video container with a text header and

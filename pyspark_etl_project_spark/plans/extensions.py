@@ -4276,3 +4276,51 @@ def balanced_token_shards_q(spark: SparkSession,
             .groupBy("shard")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("shard_tokens")))
+
+
+# --- stereo->mono mixdown, gated end-to-end ----------------------------------
+# The transform half of the audio path: real WAV decode then per-frame
+# mono = trunc((ch0+ch1)/2) — truncation chosen explicitly because
+# DuckDB's // truncates toward zero while Python's floors; the oracle
+# replays samples from the md5 pattern with the same trunc expression.
+
+@_q("multimodal_audio_mixdown", """
+WITH d AS (
+  SELECT doc_id, 40 + doc_id % 17 AS frames, 1 + doc_id % 2 AS ch,
+         md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents WHERE doc_id < 200),
+v AS (
+  SELECT doc_id, frames, ch, i // ch AS frame, i % ch AS chan,
+         CAST(concat('0x', substr(hx, ((2*i) % 16) * 2 + 1, 2))
+              AS INTEGER)
+         + 256 * CAST(concat('0x', substr(hx, ((2*i+1) % 16) * 2 + 1, 2))
+                      AS INTEGER) AS raw
+  FROM d, unnest(range(frames * ch)) AS t(i)
+), sgn AS (
+  SELECT doc_id, frames, ch, frame, chan,
+         raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END AS s
+  FROM v
+), fr AS (
+  SELECT doc_id, MIN(frames) AS frames, MIN(ch) AS ch, frame,
+         (SUM(CASE WHEN chan = 0 THEN s ELSE 0 END)
+          + CASE WHEN MIN(ch) > 1
+                 THEN SUM(CASE WHEN chan = 1 THEN s ELSE 0 END)
+                 ELSE SUM(CASE WHEN chan = 0 THEN s ELSE 0 END) END)
+           // 2 AS mono
+  FROM sgn GROUP BY doc_id, frame
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(MIN(ch) AS INTEGER) AS n_channels,
+       CAST(SUM(mono) AS BIGINT) AS sum_mono,
+       CAST(MIN(mono) AS INTEGER) AS min_mono,
+       CAST(MAX(mono) AS INTEGER) AS max_mono
+FROM fr GROUP BY doc_id
+""")
+def multimodal_audio_mixdown_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        audio_mixdown_stats, synth_audio)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return audio_mixdown_stats(synth_audio(docs, "doc_id"))

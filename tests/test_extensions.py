@@ -1461,3 +1461,25 @@ def test_label_propagation_two_cliques(spark):
     assert got[7] == got[8] == got[9]
     assert got[1] == got[2] == got[3]
     assert got[1] != got[7]
+
+
+def test_audio_mixdown_trunc_semantics(spark):
+    """Mixdown truncates toward zero (the one semantics DuckDB's //
+    and an explicit Python trunc agree on): frames (-3,+0) -> -1, not
+    the floored -2; mono docs pass through."""
+    from pyspark_etl_project_spark.extensions.multimodal import (
+        audio_mixdown_stats, encode_wav, to_media_column)
+
+    stereo = encode_wav([-3, 0, 5, 6], n_channels=2, rate=8000)
+    mono = encode_wav([7, -9], n_channels=1, rate=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(stereo)), (2, bytearray(mono))],
+        "doc_id long, payload binary").withColumn(
+        "media_type", F.lit("audio/wav"))
+    got = {r["doc_id"]: r.asDict() for r in
+           audio_mixdown_stats(df).collect()}
+    # frame1: trunc(-3/2) = -1; frame2: trunc(11/2) = 5
+    assert got[1]["sum_mono"] == -1 + 5
+    assert got[1]["min_mono"] == -1 and got[1]["max_mono"] == 5
+    assert got[2]["n_channels"] == 1
+    assert got[2]["sum_mono"] == 7 + (-9)
