@@ -67,6 +67,8 @@ DEFAULT = [
     "user_activity_streaks", "triangle_count_doc_links",
     "user_active_coverage", "winsorized_order_totals",
     "label_propagation_communities",
+    "multimodal_grayscale", "balanced_token_shards",
+    "multimodal_audio_mixdown",
 ]
 
 
