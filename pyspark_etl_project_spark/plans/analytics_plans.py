@@ -1648,3 +1648,40 @@ def winsorized_order_totals_q(spark: SparkSession,
                  F.sum(clipped).cast("long").alias("winsorized_cents"))
             .select("o_orderpriority", "n_orders", "p01_cents",
                     "p99_cents", "n_clipped", "winsorized_cents"))
+
+
+# --- order-insensitive table content fingerprint ----------------------------
+# One BIGINT that identifies a table's CONTENT regardless of row order
+# or partitioning: per-row md5 folded to 48 bits and SUMmed (addition
+# commutes, so any execution order gives the same digest), plus the
+# row count. The cheap cross-environment reconciliation handshake —
+# two pipelines compare (n_rows, fingerprint) instead of shipping
+# data. Null-safe via an explicit sentinel in the row serialization.
+
+@_q("table_content_fingerprint", """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(concat('0x', substr(md5(
+           concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                     CAST(l_linenumber AS VARCHAR),
+                     COALESCE(CAST(CAST(FLOOR(l_quantity * 100)
+                           AS BIGINT) AS VARCHAR), 'NULL'),
+                     COALESCE(l_returnflag, 'NULL'))), 1, 12))
+           AS BIGINT)) AS BIGINT) AS fingerprint
+FROM lineitem WHERE l_orderkey < 8000
+""")
+def table_content_fingerprint_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 8000))
+    row_h = F.conv(F.substring(F.md5(F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        # doubles serialize via exact integer cents — raw
+        # double->string formatting is engine-dependent.
+        F.coalesce(F.floor(F.col("l_quantity") * 100).cast("long")
+                    .cast("string"), F.lit("NULL")),
+        F.coalesce(F.col("l_returnflag"), F.lit("NULL")))), 1, 12),
+        16, 10).cast("long")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.sum(row_h).cast("long").alias("fingerprint"))

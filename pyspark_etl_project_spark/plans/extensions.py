@@ -4324,3 +4324,48 @@ def multimodal_audio_mixdown_q(spark: SparkSession,
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return audio_mixdown_stats(synth_audio(docs, "doc_id"))
+
+
+# --- dictionary encoding roundtrip -------------------------------------------
+# Low-cardinality column compression the engine way: build the value
+# dictionary with DETERMINISTIC ids (dense rank by value — no
+# monotonically_increasing_id, whose values depend on partitioning),
+# encode the fact rows by broadcast join, then decode back and prove
+# the roundtrip by aggregating over the DECODED column. The gate also
+# pins the dictionary size and the encoded width (max id).
+
+@_q("dictionary_encode_roundtrip", """
+WITH dict AS (
+  SELECT event_type AS v,
+         ROW_NUMBER() OVER (ORDER BY event_type) AS id
+  FROM (SELECT DISTINCT event_type FROM events)
+), enc AS (
+  SELECT e.event_id, d.id FROM events e JOIN dict d
+    ON e.event_type = d.v
+), dec AS (
+  SELECT enc.event_id, d.v AS event_type
+  FROM enc JOIN dict d ON enc.id = d.id
+)
+SELECT dec.event_type, COUNT(*) AS n_events,
+       (SELECT CAST(COUNT(*) AS INTEGER) FROM dict) AS dict_size,
+       (SELECT CAST(MAX(id) AS INTEGER) FROM dict) AS max_id
+FROM dec GROUP BY dec.event_type
+""")
+def dictionary_encode_roundtrip_q(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("v")
+    # the distinct-value table is tiny (dictionary premise), so the
+    # one-task rank window is the small-side plan by construction.
+    dic = (ev.select(F.col("event_type").alias("v")).distinct()
+             .withColumn("id", F.row_number().over(w))
+             .localCheckpoint(eager=False))
+    enc = (ev.join(F.broadcast(dic), ev["event_type"] == dic["v"])
+             .select("event_id", "id"))
+    dec = (enc.join(F.broadcast(dic), "id")
+              .select("event_id", F.col("v").alias("event_type")))
+    stats = dic.agg(F.count(F.lit(1)).cast("int").alias("dict_size"),
+                    F.max("id").cast("int").alias("max_id"))
+    return (dec.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .crossJoin(F.broadcast(stats)))
