@@ -1,0 +1,37 @@
+"""Arrow-vectorized pandas UDFs — the two surfaces the engine's
+Python-API matrix was missing next to mapInPandas (multimodal),
+applyInPandas (groupmap), applyInPandasWithState (streaming/stateful)
+and the UDTF (sentence split):
+
+- a SCALAR pandas_udf (vectorized column function — one Arrow batch per
+  call, ~10-100x a row-at-a-time Python UDF);
+- a GROUPED_AGG pandas_udf (whole-group reduction to a scalar, usable
+  inside ``groupBy().agg`` alongside built-ins).
+
+Both compute pure integer results so the DuckDB oracle replays them
+exactly (`pandas_udf_surface`). They exist to prove the API surface
+with gate-checkable semantics — for these particular functions the
+built-in expressions would be faster; real deployments put genuinely
+non-expressible logic (model scoring, tokenizers) behind the same
+signatures.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("int")
+def vowel_count(s: pd.Series) -> pd.Series:
+    """Vectorized vowel counter (scalar pandas UDF)."""
+    return s.str.count("[aeiou]").astype("int32")
+
+
+@pandas_udf("long")
+def weighted_mean_floor(v: pd.Series, w: pd.Series) -> int:
+    """Grouped-agg pandas UDF: floor(Σ(v·w) / Σw) in exact Python
+    integers (pandas int64 sums, then Python // — no float path)."""
+    num = int((v.astype("int64") * w.astype("int64")).sum())
+    den = int(w.astype("int64").sum())
+    return num // den if den else 0

@@ -4369,3 +4369,44 @@ def dictionary_encode_roundtrip_q(spark: SparkSession,
     return (dec.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"))
             .crossJoin(F.broadcast(stats)))
+
+
+# --- pandas UDF surface (scalar + grouped-agg), oracle-gated ----------------
+# Vectorized scalar UDF (vowel count per event type) and a grouped-agg
+# UDF (integer weighted mean of value cents, weight = user_id%10+1)
+# in ONE aggregation — proving both Arrow surfaces compose with
+# built-in aggregates inside a normal groupBy plan.
+
+@_q("pandas_udf_surface", """
+SELECT event_type,
+       CAST(length(event_type)
+            - length(regexp_replace(event_type, '[aeiou]', '', 'g'))
+            AS INTEGER) AS type_vowels,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)
+                * (user_id % 10 + 1))
+            // SUM(user_id % 10 + 1) AS BIGINT) AS weighted_mean_cents
+FROM events GROUP BY event_type
+""")
+def pandas_udf_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.pandas_udfs import (
+        vowel_count, weighted_mean_floor)
+
+    ev = load(spark, sf_dir, "events")
+    cents = (F.floor(F.col("value").cast("decimal(18,6)") * 100)
+             .cast("long"))
+    w = (F.col("user_id") % 10 + 1).cast("long")
+    base = (ev.select("event_type", cents.alias("_c"), w.alias("_w"))
+              .localCheckpoint(eager=False))
+    # Spark forbids mixing a grouped-agg pandas UDF with built-in
+    # aggregates in one agg(); the count runs as its own tiny
+    # aggregation and joins back on the 5-row group key.
+    wm = (base.groupBy("event_type")
+          .agg(weighted_mean_floor(F.col("_c"), F.col("_w"))
+               .alias("weighted_mean_cents")))
+    cnt = (base.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    return (wm.join(F.broadcast(cnt), "event_type")
+            .withColumn("type_vowels", vowel_count(F.col("event_type")))
+            .select("event_type", "type_vowels", "n_events",
+                    "weighted_mean_cents"))
