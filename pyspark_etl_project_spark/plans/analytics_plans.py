@@ -1685,3 +1685,52 @@ def table_content_fingerprint_q(spark: SparkSession,
         16, 10).cast("long")
     return li.agg(F.count(F.lit(1)).alias("n_rows"),
                   F.sum(row_h).cast("long").alias("fingerprint"))
+
+
+# --- grouped null imputation -------------------------------------------------
+# The cleaning primitive: nulls (synthesized deterministically on
+# event_id%7 so the gate has something to fill) imputed with the
+# GROUP integer mean of the surviving values — imputed column, null
+# count and the imputation value all checked. Group means come from
+# one map-combined aggregate broadcast back; no window over the facts.
+
+@_q("impute_missing_values", """
+WITH e AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(FLOOR(CAST(value AS DECIMAL(18,6)) * 100)
+                        AS BIGINT) END AS cents
+  FROM events
+), m AS (
+  SELECT event_type,
+         CAST(SUM(cents) // COUNT(cents) AS BIGINT) AS mean_cents,
+         CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_imputed
+  FROM e GROUP BY event_type
+)
+SELECT e.event_type, m.n_imputed, m.mean_cents,
+       COUNT(*) AS n_events,
+       CAST(SUM(COALESCE(e.cents, m.mean_cents)) AS BIGINT)
+         AS imputed_sum_cents
+FROM e JOIN m ON e.event_type = m.event_type
+GROUP BY e.event_type, m.n_imputed, m.mean_cents
+""")
+def impute_missing_values_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cents = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+        F.floor(F.col("value").cast("decimal(18,6)") * 100).cast("long"))
+    e = (ev.select("event_type", cents.alias("cents"))
+           .localCheckpoint(eager=False))
+    m = (e.groupBy("event_type")
+         .agg(F.expr("cast(sum(cents) div count(cents) as bigint)")
+              .alias("mean_cents"),
+              F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0))
+               .cast("long").alias("n_imputed")))
+    return (e.join(F.broadcast(m), "event_type")
+            .groupBy("event_type", "n_imputed", "mean_cents")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.coalesce("cents", "mean_cents")).cast("long")
+                  .alias("imputed_sum_cents"))
+            .select("event_type", "n_imputed", "mean_cents", "n_events",
+                    "imputed_sum_cents"))
