@@ -1734,3 +1734,47 @@ def impute_missing_values_q(spark: SparkSession,
                   .alias("imputed_sum_cents"))
             .select("event_type", "n_imputed", "mean_cents", "n_events",
                     "imputed_sum_cents"))
+
+
+# --- time-weighted average per user -----------------------------------------
+# Each observation's value holds until the user's next event; the
+# time-weighted mean is Σ(v·Δt) div ΣΔt in exact integers (cents ×
+# μs) — the correct average for irregularly-sampled series, where the
+# arithmetic mean over-weights bursts. One lead() window per user,
+# then a plain aggregate; no self-join, no resampling grid.
+
+@_q("time_weighted_average", """
+WITH s AS (
+  SELECT user_id,
+         CAST(FLOOR(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)
+           AS cents,
+         epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nt
+  FROM events
+), seg AS (
+  SELECT user_id, cents, nt - t AS dt FROM s WHERE nt IS NOT NULL
+)
+SELECT user_id, COUNT(*) AS n_segments,
+       CAST(SUM(dt) AS BIGINT) AS span_us,
+       CAST(SUM(cents * dt) // SUM(dt) AS BIGINT) AS twa_cents
+FROM seg GROUP BY user_id
+""")
+def time_weighted_average_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cents = (F.floor(F.col("value").cast("decimal(18,6)") * 100)
+             .cast("long"))
+    # lead() ordering mirrors the oracle exactly: event time (as the
+    # epoch-us integer) with the event_id tiebreak.
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    s = (ev.select("user_id", cents.alias("cents"),
+                   F.unix_micros("ts").alias("t"), "event_id")
+           .withColumn("nt", F.lead("t").over(w))
+           .filter(F.col("nt").isNotNull())
+           .withColumn("dt", F.col("nt") - F.col("t")))
+    return (s.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.sum("dt").cast("long").alias("span_us"),
+                 F.expr("cast(sum(cents * dt) div sum(dt) as bigint)")
+                  .alias("twa_cents")))
