@@ -1778,3 +1778,72 @@ def time_weighted_average_q(spark: SparkSession,
                  F.sum("dt").cast("long").alias("span_us"),
                  F.expr("cast(sum(cents * dt) div sum(dt) as bigint)")
                   .alias("twa_cents")))
+
+
+# --- JSON payload validation / quarantine ------------------------------------
+# Completes the per-source quarantine trio (CSV line and XML record
+# quarantines live in the pipelines): events' JSON props — with
+# deterministic synthetic corruption so the gate exercises every class
+# — are split into valid / structurally-invalid JSON / parseable-but-
+# bad-k, the routing a bronze->silver hop applies before typed
+# extraction. Classification is engine-parallel: Spark's PERMISSIVE
+# from_json null row == DuckDB's NOT json_valid; a null typed field on
+# a parsed row == TRY_CAST failure.
+
+@_q("json_props_quarantine", """
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_id % 11 = 0
+                THEN '[' || substr(props, 2)
+              WHEN event_id % 13 = 0
+                THEN regexp_replace(props, '[0-9]+', '"x"', 'g')
+              WHEN event_id % 17 = 0
+                THEN replace(props, '"k"', '"j"')
+              ELSE props END AS p
+  FROM events
+), g AS (
+  SELECT event_id, json_valid(p) AS ok, p FROM e
+), c AS (
+  SELECT event_id, ok,
+         CASE WHEN ok THEN json_extract_string(p, '$.k') END AS kraw
+  FROM g
+), s AS (
+  -- 'unparseable' mirrors Spark's PERMISSIVE corrupt-record rule:
+  -- malformed JSON OR a present-but-uncastable k both mark the record
+  -- corrupt; a parseable record simply MISSING k does not.
+  SELECT CASE WHEN NOT ok
+                   OR (kraw IS NOT NULL
+                       AND TRY_CAST(kraw AS INTEGER) IS NULL)
+                THEN 'unparseable'
+              WHEN kraw IS NULL THEN 'missing_k'
+              ELSE 'valid' END AS status,
+         TRY_CAST(kraw AS INTEGER) AS k
+  FROM c
+)
+SELECT status, COUNT(*) AS n_events,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS k_sum
+FROM s GROUP BY status
+""")
+def json_props_quarantine_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    p = (F.when(F.col("event_id") % 11 == 0,
+                F.concat(F.lit("["), F.expr("substring(props, 2)")))
+          .when(F.col("event_id") % 13 == 0,
+                F.regexp_replace("props", "[0-9]+", '"x"'))
+          .when(F.col("event_id") % 17 == 0,
+                F.expr("replace(props, '\"k\"', '\"j\"')"))
+          .otherwise(F.col("props")))
+    parsed = (ev.select("event_id", p.alias("p"))
+                .withColumn("_s", F.from_json(
+                    "p", "k INT, _corrupt STRING",
+                    {"columnNameOfCorruptRecord": "_corrupt"})))
+    status = (F.when(F.col("_s._corrupt").isNotNull(), "unparseable")
+               .when(F.col("_s.k").isNull(), "missing_k")
+               .otherwise("valid"))
+    return (parsed.select(status.alias("status"),
+                          F.col("_s.k").alias("k"))
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.coalesce(F.sum("k"), F.lit(0)).cast("long")
+                  .alias("k_sum")))
