@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_etl_project_spark.streaming.ingest import (
@@ -422,3 +422,66 @@ LEFT JOIN prior p ON s.doc_id = p.doc_id"""
 
 
 ORACLE["streaming_band_index_dedup"] = _band_sig_cte()
+
+
+# --- streaming KMV sketch maintenance ----------------------------------------
+# Each micro-batch appends only its k smallest distinct-trigram hashes
+# (bounded state growth; min-k merges associatively, so the final
+# global k-th minimum equals the batch KMV over all batches however
+# the source split them). The oracle recomputes the whole sketch AND
+# the exact distinct count from scratch in SQL.
+
+@_q("streaming_kmv_token_sketch", """
+WITH t AS (
+  SELECT DISTINCT unnest(list_transform(range(len(w) - 2),
+                  i -> array_to_string(w[i+1:i+3], ' '))) AS v
+  FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id >= 300)
+), h AS (
+  SELECT CAST(concat('0x', substr(md5('kmv-v1|' || v), 1, 12))
+              AS BIGINT) AS h
+  FROM t
+), kth AS (
+  SELECT h AS kth_min_hash FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM h)
+  WHERE rn = 64
+)
+SELECT CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS exact_distinct,
+       (SELECT kth_min_hash FROM kth) AS kth_min_hash,
+       CAST(63 * CAST(281474976710656 AS BIGINT)
+            // (SELECT kth_min_hash FROM kth) AS BIGINT) AS est_distinct
+""")
+def streaming_kmv_token_sketch_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark_etl_project_spark.streaming.ingest import (
+        foreach_batch_kmv, stream_documents)
+
+    stream, _ = stream_documents(spark, sf_dir, min_doc_id=300, files=2)
+    store = os.path.join(tempfile.mkdtemp(prefix="kmv_stream_"), "sketch")
+    foreach_batch_kmv(stream, store, k=64)
+
+    cand = spark.read.parquet(store)
+    w = Window.orderBy("h")
+    kth = (cand.distinct()
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 64)
+           .select(F.col("h").alias("kth_min_hash")))
+    # exact count from the batch table (the calibration reference the
+    # sketch exists to avoid computing in production).
+    from pyspark_etl_project_spark.plans.tables import load
+    from pyspark_etl_project_spark.extensions.text import word_ngrams
+
+    exact = (load(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") >= 300)
+             .select(F.explode(word_ngrams(F.col("text"), 3)).alias("v"))
+             .distinct()
+             .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct")))
+    max_h = 1 << 48
+    return (exact.crossJoin(F.broadcast(kth))
+            .select("exact_distinct", "kth_min_hash",
+                    F.expr(f"cast(63 * cast({max_h} as bigint)"
+                           " div kth_min_hash as bigint)")
+                     .alias("est_distinct")))

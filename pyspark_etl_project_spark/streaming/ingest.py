@@ -218,3 +218,38 @@ def foreach_batch_band_index(stream: DataFrame, bands_path: str,
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def foreach_batch_kmv(stream: DataFrame, store_path: str,
+                      k: int = 64, salt: str = "kmv-v1") -> None:
+    """Streaming cardinality-sketch maintenance: per micro-batch the
+    documents' distinct trigram hashes are reduced to the batch's k
+    SMALLEST 48-bit md5 values and appended to the sketch store — so
+    state grows by at most k rows per batch regardless of batch size,
+    and because min-k is associative and commutative the final global
+    k-th minimum is EXACTLY the batch-mode KMV over the union of all
+    batches, no matter how the source split them. The estimator stays
+    the integer (k-1)*2^48 div h_k of the batch operator
+    (extensions/text.py:kmv_distinct_sketch)."""
+    from pyspark.sql import Window
+
+    def handle(batch: DataFrame, _epoch: int) -> None:
+        from pyspark_etl_project_spark.extensions.text import word_ngrams
+
+        hashed = (batch
+                  .select(F.explode(word_ngrams(F.col("text"), 3))
+                          .alias("v"))
+                  .distinct()
+                  .select(F.conv(F.substring(
+                      F.md5(F.concat(F.lit(f"{salt}|"), F.col("v"))),
+                      1, 12), 16, 10).cast("long").alias("h")))
+        w = Window.orderBy("h")
+        topk = (hashed.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k).select("h"))
+        topk.write.mode("append").parquet(store_path)
+
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

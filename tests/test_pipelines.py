@@ -348,3 +348,32 @@ def test_streaming_band_index_split_invariant(spark):
         return {r["doc_id"]: r["p"] for r in prior.collect()}
 
     assert run(1) == run(2)
+
+
+def test_streaming_kmv_min_k_merge_invariant(spark):
+    """The k-th minimum over per-batch top-k appends equals the batch
+    KMV whether the stream delivered one batch or two (min-k is
+    associative)."""
+    import os
+    import tempfile
+
+    from pyspark_etl_project_spark.streaming.ingest import (
+        foreach_batch_kmv, stream_documents)
+
+    sf = "/root/testdata/sf0.001"
+
+    def kth(files, k=16):
+        stream, _ = stream_documents(spark, sf, min_doc_id=20,
+                                     files=files)
+        store = os.path.join(tempfile.mkdtemp(prefix=f"kmv{files}_"),
+                             "s")
+        foreach_batch_kmv(stream, store, k=k)
+        from pyspark.sql import Window
+        cand = spark.read.parquet(store).distinct()
+        r = (cand.withColumn("_rn", F.row_number().over(
+                Window.orderBy("h")))
+             .filter(F.col("_rn") == k).collect())
+        return r[0]["h"] if r else None
+
+    assert kth(1) == kth(2)
+    assert kth(1) is not None
