@@ -431,7 +431,7 @@ ORACLE["streaming_band_index_dedup"] = _band_sig_cte()
 # the source split them). The oracle recomputes the whole sketch AND
 # the exact distinct count from scratch in SQL.
 
-@_q("streaming_kmv_token_sketch", """
+@_q("streaming_kmv_trigram_sketch", """
 WITH t AS (
   SELECT DISTINCT unnest(list_transform(range(len(w) - 2),
                   i -> array_to_string(w[i+1:i+3], ' '))) AS v
@@ -451,7 +451,7 @@ SELECT CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS exact_distinct,
        CAST(63 * CAST(281474976710656 AS BIGINT)
             // (SELECT kth_min_hash FROM kth) AS BIGINT) AS est_distinct
 """)
-def streaming_kmv_token_sketch_q(spark: SparkSession,
+def streaming_kmv_trigram_sketch_q(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     import os
     import tempfile
