@@ -1847,3 +1847,50 @@ def json_props_quarantine_q(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.coalesce(F.sum("k"), F.lit(0)).cast("long")
                   .alias("k_sum")))
+
+
+# --- consecutive-duplicate event collapse (debounce) ------------------------
+# Sensor/click debounce: drop an event when it repeats its immediate
+# predecessor's type within 5 s for the same user (lag() against the
+# previous EVENT — the stateless form; the stateful previous-KEPT
+# variant lives in streaming/stateful.py's API family). One user-keyed
+# window; gate checks kept counts and the per-type survivor sums.
+
+@_q("event_debounce_collapse", """
+WITH s AS (
+  SELECT user_id, event_id, event_type, ts,
+         LAG(event_type) OVER w AS prev_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), kept AS (
+  SELECT * FROM s
+  WHERE prev_type IS NULL OR prev_type <> event_type
+        OR gap_us > 5000000
+)
+SELECT event_type,
+       COUNT(*) AS n_kept,
+       (SELECT COUNT(*) FROM s) - (SELECT COUNT(*) FROM kept)
+         AS n_dropped_total
+FROM kept GROUP BY event_type
+""")
+def event_debounce_collapse_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (ev.select("user_id", "event_id", "event_type", "ts")
+           .withColumn("prev_type", F.lag("event_type").over(w))
+           .withColumn("gap_us",
+                       F.unix_micros("ts")
+                       - F.lag(F.unix_micros("ts")).over(w))
+           .localCheckpoint(eager=False))
+    kept = s.filter(F.col("prev_type").isNull()
+                    | (F.col("prev_type") != F.col("event_type"))
+                    | (F.col("gap_us") > 5_000_000))
+    totals = (s.agg(F.count(F.lit(1)).alias("_all"))
+              .crossJoin(kept.agg(F.count(F.lit(1)).alias("_kept")))
+              .select((F.col("_all") - F.col("_kept"))
+                      .alias("n_dropped_total")))
+    return (kept.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .crossJoin(F.broadcast(totals)))
