@@ -68,7 +68,11 @@ DEFAULT = [
     "user_active_coverage", "winsorized_order_totals",
     "label_propagation_communities",
     "multimodal_grayscale", "balanced_token_shards",
-    "multimodal_audio_mixdown",
+    "multimodal_audio_mixdown", "pandas_udf_surface",
+    "table_content_fingerprint", "dictionary_encode_roundtrip",
+    "impute_missing_values", "time_weighted_average",
+    "json_props_quarantine", "event_debounce_collapse",
+    "streaming_kmv_trigram_sketch",
 ]
 
 
