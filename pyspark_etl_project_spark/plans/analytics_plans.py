@@ -1894,3 +1894,60 @@ def event_debounce_collapse_q(spark: SparkSession,
     return (kept.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_kept"))
             .crossJoin(F.broadcast(totals)))
+
+
+# --- hierarchy share-of-parent ----------------------------------------------
+# Region -> nation revenue rollup with each nation's integer-bp share
+# of its region: two grouped aggregates joined on the hierarchy key
+# (the level-ratio shape OLAP drilldowns need — a windowed share over
+# the finer level would recompute the parent sum per row; the
+# two-level join computes it once). Broadcast dims, DECIMAL partials,
+# integer cents/bp out.
+
+@_q("revenue_share_of_parent", """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                    * 100) AS BIGINT) AS nation_cents
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+), reg AS (
+  SELECT region, SUM(nation_cents) AS region_cents FROM rev
+  GROUP BY region
+)
+SELECT rev.region, rev.nation, rev.nation_cents,
+       CAST(reg.region_cents AS BIGINT) AS region_cents,
+       CAST(rev.nation_cents * 10000 // reg.region_cents AS BIGINT)
+         AS share_bp
+FROM rev JOIN reg ON rev.region = reg.region
+""")
+def revenue_share_of_parent_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice").cast("decimal(18,6)")
+               * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)")))
+    rev = (c.join(o, c["c_custkey"] == o["o_custkey"])
+             .join(li, o["o_orderkey"] == li["l_orderkey"])
+             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+             .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+             .groupBy(F.col("r_name").alias("region"),
+                      F.col("n_name").alias("nation"))
+             .agg(F.floor(F.sum(revenue) * 100).cast("long")
+                  .alias("nation_cents"))
+             .localCheckpoint(eager=False))
+    reg = (rev.groupBy("region")
+           .agg(F.sum("nation_cents").cast("long")
+                .alias("region_cents")))
+    return (rev.join(F.broadcast(reg), "region")
+            .withColumn("share_bp",
+                        F.expr("cast(nation_cents * 10000"
+                               " div region_cents as bigint)")))

@@ -4410,3 +4410,51 @@ def pandas_udf_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("type_vowels", vowel_count(F.col("event_type")))
             .select("event_type", "type_vowels", "n_events",
                     "weighted_mean_cents"))
+
+
+# --- token prefix index ------------------------------------------------------
+# Autocomplete / search-index primitive: per 3-char token prefix, the
+# occurrence count, distinct-token count, and the most frequent
+# completion with a deterministic (count desc, token asc) pick. Two
+# map-combined aggregates; the per-prefix argmax window runs over the
+# (vocabulary-sized) token-count table. Top-100 prefixes by volume
+# with a full deterministic cut.
+
+@_q("token_prefix_index", """
+WITH tc AS (
+  SELECT t, COUNT(*) AS c FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+    FROM documents) WHERE length(t) >= 3 GROUP BY t
+), p AS (
+  SELECT substr(t, 1, 3) AS prefix, t, c FROM tc
+), best AS (
+  SELECT prefix, t AS top_token FROM (
+    SELECT prefix, t, ROW_NUMBER() OVER (PARTITION BY prefix
+                                         ORDER BY c DESC, t) AS rn
+    FROM p) WHERE rn = 1
+), agg AS (
+  SELECT prefix, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+         COUNT(*) AS n_tokens
+  FROM p GROUP BY prefix
+)
+SELECT a.prefix, a.n_occurrences, a.n_tokens, b.top_token
+FROM agg a JOIN best b ON a.prefix = b.prefix
+ORDER BY a.n_occurrences DESC, a.prefix LIMIT 100
+""")
+def token_prefix_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tc = (docs.select(F.explode(X.tokens(F.col("text"))).alias("t"))
+              .filter(F.length("t") >= 3)
+              .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+              .withColumn("prefix", F.substring("t", 1, 3))
+              .localCheckpoint(eager=False))
+    w = Window.partitionBy("prefix").orderBy(F.desc("c"), F.asc("t"))
+    best = (tc.withColumn("rn", F.row_number().over(w))
+              .filter("rn = 1")
+              .select("prefix", F.col("t").alias("top_token")))
+    agg = (tc.groupBy("prefix")
+           .agg(F.sum("c").cast("long").alias("n_occurrences"),
+                F.count(F.lit(1)).alias("n_tokens")))
+    return (agg.join(best, "prefix")
+            .orderBy(F.desc("n_occurrences"), "prefix").limit(100)
+            .select("prefix", "n_occurrences", "n_tokens", "top_token"))
