@@ -73,6 +73,7 @@ DEFAULT = [
     "impute_missing_values", "time_weighted_average",
     "json_props_quarantine", "event_debounce_collapse",
     "streaming_kmv_trigram_sketch",
+    "revenue_share_of_parent", "token_prefix_index",
 ]
 
 
