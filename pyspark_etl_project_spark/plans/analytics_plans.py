@@ -1951,3 +1951,91 @@ def revenue_share_of_parent_q(spark: SparkSession,
             .withColumn("share_bp",
                         F.expr("cast(nation_cents * 10000"
                                " div region_cents as bigint)")))
+
+
+# --- last-touch purchase attribution ----------------------------------------
+# For every purchase: the same user's immediately preceding event
+# within 30 minutes (lag over the user sequence, window-gated) — the
+# last-touch attribution model. Purchases with no qualifying
+# predecessor attribute to '(direct)'. One user-keyed window, then a
+# 6-row aggregate.
+
+@_q("purchase_attribution_last_touch", """
+WITH s AS (
+  SELECT user_id, event_id, event_type, ts,
+         LAG(event_type) OVER w AS prev_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CASE WHEN prev_type IS NULL OR gap_us > 1800000000
+            THEN '(direct)' ELSE prev_type END AS touch,
+       COUNT(*) AS n_purchases
+FROM s WHERE event_type = 'purchase'
+GROUP BY 1
+""")
+def purchase_attribution_last_touch_q(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (ev.select("user_id", "event_id", "event_type", "ts")
+           .withColumn("prev_type", F.lag("event_type").over(w))
+           .withColumn("gap_us",
+                       F.unix_micros("ts")
+                       - F.lag(F.unix_micros("ts")).over(w)))
+    touch = (F.when(F.col("prev_type").isNull()
+                    | (F.col("gap_us") > 1_800_000_000), "(direct)")
+              .otherwise(F.col("prev_type")))
+    return (s.filter(F.col("event_type") == "purchase")
+             .groupBy(touch.alias("touch"))
+             .agg(F.count(F.lit(1)).alias("n_purchases")))
+
+
+# --- multi-granularity rollup consistency ------------------------------------
+# The materialized-rollup integrity check: month totals derived from
+# the DAY aggregate must equal month totals computed directly from the
+# facts — the invariant incremental rollup maintenance must keep. The
+# cents diff is exactly 0 because values are cent-precise (floor at
+# the day level loses nothing); data with sub-cent precision would
+# need the rollup to carry unfloored DECIMAL partials instead.
+
+@_q("rollup_consistency_check", """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, COUNT(*) AS n,
+         CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT)
+           AS cents
+  FROM events GROUP BY date_trunc('day', ts)
+), m_from_daily AS (
+  SELECT date_trunc('month', d) AS m, SUM(n) AS n,
+         SUM(cents) AS cents
+  FROM daily GROUP BY date_trunc('month', d)
+), m_direct AS (
+  SELECT date_trunc('month', ts) AS m, COUNT(*) AS n,
+         CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT)
+           AS cents
+  FROM events GROUP BY date_trunc('month', ts)
+)
+SELECT d.m AS month_ts,
+       CAST(d.n AS BIGINT) AS n_from_daily,
+       CAST(x.n AS BIGINT) AS n_direct,
+       CAST(d.cents - x.cents AS BIGINT) AS cents_diff
+FROM m_from_daily d JOIN m_direct x ON d.m = x.m
+""")
+def rollup_consistency_check_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dec = F.sum(F.col("value").cast("decimal(18,6)"))
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.floor(dec * 100).cast("long").alias("cents")))
+    m_from_daily = (daily.groupBy(F.date_trunc("month", "d").alias("m"))
+                    .agg(F.sum("n").cast("long").alias("n_from_daily"),
+                         F.sum("cents").alias("_cd")))
+    m_direct = (ev.groupBy(F.date_trunc("month", "ts").alias("m"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_direct"),
+                     F.floor(dec * 100).cast("long").alias("_cx")))
+    return (m_from_daily.join(m_direct, "m")
+            .select(F.col("m").alias("month_ts"), "n_from_daily",
+                    "n_direct",
+                    (F.col("_cd") - F.col("_cx")).cast("long")
+                    .alias("cents_diff")))
