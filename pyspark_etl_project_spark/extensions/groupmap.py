@@ -46,3 +46,38 @@ def minmax_normalize(df: DataFrame, group_col: str, value_col: str,
         return pdf.assign(**{out_col: bp})[[id_col, group_col, out_col]]
 
     return df.groupBy(group_col).applyInPandas(norm, schema=out_schema)
+
+
+def cogrouped_click_purchase_stats(clicks: DataFrame,
+                                   purchases: DataFrame) -> DataFrame:
+    """Cogrouped-map Pandas surface (``cogroup().applyInPandas``) —
+    the one Arrow API the matrix lacked: both sides of a key arrive as
+    pandas frames IN THE SAME call, for logic that genuinely needs
+    simultaneous access to two grouped inputs (here: how many of a
+    user's clicks precede their FIRST purchase — a per-user sequence
+    alignment an equi-join would need a window + join to express).
+    Integer outputs only, so the whole computation is oracle-gated.
+
+    Scale: one co-partitioned shuffle on the user key for both sides;
+    per-call memory is one user's rows."""
+    import pandas as pd
+
+    def stats(key, cdf: "pd.DataFrame", pdf: "pd.DataFrame"):
+        n_clicks = len(cdf)
+        n_purch = len(pdf)
+        if n_purch == 0:
+            before = n_clicks
+        else:
+            first = pdf["t"].min()
+            before = int((cdf["t"] < first).sum()) if n_clicks else 0
+        return pd.DataFrame(
+            [(key[0], n_clicks, n_purch, before)],
+            columns=["user_id", "n_clicks", "n_purchases",
+                     "clicks_before_first_purchase"])
+
+    return (clicks.groupBy("user_id")
+            .cogroup(purchases.groupBy("user_id"))
+            .applyInPandas(stats,
+                           schema=("user_id long, n_clicks long, "
+                                   "n_purchases long, "
+                                   "clicks_before_first_purchase long")))

@@ -4458,3 +4458,49 @@ def token_prefix_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.join(best, "prefix")
             .orderBy(F.desc("n_occurrences"), "prefix").limit(100)
             .select("prefix", "n_occurrences", "n_tokens", "top_token"))
+
+
+# --- cogrouped applyInPandas surface -----------------------------------------
+# clicks and purchases cogrouped per user in one Arrow call: the
+# clicks-before-first-purchase alignment (users with no purchase count
+# every click). Completes the Python API matrix; the SQL oracle
+# recomputes the alignment relationally.
+
+@_q("cogrouped_click_purchase", """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'purchase'
+), cc AS (SELECT user_id, COUNT(*) AS nc FROM c GROUP BY user_id),
+pc AS (SELECT user_id, COUNT(*) AS np, MIN(t) AS ft
+       FROM p GROUP BY user_id),
+u AS (SELECT user_id FROM cc UNION SELECT user_id FROM pc),
+before AS (
+  SELECT c.user_id, COUNT(*) AS nb
+  FROM c JOIN pc ON c.user_id = pc.user_id AND c.t < pc.ft
+  GROUP BY c.user_id
+)
+SELECT u.user_id,
+       CAST(COALESCE(cc.nc, 0) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(pc.np, 0) AS BIGINT) AS n_purchases,
+       CAST(CASE WHEN pc.user_id IS NULL THEN COALESCE(cc.nc, 0)
+            ELSE COALESCE(before.nb, 0) END AS BIGINT)
+         AS clicks_before_first_purchase
+FROM u
+LEFT JOIN cc ON u.user_id = cc.user_id
+LEFT JOIN pc ON u.user_id = pc.user_id
+LEFT JOIN before ON u.user_id = before.user_id
+""")
+def cogrouped_click_purchase_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.groupmap import (
+        cogrouped_click_purchase_stats)
+
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", F.unix_micros("ts").alias("t")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", F.unix_micros("ts").alias("t")))
+    return cogrouped_click_purchase_stats(clicks, purchases)
