@@ -74,6 +74,8 @@ DEFAULT = [
     "json_props_quarantine", "event_debounce_collapse",
     "streaming_kmv_trigram_sketch",
     "revenue_share_of_parent", "token_prefix_index",
+    "purchase_attribution_last_touch", "rollup_consistency_check",
+    "cogrouped_click_purchase",
 ]
 
 
