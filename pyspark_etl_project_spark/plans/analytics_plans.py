@@ -2039,3 +2039,56 @@ def rollup_consistency_check_q(spark: SparkSession,
                     "n_direct",
                     (F.col("_cd") - F.col("_cx")).cast("long")
                     .alias("cents_diff")))
+
+
+# --- business-day shipping latency ------------------------------------------
+# Weekend-aware day math in closed form (no calendar table, no UDF):
+# business days between order and first ship date = 5*(week diff) +
+# weekday-index diff, clamping both endpoints onto the Mon-Fri grid —
+# the classic integer formula, identical in both engines because it is
+# pure date_part arithmetic. Per-priority mean in integer deci-days.
+
+@_q("business_days_to_ship", """
+WITH f AS (
+  SELECT o.o_orderpriority AS pri,
+         CAST(o.o_orderdate AS DATE) AS od,
+         CAST(MIN(l.l_shipdate) AS DATE) AS sd
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+), g AS (
+  SELECT pri,
+         (CAST(sd - DATE '1970-01-05' AS INTEGER) // 7
+          - CAST(od - DATE '1970-01-05' AS INTEGER) // 7) * 5
+         + LEAST(((CAST(sd - DATE '1970-01-05' AS INTEGER) % 7 + 7) % 7),
+                 4)
+         - LEAST(((CAST(od - DATE '1970-01-05' AS INTEGER) % 7 + 7) % 7),
+                 4) AS bdays
+  FROM f
+)
+SELECT pri AS o_orderpriority, COUNT(*) AS n_orders,
+       CAST(MIN(bdays) AS INTEGER) AS min_bdays,
+       CAST(MAX(bdays) AS INTEGER) AS max_bdays,
+       CAST(SUM(bdays) * 10 // COUNT(*) AS BIGINT) AS mean_bdays_deci
+FROM g GROUP BY pri
+""")
+def business_days_to_ship_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    f = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+          .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+          .agg(F.min("l_shipdate").alias("sd")))
+    epoch_mon = F.lit("1970-01-05").cast("date")  # a Monday
+    dd = lambda c: F.datediff(F.to_date(c), epoch_mon)  # noqa: E731
+    wk = lambda c: F.floor(dd(c) / 7)  # noqa: E731
+    dow = lambda c: F.least(((dd(c) % 7) + 7) % 7, F.lit(4))  # noqa: E731
+    bdays = ((wk("sd") - wk("o_orderdate")) * 5
+             + dow("sd") - dow("o_orderdate"))
+    return (f.select(F.col("o_orderpriority").alias("pri"),
+                     bdays.alias("bdays"))
+            .groupBy(F.col("pri").alias("o_orderpriority"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("bdays").cast("int").alias("min_bdays"),
+                 F.max("bdays").cast("int").alias("max_bdays"),
+                 F.expr("cast(sum(bdays) * 10 div count(1) as bigint)")
+                  .alias("mean_bdays_deci")))

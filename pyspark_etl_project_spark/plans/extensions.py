@@ -4504,3 +4504,54 @@ def cogrouped_click_purchase_q(spark: SparkSession,
     purchases = (ev.filter(F.col("event_type") == "purchase")
                    .select("user_id", F.unix_micros("ts").alias("t")))
     return cogrouped_click_purchase_stats(clicks, purchases)
+
+
+# --- corpus self-similarity decay curve --------------------------------------
+# Duplicated-occurrence fraction at n-gram sizes 2..5 in one result:
+# how fast does repetition decay as the match window grows — the
+# methodological dial for choosing the dedup k (a corpus whose dup
+# fraction stays flat to n=5 has real template families; fast decay
+# means short-range phrase reuse only). Each size is a map-combined
+# gram count + semi-join (the dup-span machinery), unioned into a
+# 4-row curve.
+
+def _decay_row_sql(n: int) -> str:
+    return f"""
+SELECT {n} AS n,
+       CAST(COUNT(*) AS BIGINT) AS total_grams,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_occurrences,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS dup_bp
+FROM (
+  SELECT COUNT(*) OVER (PARTITION BY md5(g)) AS c FROM (
+    SELECT array_to_string(w[i+1:i+{n}], ' ') AS g
+    FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+          FROM documents)
+       , unnest(range(CASE WHEN len(w) >= {n}
+                       THEN len(w) - {n} + 1 ELSE 0 END)) AS r(i)))
+"""
+
+
+@_q("self_similarity_decay",
+    " UNION ALL ".join(_decay_row_sql(n) for n in (2, 3, 4, 5)))
+def self_similarity_decay_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    out = None
+    for n in (2, 3, 4, 5):
+        grams = (docs.select(
+            F.explode(X.ngram_array(toks, n)).alias("g"))
+            .select(F.md5("g").alias("gh")))
+        counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+        row = (counts.agg(
+            F.lit(n).cast("int").alias("n"),
+            F.sum("c").cast("long").alias("total_grams"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+             .cast("long").alias("dup_occurrences"))
+            .withColumn("dup_bp",
+                        F.expr("cast(dup_occurrences * 10000"
+                               " div total_grams as bigint)")))
+        out = row if out is None else out.unionByName(row)
+    return out
