@@ -75,7 +75,8 @@ DEFAULT = [
     "streaming_kmv_trigram_sketch",
     "revenue_share_of_parent", "token_prefix_index",
     "purchase_attribution_last_touch", "rollup_consistency_check",
-    "cogrouped_click_purchase",
+    "cogrouped_click_purchase", "business_days_to_ship",
+    "self_similarity_decay",
 ]
 
 
