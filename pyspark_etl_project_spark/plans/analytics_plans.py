@@ -2092,3 +2092,93 @@ def business_days_to_ship_q(spark: SparkSession,
                  F.max("bdays").cast("int").alias("max_bdays"),
                  F.expr("cast(sum(bdays) * 10 div count(1) as bigint)")
                   .alias("mean_bdays_deci")))
+
+
+# --- hour-of-week seasonality profile ---------------------------------------
+# The 24x7 BI heatmap reduced to its decision form: per event type,
+# total volume, the peak (dow, hour) cell with a deterministic
+# (count desc, dow, hour) tiebreak, and the peak share in bp. dow
+# follows ISO (Mon=1) via a from-Monday-epoch formula identical in
+# both engines (DuckDB isodow == the formula; Spark dayofweek is
+# Sun=1, so the formula avoids the builtin).
+
+@_q("hourweek_seasonality", """
+WITH c AS (
+  SELECT event_type,
+         (CAST(CAST(date_trunc('day', ts) AS DATE)
+               - DATE '1970-01-05' AS INTEGER) % 7 + 7) % 7 + 1 AS dow,
+         CAST(date_part('hour', ts) AS INTEGER) AS hr,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), t AS (
+  SELECT event_type, SUM(n) AS total FROM c GROUP BY event_type
+), best AS (
+  SELECT event_type, dow, hr, n FROM (
+    SELECT event_type, dow, hr, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY n DESC, dow, hr) AS rn
+    FROM c) WHERE rn = 1
+)
+SELECT b.event_type, CAST(b.dow AS INTEGER) AS peak_dow,
+       b.hr AS peak_hour, CAST(b.n AS BIGINT) AS peak_n,
+       CAST(t.total AS BIGINT) AS total_n,
+       CAST(b.n * 10000 // t.total AS BIGINT) AS peak_share_bp
+FROM best b JOIN t ON b.event_type = t.event_type
+""")
+def hourweek_seasonality_q(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    epoch_mon = F.lit("1970-01-05").cast("date")
+    dow = ((F.datediff(F.to_date(F.date_trunc("day", "ts")), epoch_mon)
+            % 7 + 7) % 7 + 1).cast("int")
+    c = (ev.groupBy("event_type", dow.alias("dow"),
+                    F.hour("ts").cast("int").alias("hr"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .localCheckpoint(eager=False))
+    t = c.groupBy("event_type").agg(F.sum("n").cast("long")
+                                    .alias("total_n"))
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.desc("n"), "dow", "hr"))
+    best = (c.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+             .select("event_type", F.col("dow").alias("peak_dow"),
+                     F.col("hr").alias("peak_hour"),
+                     F.col("n").cast("long").alias("peak_n")))
+    return (best.join(F.broadcast(t), "event_type")
+            .withColumn("peak_share_bp",
+                        F.expr("cast(peak_n * 10000 div total_n"
+                               " as bigint)")))
+
+
+# --- part co-purchase pairs (market basket through the fact) -----------------
+# Top-20 part pairs appearing in the same order: the lineitem
+# self-join keys on the order (per-order group bounded by order size —
+# TPC-H orders average ~4 lines, so the pair blowup is quadratic in a
+# SMALL constant, unlike a shingle hub), pair counts map-combine, and
+# the deterministic top-k compiles to TakeOrderedAndProject.
+
+@_q("part_copurchase_topk", """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders FROM pairs
+ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+""")
+def part_copurchase_topk_q(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+          .localCheckpoint(eager=False))
+    pairs = (li.alias("a")
+             .join(li.alias("b").hint("shuffle_hash"),
+                   (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("part_a"),
+                      F.col("b.l_partkey").alias("part_b"))
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+    return pairs.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(20)
