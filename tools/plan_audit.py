@@ -76,7 +76,8 @@ DEFAULT = [
     "revenue_share_of_parent", "token_prefix_index",
     "purchase_attribution_last_touch", "rollup_consistency_check",
     "cogrouped_click_purchase", "business_days_to_ship",
-    "self_similarity_decay",
+    "self_similarity_decay", "hourweek_seasonality",
+    "part_copurchase_topk",
 ]
 
 
