@@ -2182,3 +2182,102 @@ def part_copurchase_topk_q(spark: SparkSession,
                       F.col("b.l_partkey").alias("part_b"))
              .agg(F.count(F.lit(1)).alias("n_orders")))
     return pairs.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(20)
+
+
+# --- ingestion completeness monitor -----------------------------------------
+# Data-ops check: per day, which of the 24 expected hour slots
+# actually landed (observed distinct hours vs the full grid), plus the
+# missing-hour count — the freshness/backfill dashboard cell. The
+# expected grid is generated, not assumed, so silent whole-hour gaps
+# are counted rather than invisible.
+
+@_q("ingestion_completeness_daily", """
+WITH obs AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(date_part('hour', ts) AS INTEGER) AS hr,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), daily AS (
+  SELECT d, COUNT(*) AS hours_observed, CAST(SUM(n) AS BIGINT) AS n_events
+  FROM obs GROUP BY d
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       CAST(hours_observed AS INTEGER) AS hours_observed,
+       CAST(24 - hours_observed AS INTEGER) AS hours_missing,
+       n_events
+FROM daily
+""")
+def ingestion_completeness_daily_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # day serialized as the ISO string: DATE round-trips differently
+    # through pandas per engine (date objects vs datetime64).
+    obs = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                      F.hour("ts").cast("int").alias("hr"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    return (obs.groupBy("day")
+            .agg(F.count(F.lit(1)).cast("int").alias("hours_observed"),
+                 F.sum("n").cast("long").alias("n_events"))
+            .withColumn("hours_missing",
+                        (F.lit(24) - F.col("hours_observed"))
+                        .cast("int"))
+            .select("day", "hours_observed", "hours_missing",
+                    "n_events"))
+
+
+# --- ABC (Pareto) part classification ---------------------------------------
+# Parts ranked by revenue; cumulative share in bp over the ranked list
+# classifies A (first 80%), B (to 95%), C (tail) — the inventory
+# classic. The running sum runs over the PART-level aggregate
+# (vocabulary-sized, not the fact table); class cuts are integer bp on
+# the cumulative share with deterministic (revenue desc, partkey)
+# order.
+
+@_q("abc_part_classification", """
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (1 - CAST(l_discount AS DECIMAL(18,6))))
+                    * 100) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), t AS (SELECT SUM(cents) AS total FROM pr),
+r AS (
+  SELECT l_partkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pr
+), cls AS (
+  SELECT l_partkey, cents,
+         CASE WHEN (cum - cents) * 10000 < t.total * 8000 THEN 'A'
+              WHEN (cum - cents) * 10000 < t.total * 9500 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM r, t
+)
+SELECT abc, COUNT(*) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS class_cents
+FROM cls GROUP BY abc
+""")
+def abc_part_classification_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)")))
+    pr = (li.groupBy("l_partkey")
+            .agg(F.floor(F.sum(rev) * 100).cast("long").alias("cents"))
+            .localCheckpoint(eager=False))
+    t = pr.agg(F.sum("cents").alias("total"))
+    # part-level table is vocabulary-sized; the unpartitioned running
+    # sum is the small-side plan (dense_row_number otherwise).
+    w = (Window.orderBy(F.desc("cents"), "l_partkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    r = pr.withColumn("cum", F.sum("cents").over(w))
+    cls = (r.crossJoin(F.broadcast(t))
+           .withColumn("abc",
+                       F.when((F.col("cum") - F.col("cents")) * 10000
+                              < F.col("total") * 8000, "A")
+                        .when((F.col("cum") - F.col("cents")) * 10000
+                              < F.col("total") * 9500, "B")
+                        .otherwise("C")))
+    return (cls.groupBy("abc")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("cents").cast("long").alias("class_cents")))
