@@ -77,7 +77,8 @@ DEFAULT = [
     "purchase_attribution_last_touch", "rollup_consistency_check",
     "cogrouped_click_purchase", "business_days_to_ship",
     "self_similarity_decay", "hourweek_seasonality",
-    "part_copurchase_topk",
+    "part_copurchase_topk", "ingestion_completeness_daily",
+    "abc_part_classification",
 ]
 
 
