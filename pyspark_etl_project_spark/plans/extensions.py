@@ -4555,3 +4555,56 @@ def self_similarity_decay_q(spark: SparkSession,
                                " div total_grams as bigint)")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- largest-remainder budget allocation -------------------------------------
+# Allocate an integer token budget across sources proportionally to
+# their doc counts so the allocations SUM EXACTLY to the budget
+# (floor division leaves a deficit of < k tokens; the k' groups with
+# the largest remainders get +1, ties to the smaller source name) —
+# the financial-allocation classic, and the correctness detail naive
+# proportional sampling gets wrong. The gate proves exactness by
+# construction: sum(allocation) == budget is checkable from the rows.
+
+@_q("largest_remainder_allocation", """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), t AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM counts),
+base AS (
+  SELECT c.source, c.n,
+         (1000000 * c.n) // t.total AS floor_alloc,
+         (1000000 * c.n) % t.total AS rem
+  FROM counts c, t
+), deficit AS (
+  SELECT 1000000 - SUM(floor_alloc) AS d FROM base
+), ranked AS (
+  SELECT source, n, floor_alloc,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr
+  FROM base
+)
+SELECT r.source, CAST(r.n AS BIGINT) AS n_docs,
+       CAST(r.floor_alloc
+            + CASE WHEN r.rr <= d.d THEN 1 ELSE 0 END AS BIGINT)
+         AS allocation
+FROM ranked r, deficit d
+""")
+def largest_remainder_allocation_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = (docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .localCheckpoint(eager=False))
+    t = counts.agg(F.sum("n").alias("total"))
+    base = (counts.crossJoin(F.broadcast(t))
+            .withColumn("floor_alloc",
+                        F.expr("(1000000 * n) div total"))
+            .withColumn("rem", F.expr("(1000000 * n) % total"))
+            .localCheckpoint(eager=False))
+    deficit = base.agg((F.lit(1_000_000)
+                        - F.sum("floor_alloc")).alias("d"))
+    w = Window.orderBy(F.desc("rem"), "source")
+    return (base.withColumn("rr", F.row_number().over(w))
+            .crossJoin(F.broadcast(deficit))
+            .select("source", F.col("n").cast("long").alias("n_docs"),
+                    (F.col("floor_alloc")
+                     + F.when(F.col("rr") <= F.col("d"), 1).otherwise(0))
+                    .cast("long").alias("allocation")))

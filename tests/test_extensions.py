@@ -1483,3 +1483,15 @@ def test_audio_mixdown_trunc_semantics(spark):
     assert got[1]["min_mono"] == -1 and got[1]["max_mono"] == 5
     assert got[2]["n_channels"] == 1
     assert got[2]["sum_mono"] == 7 + (-9)
+
+
+def test_largest_remainder_allocation_sums_exactly(spark):
+    """Allocations must sum exactly to the budget at any scale — the
+    property floor-only proportional allocation violates."""
+    from pyspark_etl_project_spark.plans.extensions import (
+        largest_remainder_allocation_q)
+
+    out = largest_remainder_allocation_q(
+        spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["allocation"] for r in out) == 1_000_000
+    assert all(r["allocation"] > 0 for r in out)
