@@ -78,7 +78,7 @@ DEFAULT = [
     "cogrouped_click_purchase", "business_days_to_ship",
     "self_similarity_decay", "hourweek_seasonality",
     "part_copurchase_topk", "ingestion_completeness_daily",
-    "abc_part_classification",
+    "abc_part_classification", "largest_remainder_allocation",
 ]
 
 
