@@ -1,7 +1,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Emit format (round-7 policy): stdout is consumed by a TAIL-LIMITED
+driver capture (~2000 chars), so the LAST stdout line is a COMPACT
+summary JSON — {"metric", "value", "unit", "n_queries", "error_names",
+"sf", "reps", "stat", "stream_startup_sec", "detail"} — guaranteed to
+fit the capture window. The full per-query median map (plus per-query
+errors) is written to the sidecar file named in "detail"
+(BENCH_DETAIL.json next to this script) and committed, so cross-round
+per-query comparisons cite the sidecar. BENCH_r06.json was truncated/
+unparseable because the single line then carried all 105 entries.
 
 Each query is materialized with the noop sink (full execution, no
 driver-side collect) — measuring the distributed plan, not Arrow
@@ -201,19 +209,37 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    payload = {
-        "metric": "headline_queries_total_time",
-        "value": round(sum(t for t in times.values() if t is not None), 3),
-        "unit": "sec",
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    detail = {
         "queries": times,
+        "errors": errors,
         "sf": sf_val,
         "reps": reps,
         "stat": "median",
     }
     if stream_startup is not None:
+        detail["stream_startup_sec"] = stream_startup
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+    # Compact summary as the FINAL stdout line: the driver captures only
+    # the last ~2000 chars of stdout, so the per-query map must NOT ride
+    # on this line (it lives in the sidecar above).
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(t for t in times.values() if t is not None), 3),
+        "unit": "sec",
+        "n_queries": len(names),
+        "sf": sf_val,
+        "reps": reps,
+        "stat": "median",
+        "detail": os.path.basename(detail_path),
+    }
+    if stream_startup is not None:
         payload["stream_startup_sec"] = stream_startup
     if errors:
-        payload["errors"] = errors
+        payload["error_names"] = sorted(errors)
     print(json.dumps(payload))
     spark.stop()
 

@@ -29,9 +29,16 @@ def vowel_count(s: pd.Series) -> pd.Series:
 
 
 @pandas_udf("long")
-def weighted_mean_floor(v: pd.Series, w: pd.Series) -> int:
-    """Grouped-agg pandas UDF: floor(Σ(v·w) / Σw) in exact Python
-    integers (pandas int64 sums, then Python // — no float path)."""
+def weighted_mean_trunc(v: pd.Series, w: pd.Series) -> int:
+    """Grouped-agg pandas UDF: trunc(Σ(v·w) / Σw) in exact Python
+    integers (pandas int64 sums, then sign-stripped // — no float
+    path). TRUNCATION toward zero, not floor: the DuckDB oracle's
+    integer `//` truncates while Python's floors, and the two differ
+    by 1 whenever Σ(v·w) is negative — pin the oracle's semantics
+    explicitly (same pattern as audio_mixdown_stats)."""
     num = int((v.astype("int64") * w.astype("int64")).sum())
     den = int(w.astype("int64").sum())
-    return num // den if den else 0
+    if not den:
+        return 0
+    q = abs(num) // abs(den)
+    return q if (num >= 0) == (den >= 0) else -q

@@ -524,32 +524,147 @@ def pca_project(embeddings: DataFrame, vec_col: str = "embedding",
     return embeddings.select(F.col(id_col), F.array(*coords).alias("pc"))
 
 
-def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 3,
-                   id_col: str = "vec_id", vec_col: str = "embedding",
-                   label_col: str = "label",
-                   round_digits: int = 6) -> DataFrame:
-    """Hard-negative mining for contrastive/retrieval training: per
-    query, the k corpus vectors MOST similar by cosine whose label
-    DIFFERS from the query's — the near-boundary negatives that teach
-    a retriever the most (easy negatives are already far away).
+def _flip_bits(bucket: Column, positions: tuple[int, ...],
+               num_bits: int) -> Column:
+    """Bucket string with the given bit positions flipped — one probe of
+    a multi-probe LSH expansion."""
+    parts = []
+    for i in range(num_bits):
+        c = F.substring(bucket, i + 1, 1)
+        if i in positions:
+            parts.append(F.when(c == "1", F.lit("0")).otherwise(F.lit("1")))
+        else:
+            parts.append(c)
+    return F.concat(*parts)
 
-    Plan shape: the labeled query set broadcasts (BroadcastNestedLoop
-    — queries are the small side by construction), the label-mismatch
-    predicate rides the join so same-label pairs never reach the
-    scorer, and the per-query cut is one window on query_id. Returns
-    (query_id, query_label, neg_rank, vec_id, neg_label, cos_sim)."""
+
+def _probe_sets(num_bits: int, radius: int) -> list[tuple[int, ...]]:
+    """All bit-position subsets of size <= radius (the query's own
+    bucket plus every bucket within Hamming `radius`)."""
+    from itertools import combinations
+
+    out: list[tuple[int, ...]] = []
+    for r in range(radius + 1):
+        out.extend(combinations(range(num_bits), r))
+    return out
+
+
+def hard_negative_candidates(corpus: DataFrame, queries: DataFrame,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             label_col: str = "label",
+                             round_digits: int = 6,
+                             prefilter: str | None = None,
+                             num_bits: int = 8, probe_hamming: int = 1,
+                             centroids: list[tuple[int, list[float]]]
+                             | None = None,
+                             nprobe: int = 2) -> DataFrame:
+    """Scored (query, candidate-negative) pairs — the stage before the
+    per-query top-k cut of ``hard_negatives``.
+
+    ``prefilter`` picks the candidate-generation plan:
+
+    - ``None`` — exact: the labeled query set broadcasts to every
+      corpus partition (BroadcastNestedLoop); cost is |corpus| x |Q|
+      score evaluations. Fine for small query sets; the linear pass
+      the prefilters exist to avoid at 100 TB.
+    - ``"lsh"`` — multi-probe sign-LSH: the corpus computes its
+      ``num_bits``-bit sign bucket map-side; each query expands to
+      every bucket within Hamming distance ``probe_hamming`` (for
+      8 bits / radius 1 that is 9 of 256 buckets) and the candidate
+      set is a broadcast EQUI-join on the bucket string — only
+      ~sum(C(b,i))/2^b of the corpus is ever scored, and the corpus
+      is never shuffled. A corpus row matches at most one probe of a
+      given query (its bucket), so no pair duplicates.
+    - ``"ivf"`` — coarse-quantizer cells: corpus rows get their
+      ``ivf_cell`` map-side (centroids required); each query probes
+      its ``nprobe`` highest-affinity cells (engine-side expression,
+      same rounding as the corpus assignment) and candidates come
+      from a broadcast equi-join on the cell id. With the corpus
+      written ``partitionBy(ivf_cell)`` the non-probed cells are
+      statically pruned at the scan.
+
+    RECALL CAVEAT (measured, not hand-waved): ANN prefilters exploit
+    neighborhood structure. The synthetic test embeddings are
+    ISOTROPIC (top-3 neighbor cosines ~0.26-0.49; mean same-label vs
+    cross-label cosine 0.007 vs 0.002), so true neighbors sit up to
+    Hamming 7-of-8 from the query bucket and NO honest prune can hold
+    recall at 1.0 on this corpus — a prefilter that did would not be
+    pruning. The gated query (`hard_negative_mining_ann`) therefore
+    replays the prefilter semantics bit-exactly in SQL AND reports
+    measured recall vs the exact top-k, the same calibration pattern
+    as `ann_recall_calibration`; on clustered production embeddings
+    the same knobs trade recall against the pruned fraction."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"),
                        F.col(label_col).alias("query_label"))
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("_cv"),
                       F.col(label_col).alias("neg_label"))
-    joined = (c.crossJoin(F.broadcast(q))
-               .filter(F.col("neg_label") != F.col("query_label")))
-    scored = joined.select(
-        "query_id", "query_label", "vec_id", "neg_label",
-        F.round(cosine(F.col("_cv"), F.col("_qv")),
-                round_digits).alias("cos_sim"))
+    if prefilter is None:
+        joined = c.crossJoin(F.broadcast(q))
+    elif prefilter == "lsh":
+        cb = c.withColumn("_b", sign_bucket(F.col("_cv"), num_bits))
+        qb = q.withColumn("_qb", sign_bucket(F.col("_qv"), num_bits))
+        probes = F.array(*[_flip_bits(F.col("_qb"), s, num_bits)
+                           for s in _probe_sets(num_bits, probe_hamming)])
+        qp = (qb.select("query_id", "_qv", "query_label",
+                        F.explode(probes).alias("_b")))
+        joined = cb.join(F.broadcast(qp), "_b")
+    elif prefilter == "ivf":
+        if not centroids:
+            raise ValueError("prefilter='ivf' requires centroids")
+        cents = sorted(centroids, key=lambda t: t[0])
+        cc = c.withColumn("_cell",
+                          ivf_cell(F.col("_cv"), cents, round_digits))
+        # Per-query probe cells as a pure column expression: struct
+        # array (-affinity, cid) sorted ascending = affinity desc with
+        # cid tiebreak — the exact ordering ivf_topk's driver-side
+        # selection uses, but computed engine-side per query row.
+        pairs = F.array(*[
+            F.struct(
+                (-F.round(centroid_affinity(
+                    F.col("_qv"),
+                    F.array(*[F.lit(float(x)) for x in ce])),
+                    round_digits)).alias("s"),
+                F.lit(int(cid)).alias("c"))
+            for cid, ce in cents])
+        probe_arr = F.transform(F.slice(F.array_sort(pairs), 1, nprobe),
+                                lambda st: st["c"])
+        qp = (q.select("query_id", "_qv", "query_label",
+                       F.explode(probe_arr).alias("_cell")))
+        joined = cc.join(F.broadcast(qp), "_cell")
+    else:
+        raise ValueError(f"unknown prefilter {prefilter!r}")
+    return (joined
+            .filter(F.col("neg_label") != F.col("query_label"))
+            .select("query_id", "query_label", "vec_id", "neg_label",
+                    F.round(cosine(F.col("_cv"), F.col("_qv")),
+                            round_digits).alias("cos_sim")))
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   round_digits: int = 6,
+                   prefilter: str | None = None,
+                   num_bits: int = 8, probe_hamming: int = 1,
+                   centroids: list[tuple[int, list[float]]] | None = None,
+                   nprobe: int = 2) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: per
+    query, the k corpus vectors MOST similar by cosine whose label
+    DIFFERS from the query's — the near-boundary negatives that teach
+    a retriever the most (easy negatives are already far away).
+
+    Candidate generation is ``hard_negative_candidates`` (see its
+    docstring for the exact / lsh / ivf plans and the measured recall
+    caveat); the per-query cut is one window on query_id. Returns
+    (query_id, query_label, neg_rank, vec_id, neg_label, cos_sim)."""
+    scored = hard_negative_candidates(
+        corpus, queries, id_col=id_col, vec_col=vec_col,
+        label_col=label_col, round_digits=round_digits,
+        prefilter=prefilter, num_bits=num_bits,
+        probe_hamming=probe_hamming, centroids=centroids, nprobe=nprobe)
     from pyspark.sql import Window
     w = (Window.partitionBy("query_id")
                .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()))

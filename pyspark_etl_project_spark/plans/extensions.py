@@ -2344,7 +2344,12 @@ def embedding_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_etl_project_spark.extensions.similarity import pca_project
 
     emb = load(spark, sf_dir, "embeddings")
-    return pca_project(emb, "embedding", id_col="vec_id", dims=16, k=2)
+    proj = pca_project(emb, "embedding", id_col="vec_id", dims=16, k=2)
+    # Scalar pc1/pc2 columns (k=2 is fixed here): the driver's
+    # canonicalizer cannot sort array<> cells (r6 lesson).
+    return proj.select("vec_id",
+                       F.element_at("pc", 1).alias("pc1"),
+                       F.element_at("pc", 2).alias("pc2"))
 
 
 # --- PNG decode, gated end-to-end -------------------------------------------
@@ -3580,6 +3585,113 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(corpus, queries, k=3)
 
 
+# --- ANN-prefiltered hard-negative mining (calibration-gated) ---------------
+# The scale path for hard_negatives: multi-probe sign-LSH candidate
+# generation (8-bit bucket, Hamming radius 1 -> 9/256 of bucket space
+# per query, broadcast EQUI-join — no corpus shuffle, no
+# BroadcastNestedLoop) followed by exact cosine rerank of survivors.
+# The oracle replays the prefilter bit-exactly AND computes the exact
+# top-3, reporting per query: candidate count (the prune evidence),
+# ann/overlap counts and integer recall. On the isotropic test
+# embeddings recall is inherently partial (true neighbors sit up to
+# Hamming 7/8 away — measured, see hard_negative_candidates docstring);
+# the gate pins the SEMANTICS of prefilter+rerank and the honesty of
+# the reported recall, the same calibration contract as
+# ann_recall_calibration.
+
+_BUCKET8_SQL = ("array_to_string(list_transform(range(8), "
+                "i -> CASE WHEN {col}[i+1] >= 0 THEN '1' ELSE '0' END), '')")
+
+@_q("hard_negative_mining_ann", f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS query_label,
+         {_BUCKET8_SQL.format(col='embedding')} AS qb
+  FROM embeddings WHERE vec_id < 8
+), cs AS (
+  SELECT vec_id, embedding, label AS neg_label,
+         {_BUCKET8_SQL.format(col='embedding')} AS cb
+  FROM embeddings WHERE vec_id >= 8
+), cand AS (
+  SELECT q.query_id, e.vec_id, {_PAIR_COS_SQL} AS cos_sim
+  FROM cs e, qs q
+  WHERE e.neg_label <> q.query_label
+    AND list_sum(list_transform(range(8),
+          i -> CASE WHEN substr(e.cb, CAST(i + 1 AS INTEGER), 1)
+                      <> substr(q.qb, CAST(i + 1 AS INTEGER), 1)
+               THEN 1 ELSE 0 END)) <= 1
+), ann AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id ASC) AS rn
+    FROM cand) WHERE rn <= 3
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_PAIR_COS_SQL} DESC,
+                                       e.vec_id ASC) AS rn
+    FROM cs e, qs q WHERE e.neg_label <> q.query_label) WHERE rn <= 3
+), nc AS (
+  SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id
+), an AS (
+  SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY query_id
+), ov AS (
+  SELECT exact.query_id, COUNT(*) AS n_overlap
+  FROM exact JOIN ann USING (query_id, vec_id)
+  GROUP BY exact.query_id
+)
+SELECT q.query_id,
+       CAST(3 AS INTEGER) AS n_exact,
+       CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(an.n_ann, 0) AS INTEGER) AS n_ann,
+       CAST(COALESCE(ov.n_overlap, 0) AS INTEGER) AS n_overlap,
+       CAST(COALESCE(ov.n_overlap, 0) * 100 // 3 AS INTEGER) AS recall_pct
+FROM qs q
+LEFT JOIN nc ON q.query_id = nc.query_id
+LEFT JOIN an ON q.query_id = an.query_id
+LEFT JOIN ov ON q.query_id = ov.query_id
+""")
+def hard_negative_mining_ann_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.similarity import (
+        hard_negative_candidates, hard_negatives)
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+                  .localCheckpoint(eager=False))
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    cand = hard_negative_candidates(corpus, queries, prefilter="lsh",
+                                    num_bits=8, probe_hamming=1)
+    ann = hard_negatives(corpus, queries, k=3, prefilter="lsh",
+                         num_bits=8, probe_hamming=1)
+    exact = hard_negatives(corpus, queries, k=3)
+    # Every derived frame is <= |queries| * k (or |queries| groups) —
+    # broadcast them all so no sort-merge join appears.
+    nc = (cand.groupBy("query_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
+    an = (ann.groupBy("query_id")
+          .agg(F.count(F.lit(1)).alias("n_ann")))
+    ov = (exact.select("query_id", "vec_id")
+          .join(F.broadcast(ann.select("query_id", "vec_id")),
+                ["query_id", "vec_id"])
+          .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (queries.select(F.col("vec_id").alias("query_id"))
+            .join(F.broadcast(nc), "query_id", "left")
+            .join(F.broadcast(an), "query_id", "left")
+            .join(F.broadcast(ov), "query_id", "left")
+            .select("query_id",
+                    F.lit(3).cast("int").alias("n_exact"),
+                    F.coalesce("n_candidates", F.lit(0)).cast("long")
+                     .alias("n_candidates"),
+                    F.coalesce("n_ann", F.lit(0)).cast("int")
+                     .alias("n_ann"),
+                    F.coalesce("n_overlap", F.lit(0)).cast("int")
+                     .alias("n_overlap"),
+                    F.expr("cast(coalesce(n_overlap, 0) * 100 div 3"
+                           " as int)").alias("recall_pct")))
+
+
 # --- embedding degeneracy stats per label ------------------------------------
 # Collapsed-embedding detector: per label, quantized-norm envelope and
 # the quantized per-dim centroid (integer micro-units — float sums
@@ -3605,10 +3717,8 @@ WITH q AS (
   SELECT label, i.d AS dim, qe[i.d + 1] AS v
   FROM q, (SELECT unnest(range(16)) AS d) i
 ), cent AS (
-  SELECT label, list(s ORDER BY dim) AS centroid_sum_q
-  FROM (SELECT label, dim, CAST(SUM(v) AS BIGINT) AS s
-        FROM dims GROUP BY label, dim)
-  GROUP BY label
+  SELECT label, dim, CAST(SUM(v) AS BIGINT) AS centroid_sum
+  FROM dims GROUP BY label, dim
 ), agg AS (
   SELECT label, COUNT(*) AS n_vecs,
          CAST(MIN(nq) AS BIGINT) AS min_norm_q,
@@ -3616,11 +3726,14 @@ WITH q AS (
   FROM n GROUP BY label
 )
 SELECT agg.label, agg.n_vecs, agg.min_norm_q, agg.max_norm_q,
-       cent.centroid_sum_q
+       CAST(cent.dim AS INTEGER) AS dim, cent.centroid_sum
 FROM agg JOIN cent ON agg.label = cent.label
 """)
 def embedding_degeneracy_stats_q(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
+    # One row per (label, dim): the per-label norm envelope repeated
+    # alongside each quantized centroid component. Scalar columns only —
+    # the driver's canonicalizer cannot sort array<> cells (r6 lesson).
     emb = load(spark, sf_dir, "embeddings")
     qe = F.transform("embedding",
                      lambda x: F.floor(x.cast("double") * 1_000_000)
@@ -3631,11 +3744,15 @@ def embedding_degeneracy_stats_q(spark: SparkSession,
                .withColumn("_nq", nq))
     sums = [F.sum(F.element_at("_qe", i + 1)).cast("long")
             for i in range(16)]
-    return (base.groupBy("label")
-            .agg(F.count(F.lit(1)).alias("n_vecs"),
-                 F.min("_nq").cast("long").alias("min_norm_q"),
-                 F.max("_nq").cast("long").alias("max_norm_q"),
-                 F.array(*sums).alias("centroid_sum_q")))
+    agg = (base.groupBy("label")
+           .agg(F.count(F.lit(1)).alias("n_vecs"),
+                F.min("_nq").cast("long").alias("min_norm_q"),
+                F.max("_nq").cast("long").alias("max_norm_q"),
+                F.array(*sums).alias("_cent")))
+    return (agg.select("label", "n_vecs", "min_norm_q", "max_norm_q",
+                       F.posexplode("_cent").alias("dim", "centroid_sum"))
+            .select("label", "n_vecs", "min_norm_q", "max_norm_q",
+                    F.col("dim").cast("int").alias("dim"), "centroid_sum"))
 
 
 # --- custom Python DataSource WRITER roundtrip -------------------------------
@@ -4390,7 +4507,7 @@ FROM events GROUP BY event_type
 """)
 def pandas_udf_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_etl_project_spark.extensions.pandas_udfs import (
-        vowel_count, weighted_mean_floor)
+        vowel_count, weighted_mean_trunc)
 
     ev = load(spark, sf_dir, "events")
     cents = (F.floor(F.col("value").cast("decimal(18,6)") * 100)
@@ -4402,7 +4519,7 @@ def pandas_udf_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates in one agg(); the count runs as its own tiny
     # aggregation and joins back on the 5-row group key.
     wm = (base.groupBy("event_type")
-          .agg(weighted_mean_floor(F.col("_c"), F.col("_w"))
+          .agg(weighted_mean_trunc(F.col("_c"), F.col("_w"))
                .alias("weighted_mean_cents")))
     cnt = (base.groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("n_events")))

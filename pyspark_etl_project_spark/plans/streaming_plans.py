@@ -464,11 +464,16 @@ def streaming_kmv_trigram_sketch_q(spark: SparkSession,
     foreach_batch_kmv(stream, store, k=64)
 
     cand = spark.read.parquet(store)
-    w = Window.orderBy("h")
-    kth = (cand.distinct()
-           .withColumn("_rn", F.row_number().over(w))
-           .filter(F.col("_rn") == 64)
-           .select(F.col("h").alias("kth_min_hash")))
+    # k-th minimum as TakeOrderedAndProject + single-row aggregate —
+    # ALWAYS one row: when the streamed slice has fewer than k=64
+    # distinct hashes, kth_min_hash is NULL (the oracle's scalar
+    # subquery over an empty frame is NULL too, and est_distinct
+    # NULL-propagates on both engines). The previous row_number
+    # window + crossJoin yielded ZERO rows in that case — a gate
+    # divergence on tiny slices.
+    kth = (cand.distinct().orderBy("h").limit(64)
+           .agg(F.when(F.count(F.lit(1)) == 64, F.max("h"))
+                .cast("long").alias("kth_min_hash")))
     # exact count from the batch table (the calibration reference the
     # sketch exists to avoid computing in production).
     from pyspark_etl_project_spark.plans.tables import load

@@ -7,8 +7,12 @@ which commit() folds into a `_SUCCESS`-style manifest.
 
 Scale design: each task writes exactly one file named by its partition
 id (deterministic on retry — a re-attempted task OVERWRITES its own
-file rather than duplicating rows, the idempotence a speculative
-1000-executor write needs); the driver sees only k commit messages
+file rather than duplicating rows) while the TEMP file carries the
+task ATTEMPT id, so two concurrent attempts of one partition
+(speculation, zombie + retry) never share a tmp path — each stages
+privately and the atomic rename publishes a complete file either way,
+the idempotence a speculative 1000-executor write needs. The driver
+sees only k commit messages
 (one integer per task), never data. JSON encoding is json.dumps with
 sort_keys for byte-stable output. A shared filesystem is assumed, as
 for any production sink; the local[] test rig satisfies that
@@ -60,10 +64,17 @@ class JsonlSinkWriter(DataSourceWriter):
     def write(self, iterator) -> JsonlCommit:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
         out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
-        tmp = out + ".tmp"
+        # Attempt-unique temp name: two live attempts of the same
+        # partition (speculative execution, zombie task + retry) must not
+        # truncate/interleave one shared tmp file. Each attempt writes
+        # its own tmp; the atomic rename publishes whichever finishes —
+        # both attempts carry identical partition data, so last-writer-
+        # wins is safe.
+        tmp = f"{out}.{ctx.taskAttemptId()}.tmp"
         n = 0
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:

@@ -166,11 +166,16 @@ def stream_documents(spark: SparkSession, sf_dir: str,
             .select("doc_id", "text"))
     watch_dir = tempfile.mkdtemp(prefix="docs_stream_")
     lo = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    # Empty filtered slice → min/max are NULL; write `files` empty
+    # chunks (so maxFilesPerTrigger still sees the expected file count
+    # and downstream drains produce an empty stream) instead of
+    # raising TypeError on None + int in the range filters below.
     span = (lo[1] - lo[0] + files) // files if lo[0] is not None else 1
+    base = lo[0] if lo[0] is not None else 0
     for i in range(files):
         part = docs.filter(
-            (F.col("doc_id") >= lo[0] + i * span)
-            & (F.col("doc_id") < lo[0] + (i + 1) * span))
+            (F.col("doc_id") >= base + i * span)
+            & (F.col("doc_id") < base + (i + 1) * span))
         part.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(watch_dir, f"chunk{i}"))
     schema = T.StructType([T.StructField("doc_id", T.LongType(), True),
@@ -231,7 +236,6 @@ def foreach_batch_kmv(stream: DataFrame, store_path: str,
     batches, no matter how the source split them. The estimator stays
     the integer (k-1)*2^48 div h_k of the batch operator
     (extensions/text.py:kmv_distinct_sketch)."""
-    from pyspark.sql import Window
 
     def handle(batch: DataFrame, _epoch: int) -> None:
         from pyspark_etl_project_spark.extensions.text import word_ngrams
@@ -243,9 +247,12 @@ def foreach_batch_kmv(stream: DataFrame, store_path: str,
                   .select(F.conv(F.substring(
                       F.md5(F.concat(F.lit(f"{salt}|"), F.col("v"))),
                       1, 12), 16, 10).cast("long").alias("h")))
-        w = Window.orderBy("h")
-        topk = (hashed.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= k).select("h"))
+        # k smallest via orderBy+limit → TakeOrderedAndProject
+        # (per-partition k-heaps, then a k-bounded driver merge) — the
+        # batch's distinct-hash set is corpus-sized, so a row_number
+        # over an UNPARTITIONED window here would funnel every hash
+        # through one task just to keep k of them.
+        topk = hashed.orderBy("h").limit(k)
         topk.write.mode("append").parquet(store_path)
 
     q = stream.writeStream.foreachBatch(handle).start()

@@ -94,6 +94,20 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
+            # Registry policy (r6 lesson): no query returns an
+            # array/map/struct column — the DRIVER's canonicalizer
+            # pandas-sorts result columns and throws "unhashable type"
+            # on complex cells even when values are right. Reject here
+            # so the hazard can't recur.
+            complex_cols = [f.name for f in sdf.schema.fields
+                            if f.dataType.typeName()
+                            in ("array", "map", "struct")]
+            if complex_cols:
+                failures.append(name)
+                print(f"FAIL {name}: complex-typed output columns "
+                      f"{complex_cols} (driver canonicalizer cannot sort "
+                      f"them — emit scalar columns)")
+                continue
             spdf = sdf.toPandas()
             scols = list(spdf.columns)
             srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
