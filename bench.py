@@ -148,6 +148,9 @@ HEADLINE = [
     "user_active_coverage",
     "winsorized_order_totals",
     "label_propagation_communities",
+    # round 7 (registry growth frozen at +2 this round per r6 verdict)
+    "hard_negative_mining_ann",
+    "partial_stats_merge",
 ]
 
 

@@ -75,3 +75,104 @@ def mad_length_outliers(df: DataFrame, id_col: str, value_col: str,
             .select(id_col, value_col, "abs_dev",
                     (F.col("abs_dev") > k_mad * F.col("_mad"))
                     .cast("int").alias("is_outlier")))
+
+
+# --- write-time partial column stats (ANALYZE without the rescan) -----------
+
+def column_stats_partials(df: DataFrame, part: F.Column, value: F.Column,
+                          k: int = 64, salt: str = "pstats-v1"):
+    """Per-partition column-stats PARTIALS — what a 100 TB writer
+    stamps per file at write time so ANALYZE never rescans the table:
+
+    - scalar partials (part, n_rows, n_nulls, min_v, max_v): all
+      decomposable (sum/sum/min/max merge);
+    - NDV partials (part, h): each partition's k SMALLEST distinct
+      48-bit md5 value-hashes — the KMV sketch state, which merges
+      associatively (k-min of a union == k-min of per-part k-mins),
+      so the merged estimate is BIT-IDENTICAL to the direct sketch
+      over the whole table, not approximately equal.
+
+    ``value`` must be an order-preserving, cross-engine-exact
+    representation (integer cents, epoch-us, raw strings — never raw
+    doubles: the hash input is the value's string form). The per-part
+    k-cut window partitions on `part` (file granularity — bounded by
+    rows-per-file, the same shape kmv_distinct_sketch documents).
+    Gated end-to-end by `partial_stats_merge`.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(part.alias("part"), value.alias("v"))
+    scalar = (base.groupBy("part")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                   F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+                    .cast("long").alias("n_nulls"),
+                   F.min("v").alias("min_v"),
+                   F.max("v").alias("max_v")))
+    hashed = (base.filter(F.col("v").isNotNull())
+              .select("part", F.col("v").cast("string").alias("s"))
+              .distinct()
+              .select("part", F.conv(
+                  F.substring(F.md5(F.concat(F.lit(f"{salt}|"),
+                                             F.col("s"))), 1, 12),
+                  16, 10).cast("long").alias("h")))
+    w = Window.partitionBy("part").orderBy("h")
+    hashes = (hashed.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= k).select("part", "h"))
+    return scalar, hashes
+
+
+def column_stats_merge(scalar: DataFrame, hashes: DataFrame,
+                       k: int = 64) -> DataFrame:
+    """Fold partials into one stats row: counts add, bounds combine,
+    and the NDV estimate comes from the k smallest of the unioned hash
+    partials (orderBy+limit -> TakeOrderedAndProject, never a global
+    window). When fewer than k distinct hashes exist in total, every
+    distinct hash survived the per-part cuts, so the count IS the
+    exact NDV (the sketch's exact-fallback arm). Returns one row
+    (n_rows, n_nulls, min_v, max_v, est_ndv)."""
+    s = scalar.agg(F.sum("n_rows").cast("long").alias("n_rows"),
+                   F.sum("n_nulls").cast("long").alias("n_nulls"),
+                   F.min("min_v").alias("min_v"),
+                   F.max("max_v").alias("max_v"))
+    km = (hashes.select("h").distinct().orderBy("h").limit(k)
+          .agg(F.count(F.lit(1)).alias("_cnt"),
+               F.max("h").alias("_kth")))
+    max_h = 1 << 48
+    est = F.expr(f"cast(case when _cnt < {k} then _cnt else"
+                 f" ({k} - 1) * cast({max_h} as bigint) div _kth end"
+                 " as bigint)")
+    return (s.crossJoin(F.broadcast(km))
+            .select("n_rows", "n_nulls", "min_v", "max_v",
+                    est.alias("est_ndv")))
+
+
+def column_stats_direct(df: DataFrame, value: F.Column, k: int = 64,
+                        salt: str = "pstats-v1") -> DataFrame:
+    """The rescan ANALYZE path the partials replace: same five stats
+    computed directly over the whole frame (plus exact_ndv, the
+    calibration reference), so `merged == direct` is checkable. The
+    sketch arm reuses column_stats_merge's k-min cut over the full
+    distinct-hash set — identical estimator arithmetic."""
+    base = df.select(value.alias("v"))
+    s = base.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+                  .cast("long").alias("n_nulls"),
+                 F.min("v").alias("min_v"),
+                 F.max("v").alias("max_v"),
+                 F.countDistinct("v").cast("long").alias("exact_ndv"))
+    hashed = (base.filter(F.col("v").isNotNull())
+              .select(F.col("v").cast("string").alias("s")).distinct()
+              .select(F.conv(
+                  F.substring(F.md5(F.concat(F.lit(f"{salt}|"),
+                                             F.col("s"))), 1, 12),
+                  16, 10).cast("long").alias("h")))
+    km = (hashed.orderBy("h").limit(k)
+          .agg(F.count(F.lit(1)).alias("_cnt"),
+               F.max("h").alias("_kth")))
+    max_h = 1 << 48
+    est = F.expr(f"cast(case when _cnt < {k} then _cnt else"
+                 f" ({k} - 1) * cast({max_h} as bigint) div _kth end"
+                 " as bigint)")
+    return (s.crossJoin(F.broadcast(km))
+            .select("n_rows", "n_nulls", "min_v", "max_v", "exact_ndv",
+                    est.alias("est_ndv")))

@@ -1133,6 +1133,161 @@ def table_column_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.explode(rows).alias("r")).select("r.*")
 
 
+# --- write-time partial stats == direct ANALYZE (merge-gated) ---------------
+# The 100 TB mitigation for table_column_stats' honest linear cost:
+# stats partials stamped per partition at write time (counts, bounds,
+# KMV hash state — operators/stats.py:column_stats_partials) merged
+# into the table's stats WITHOUT rescanning history. The gate proves
+# the merge is EXACT: for each column, merged n_rows/n_nulls/min/max
+# equal the direct full-scan values, and the merged KMV NDV estimate
+# is bit-identical to the direct sketch (k-min sets merge
+# associatively), with the exact NDV alongside as calibration.
+# Partition key is l_orderkey % 8 so the oracle can replay the split.
+
+@_q("partial_stats_merge", """
+WITH base_e AS (
+  SELECT l_orderkey % 8 AS part,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+), base_r AS (
+  SELECT l_orderkey % 8 AS part, l_returnflag AS v FROM lineitem
+),
+pscal_e AS (
+  SELECT part, COUNT(*) AS n_rows,
+         SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         MIN(v) AS min_v, MAX(v) AS max_v
+  FROM base_e GROUP BY part
+),
+phash_e AS (
+  SELECT part, h FROM (
+    SELECT part, h, ROW_NUMBER() OVER (PARTITION BY part ORDER BY h) AS rn
+    FROM (SELECT DISTINCT part,
+                 CAST(concat('0x', substr(md5('pstats-v1|'
+                      || CAST(v AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+          FROM base_e WHERE v IS NOT NULL)) WHERE rn <= 64
+),
+merged_e AS (
+  SELECT (SELECT CAST(SUM(n_rows) AS BIGINT) FROM pscal_e) AS n_rows,
+         (SELECT CAST(SUM(n_nulls) AS BIGINT) FROM pscal_e) AS n_nulls,
+         (SELECT MIN(min_v) FROM pscal_e) AS min_v,
+         (SELECT MAX(max_v) FROM pscal_e) AS max_v,
+         (SELECT CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                 ELSE 63 * CAST(281474976710656 AS BIGINT) // MAX(h) END
+                 AS BIGINT)
+          FROM (SELECT DISTINCT h FROM phash_e ORDER BY h LIMIT 64))
+           AS est_ndv
+),
+direct_e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         MIN(v) AS min_v, MAX(v) AS max_v,
+         CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_ndv,
+         (SELECT CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                 ELSE 63 * CAST(281474976710656 AS BIGINT) // MAX(h) END
+                 AS BIGINT)
+          FROM (SELECT DISTINCT
+                       CAST(concat('0x', substr(md5('pstats-v1|'
+                            || CAST(v AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+                FROM base_e WHERE v IS NOT NULL ORDER BY h LIMIT 64))
+           AS est_ndv
+  FROM base_e
+),
+pscal_r AS (
+  SELECT part, COUNT(*) AS n_rows,
+         SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         MIN(v) AS min_v, MAX(v) AS max_v
+  FROM base_r GROUP BY part
+),
+phash_r AS (
+  SELECT part, h FROM (
+    SELECT part, h, ROW_NUMBER() OVER (PARTITION BY part ORDER BY h) AS rn
+    FROM (SELECT DISTINCT part,
+                 CAST(concat('0x', substr(md5('pstats-v1|' || v), 1, 12))
+                      AS BIGINT) AS h
+          FROM base_r WHERE v IS NOT NULL)) WHERE rn <= 64
+),
+merged_r AS (
+  SELECT (SELECT CAST(SUM(n_rows) AS BIGINT) FROM pscal_r) AS n_rows,
+         (SELECT CAST(SUM(n_nulls) AS BIGINT) FROM pscal_r) AS n_nulls,
+         (SELECT MIN(min_v) FROM pscal_r) AS min_v,
+         (SELECT MAX(max_v) FROM pscal_r) AS max_v,
+         (SELECT CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                 ELSE 63 * CAST(281474976710656 AS BIGINT) // MAX(h) END
+                 AS BIGINT)
+          FROM (SELECT DISTINCT h FROM phash_r ORDER BY h LIMIT 64))
+           AS est_ndv
+),
+direct_r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         MIN(v) AS min_v, MAX(v) AS max_v,
+         CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_ndv,
+         (SELECT CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                 ELSE 63 * CAST(281474976710656 AS BIGINT) // MAX(h) END
+                 AS BIGINT)
+          FROM (SELECT DISTINCT
+                       CAST(concat('0x', substr(md5('pstats-v1|' || v),
+                            1, 12)) AS BIGINT) AS h
+                FROM base_r WHERE v IS NOT NULL ORDER BY h LIMIT 64))
+           AS est_ndv
+  FROM base_r
+)
+SELECT 'l_extendedprice_cents' AS column_name,
+       m.n_rows, m.n_nulls,
+       CAST(m.min_v AS VARCHAR) AS min_repr,
+       CAST(m.max_v AS VARCHAR) AS max_repr,
+       m.est_ndv, d.exact_ndv,
+       CAST(CASE WHEN m.n_rows = d.n_rows AND m.n_nulls = d.n_nulls
+                  AND m.min_v = d.min_v AND m.max_v = d.max_v
+                  AND m.est_ndv = d.est_ndv
+            THEN 1 ELSE 0 END AS INTEGER) AS merged_eq_direct
+FROM merged_e m, direct_e d
+UNION ALL
+SELECT 'l_returnflag', m.n_rows, m.n_nulls, m.min_v, m.max_v,
+       m.est_ndv, d.exact_ndv,
+       CAST(CASE WHEN m.n_rows = d.n_rows AND m.n_nulls = d.n_nulls
+                  AND m.min_v = d.min_v AND m.max_v = d.max_v
+                  AND m.est_ndv = d.est_ndv
+            THEN 1 ELSE 0 END AS INTEGER)
+FROM merged_r m, direct_r d
+""")
+def partial_stats_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.operators.stats import (
+        column_stats_direct, column_stats_merge, column_stats_partials)
+
+    li = load(spark, sf_dir, "lineitem")
+    part = F.col("l_orderkey") % 8
+
+    def one(name: str, value) -> DataFrame:
+        scalar, hashes = column_stats_partials(li, part, value)
+        merged = column_stats_merge(scalar, hashes)
+        direct = column_stats_direct(li, value)
+        d = direct.select(F.col("n_rows").alias("d_n_rows"),
+                          F.col("n_nulls").alias("d_n_nulls"),
+                          F.col("min_v").alias("d_min_v"),
+                          F.col("max_v").alias("d_max_v"),
+                          F.col("exact_ndv"),
+                          F.col("est_ndv").alias("d_est_ndv"))
+        agree = (F.col("n_rows").eqNullSafe(F.col("d_n_rows"))
+                 & F.col("n_nulls").eqNullSafe(F.col("d_n_nulls"))
+                 & F.col("min_v").eqNullSafe(F.col("d_min_v"))
+                 & F.col("max_v").eqNullSafe(F.col("d_max_v"))
+                 & F.col("est_ndv").eqNullSafe(F.col("d_est_ndv")))
+        return (merged.crossJoin(F.broadcast(d))
+                .select(F.lit(name).alias("column_name"),
+                        "n_rows", "n_nulls",
+                        F.col("min_v").cast("string").alias("min_repr"),
+                        F.col("max_v").cast("string").alias("max_repr"),
+                        "est_ndv", "exact_ndv",
+                        agree.cast("int").alias("merged_eq_direct")))
+
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    return (one("l_extendedprice_cents", cents)
+            .unionByName(one("l_returnflag", F.col("l_returnflag"))))
+
+
 # --- full-outer reconciliation report --------------------------------------
 # The ETL reconciliation classic (and the engine's FULL OUTER join
 # shape): two overlapping extracts of the same feed diffed by key —

@@ -1495,3 +1495,90 @@ def test_largest_remainder_allocation_sums_exactly(spark):
         spark, "/root/testdata/sf0.001").collect()
     assert sum(r["allocation"] for r in out) == 1_000_000
     assert all(r["allocation"] > 0 for r in out)
+
+
+def test_hard_negatives_lsh_prefilter_subset_and_probes(spark):
+    """LSH-prefiltered negatives are a subset of the bucket-probed
+    candidate pairs; radius num_bits degenerates to the exact result
+    (every bucket probed)."""
+    from pyspark_etl_project_spark.extensions.similarity import (
+        hard_negative_candidates, hard_negatives)
+
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) / 5.0
+                 for d in range(4)], i % 3) for i in range(30)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    queries, corpus = emb.filter("vec_id < 4"), emb.filter("vec_id >= 4")
+
+    exact = {(r["query_id"], r["vec_id"])
+             for r in hard_negatives(corpus, queries, k=3).collect()}
+    # full-radius multi-probe == exact (probes the whole bucket space)
+    full = {(r["query_id"], r["vec_id"])
+            for r in hard_negatives(corpus, queries, k=3, prefilter="lsh",
+                                    num_bits=4, probe_hamming=4).collect()}
+    assert full == exact
+    # radius-1 candidates: every pair is label-mismatched and within
+    # Hamming 1 of the query bucket
+    cand = hard_negative_candidates(corpus, queries, prefilter="lsh",
+                                    num_bits=4, probe_hamming=1).collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def bucket(v):
+        return "".join("1" if x >= 0 else "0" for x in v[:4])
+
+    for r in cand:
+        ham = sum(a != b for a, b in zip(bucket(vecs[r["query_id"]]),
+                                         bucket(vecs[r["vec_id"]])))
+        assert ham <= 1
+    ann = hard_negatives(corpus, queries, k=3, prefilter="lsh",
+                         num_bits=4, probe_hamming=1).collect()
+    cand_pairs = {(r["query_id"], r["vec_id"]) for r in cand}
+    assert {(r["query_id"], r["vec_id"]) for r in ann} <= cand_pairs
+
+
+def test_hard_negatives_ivf_prefilter_full_probe_is_exact(spark):
+    """IVF prefilter probing every cell reproduces the exact result;
+    nprobe=1 yields a subset of it."""
+    from pyspark_etl_project_spark.extensions.similarity import (
+        hard_negatives)
+
+    rows = [(i, [float((i * 5) % 13 - 6), float((i * 3 + 1) % 7 - 3)],
+             i % 2) for i in range(24)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    queries, corpus = emb.filter("vec_id < 3"), emb.filter("vec_id >= 3")
+    cents = [(r["vec_id"], [float(x) for x in r["embedding"]])
+             for r in corpus.filter("vec_id in (3, 4)").collect()]
+    exact = {(r["query_id"], r["vec_id"], r["neg_rank"])
+             for r in hard_negatives(corpus, queries, k=2).collect()}
+    full = {(r["query_id"], r["vec_id"], r["neg_rank"])
+            for r in hard_negatives(corpus, queries, k=2, prefilter="ivf",
+                                    centroids=cents, nprobe=2).collect()}
+    assert full == exact
+    narrow = hard_negatives(corpus, queries, k=2, prefilter="ivf",
+                            centroids=cents, nprobe=1).collect()
+    assert all(r["neg_label"] != r["query_label"] for r in narrow)
+
+
+def test_partial_stats_merge_equals_direct(spark):
+    """Merged write-time partials reproduce direct ANALYZE stats
+    exactly — including the KMV estimate (k-min associativity) in both
+    the sketch arm (ndv > k) and the exact-fallback arm (ndv < k)."""
+    from pyspark_etl_project_spark.operators.stats import (
+        column_stats_direct, column_stats_merge, column_stats_partials)
+
+    df = spark.createDataFrame(
+        [(i, i * 37 % 211, ["x", "y", None][i % 3]) for i in range(400)],
+        "id long, num long, s string")
+    for col, k in ((F.col("num"), 16),   # 211 distinct > k: sketch arm
+                   (F.col("s"), 16)):    # 2 distinct < k: exact arm
+        scalar, hashes = column_stats_partials(df, F.col("id") % 5, col, k=k)
+        merged = column_stats_merge(scalar, hashes, k=k).collect()[0]
+        direct = column_stats_direct(df, col, k=k).collect()[0]
+        for f in ("n_rows", "n_nulls", "min_v", "max_v", "est_ndv"):
+            assert merged[f] == direct[f], (f, merged[f], direct[f])
+    # the exact-fallback arm really is exact
+    scalar, hashes = column_stats_partials(df, F.col("id") % 5,
+                                           F.col("s"), k=16)
+    m = column_stats_merge(scalar, hashes, k=16).collect()[0]
+    assert m["est_ndv"] == 2 and m["n_nulls"] > 0

@@ -401,6 +401,50 @@ def probe_label_propagation(spark: SparkSession, n: int) -> None:
     _materialize(label_propagation_majority(nodes, edges, n_iter=2))
 
 
+def _synth_vectors(spark: SparkSession, n: int) -> DataFrame:
+    """n pseudo-random 16-dim vectors with labels, synthesized
+    distributed (hash-derived coordinates in [-1, 1))."""
+    dims = [((F.hash(F.col("id") + d) % 1000) / F.lit(500.0) - 1.0)
+            .cast("float") for d in range(16)]
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*dims).alias("embedding"),
+        (F.col("id") % 16).cast("int").alias("label"))
+
+
+def probe_hard_negatives_exact(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.similarity import (
+        hard_negatives)
+
+    emb = _synth_vectors(spark, n)
+    queries = emb.filter("vec_id < 8").localCheckpoint(eager=False)
+    corpus = emb.filter("vec_id >= 8")
+    _materialize(hard_negatives(corpus, queries, k=3))
+
+
+def probe_hard_negatives_lsh(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.extensions.similarity import (
+        hard_negatives)
+
+    emb = _synth_vectors(spark, n)
+    queries = emb.filter("vec_id < 8").localCheckpoint(eager=False)
+    corpus = emb.filter("vec_id >= 8")
+    _materialize(hard_negatives(corpus, queries, k=3, prefilter="lsh",
+                                num_bits=8, probe_hamming=1))
+
+
+def probe_partial_stats_merge(spark: SparkSession, n: int) -> None:
+    from pyspark_etl_project_spark.operators.stats import (
+        column_stats_merge, column_stats_partials)
+
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.hash("id") % (n // 10 + 7)).cast("long").alias("v"))
+    scalar, hashes = column_stats_partials(df, F.col("id") % 32,
+                                           F.col("v"))
+    _materialize(column_stats_merge(scalar, hashes))
+
+
 PROBES = {
     # name: (fn, base_n)  — 100× runs at base_n * AMP
     "boilerplate_scrub_30pct_hot_line": (probe_boilerplate, 10_000),
@@ -428,6 +472,10 @@ PROBES = {
     "column_stats_one_pass": (probe_column_stats, 100_000),
     "triangle_count_hub": (probe_triangle_count, 10_000),
     "label_propagation_2rounds": (probe_label_propagation, 10_000),
+    # round-7 ops
+    "hard_negatives_exact_8q": (probe_hard_negatives_exact, 100_000),
+    "hard_negatives_lsh_r1_8q": (probe_hard_negatives_lsh, 100_000),
+    "partial_stats_merge_32parts": (probe_partial_stats_merge, 100_000),
 }
 
 
