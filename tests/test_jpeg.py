@@ -77,12 +77,51 @@ def test_decode_media_dispatches_jpeg():
     assert out["width"] == 8 and len(out["pixels"]) == 8 * 8 * 3
 
 
-def test_progressive_jpeg_raises_not_implemented():
-    """A SOF2 (progressive) frame must fail loudly, not mis-decode."""
+def test_progressive_decode_matches_baseline_bit_for_bit():
+    """Progressive transmission is lossless given equal coefficients:
+    decoding the SOF2 scan script must reproduce EXACTLY the pixels of
+    decoding the baseline encoding — across odd dims, grayscale, and a
+    1x1 edge case."""
+    from pyspark_etl_project_spark.extensions.jpeg import (
+        encode_jpeg_progressive)
+
+    for (w, h), gray in [((16, 16), False), ((13, 9), False),
+                         ((24, 17), False), ((1, 1), False),
+                         ((8, 8), True), ((32, 32), True)]:
+        px = RNG.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        base = decode_jpeg(encode_jpeg_baseline(px, w, h, quant=1,
+                                                grayscale=gray))
+        prog = decode_jpeg(encode_jpeg_progressive(px, w, h, quant=1,
+                                                   grayscale=gray))
+        assert (prog["width"], prog["height"]) == (w, h)
+        assert prog["pixels"] == base["pixels"]
+
+
+def test_progressive_eobrun_and_refinement_paths():
+    """A smooth gradient drives long accumulated EOBRUNs (mostly-zero
+    AC bands); coarse quantization drives the newly-nonzero insertion
+    path of AC refinement. Both must still match baseline exactly."""
+    from pyspark_etl_project_spark.extensions.jpeg import (
+        encode_jpeg_progressive)
+
+    w, h = 40, 24
+    grad = np.zeros((h, w, 3), np.uint8)
+    for yy in range(h):
+        grad[yy, :, :] = yy * 5
+    for px, quant in ((grad.tobytes(), 1),
+                      (RNG.integers(0, 256, size=(h, w, 3),
+                                    dtype=np.uint8).tobytes(), 16)):
+        base = decode_jpeg(encode_jpeg_baseline(px, w, h, quant=quant))
+        prog = decode_jpeg(encode_jpeg_progressive(px, w, h, quant=quant))
+        assert prog["pixels"] == base["pixels"]
+
+
+def test_lossless_sof3_still_raises():
+    """Non-DCT SOF types must still fail loudly, not mis-decode."""
     enc = bytearray(encode_jpeg_baseline(bytes([1, 2, 3] * 64), 8, 8))
     idx = bytes(enc).find(b"\xFF\xC0")
-    enc[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    enc[idx + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
         decode_jpeg(bytes(enc))
 
 
@@ -135,11 +174,30 @@ def test_png_unsupported_variants_raise_precisely():
     rgba = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0))
     with pytest.raises(NotImplementedError, match="color type=6"):
         decode_png(rgba)
-    adam7 = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(adam7)
+    bad_il = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 2))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bad_il)
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"BM123456")
+
+
+def test_png_adam7_roundtrip_exact():
+    """Adam7-interlaced encode/decode is byte-exact across shapes that
+    exercise empty passes (1x1, single row/column) and partial passes
+    (odd dims). Per-pass filter cycling hits every unfilter path in
+    the interlaced walk too."""
+    import numpy as np
+
+    from pyspark_etl_project_spark.extensions.png import (
+        decode_png, encode_png)
+
+    rng = np.random.default_rng(11)
+    for w, h in [(16, 16), (13, 9), (1, 1), (7, 3), (8, 1), (1, 9),
+                 (33, 21)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        out = decode_png(encode_png(px, w, h, interlace=True))
+        assert (out["width"], out["height"]) == (w, h)
+        assert out["pixels"] == px
 
 
 # --- WAV codec (extensions/multimodal.py) ----------------------------------
