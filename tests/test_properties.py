@@ -341,3 +341,28 @@ def test_ngram_array_matches_python_model(spark, toks, n):
             for i in range(len(model_toks) - n + 1)] \
         if len(model_toks) >= n else []
     assert list(got) == want
+
+
+@given(st.lists(st.tuples(st.integers(min_value=-10_000, max_value=10_000)),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=7),
+       st.integers(min_value=2, max_value=8))
+@settings(max_examples=15, deadline=None)
+def test_partial_column_stats_merge_equals_direct(spark, vals, n_parts, k):
+    """Write-time stats partials merged over ANY partitioning equal the
+    direct full-scan stats bit-for-bit — including the KMV estimate
+    (k-min associativity) and for negative values (min/max ordering)
+    and tiny k (exact-fallback boundary)."""
+    from pyspark_etl_project_spark.operators.stats import (
+        column_stats_direct, column_stats_merge, column_stats_partials)
+
+    rows = [(i, v[0]) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    scalar, hashes = column_stats_partials(df, F.col("id") % n_parts,
+                                           F.col("v"), k=k)
+    merged = column_stats_merge(scalar, hashes, k=k).collect()[0]
+    direct = column_stats_direct(df, F.col("v"), k=k).collect()[0]
+    for f in ("n_rows", "n_nulls", "min_v", "max_v", "est_ndv"):
+        assert merged[f] == direct[f], (f, merged[f], direct[f])
+    if direct["exact_ndv"] < k:
+        assert merged["est_ndv"] == direct["exact_ndv"]

@@ -79,6 +79,8 @@ DEFAULT = [
     "self_similarity_decay", "hourweek_seasonality",
     "part_copurchase_topk", "ingestion_completeness_daily",
     "abc_part_classification", "largest_remainder_allocation",
+    # round 7
+    "hard_negative_mining_ann", "partial_stats_merge",
 ]
 
 
