@@ -109,6 +109,18 @@ def main():
                       f"them — emit scalar columns)")
                 continue
             spdf = sdf.toPandas()
+            # Driver-canonicalizer simulation: the external gate sorts
+            # the pandas frame by all columns before hashing. Anything
+            # sort_values chokes on (unhashable cells, incomparable
+            # mixed types) is a driver-red `err` row even when values
+            # are correct — reproduce that failure mode here.
+            try:
+                spdf.sort_values(by=sorted(spdf.columns))
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"FAIL {name}: driver canonicalizer would fail "
+                      f"(pandas sort_values): {e}")
+                continue
             scols = list(spdf.columns)
             srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
