@@ -1582,3 +1582,59 @@ def test_partial_stats_merge_equals_direct(spark):
                                            F.col("s"), k=16)
     m = column_stats_merge(scalar, hashes, k=16).collect()[0]
     assert m["est_ndv"] == 2 and m["n_nulls"] > 0
+
+
+def test_weighted_mean_trunc_negative_sum_matches_duckdb(spark):
+    """trunc-toward-zero on a negative Σ(v·w): -7/2 → -3, matching
+    DuckDB's integer `//` in the oracle twin — Python's floor `//`
+    would give -4, off by one on every negative-sum group (the
+    trunc-vs-floor cross-engine gotcha, pinned like
+    audio_mixdown_stats)."""
+    import duckdb
+
+    from pyspark_etl_project_spark.extensions.pandas_udfs import (
+        weighted_mean_trunc)
+
+    df = spark.createDataFrame(
+        [("neg", -7, 1), ("neg", 0, 1), ("pos", 7, 2)],
+        "grp string, v long, w long")
+    got = {r["grp"]: r["wm"] for r in
+           df.groupBy("grp")
+             .agg(weighted_mean_trunc(F.col("v"), F.col("w"))
+                  .alias("wm")).collect()}
+    assert duckdb.sql("SELECT -7 // 2").fetchone()[0] == -3
+    assert got["neg"] == -3          # floor would be -4
+    assert got["pos"] == 7           # 14 // 2
+
+
+def test_jsonl_sink_stale_attempt_tmp_is_inert(spark, tmp_path):
+    """A leftover attempt-unique tmp from a dead task (the file a
+    zombie attempt would strand) neither collides with a live write's
+    staging file nor leaks into the published part-*.jsonl set."""
+    import json
+    import os
+
+    from pyspark_etl_project_spark.sources.jsonl_sink import (
+        JsonlSinkDataSource)
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass
+    path = str(tmp_path / "out")
+    os.makedirs(path)
+    stale = os.path.join(path, "part-00000.jsonl.424242.tmp")
+    with open(stale, "w", encoding="utf-8") as fh:
+        fh.write('{"garbage": true}\n')
+    df = (spark.createDataFrame([(i, f"t{i}") for i in range(20)],
+                                "doc_id long, text string")
+          .repartition(2))
+    df.write.format("jsonlsink").option("path", path).mode(
+        "append").save()
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 20
+    back = spark.read.schema("doc_id long, text string").json(
+        os.path.join(path, "part-*.jsonl"))
+    assert back.count() == 20
+    assert back.filter(F.col("doc_id").isNull()).count() == 0
+    assert os.path.exists(stale)  # foreign tmp left for its own attempt

@@ -377,3 +377,23 @@ def test_streaming_kmv_min_k_merge_invariant(spark):
 
     assert kth(1) == kth(2)
     assert kth(1) is not None
+
+
+def test_stream_documents_empty_slice_drains_empty(spark):
+    """A min_doc_id beyond the table's max produces an EMPTY stream
+    that still delivers (and drains) cleanly — previously this raised
+    TypeError (None + int) building the chunk range filters."""
+    from pyspark_etl_project_spark.streaming.ingest import (
+        stream_documents)
+
+    stream, _ = stream_documents(spark, "/root/testdata/sf0.001",
+                                 min_doc_id=10**9, files=2)
+    seen = []
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _e: seen.append(b.count()))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(seen) == 0
