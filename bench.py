@@ -212,8 +212,15 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # BENCH_DETAIL.json is the COMMITTED official record SCALE.md cites
+    # (sf0.1, median of 5). A smoke run at another sf or rep count must
+    # not clobber it — those write a suffixed sidecar instead, and the
+    # summary line's "detail" field names whichever file was written.
+    official = sf_val == 0.1 and reps == 5
+    detail_name = ("BENCH_DETAIL.json" if official
+                   else f"BENCH_DETAIL_sf{sf_val}_r{reps}.json")
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+                               detail_name)
     detail = {
         "queries": times,
         "errors": errors,

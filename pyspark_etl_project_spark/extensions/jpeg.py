@@ -314,6 +314,12 @@ def _decode_block(reader, dc_tbl, ac_tbl, quant, dc_pred, ci) -> np.ndarray:
 
 def _frame_geometry(frame):
     comps = frame["comps"]
+    # Same precise guard as the baseline scan path (_decode_scan):
+    # T.81 allows factors up to 4, but only {1,2} is implemented, and
+    # the progressive reconstruct would otherwise fail deep inside
+    # numpy (mismatched plane shapes) or silently mis-upsample.
+    if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+        raise NotImplementedError("sampling factors beyond 2 unsupported")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     w, h = frame["w"], frame["h"]

@@ -800,13 +800,12 @@ def kmv_distinct_sketch(df, group_col: str, value_col: str,
     err_ppm) — the calibration view; a production caller would drop
     the exact column (whose computation is the expensive part this
     sketch exists to avoid)."""
+    from pyspark_etl_project_spark.operators.stats import kmv_value_hash
+
     c = F.col(group_col)
     hashed = (df.select(c.alias("grp"), F.col(value_col).alias("v"))
                 .distinct()
-                .withColumn("h", F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{salt}|"),
-                                               F.col("v"))), 1, 12),
-                    16, 10).cast("long")))
+                .withColumn("h", kmv_value_hash(F.col("v"), salt)))
     w = Window.partitionBy("grp").orderBy("h")
     kth = (hashed.withColumn("_rn", F.row_number().over(w))
            .filter(F.col("_rn") == k)

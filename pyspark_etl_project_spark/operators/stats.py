@@ -79,6 +79,27 @@ def mad_length_outliers(df: DataFrame, id_col: str, value_col: str,
 
 # --- write-time partial column stats (ANALYZE without the rescan) -----------
 
+KMV_MAX_H = 1 << 48
+
+
+def kmv_value_hash(col: F.Column, salt: str) -> F.Column:
+    """48-bit salted-md5 value hash — THE hash every KMV surface in the
+    repo keys on (batch sketch, streaming appends, stats partials). One
+    definition: the estimator's bit-identity guarantees break if any
+    site drifts from the others."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col)),
+                              1, 12), 16, 10).cast("long")
+
+
+def kmv_estimate_expr(k: int) -> F.Column:
+    """Integer KMV estimate over a (_cnt, _kth) single-row frame:
+    exact-fallback when fewer than k distinct hashes exist (every hash
+    survived, the count IS the NDV), else (k-1)*2^48 div kth-min."""
+    return F.expr(f"cast(case when _cnt < {k} then _cnt else"
+                  f" ({k} - 1) * cast({KMV_MAX_H} as bigint) div _kth end"
+                  " as bigint)")
+
+
 def column_stats_partials(df: DataFrame, part: F.Column, value: F.Column,
                           k: int = 64, salt: str = "pstats-v1"):
     """Per-partition column-stats PARTIALS — what a 100 TB writer
@@ -111,10 +132,8 @@ def column_stats_partials(df: DataFrame, part: F.Column, value: F.Column,
     hashed = (base.filter(F.col("v").isNotNull())
               .select("part", F.col("v").cast("string").alias("s"))
               .distinct()
-              .select("part", F.conv(
-                  F.substring(F.md5(F.concat(F.lit(f"{salt}|"),
-                                             F.col("s"))), 1, 12),
-                  16, 10).cast("long").alias("h")))
+              .select("part", kmv_value_hash(F.col("s"), salt).alias("h"))
+              .distinct())
     w = Window.partitionBy("part").orderBy("h")
     hashes = (hashed.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= k).select("part", "h"))
@@ -137,13 +156,9 @@ def column_stats_merge(scalar: DataFrame, hashes: DataFrame,
     km = (hashes.select("h").distinct().orderBy("h").limit(k)
           .agg(F.count(F.lit(1)).alias("_cnt"),
                F.max("h").alias("_kth")))
-    max_h = 1 << 48
-    est = F.expr(f"cast(case when _cnt < {k} then _cnt else"
-                 f" ({k} - 1) * cast({max_h} as bigint) div _kth end"
-                 " as bigint)")
     return (s.crossJoin(F.broadcast(km))
             .select("n_rows", "n_nulls", "min_v", "max_v",
-                    est.alias("est_ndv")))
+                    kmv_estimate_expr(k).alias("est_ndv")))
 
 
 def column_stats_direct(df: DataFrame, value: F.Column, k: int = 64,
@@ -152,7 +167,10 @@ def column_stats_direct(df: DataFrame, value: F.Column, k: int = 64,
     computed directly over the whole frame (plus exact_ndv, the
     calibration reference), so `merged == direct` is checkable. The
     sketch arm reuses column_stats_merge's k-min cut over the full
-    distinct-hash set — identical estimator arithmetic."""
+    distinct-hash set — identical estimator arithmetic. Every arm
+    (partials, merge, direct — and the DuckDB twin) dedupes on the
+    HASH, not just the value, so a 48-bit collision landing in the
+    bottom-k cannot split merged from direct."""
     base = df.select(value.alias("v"))
     s = base.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
                  F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
@@ -162,17 +180,11 @@ def column_stats_direct(df: DataFrame, value: F.Column, k: int = 64,
                  F.countDistinct("v").cast("long").alias("exact_ndv"))
     hashed = (base.filter(F.col("v").isNotNull())
               .select(F.col("v").cast("string").alias("s")).distinct()
-              .select(F.conv(
-                  F.substring(F.md5(F.concat(F.lit(f"{salt}|"),
-                                             F.col("s"))), 1, 12),
-                  16, 10).cast("long").alias("h")))
+              .select(kmv_value_hash(F.col("s"), salt).alias("h"))
+              .distinct())
     km = (hashed.orderBy("h").limit(k)
           .agg(F.count(F.lit(1)).alias("_cnt"),
                F.max("h").alias("_kth")))
-    max_h = 1 << 48
-    est = F.expr(f"cast(case when _cnt < {k} then _cnt else"
-                 f" ({k} - 1) * cast({max_h} as bigint) div _kth end"
-                 " as bigint)")
     return (s.crossJoin(F.broadcast(km))
             .select("n_rows", "n_nulls", "min_v", "max_v", "exact_ndv",
-                    est.alias("est_ndv")))
+                    kmv_estimate_expr(k).alias("est_ndv")))

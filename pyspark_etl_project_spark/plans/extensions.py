@@ -3634,6 +3634,8 @@ WITH qs AS (
     FROM cs e, qs q WHERE e.neg_label <> q.query_label) WHERE rn <= 3
 ), nc AS (
   SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id
+), ex AS (
+  SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id
 ), an AS (
   SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY query_id
 ), ov AS (
@@ -3642,13 +3644,16 @@ WITH qs AS (
   GROUP BY exact.query_id
 )
 SELECT q.query_id,
-       CAST(3 AS INTEGER) AS n_exact,
+       CAST(COALESCE(ex.n_exact, 0) AS INTEGER) AS n_exact,
        CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
        CAST(COALESCE(an.n_ann, 0) AS INTEGER) AS n_ann,
        CAST(COALESCE(ov.n_overlap, 0) AS INTEGER) AS n_overlap,
-       CAST(COALESCE(ov.n_overlap, 0) * 100 // 3 AS INTEGER) AS recall_pct
+       CAST(CASE WHEN COALESCE(ex.n_exact, 0) > 0
+                 THEN COALESCE(ov.n_overlap, 0) * 100 // ex.n_exact
+                 ELSE 0 END AS INTEGER) AS recall_pct
 FROM qs q
 LEFT JOIN nc ON q.query_id = nc.query_id
+LEFT JOIN ex ON q.query_id = ex.query_id
 LEFT JOIN an ON q.query_id = an.query_id
 LEFT JOIN ov ON q.query_id = ov.query_id
 """)
@@ -3670,6 +3675,11 @@ def hard_negative_mining_ann_q(spark: SparkSession,
     # broadcast them all so no sort-merge join appears.
     nc = (cand.groupBy("query_id")
           .agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
+    # n_exact is MEASURED, not the literal k: a query whose label
+    # covers all but <k corpus rows has fewer true negatives, and the
+    # recall denominator must shrink with it.
+    ex = (exact.groupBy("query_id")
+          .agg(F.count(F.lit(1)).alias("n_exact")))
     an = (ann.groupBy("query_id")
           .agg(F.count(F.lit(1)).alias("n_ann")))
     ov = (exact.select("query_id", "vec_id")
@@ -3678,18 +3688,22 @@ def hard_negative_mining_ann_q(spark: SparkSession,
           .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap")))
     return (queries.select(F.col("vec_id").alias("query_id"))
             .join(F.broadcast(nc), "query_id", "left")
+            .join(F.broadcast(ex), "query_id", "left")
             .join(F.broadcast(an), "query_id", "left")
             .join(F.broadcast(ov), "query_id", "left")
             .select("query_id",
-                    F.lit(3).cast("int").alias("n_exact"),
+                    F.coalesce("n_exact", F.lit(0)).cast("int")
+                     .alias("n_exact"),
                     F.coalesce("n_candidates", F.lit(0)).cast("long")
                      .alias("n_candidates"),
                     F.coalesce("n_ann", F.lit(0)).cast("int")
                      .alias("n_ann"),
                     F.coalesce("n_overlap", F.lit(0)).cast("int")
                      .alias("n_overlap"),
-                    F.expr("cast(coalesce(n_overlap, 0) * 100 div 3"
-                           " as int)").alias("recall_pct")))
+                    F.expr("cast(case when coalesce(n_exact, 0) > 0"
+                           " then coalesce(n_overlap, 0) * 100"
+                           " div n_exact else 0 end as int)")
+                     .alias("recall_pct")))
 
 
 # --- embedding degeneracy stats per label ------------------------------------

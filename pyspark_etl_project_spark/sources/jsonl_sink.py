@@ -76,16 +76,39 @@ class JsonlSinkWriter(DataSourceWriter):
         # wins is safe.
         tmp = f"{out}.{ctx.taskAttemptId()}.tmp"
         n = 0
-        with open(tmp, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                rec = {c: row[i] for i, c in enumerate(self.columns)}
-                fh.write(json.dumps(rec, sort_keys=True,
-                                    default=str) + "\n")
-                n += 1
-        os.replace(tmp, out)  # atomic per-task publish; retries overwrite
+        try:
+            with open(tmp, "w", encoding="utf-8") as fh:
+                for row in iterator:
+                    rec = {c: row[i] for i, c in enumerate(self.columns)}
+                    fh.write(json.dumps(rec, sort_keys=True,
+                                        default=str) + "\n")
+                    n += 1
+            os.replace(tmp, out)  # atomic per-task publish; retries overwrite
+        except BaseException:
+            # A failed attempt must not strand its attempt-unique tmp —
+            # the retry gets a NEW attempt id and would never reuse it.
+            # (Killed/zombie attempts can't run this; commit()/abort()
+            # sweep whatever they leave behind.)
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
         return JsonlCommit(pid, n)
 
+    def _sweep_tmps(self) -> None:
+        """Remove stranded attempt tmps. Safe at job end: every live
+        task has finished (speculative duplicates are killed before the
+        job-level commit/abort), so any remaining *.tmp is a dead
+        attempt's leftover staging file."""
+        import glob
+
+        for p in glob.glob(os.path.join(self.path, "part-*.jsonl.*.tmp")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
     def commit(self, messages) -> None:
+        self._sweep_tmps()
         manifest = {
             "files": sorted(
                 [f"part-{m.partition_id:05d}.jsonl" for m in messages
@@ -98,6 +121,7 @@ class JsonlSinkWriter(DataSourceWriter):
             json.dump(manifest, fh, sort_keys=True)
 
     def abort(self, messages) -> None:
+        self._sweep_tmps()
         for m in messages:
             if m is None:
                 continue

@@ -239,14 +239,14 @@ def foreach_batch_kmv(stream: DataFrame, store_path: str,
 
     def handle(batch: DataFrame, _epoch: int) -> None:
         from pyspark_etl_project_spark.extensions.text import word_ngrams
+        from pyspark_etl_project_spark.operators.stats import (
+            kmv_value_hash)
 
         hashed = (batch
                   .select(F.explode(word_ngrams(F.col("text"), 3))
                           .alias("v"))
                   .distinct()
-                  .select(F.conv(F.substring(
-                      F.md5(F.concat(F.lit(f"{salt}|"), F.col("v"))),
-                      1, 12), 16, 10).cast("long").alias("h")))
+                  .select(kmv_value_hash(F.col("v"), salt).alias("h")))
         # k smallest via orderBy+limit → TakeOrderedAndProject
         # (per-partition k-heaps, then a k-bounded driver merge) — the
         # batch's distinct-hash set is corpus-sized, so a row_number

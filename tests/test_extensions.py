@@ -1610,7 +1610,9 @@ def test_weighted_mean_trunc_negative_sum_matches_duckdb(spark):
 def test_jsonl_sink_stale_attempt_tmp_is_inert(spark, tmp_path):
     """A leftover attempt-unique tmp from a dead task (the file a
     zombie attempt would strand) neither collides with a live write's
-    staging file nor leaks into the published part-*.jsonl set."""
+    staging file nor leaks into the published part-*.jsonl set — and
+    the job-level commit sweeps it so failed attempts can't accumulate
+    stranded staging files across runs."""
     import json
     import os
 
@@ -1637,4 +1639,4 @@ def test_jsonl_sink_stale_attempt_tmp_is_inert(spark, tmp_path):
         os.path.join(path, "part-*.jsonl"))
     assert back.count() == 20
     assert back.filter(F.col("doc_id").isNull()).count() == 0
-    assert os.path.exists(stale)  # foreign tmp left for its own attempt
+    assert not os.path.exists(stale)  # commit swept the dead staging file
