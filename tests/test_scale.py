@@ -402,3 +402,49 @@ def test_compact_small_files_preserves_rows_and_bounds_files(spark, tmp_path):
     assert rows == 800
     assert files == 4
     assert spark.read.parquet(dst).count() == 800
+
+
+def test_lsh_prefilter_is_broadcast_equi_join(spark):
+    """hard_negative_candidates(prefilter='lsh') must generate
+    candidates through a broadcast EQUI-join on the bucket string —
+    the corpus is never shuffled and never nested-loop-scored (the
+    exact path's BroadcastNestedLoop is exactly what the prefilter
+    exists to avoid at 100 TB)."""
+    from pyspark_etl_project_spark.extensions.similarity import (
+        hard_negative_candidates)
+    from pyspark_etl_project_spark.plans.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    cand = hard_negative_candidates(emb.filter("vec_id >= 8"),
+                                    emb.filter("vec_id < 8"),
+                                    prefilter="lsh", num_bits=8,
+                                    probe_hamming=1)
+    plan = _formatted_plan(cand)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_stats_merge_is_take_ordered_never_global_window(spark):
+    """column_stats_merge's k-min cut over the unioned hash partials
+    must compile to TakeOrderedAndProject (per-partition heaps, k-row
+    driver merge) — not a single-task global sort or an unpartitioned
+    row_number window. The ONE window in the lineage (the partials'
+    per-part k-cut) must carry a partition spec — an empty
+    PARTITION BY (the `], [], [` argument shape) would funnel every
+    hash through a single task."""
+    import re
+
+    from pyspark_etl_project_spark.operators.stats import (
+        column_stats_merge, column_stats_partials)
+    from pyspark_etl_project_spark.plans.tables import load
+
+    li = load(spark, SF_SMALL, "lineitem")
+    scalar, hashes = column_stats_partials(
+        li, F.col("l_orderkey") % 8,
+        F.floor(F.col("l_extendedprice").cast("decimal(18,6)") * 100)
+         .cast("long"), k=16)
+    plan = _formatted_plan(column_stats_merge(scalar, hashes, k=16))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\], \[\], \[", plan)  # no unpartitioned window
