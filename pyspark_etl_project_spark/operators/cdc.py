@@ -41,10 +41,16 @@ def cdc_classify(batch: DataFrame,
     slice; optionally drop DUPLICATEs (the reference always does, B5)."""
     hist = F.broadcast(historic) if broadcast_historic else historic
     joined = batch.join(hist, batch[key] == hist[historic_key], "left")
+    # eqNullSafe on the hash compare: a NULL hash (not produced by this
+    # pipeline's coalesce'd md5, but possible for an external caller)
+    # would make `==` yield NULL, skip the DUPLICATE branch, and
+    # re-classify the unchanged row UPDATE on EVERY load — growing the
+    # mart with spurious history forever. NULL<=>NULL is a duplicate.
     routed = joined.withColumn(
         ROUTER_COL,
         F.when(F.col(historic_key).isNull(), F.lit(INSERT))
-         .when(F.col(hash_col) == F.col(historic_hash), F.lit(DUPLICATE))
+         .when(F.col(hash_col).eqNullSafe(F.col(historic_hash)),
+               F.lit(DUPLICATE))
          .otherwise(F.lit(UPDATE)),
     )
     if drop_duplicates:

@@ -35,9 +35,23 @@ def partial_agg(batch: DataFrame, keys: list[str],
                 metrics: dict[str, tuple[str, str]]) -> DataFrame:
     """One batch's decomposable partials: ``metrics`` maps output column
     -> (agg kind, input column); kind in count/sum/min/max ("count"
-    ignores the input column)."""
+    ignores the input column).
+
+    "sum" REQUIRES an integral input column (the repo-wide exactness
+    rule: quantize money/measures to integer cents/micro-units first).
+    Partials are stored as longs; silently casting a fractional sum to
+    long would truncate a little more state on EVERY batch merge, so a
+    fractional column is rejected up front instead."""
+    integral = ("byte", "short", "int", "integer", "bigint", "long")
+    dtypes = dict(batch.dtypes)
     aggs = []
     for out, (kind, col) in metrics.items():
+        if kind == "sum" and dtypes.get(col) not in integral:
+            raise ValueError(
+                f"partial_agg sum over non-integral column {col!r} "
+                f"({dtypes.get(col)}): quantize to integer units "
+                "(e.g. cents via decimal(18,6)*100 -> long) first — "
+                "long-cast partials would truncate per batch")
         batch_fn, _ = _AGGS[kind]
         expr = batch_fn(col)
         if kind in ("count", "sum"):
@@ -64,7 +78,8 @@ def merge_agg_state(state: DataFrame, batch_partial: DataFrame,
 
 
 def incremental_join_view(view: DataFrame, delta: DataFrame,
-                          dim: DataFrame, on) -> DataFrame:
+                          dim: DataFrame, on,
+                          broadcast_dim: bool = True) -> DataFrame:
     """Incremental maintenance of a materialized JOIN view: the new
     fact rows (``delta``) join the dimension and UNION onto the
     existing view — the standard IVM delta rule for an inner
@@ -74,6 +89,9 @@ def incremental_join_view(view: DataFrame, delta: DataFrame,
     is |Δ| ⋈ dim (broadcast when the dim fits), not |fact| ⋈ dim.
 
     Column contract: ``view`` already has the joined shape; the
-    delta⋈dim result is column-pruned + reordered to match it."""
-    enriched = delta.join(F.broadcast(dim), on)
+    delta⋈dim result is column-pruned + reordered to match it.
+    ``broadcast_dim=False`` drops the broadcast hint for dimensions too
+    big to ship to every executor — the join falls back to Catalyst's
+    choice (shuffled hash / sort-merge) instead of a broadcast OOM."""
+    enriched = delta.join(F.broadcast(dim) if broadcast_dim else dim, on)
     return view.unionByName(enriched.select(*view.columns))

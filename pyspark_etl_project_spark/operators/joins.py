@@ -28,12 +28,19 @@ def asof_join(left: DataFrame, right: DataFrame,
     (forward) by the remaining ``right_cols`` order — callers should
     pass a unique tiebreaker column first.
 
-    Implementation: union the two sides tagged, one window per key
-    ordered by (ts, side) carrying the last seen right payload forward
-    (``last(..., ignorenulls=True)``), keep left rows. Exactly ONE
-    shuffle on the key — same cost as a regular equi-join, no
-    time-bucketing approximation, no cross product. Skewed keys follow
-    the same AQE/salting remedies as any single-key shuffle.
+    Implementation: union the two sides tagged, ONE window per key
+    ordered by (ts, side) carrying the last seen right row forward as
+    a single STRUCT (``last(struct, ignorenulls=True)``), keep left
+    rows. The struct is load-bearing, not just a plan nicety: carrying
+    each payload column through its own ignorenulls window would let a
+    NULL cell in the matching right row fall back to an OLDER right
+    row's value for that one column — emitting a composite row that
+    never existed. The struct is non-null exactly when the row is a
+    right row, so the whole matched row travels (or doesn't) together,
+    NULL cells included. Exactly ONE shuffle on the key — same cost as
+    a regular equi-join, no time-bucketing approximation, no cross
+    product. Skewed keys follow the same AQE/salting remedies as any
+    single-key shuffle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -66,13 +73,14 @@ def asof_join(left: DataFrame, right: DataFrame,
              .orderBy(F.col("_ts").desc(), F.col("_side").asc(), tiebreak)
              .rowsBetween(Window.unboundedPreceding, 0))
 
-    carried = unioned
-    for c in right_cols:
-        carried = carried.withColumn(
-            f"_m_{c}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w))
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"_r_{c}").alias(c) for c in right_cols]))
+    carried = unioned.withColumn(
+        "_m", F.last(payload, ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1)
     keep = [F.col(c) for c in left.columns]
-    keep += [F.col(f"_m_{c}").alias(c) for c in right_cols]
+    keep += [F.col("_m")[c].alias(c) for c in right_cols]
     return out.select(*keep)
 
 
@@ -134,8 +142,18 @@ def salted_agg(df: DataFrame, key: str, aggs: list[tuple[str, str, str]],
         if f not in merge_fn:
             raise ValueError(f"non-algebraic agg {f!r} cannot be salted")
 
+    # DETERMINISTIC salt from full row content (pmod keeps it in
+    # [0, num_salts)). A nondeterministic salt (random / derived from
+    # monotonically_increasing_id) re-rolls on task retry, so rows
+    # recomputed after a shuffle-fetch failure land in different
+    # (key, salt) reduce partitions than the copies surviving reducers
+    # already fetched — silent double-count/loss (the SPARK-23207
+    # repartition class; Spark does not mark such a stage
+    # indeterminate). Content-hashing spreads a hot key's varied rows;
+    # only literal full-duplicate rows share a salt.
     salted = df.withColumn(
-        "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % num_salts))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                        F.lit(num_salts)))
     partial = salted.groupBy(key, "_salt").agg(
         *[first_fn[f](F.col(c)).alias(o) for c, f, o in aggs])
     return partial.groupBy(key).agg(
@@ -159,9 +177,12 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left")
+    # Deterministic content-derived salt — see salted_agg for why a
+    # retry-unstable salt silently duplicates/drops rows post-shuffle.
     salted_big = big.withColumn(
         "_salt",
-        (F.abs(F.hash(F.monotonically_increasing_id())) % num_salts).cast("int"))
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+               F.lit(num_salts)).cast("int"))
     replicated = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)])))
     out = salted_big.join(replicated, on=[key, "_salt"], how=how)

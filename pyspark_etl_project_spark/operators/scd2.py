@@ -54,7 +54,8 @@ def scd2_merge(mart: DataFrame,
                dense_ids: bool = False,
                broadcast_keys: bool = True,
                cache_arrivals: bool = True,
-               surrogate_offset: int | None = None) -> DataFrame:
+               surrogate_offset: int | None = None,
+               pinned: list | None = None) -> DataFrame:
     """Merge routed arrivals (must carry mart columns minus the surrogate,
     plus nothing else) into the SCD2 mart. ``run_ts`` is an ISO timestamp
     string used for both expiry and effective stamps.
@@ -71,6 +72,13 @@ def scd2_merge(mart: DataFrame,
     full-mart MAX(surrogate) scan — at 100 TB that scan is a whole
     column pass per incremental batch. When None, falls back to the agg
     (correct but O(mart)).
+
+    ``pinned``: pass a list to receive every DataFrame this merge
+    persists (the cached arrivals, dense_row_number's range exchange).
+    A caller that merges repeatedly — one merge per micro-batch in
+    foreach_batch_scd2 — must unpersist them after materializing the
+    result, or each batch pins another plan in the cache manager for
+    the life of the session.
     """
     run_ts_col = F.lit(run_ts).cast("timestamp")
     open_end = F.lit(SCD2_OPEN_END_DATE).cast("timestamp")
@@ -78,12 +86,19 @@ def scd2_merge(mart: DataFrame,
     if cache_arrivals:
         from pyspark.storagelevel import StorageLevel
         arrivals = arrivals.persist(StorageLevel.MEMORY_AND_DISK)
+        if pinned is not None:
+            pinned.append(arrivals)
 
     arriving_keys = arrivals.select(key).distinct()
     keys_join = F.broadcast(arriving_keys) if broadcast_keys else arriving_keys
 
-    active = mart.filter(F.col("ACTIVE_FLAG") == 1)
-    inactive = mart.filter(F.col("ACTIVE_FLAG") != 1)
+    # Null-safe split: `!= 1` would evaluate NULL for a NULL
+    # ACTIVE_FLAG (legacy load, schema-evolved read) and the row would
+    # match NEITHER branch — silently vanishing from the rewritten
+    # mart. eqNullSafe routes such rows to `inactive` (preserved
+    # verbatim) instead.
+    active = mart.filter(F.col("ACTIVE_FLAG").eqNullSafe(1))
+    inactive = mart.filter(~F.col("ACTIVE_FLAG").eqNullSafe(1))
 
     expired = (active.join(keys_join, on=key, how="left_semi")
                      .withColumn("ACTIVE_FLAG", F.lit(0))
@@ -96,7 +111,8 @@ def scd2_merge(mart: DataFrame,
              .withColumn("ACTIVE_FLAG", F.lit(1))
              .withColumn("START_DATE", run_ts_col)
              .withColumn("END_DATE", open_end))
-    fresh = _assign_surrogates(fresh, surrogate_col, next_id, key, dense_ids)
+    fresh = _assign_surrogates(fresh, surrogate_col, next_id, key,
+                               dense_ids, pinned=pinned)
 
     cols = mart.columns
     return (inactive.select(cols)
@@ -260,16 +276,19 @@ def _surrogate_offset(mart: DataFrame, surrogate_col: str) -> int:
 
 
 def _assign_surrogates(df: DataFrame, surrogate_col: str, offset: int,
-                       key: str, dense: bool) -> DataFrame:
+                       key: str, dense: bool,
+                       pinned: list | None = None) -> DataFrame:
     if dense:
-        return dense_row_number(df, [key], surrogate_col, offset=offset)
+        return dense_row_number(df, [key], surrogate_col, offset=offset,
+                                pinned=pinned)
     return df.withColumn(surrogate_col,
                          (F.monotonically_increasing_id() + F.lit(offset + 1)).cast("long"))
 
 
 def dense_row_number(df: DataFrame, order_cols: list[str], out_col: str,
                      offset: int = 0,
-                     num_partitions: int | None = None) -> DataFrame:
+                     num_partitions: int | None = None,
+                     pinned: list | None = None) -> DataFrame:
     """Global 1-based dense row number by ``order_cols`` WITHOUT a
     single-partition window (the naive ``Window.orderBy`` moves every row
     to one task — fatal at scale).
@@ -302,6 +321,8 @@ def dense_row_number(df: DataFrame, order_cols: list[str], out_col: str,
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (df.repartitionByRange(n, *sort_cols)
                 .persist(StorageLevel.MEMORY_AND_DISK))
+    if pinned is not None:
+        pinned.append(ranged)
     with_pid = ranged.withColumn("_dense_pid", F.spark_partition_id())
     wcum = (Window.orderBy("_dense_pid")
                   .rowsBetween(Window.unboundedPreceding, -1))

@@ -14,9 +14,13 @@ privately and the atomic rename publishes a complete file either way,
 the idempotence a speculative 1000-executor write needs. The driver
 sees only k commit messages
 (one integer per task), never data. JSON encoding is json.dumps with
-sort_keys for byte-stable output. A shared filesystem is assumed, as
-for any production sink; the local[] test rig satisfies that
-trivially. The roundtrip is oracle-gated (`jsonl_sink_roundtrip`).
+sort_keys for byte-stable output. Whatever save mode is passed, each
+committed write REPLACES the directory's content: commit() removes
+part files the new manifest does not list (a narrower re-write would
+otherwise leave stale wider-write files for glob consumers) — the
+manifest is the authoritative file list. A shared filesystem is
+assumed, as for any production sink; the local[] test rig satisfies
+that trivially. The roundtrip is oracle-gated (`jsonl_sink_roundtrip`).
 
 Reference parity note: the reference lands every feed through
 driver-side pandas `to_sql` row loops (ETL/CSV_Batch_Processing.py
@@ -109,13 +113,27 @@ class JsonlSinkWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         self._sweep_tmps()
-        manifest = {
-            "files": sorted(
-                [f"part-{m.partition_id:05d}.jsonl" for m in messages
-                 if m is not None]),
-            "total_rows": sum(m.n_rows for m in messages
-                              if m is not None),
-        }
+        files = sorted(
+            f"part-{m.partition_id:05d}.jsonl" for m in messages
+            if m is not None)
+        manifest = {"files": files,
+                    "total_rows": sum(m.n_rows for m in messages
+                                      if m is not None)}
+        # The manifest is AUTHORITATIVE: a previous write with more
+        # partitions leaves part files this job did not touch, and a
+        # glob consumer would read a mix of old and new data (8-file
+        # job followed by a 4-file job -> part-00004..7 are stale).
+        # Every committed write therefore owns the directory: part
+        # files not in this manifest are removed.
+        import glob
+
+        keep = set(files)
+        for p in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+            if os.path.basename(p) not in keep:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         with open(os.path.join(self.path, "_MANIFEST.json"), "w",
                   encoding="utf-8") as fh:
             json.dump(manifest, fh, sort_keys=True)

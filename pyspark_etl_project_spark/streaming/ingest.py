@@ -127,16 +127,37 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
     spark = stream.sparkSession
     write_mart(initial_mart, mart_path, partition_col=partition_col,
                key=key, num_buckets=num_buckets)
+    # Resetting the mart to its initial state makes any EXISTING
+    # checkpoint's committed offsets a lie: a restart with the same
+    # mart_path would skip the already-committed batches (their files
+    # are marked done) while the mart no longer holds their merges —
+    # permanent silent loss. Drop the stale checkpoint with the reset
+    # so the stream replays everything; the merge is idempotent, so
+    # replay converges to the same mart. (Hadoop FS API — works on any
+    # supported filesystem, not just local.)
+    chk = mart_path + "_chk"
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(chk)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         arrivals = prepare(batch) if prepare is not None else batch
         mart = read_mart(spark, mart_path)
+        pinned: list = []
         merged = scd2_merge(mart, arrivals, run_ts=run_ts, key=key,
-                            surrogate_col=surrogate_col, dense_ids=True)
+                            surrogate_col=surrogate_col, dense_ids=True,
+                            pinned=pinned)
         write_mart(merged, mart_path, partition_col=partition_col,
                    key=key, num_buckets=num_buckets,
                    touched_keys=arrivals.select(key).distinct(),
                    materialize_first=True)
+        # The write materialized the merge; release this batch's pins
+        # (cached arrivals + the dense-id range exchange) or a
+        # long-running stream accumulates one cached plan per batch.
+        for df_ in pinned:
+            df_.unpersist()
 
     q = (stream.writeStream.outputMode("append")
          .foreachBatch(merge_batch)

@@ -1640,3 +1640,39 @@ def test_jsonl_sink_stale_attempt_tmp_is_inert(spark, tmp_path):
     assert back.count() == 20
     assert back.filter(F.col("doc_id").isNull()).count() == 0
     assert not os.path.exists(stale)  # commit swept the dead staging file
+
+
+def test_jsonl_sink_narrower_rewrite_removes_stale_parts(spark, tmp_path):
+    """A committed write OWNS the directory: rewriting with fewer
+    partitions removes the wider write's extra part files, so the
+    directory always equals the manifest (a glob consumer would
+    otherwise read a mix of old and new data)."""
+    import json
+    import os
+
+    from pyspark_etl_project_spark.sources.jsonl_sink import (
+        JsonlSinkDataSource)
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass
+    path = str(tmp_path / "out")
+    wide = (spark.createDataFrame([(i, f"w{i}") for i in range(40)],
+                                  "doc_id long, text string")
+            .repartition(8))
+    wide.write.format("jsonlsink").option("path", path).mode(
+        "append").save()
+    narrow = (spark.createDataFrame([(i, f"n{i}") for i in range(10)],
+                                    "doc_id long, text string")
+              .repartition(2))
+    narrow.write.format("jsonlsink").option("path", path).mode(
+        "append").save()
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    on_disk = sorted(p for p in os.listdir(path)
+                     if p.startswith("part-") and p.endswith(".jsonl"))
+    assert on_disk == manifest["files"] and len(on_disk) == 2
+    back = spark.read.schema("doc_id long, text string").json(
+        os.path.join(path, "part-*.jsonl"))
+    assert back.count() == 10
+    assert back.filter(F.col("text").startswith("w")).count() == 0

@@ -386,3 +386,82 @@ def test_asof_snapshot_boundary_semantics(spark):
         (2, 1, "2099-12-31 00:00:00"), (3, 1, "2099-12-31 00:00:00")}
     # before any load: empty
     assert snap_ids("2023-12-31 00:00:00") == set()
+
+
+def test_asof_join_null_payload_cell_travels_with_its_row(spark):
+    """The matched right row travels as ONE struct: a NULL cell in the
+    matching row stays NULL in the output instead of falling back to
+    an older right row's value for that column (per-column ignorenulls
+    carry would emit the composite (5, 7) here — a row that never
+    existed)."""
+    from pyspark_etl_project_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, "2024-01-01 03:00:00")],
+                                 "k int, lts string")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00", 5, 9),
+         (1, "2024-01-01 02:00:00", None, 7)],
+        "k int, rts string, a int, b int")
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    right_cols=["a", "b"], direction="backward").collect()
+    assert len(out) == 1
+    assert out[0]["a"] is None and out[0]["b"] == 7
+
+
+def test_scd2_merge_preserves_null_active_flag_rows(spark):
+    """A mart row with NULL ACTIVE_FLAG (legacy/corrupt load) must
+    survive the merge in the inactive branch — a bare `!= 1` filter
+    evaluates NULL and silently drops it from the rewritten mart."""
+    from pyspark_etl_project_spark.operators.scd2 import scd2_merge
+
+    schema = ("CSD_ID long, SOURCE_ID int, SOURCE_SYSTEM_IDENTIFIER "
+              "string, V string, ACTIVE_FLAG int, START_DATE timestamp, "
+              "END_DATE timestamp")
+    t = "2024-01-01 00:00:00"
+    mart = spark.createDataFrame(
+        [(1, 1, "k1", "v", 1, None, None),
+         (2, 1, "k2", "v", None, None, None)], schema)
+    arrivals = spark.createDataFrame(
+        [(0, 1, "k1", "v2", 0, None, None)], schema).drop("CSD_ID") \
+        .withColumn("CSD_ID", F.lit(None).cast("long")) \
+        .select(*mart.columns)
+    merged = scd2_merge(mart, arrivals.drop("ACTIVE_FLAG", "START_DATE",
+                                            "END_DATE", "CSD_ID"),
+                        run_ts=t, cache_arrivals=False)
+    flags = {(r["SOURCE_SYSTEM_IDENTIFIER"], r["ACTIVE_FLAG"])
+             for r in merged.collect()}
+    assert ("k2", None) in flags          # NULL-flag row preserved
+    assert ("k1", 0) in flags and ("k1", 1) in flags
+
+
+def test_cdc_classify_null_hash_is_duplicate_not_update(spark):
+    """NULL<=>NULL hash compare routes an unchanged row DUPLICATE; a
+    bare == would yield NULL, skip the branch, and re-classify the row
+    UPDATE on every load (unbounded spurious history)."""
+    from pyspark_etl_project_spark.operators.cdc import cdc_classify
+
+    batch = spark.createDataFrame(
+        [("k1", None), ("k2", "h2")],
+        "SOURCE_SYSTEM_IDENTIFIER string, SOURCE_HASH_KEY string")
+    hist = spark.createDataFrame(
+        [("k1", None), ("k2", "h2x")],
+        "HISTORIC_SSI string, HISTORIC_HASHKEY string")
+    out = {r["SOURCE_SYSTEM_IDENTIFIER"]: r["ROUTER_GROUP"] for r in
+           cdc_classify(batch, hist, drop_duplicates=False).collect()}
+    assert out == {"k1": "DUPLICATE", "k2": "UPDATE"}
+
+
+def test_partial_agg_rejects_fractional_sum(spark):
+    """'sum' partials are stored as longs; a fractional input column
+    would truncate a little more state on every batch, so it is
+    rejected up front (quantize to integer cents first)."""
+    import pytest as _pytest
+
+    from pyspark_etl_project_spark.operators.incremental import (
+        partial_agg)
+
+    df = spark.createDataFrame([("a", 1.5)], "k string, v double")
+    with _pytest.raises(ValueError, match="non-integral"):
+        partial_agg(df, ["k"], {"s": ("sum", "v")})
+    ok = spark.createDataFrame([("a", 2)], "k string, v long")
+    assert partial_agg(ok, ["k"], {"s": ("sum", "v")}).collect()[0]["s"] == 2
