@@ -167,13 +167,26 @@ def levenshtein_candidates(df: DataFrame, id_col: str, text_col: str,
              .select("id_a", "id_b", "edit_dist"))
 
 
+def _rows_per_band(num_hashes: int, num_bands: int) -> int:
+    """Loud divisibility check for the banded-LSH split: a remainder
+    would silently DROP the trailing signature positions from every
+    band (computed, paid for, never bucketed) — weaker recall than the
+    requested signature length with no visible symptom."""
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by "
+            f"num_bands={num_bands}: {num_hashes % num_bands} trailing "
+            "MinHash values would be silently excluded from every band")
+    return num_hashes // num_bands
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 8, num_bands: int = 4,
                            shingle_n: int = 3) -> DataFrame:
     """MinHash + banded LSH candidate pairs: (id_a, id_b, n_shared_bands).
     Only docs colliding in ≥1 band bucket pair up — the shuffle key is the
     band bucket, so cost scales with bucket occupancy, not n²."""
-    rows_per_band = num_hashes // num_bands
+    rows_per_band = _rows_per_band(num_hashes, num_bands)
     sig = (df.select(F.col(id_col).alias("_id"),
                      word_shingles(text_col, shingle_n).alias("_sh"))
              .filter(F.size("_sh") > 0)
@@ -439,7 +452,7 @@ def build_band_index(df: DataFrame, text_col: str,
     only: no doc ids, so its size is the distinct bucket count, and at
     100 TB the daily increment joins against this index — corpus text
     is never re-shingled."""
-    rows_per_band = num_hashes // num_bands
+    rows_per_band = _rows_per_band(num_hashes, num_bands)
     sig = (df.select(word_shingles(text_col, shingle_n).alias("_sh"))
              .filter(F.size("_sh") > 0)
              .select(minhash_signature(F.col("_sh"), num_hashes)
@@ -472,7 +485,7 @@ def incremental_minhash_dedup(batch: DataFrame, corpus_index: DataFrame,
     shuffle keys are band buckets (md5-uniform except for genuinely
     repeated content; AQE skew-join covers hot buckets). Nothing
     rescans corpus text, nothing is all-pairs."""
-    rows_per_band = num_hashes // num_bands
+    rows_per_band = _rows_per_band(num_hashes, num_bands)
     banded = (batch
               .select(F.col(id_col),
                       word_shingles(text_col, shingle_n).alias("_sh"))
@@ -860,7 +873,7 @@ def minhash_calibration(df: DataFrame, id_col: str, text_col: str,
                       minhash_signature(F.col("_sh"), num_hashes)
                       .alias("_sig"))
               .localCheckpoint(eager=False))
-    rows_per_band = num_hashes // num_bands
+    rows_per_band = _rows_per_band(num_hashes, num_bands)
     banded = base.select("_id", F.explode(
         lsh_bands(F.col("_sig"), num_bands, rows_per_band)).alias("b"))
     flat = banded.select("_id", F.col("b.band_id").alias("band_id"),

@@ -134,12 +134,17 @@ def label_propagation_majority(nodes: DataFrame, edges: DataFrame,
     their own label."""
     from pyspark.sql import Window
 
+    # Self-loops filtered AFTER symmetrizing — filtering only the
+    # forward branch let a (v, v) edge re-enter through the reversed
+    # branch, and the node then voted for its own label (the SQL twin
+    # _lpa_oracle_sql drops a = b before the union, so both engines
+    # now agree on self-loop graphs).
     und = (edges.select(F.col(src_col).alias("a"),
                         F.col(dst_col).alias("b"))
-           .filter(F.col("a") != F.col("b"))
            .unionByName(
                edges.select(F.col(dst_col).alias("a"),
                             F.col(src_col).alias("b")))
+           .filter(F.col("a") != F.col("b"))
            .distinct()
            .localCheckpoint(eager=False))
     labels = nodes.select(F.col(id_col).alias("nid"),

@@ -27,21 +27,29 @@ def minmax_normalize(df: DataFrame, group_col: str, value_col: str,
 
     Pandas computes the same scalar double expression per row that a SQL
     window formulation would (no accumulation, so no summation-order
-    drift) — value-level checkable against a window-function oracle."""
+    drift) — value-level checkable against a window-function oracle.
+
+    NULL values normalize to NULL (min/max skip them, as SQL's do);
+    the group column's output type follows the input schema rather
+    than assuming string."""
     import pandas as pd  # noqa: F401 (Arrow path requires pandas)
 
-    out_schema = f"{id_col} long, {group_col} string, {out_col} long"
+    gtype = dict(df.dtypes)[group_col]
+    out_schema = f"{id_col} long, {group_col} {gtype}, {out_col} long"
 
     def norm(pdf):
         import math
 
+        import pandas as pd
+
         lo = pdf[value_col].min()
         hi = pdf[value_col].max()
         span = hi - lo
-        if span == 0:
-            bp = [0] * len(pdf)
+        if pd.isna(span) or span == 0:
+            bp = [None if pd.isna(v) else 0 for v in pdf[value_col]]
         else:
-            bp = [int(math.floor((v - lo) * 10000 / span))
+            bp = [None if pd.isna(v)
+                  else int(math.floor((v - lo) * 10000 / span))
                   for v in pdf[value_col]]
         return pdf.assign(**{out_col: bp})[[id_col, group_col, out_col]]
 

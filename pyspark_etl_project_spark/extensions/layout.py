@@ -129,7 +129,6 @@ def compact_small_files(spark, src_path: str, dst_path: str,
 
     Returns (rows_written, files_written)."""
     import math
-    import os
 
     df = spark.read.parquet(src_path)
     n = df.count()
@@ -137,5 +136,12 @@ def compact_small_files(spark, src_path: str, dst_path: str,
     (df.repartitionByRange(parts, F.col(order_col))
        .sortWithinPartitions(order_col)
        .write.mode("overwrite").parquet(dst_path))
-    files = [f for f in os.listdir(dst_path) if f.endswith(".parquet")]
-    return n, len(files)
+    # Count written files through Spark's _metadata column, NOT
+    # os.listdir: the destination can be any Hadoop-supported
+    # filesystem (s3a/gs/abfs), where a local listdir would raise
+    # after the write already succeeded. Same pattern as
+    # skipping.py's manifest build.
+    files = (spark.read.parquet(dst_path)
+             .select(F.col("_metadata.file_path"))
+             .distinct().count())
+    return n, files

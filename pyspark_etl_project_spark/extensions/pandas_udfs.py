@@ -24,8 +24,11 @@ from pyspark.sql.functions import pandas_udf
 
 @pandas_udf("int")
 def vowel_count(s: pd.Series) -> pd.Series:
-    """Vectorized vowel counter (scalar pandas UDF)."""
-    return s.str.count("[aeiou]").astype("int32")
+    """Vectorized vowel counter (scalar pandas UDF). NULL in → NULL
+    out, like a built-in expression: str.count gives NaN for nulls and
+    the NULLABLE Int32 dtype carries it to an Arrow null (a plain
+    int32 astype would raise on the NaN and kill the task)."""
+    return s.str.count("[aeiou]").astype("Int32")
 
 
 @pandas_udf("long")
@@ -35,9 +38,16 @@ def weighted_mean_trunc(v: pd.Series, w: pd.Series) -> int:
     path). TRUNCATION toward zero, not floor: the DuckDB oracle's
     integer `//` truncates while Python's floors, and the two differ
     by 1 whenever Σ(v·w) is negative — pin the oracle's semantics
-    explicitly (same pattern as audio_mixdown_stats)."""
-    num = int((v.astype("int64") * w.astype("int64")).sum())
-    den = int(w.astype("int64").sum())
+    explicitly (same pattern as audio_mixdown_stats).
+
+    NULL handling mirrors the SQL twin's independent SUMs: the
+    numerator skips rows where EITHER factor is null (a null product
+    never reaches SQL SUM), the denominator skips only null weights —
+    an int64 astype over raw NaNs would instead raise and kill the
+    task."""
+    pm = v.notna() & w.notna()
+    num = int((v[pm].astype("int64") * w[pm].astype("int64")).sum())
+    den = int(w[w.notna()].astype("int64").sum())
     if not den:
         return 0
     q = abs(num) // abs(den)

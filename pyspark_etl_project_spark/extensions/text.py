@@ -23,9 +23,15 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens (empty-string safe)."""
+    """Whitespace tokens. Empty/whitespace-only text yields an EMPTY
+    array: split-of-trimmed('') is [''] — one phantom empty token that
+    would put n_tokens=1 on contentless documents and skew every
+    downstream corpus statistic — so empties are filtered. On
+    non-empty text the filter is a no-op (a trimmed whitespace split
+    never produces '' tokens), which is why the SQL twins' plain
+    string_split replays stay value-identical on real documents."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
 def token_count(col: Column | str) -> Column:

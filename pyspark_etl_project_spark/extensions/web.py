@@ -15,7 +15,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tracking parameters dropped during canonicalization (utm_* wildcard
-# plus the common click ids). Keep in sync with _TRACKING_RE_SQL below.
+# plus the common click ids). Keep in sync with the regex literal in
+# the url_canonical_dedup SQL twin (plans/extensions.py).
 TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
 
 
@@ -36,6 +37,12 @@ def canonical_url(col: Column | str) -> Column:
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
     pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    # Strip URL userinfo BEFORE splitting host/port: without this,
+    # 'http://x@blocked.com/' keeps 'x@blocked.com' as the host (never
+    # matching a blocklist suffix) and 'user:pass@host' makes the
+    # ^([^:]*) extract return 'user'. Greedy .*@ takes the LAST @, as
+    # RFC 3986 requires (userinfo may itself contain @-free ':').
+    hostport = F.regexp_replace(hostport, r"^.*@", "")
     host = F.regexp_replace(
         F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
         r"^www\.", "")
@@ -78,6 +85,9 @@ def url_host(col: Column | str) -> Column:
                          r"#.*$", "")
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    # Userinfo stripped first (see canonical_url) — a crafted
+    # 'http://anything@blocked.com/' must not bypass the blocklist.
+    hostport = F.regexp_replace(hostport, r"^.*@", "")
     return F.regexp_replace(
         F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
         r"^www\.", "")

@@ -1925,7 +1925,8 @@ s2 AS (
   FROM s1),
 s3 AS (
   SELECT doc_id, url, scheme,
-         regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+         regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+                        '^.*@', '') AS hostport,
          regexp_replace(rest, '^[^/?]*', '') AS pathq
   FROM s2),
 s4 AS (
@@ -2578,10 +2579,12 @@ h AS (
   SELECT doc_id,
          regexp_replace(
            lower(regexp_extract(
-             regexp_extract(
-               regexp_replace(regexp_replace(url, '#.*$', ''),
-                              '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-               '^([^/?]*)', 1),
+             regexp_replace(
+               regexp_extract(
+                 regexp_replace(regexp_replace(url, '#.*$', ''),
+                                '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                 '^([^/?]*)', 1),
+               '^.*@', ''),
              '^([^:]*)', 1)),
            '^www\\.', '') AS host
   FROM raw),

@@ -336,7 +336,10 @@ def test_ngram_array_matches_python_model(spark, toks, n):
     text = " ".join(toks)
     got = (spark.createDataFrame([(text,)], "text string")
            .select(word_ngrams("text", n).alias("g")).first()["g"])
-    model_toks = re.split(r"\s+", text.strip())
+    # Empty tokens filtered: contentless text has ZERO tokens (and so
+    # zero n-grams) — re.split of '' yields [''], the phantom token
+    # tokens() now drops engine-side.
+    model_toks = [t for t in re.split(r"\s+", text.strip()) if t]
     want = [" ".join(model_toks[i:i + n])
             for i in range(len(model_toks) - n + 1)] \
         if len(model_toks) >= n else []
