@@ -20,6 +20,20 @@ from pyspark.sql import functions as F
 TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
 
 
+def _host_of(hostport: Column) -> Column:
+    """Host of a (userinfo-stripped) authority. Bracketed IPv6
+    literals keep their brackets — the colon-based port split would
+    otherwise truncate '[2001:db8::1]' to '[', collapsing every IPv6
+    host to one canonical value (and making IPv6 blocklist entries
+    unmatchable). DNS names get the usual lowercase + www-strip;
+    IP literals are matched exactly, never by dot-suffix."""
+    bracketed = F.lower(F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1))
+    plain = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
+        r"^www\.", "")
+    return F.when(hostport.startswith("["), bracketed).otherwise(plain)
+
+
 def canonical_url(col: Column | str) -> Column:
     """Canonical form of an http(s) URL:
 
@@ -43,9 +57,7 @@ def canonical_url(col: Column | str) -> Column:
     # ^([^:]*) extract return 'user'. Greedy .*@ takes the LAST @, as
     # RFC 3986 requires (userinfo may itself contain @-free ':').
     hostport = F.regexp_replace(hostport, r"^.*@", "")
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
-        r"^www\.", "")
+    host = _host_of(hostport)
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
     port = (F.when((scheme == "http") & (port == "80"), F.lit(""))
              .when((scheme == "https") & (port == "443"), F.lit(""))
@@ -88,9 +100,7 @@ def url_host(col: Column | str) -> Column:
     # Userinfo stripped first (see canonical_url) — a crafted
     # 'http://anything@blocked.com/' must not bypass the blocklist.
     hostport = F.regexp_replace(hostport, r"^.*@", "")
-    return F.regexp_replace(
-        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
-        r"^www\.", "")
+    return _host_of(hostport)
 
 
 def blocklist_verdicts(df: DataFrame, id_col: str, url_col: str,

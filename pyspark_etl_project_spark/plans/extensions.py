@@ -1931,8 +1931,12 @@ s3 AS (
   FROM s2),
 s4 AS (
   SELECT doc_id, url, scheme,
-         regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
-                        '^www\\.', '') AS host,
+         CASE WHEN hostport LIKE '[%'
+              THEN lower(regexp_extract(hostport,
+                                        '^(\\[[^\\]]*\\])', 1))
+              ELSE regexp_replace(
+                     lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                     '^www\\.', '') END AS host,
          regexp_extract(hostport, ':(\\d+)$', 1) AS port0,
          regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '')
            AS path0,
@@ -2575,19 +2579,24 @@ WITH raw AS (
                   ELSE '.Example.COM' END)
          || '/p/' || CAST(doc_id % 11 AS VARCHAR) AS url
   FROM documents WHERE doc_id < 400),
-h AS (
+hp AS (
   SELECT doc_id,
          regexp_replace(
-           lower(regexp_extract(
-             regexp_replace(
-               regexp_extract(
-                 regexp_replace(regexp_replace(url, '#.*$', ''),
-                                '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-                 '^([^/?]*)', 1),
-               '^.*@', ''),
-             '^([^:]*)', 1)),
-           '^www\\.', '') AS host
+           regexp_extract(
+             regexp_replace(regexp_replace(url, '#.*$', ''),
+                            '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+             '^([^/?]*)', 1),
+           '^.*@', '') AS hostport
   FROM raw),
+h AS (
+  SELECT doc_id,
+         CASE WHEN hostport LIKE '[%'
+              THEN lower(regexp_extract(hostport,
+                                        '^(\\[[^\\]]*\\])', 1))
+              ELSE regexp_replace(
+                     lower(regexp_extract(hostport, '^([^:]*)', 1)),
+                     '^www\\.', '') END AS host
+  FROM hp),
 bl AS (SELECT * FROM (VALUES ('example.com'), ('site1.example.com'),
                              ('cdn.site3.example.com')) AS b(domain)),
 m AS (
@@ -3510,16 +3519,20 @@ WITH qs AS (
   SELECT exact.query_id, COUNT(*) AS n_overlap
   FROM exact JOIN approx USING (query_id, vec_id)
   GROUP BY exact.query_id
+), ex AS (
+  SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id
 ), an AS (
   SELECT query_id, COUNT(*) AS n_ann FROM approx GROUP BY query_id
 )
 SELECT q.query_id,
-       CAST(5 AS INTEGER) AS n_exact,
+       CAST(COALESCE(ex.n_exact, 0) AS INTEGER) AS n_exact,
        CAST(COALESCE(an.n_ann, 0) AS INTEGER) AS n_ann,
        CAST(COALESCE(ov.n_overlap, 0) AS INTEGER) AS n_overlap,
-       CAST(COALESCE(ov.n_overlap, 0) * 100 // 5 AS INTEGER)
-         AS recall_pct
+       CAST(CASE WHEN COALESCE(ex.n_exact, 0) > 0
+                 THEN COALESCE(ov.n_overlap, 0) * 100 // ex.n_exact
+                 ELSE 0 END AS INTEGER) AS recall_pct
 FROM qs q
+LEFT JOIN ex ON q.query_id = ex.query_id
 LEFT JOIN an ON q.query_id = an.query_id
 LEFT JOIN ov ON q.query_id = ov.query_id
 """)
@@ -3531,27 +3544,39 @@ def ann_recall_calibration_q(spark: SparkSession,
                           F.col("embedding").alias("query_vec"))
                   .localCheckpoint(eager=False))
     corpus = emb.filter(F.col("vec_id") >= 8)
-    exact = topk_for_queries(corpus, queries, k=5, num_bits=None)
+    # exact feeds BOTH the denominator count and the overlap join —
+    # pin it so the brute-force corpus scoring runs once, not twice.
+    exact = topk_for_queries(corpus, queries, k=5, num_bits=None) \
+        .localCheckpoint(eager=False)
     approx = topk_for_queries(corpus, queries, k=5, num_bits=4)
     # Every derived frame here is <= |queries| * k rows — broadcast
     # them all so no sort-merge join appears (repo invariant).
+    # n_exact is MEASURED (a slice with < k eligible corpus rows has a
+    # smaller true top-k, and the recall denominator must shrink with
+    # it — same contract as hard_negative_mining_ann).
     ov = (exact.select("query_id", "vec_id")
           .join(F.broadcast(approx.select("query_id", "vec_id")),
                 ["query_id", "vec_id"])
           .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap")))
+    ex = (exact.groupBy("query_id")
+          .agg(F.count(F.lit(1)).alias("n_exact")))
     an = (approx.groupBy("query_id")
           .agg(F.count(F.lit(1)).alias("n_ann")))
     return (queries.select("query_id")
+            .join(F.broadcast(ex), "query_id", "left")
             .join(F.broadcast(an), "query_id", "left")
             .join(F.broadcast(ov), "query_id", "left")
             .select("query_id",
-                    F.lit(5).cast("int").alias("n_exact"),
+                    F.coalesce("n_exact", F.lit(0)).cast("int")
+                     .alias("n_exact"),
                     F.coalesce("n_ann", F.lit(0)).cast("int")
                      .alias("n_ann"),
                     F.coalesce("n_overlap", F.lit(0)).cast("int")
                      .alias("n_overlap"),
-                    F.expr("cast(coalesce(n_overlap, 0) * 100 div 5"
-                           " as int)").alias("recall_pct")))
+                    F.expr("cast(case when coalesce(n_exact, 0) > 0"
+                           " then coalesce(n_overlap, 0) * 100"
+                           " div n_exact else 0 end as int)")
+                     .alias("recall_pct")))
 
 
 # --- hard-negative mining -----------------------------------------------------
@@ -3673,7 +3698,11 @@ def hard_negative_mining_ann_q(spark: SparkSession,
                                     num_bits=8, probe_hamming=1)
     ann = hard_negatives(corpus, queries, k=3, prefilter="lsh",
                          num_bits=8, probe_hamming=1)
-    exact = hard_negatives(corpus, queries, k=3)
+    # exact feeds BOTH the n_exact denominator and the overlap join —
+    # pin it so the brute-force corpus scoring (the expensive pass
+    # this query exists to calibrate away) runs once, not twice.
+    exact = hard_negatives(corpus, queries, k=3) \
+        .localCheckpoint(eager=False)
     # Every derived frame is <= |queries| * k (or |queries| groups) —
     # broadcast them all so no sort-merge join appears.
     nc = (cand.groupBy("query_id")

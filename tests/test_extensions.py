@@ -1777,3 +1777,79 @@ def test_token_count_empty_doc_is_zero(spark):
            .collect()]
     assert got == [0, 0, 2]
     assert df.select(tokens("t").alias("tk")).collect()[0]["tk"] == []
+
+
+def test_ipv6_host_distinct_and_blocklistable(spark):
+    """Bracketed IPv6 literals keep their brackets through host
+    extraction: two different IPv6 hosts must not collapse to one
+    canonical URL ('[' truncation), and an IPv6 blocklist entry must
+    match exactly."""
+    from pyspark_etl_project_spark.extensions.web import (
+        blocklist_verdicts, canonical_url)
+
+    df = spark.createDataFrame(
+        [(1, "http://[2001:db8::1]/a"), (2, "http://[2001:db8::2]/a"),
+         (3, "http://[2001:DB8::1]:8080/a")], "doc_id long, url string")
+    canon = {r["doc_id"]: r["c"] for r in
+             df.select("doc_id", canonical_url("url").alias("c"))
+             .collect()}
+    assert canon[1] == "http://[2001:db8::1]/a"
+    assert canon[2] == "http://[2001:db8::2]/a"
+    assert canon[3] == "http://[2001:db8::1]:8080/a"
+    out = {r["doc_id"]: r["matched_domain"] for r in
+           blocklist_verdicts(df, "doc_id", "url",
+                              ["[2001:db8::1]"]).collect()}
+    assert out[1] == "[2001:db8::1]" and out[3] == "[2001:db8::1]"
+    assert out[2] is None
+
+
+def _tiny_embeddings_dir(spark, tmp_path):
+    """Fixture where one query's label covers all but <k corpus rows,
+    exercising the measured-n_exact (shrunken recall denominator)
+    paths the sf testdata never hits."""
+    rows = []
+    vals = [[float(i + j) for j in range(64)] for i in range(16)]
+    # queries: vec_id 0 (label 0), vec_id 1 (label 1)
+    rows.append((0, vals[0], 0))
+    rows.append((1, vals[1], 1))
+    # corpus: two rows label 0, one row label 1
+    rows.append((8, vals[2], 0))
+    rows.append((9, vals[3], 0))
+    rows.append((10, vals[4], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    path = str(tmp_path / "emb_sf")
+    df.coalesce(1).write.parquet(path + "/embeddings.parquet")
+    return path
+
+
+def test_hard_negative_mining_ann_measured_denominator(spark, tmp_path):
+    """n_exact is the MEASURED exact-negative count (1 and 2 here, not
+    the literal k=3), and recall_pct divides by it."""
+    from pyspark_etl_project_spark.plans.extensions import (
+        hard_negative_mining_ann_q)
+
+    out = {r["query_id"]: r.asDict() for r in
+           hard_negative_mining_ann_q(
+               spark, _tiny_embeddings_dir(spark, tmp_path)).collect()}
+    assert out[0]["n_exact"] == 1   # only vec 10 has a different label
+    assert out[1]["n_exact"] == 2   # vecs 8, 9
+    for r in out.values():
+        if r["n_exact"]:
+            assert r["recall_pct"] == r["n_overlap"] * 100 // r["n_exact"]
+        else:
+            assert r["recall_pct"] == 0
+
+
+def test_ann_recall_calibration_measured_denominator(spark, tmp_path):
+    """A corpus smaller than k shrinks n_exact (3 here, not the
+    literal 5) and the recall denominator with it."""
+    from pyspark_etl_project_spark.plans.extensions import (
+        ann_recall_calibration_q)
+
+    out = {r["query_id"]: r.asDict() for r in
+           ann_recall_calibration_q(
+               spark, _tiny_embeddings_dir(spark, tmp_path)).collect()}
+    for r in out.values():
+        assert r["n_exact"] == 3    # corpus has only 3 rows
+        assert r["recall_pct"] == r["n_overlap"] * 100 // 3
