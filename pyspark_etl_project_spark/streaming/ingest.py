@@ -125,22 +125,28 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
         read_mart, scd2_merge, write_mart)
 
     spark = stream.sparkSession
+    # Each invocation is a FRESH load: clear BOTH the mart directory
+    # and the stream checkpoint before seeding. The seed write alone is
+    # NOT a reset — write_mart's bucketed dynamic overwrite touches
+    # only the buckets the initial mart's keys hash to, so a previous
+    # run's other buckets would silently survive under the new seed;
+    # and a surviving checkpoint's committed offsets would make the
+    # restarted stream SKIP batches whose merges the reset just erased
+    # (permanent silent loss). With both cleared, the stream replays
+    # everything and converges to the same mart (the merge is
+    # deterministic given the seed). Resuming an interrupted stream
+    # incrementally is a different mode — it would keep checkpoint AND
+    # mart and skip the seeding entirely. (Hadoop FS API — works on
+    # any supported filesystem, not just local.)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for stale in (mart_path, mart_path + "_chk"):
+        jpath = jvm.org.apache.hadoop.fs.Path(stale)
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
     write_mart(initial_mart, mart_path, partition_col=partition_col,
                key=key, num_buckets=num_buckets)
-    # Resetting the mart to its initial state makes any EXISTING
-    # checkpoint's committed offsets a lie: a restart with the same
-    # mart_path would skip the already-committed batches (their files
-    # are marked done) while the mart no longer holds their merges —
-    # permanent silent loss. Drop the stale checkpoint with the reset
-    # so the stream replays everything; the merge is idempotent, so
-    # replay converges to the same mart. (Hadoop FS API — works on any
-    # supported filesystem, not just local.)
-    chk = mart_path + "_chk"
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(chk)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(jpath):
-        fs.delete(jpath, True)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         arrivals = prepare(batch) if prepare is not None else batch

@@ -397,3 +397,45 @@ def test_stream_documents_empty_slice_drains_empty(spark):
     finally:
         q.stop()
     assert sum(seen) == 0
+
+
+def test_foreach_batch_scd2_restart_replays_after_mart_reset(spark, tmp_path):
+    """Re-invoking foreach_batch_scd2 with the SAME mart path resets
+    the mart AND drops the stale stream checkpoint, so the stream
+    replays everything and converges to the same final mart — with the
+    old checkpoint kept, the committed offsets would skip the batches
+    the reset just erased (silent loss)."""
+    from pyspark_etl_project_spark.operators.scd2 import read_mart
+    from pyspark_etl_project_spark.streaming.ingest import (
+        foreach_batch_scd2, stream_documents)
+
+    sf = "/root/testdata/sf0.001"
+    t0 = "2020-01-01 00:00:00"
+    initial = spark.createDataFrame(
+        [(1, "SEED", 0, 1, t0, "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, n_chars long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+
+    def prep(b):
+        return b.select(
+            F.concat(F.lit("D-"), F.col("doc_id").cast("string"))
+             .alias("ssi"),
+            F.length("text").cast("long").alias("n_chars"))
+
+    mart_path = str(tmp_path / "mart")
+
+    def run():
+        stream, _ = stream_documents(spark, sf, min_doc_id=480, files=2)
+        foreach_batch_scd2(stream, mart_path, initial,
+                           run_ts="2024-01-01 00:00:00", key="ssi",
+                           surrogate_col="csd_id", prepare=prep,
+                           num_buckets=4)
+        return sorted((r["ssi"], r["n_chars"], r["ACTIVE_FLAG"])
+                      for r in read_mart(spark, mart_path).collect())
+
+    first = run()
+    assert len(first) > 1  # seed row + streamed docs
+    second = run()
+    assert second == first
