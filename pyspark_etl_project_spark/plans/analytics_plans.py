@@ -111,7 +111,6 @@ def order_line_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
     cents = (F.floor(F.col("l_extendedprice").cast("decimal(18,6)") * 100)
              .cast("long"))
-    w = Window.partitionBy("l_orderkey")
     return (li.select("l_orderkey", "l_linenumber", cents.alias("_c"))
               .withColumn("share_bp",
                           F.expr("(_c * 10000) div sum(_c) over "
@@ -233,9 +232,7 @@ SELECT event_id, user_id,
 FROM events WHERE user_id < 50
 """)
 def cumulative_user_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark_etl_project_spark.plans.tables import load as _load
-
-    ev = _load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return ev.select(

@@ -127,7 +127,7 @@ def rollup_flag_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- metadata catalog (SURVEY.md §1.1: dictionary/registry/audit) ---------
 
-def _dict_values_sql() -> str:
+def _dict_values_sql() -> tuple[str, str]:
     from pyspark_etl_project_spark.catalog import DATA_DICTIONARY, TABLE_COLUMNS
     doc = {(t, c) for t, c, _d, _a in DATA_DICTIONARY}
     col_rows = ", ".join(

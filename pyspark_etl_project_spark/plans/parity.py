@@ -14,7 +14,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_etl_project_spark.functions.hashing import row_fingerprint

@@ -164,35 +164,11 @@ def etl_csv_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
           .otherwise("BEST")).alias("RATING"),
         k.alias("_ingest_order"),
     )
-    dims = {
-        "agents": seed_agents(spark),
-        "support_areas": seed_support_areas(spark),
-        "customer_types": seed_customer_types(spark),
-    }
+    dims = _seed_dims(spark)
     staged = csv_transform(feed, dims, data_load_id=42)
     mart, _audit = run_load(empty_mart(spark), staged, _RUN_TS, source_id=3, dense_ids=True,
                           surrogate_offset=0)
-    return mart.select(
-        F.col("CSD_ID").alias("csd_id"), F.col("SOURCE_ID").alias("source_id"),
-        F.col("SOURCE_SYSTEM_IDENTIFIER").alias("ssi"),
-        F.col("AGENT_ID").alias("agent_id"),
-        F.col("INTERACTION_DATE").alias("interaction_date"),
-        F.col("SUPPORT_AREA_ID").alias("support_area_id"),
-        F.col("INTERACTION_STATUS").alias("interaction_status"),
-        F.col("INTERACTION_TYPE").alias("interaction_type"),
-        F.col("CUSTOMER_TYPE_ID").alias("customer_type_id"),
-        F.col("HANDLE_TIME").alias("handle_time"),
-        F.col("WORK_TIME").alias("work_time"),
-        F.col("FIRST_CONTACT_RESOLUTION").alias("first_contact_resolution"),
-        F.col("QUERY_STATUS").alias("query_status"),
-        F.col("SOLUTION_TYPE").alias("solution_type"),
-        F.col("CUSTOMER_RATING").alias("customer_rating"),
-        F.col("SOURCE_HASH_KEY").alias("source_hash_key"),
-        F.col("DATA_LOAD_ID").alias("data_load_id"),
-        F.col("IS_VALID_DATA").alias("is_valid_data"),
-        F.col("ACTIVE_FLAG").alias("active_flag"),
-        F.col("START_DATE").alias("start_date"),
-        F.col("END_DATE").alias("end_date"))
+    return _mart_lower(mart)
 
 
 # --- AMAZON JSON pipeline, end to end -------------------------------------
@@ -538,6 +514,23 @@ def _att_staged_sql(lo: int, hi: int, shift: bool, load_id: int) -> str:
   FROM orders WHERE o_orderkey >= {lo} AND o_orderkey < {hi}"""
 
 
+def _two_load_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared two-load AT&T mart: load 1 over order keys [0,500),
+    then an overlapping shifted load 2 over [250,750) merged on top.
+    One definition — three oracle-gated queries (incremental, as-of
+    snapshot, vacuum) must all test the SAME mart, so the scenario
+    cannot drift between copies."""
+    orders = load(spark, sf_dir, "orders")
+    dims = _seed_dims(spark)
+    staged1 = csv_transform(_att_feed(orders, 0, 500, shift=False), dims, 61)
+    mart1, _ = run_load(empty_mart(spark), staged1, _T1_2L, source_id=3,
+                        dense_ids=True, surrogate_offset=0)
+    mart1 = mart1.localCheckpoint(eager=False)
+    staged2 = csv_transform(_att_feed(orders, 250, 750, shift=True), dims, 62)
+    mart2, _ = run_load(mart1, staged2, _T2_2L, source_id=3, dense_ids=True)
+    return mart2
+
+
 @_q("etl_csv_two_load_incremental", f"""
 WITH s1 AS ({_att_staged_sql(0, 500, False, 61)}),
 s2 AS ({_att_staged_sql(250, 750, True, 62)}),
@@ -587,15 +580,7 @@ FROM (SELECT csd_id, ssi, agent_id, interaction_date, support_area_id,
       UNION ALL SELECT * FROM fresh)
 """)
 def etl_csv_two_load_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    dims = _seed_dims(spark)
-    staged1 = csv_transform(_att_feed(orders, 0, 500, shift=False), dims, 61)
-    mart1, _ = run_load(empty_mart(spark), staged1, _T1_2L, source_id=3, dense_ids=True,
-                     surrogate_offset=0)
-    mart1 = mart1.localCheckpoint(eager=False)
-    staged2 = csv_transform(_att_feed(orders, 250, 750, shift=True), dims, 62)
-    mart2, _ = run_load(mart1, staged2, _T2_2L, source_id=3, dense_ids=True)
-    return _mart_lower(mart2)
+    return _mart_lower(_two_load_mart(spark, sf_dir))
 
 
 # --- single-pass audit via the Observation API ------------------------------
@@ -659,14 +644,7 @@ FROM load1
 def scd2_asof_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_etl_project_spark.operators.scd2 import asof_snapshot
 
-    orders = load(spark, sf_dir, "orders")
-    dims = _seed_dims(spark)
-    staged1 = csv_transform(_att_feed(orders, 0, 500, shift=False), dims, 61)
-    mart1, _ = run_load(empty_mart(spark), staged1, _T1_2L, source_id=3,
-                        dense_ids=True, surrogate_offset=0)
-    mart1 = mart1.localCheckpoint(eager=False)
-    staged2 = csv_transform(_att_feed(orders, 250, 750, shift=True), dims, 62)
-    mart2, _ = run_load(mart1, staged2, _T2_2L, source_id=3, dense_ids=True)
+    mart2 = _two_load_mart(spark, sf_dir)
     return _mart_lower(asof_snapshot(mart2, "2024-05-15 00:00:00"))
 
 
@@ -719,12 +697,5 @@ FROM (SELECT csd_id, ssi, agent_id, interaction_date, support_area_id,
 def scd2_vacuum_expired_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_etl_project_spark.operators.scd2 import vacuum_expired
 
-    orders = load(spark, sf_dir, "orders")
-    dims = _seed_dims(spark)
-    staged1 = csv_transform(_att_feed(orders, 0, 500, shift=False), dims, 61)
-    mart1, _ = run_load(empty_mart(spark), staged1, _T1_2L, source_id=3,
-                        dense_ids=True, surrogate_offset=0)
-    mart1 = mart1.localCheckpoint(eager=False)
-    staged2 = csv_transform(_att_feed(orders, 250, 750, shift=True), dims, 62)
-    mart2, _ = run_load(mart1, staged2, _T2_2L, source_id=3, dense_ids=True)
+    mart2 = _two_load_mart(spark, sf_dir)
     return _mart_lower(vacuum_expired(mart2, "2024-07-01 00:00:00"))
