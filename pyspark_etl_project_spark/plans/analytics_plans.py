@@ -486,7 +486,7 @@ def set_ops_user_activity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = ev.filter(F.col("event_id") >= 5000).select("user_id").distinct()
     rows = [
         ("both", early.intersect(late)),
-        ("early_only", early.exceptAll(late).distinct()),
+        ("early_only", early.subtract(late)),
         ("either", early.union(late).distinct()),
     ]
     parts = [df.agg(F.lit(name).alias("cohort"),
@@ -977,7 +977,6 @@ def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("next_type").isNotNull()))
     t = (seq.groupBy("event_type", "next_type")
             .agg(F.count(F.lit(1)).alias("n")))
-    wt = Window.partitionBy("event_type")
     return t.withColumn(
         "prob_ppm",
         F.expr("n * 1000000 div sum(n) over (partition by event_type)"))

@@ -2091,7 +2091,14 @@ def intra_doc_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     w = X.tokens("text")
-    staged = docs.select("doc_id", w.alias("_w"))
+    # Docs with fewer than 10 tokens have ZERO full lines and must drop
+    # entirely — exactly what the oracle's unnest-of-empty-list does.
+    # Without the filter, F.sequence(0, nlines-1) at nlines=0 counts
+    # DOWN ([0,-1]), fabricating two phantom lines and emitting a row
+    # the oracle never produces (latent gate divergence: the shipped
+    # corpus' shortest doc is exactly 10 tokens).
+    staged = (docs.select("doc_id", w.alias("_w"))
+              .filter(F.size("_w") >= 10))
     nlines = F.floor(F.size("_w") / 10).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), nlines - 1),

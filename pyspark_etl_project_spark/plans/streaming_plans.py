@@ -328,9 +328,6 @@ def streaming_stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFram
 @_q("streaming_band_index_dedup", None)
 def streaming_band_index_dedup_q(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from pyspark_etl_project_spark.extensions.dedup import build_band_index
     from pyspark_etl_project_spark.plans.tables import load
     from pyspark_etl_project_spark.streaming.ingest import (
@@ -438,7 +435,7 @@ WITH t AS (
   FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
         FROM documents WHERE doc_id >= 300)
 ), h AS (
-  SELECT CAST(concat('0x', substr(md5('kmv-v1|' || v), 1, 12))
+  SELECT DISTINCT CAST(concat('0x', substr(md5('kmv-v1|' || v), 1, 12))
               AS BIGINT) AS h
   FROM t
 ), kth AS (
@@ -446,16 +443,13 @@ WITH t AS (
     SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM h)
   WHERE rn = 64
 )
-SELECT CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS exact_distinct,
+SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS exact_distinct,
        (SELECT kth_min_hash FROM kth) AS kth_min_hash,
        CAST(63 * CAST(281474976710656 AS BIGINT)
             // (SELECT kth_min_hash FROM kth) AS BIGINT) AS est_distinct
 """)
 def streaming_kmv_trigram_sketch_q(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from pyspark_etl_project_spark.streaming.ingest import (
         foreach_batch_kmv, stream_documents)
 
@@ -470,7 +464,10 @@ def streaming_kmv_trigram_sketch_q(spark: SparkSession,
     # subquery over an empty frame is NULL too, and est_distinct
     # NULL-propagates on both engines). The previous row_number
     # window + crossJoin yielded ZERO rows in that case — a gate
-    # divergence on tiny slices.
+    # divergence on tiny slices. Both engines rank DISTINCT hashes
+    # (the oracle's h CTE carries DISTINCT, foreach_batch_kmv cuts
+    # distinct per batch) so a 48-bit value collision in the bottom
+    # 64 cannot split the engines — the stats.py hash-dedup invariant.
     kth = (cand.distinct().orderBy("h").limit(64)
            .agg(F.when(F.count(F.lit(1)) == 64, F.max("h"))
                 .cast("long").alias("kth_min_hash")))

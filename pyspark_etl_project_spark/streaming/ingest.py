@@ -274,12 +274,17 @@ def foreach_batch_kmv(stream: DataFrame, store_path: str,
                           .alias("v"))
                   .distinct()
                   .select(kmv_value_hash(F.col("v"), salt).alias("h")))
-        # k smallest via orderBy+limit → TakeOrderedAndProject
-        # (per-partition k-heaps, then a k-bounded driver merge) — the
-        # batch's distinct-hash set is corpus-sized, so a row_number
-        # over an UNPARTITIONED window here would funnel every hash
-        # through one task just to keep k of them.
-        topk = hashed.orderBy("h").limit(k)
+        # k smallest DISTINCT hashes via distinct+orderBy+limit →
+        # TakeOrderedAndProject (per-partition k-heaps, then a
+        # k-bounded driver merge) — the batch's distinct-hash set is
+        # corpus-sized, so a row_number over an UNPARTITIONED window
+        # here would funnel every hash through one task just to keep k
+        # of them. The distinct matters for the merge contract: a
+        # 48-bit value collision inside the cut would otherwise let a
+        # duplicate h crowd out the batch's k-th distinct minimum,
+        # which no downstream dedup can recover (stats.py invariant:
+        # every KMV arm dedupes on the hash).
+        topk = hashed.distinct().orderBy("h").limit(k)
         topk.write.mode("append").parquet(store_path)
 
     q = stream.writeStream.foreachBatch(handle).start()

@@ -1853,3 +1853,35 @@ def test_ann_recall_calibration_measured_denominator(spark, tmp_path):
     for r in out.values():
         assert r["n_exact"] == 3    # corpus has only 3 rows
         assert r["recall_pct"] == r["n_overlap"] * 100 // 3
+
+
+def test_intra_doc_line_dedup_short_doc_parity(spark, tmp_path):
+    """A document with fewer than 10 tokens has ZERO full lines and
+    must drop on BOTH engines. Before the guard, Spark's
+    sequence(0, nlines-1) counted DOWN at nlines=0 ([0,-1]),
+    fabricating phantom lines and emitting a row the DuckDB oracle
+    never produces — invisible to the gate only because the shipped
+    corpus' shortest doc is exactly 10 tokens."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from pyspark_etl_project_spark.plans.extensions import (
+        intra_doc_line_dedup_q)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),                       # 5 tokens: no line
+         (2, " ".join(f"w{i}" for i in range(25)))],  # 2 full lines
+        "doc_id long, text string")
+    sf = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(sf + "/documents.parquet")
+
+    got = {r["doc_id"]: (r["n_lines_in"], r["n_lines_out"], r["fp"])
+           for r in intra_doc_line_dedup_q(spark, sf).collect()}
+    assert set(got) == {2}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet/*.parquet'")
+    sql = entry.oracle_sql()["intra_doc_line_dedup"]
+    oracle = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+    assert oracle == got
