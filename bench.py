@@ -238,9 +238,14 @@ def main() -> None:
     # on this line (it lives in the sidecar above).
     payload = {
         "metric": "headline_queries_total_time",
+        # value sums the n_ok SUCCEEDED queries — when errors exist,
+        # n_ok < n_queries makes the shrunken denominator visible, so
+        # a failed 60 s query cannot masquerade as a 60 s speedup in a
+        # cross-round total comparison.
         "value": round(sum(t for t in times.values() if t is not None), 3),
         "unit": "sec",
         "n_queries": len(names),
+        "n_ok": sum(1 for t in times.values() if t is not None),
         "sf": sf_val,
         "reps": reps,
         "stat": "median",

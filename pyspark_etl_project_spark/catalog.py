@@ -76,8 +76,13 @@ def documentation_coverage(spark: SparkSession) -> DataFrame:
 
 def domain_audit(df: DataFrame, rules: list[tuple[str, F.Column]]) -> DataFrame:
     """Violation counts for (rule_name, predicate-that-must-hold) pairs —
-    one conditional-aggregation pass, no per-rule rescans."""
-    aggs = [F.sum(F.when(~pred, 1).otherwise(0)).cast("long").alias(name)
+    one conditional-aggregation pass, no per-rule rescans.
+
+    A row violates unless the predicate is TRUE: with `when(~pred, 1)`
+    a NULL in the checked column made the predicate NULL and the row
+    silently counted as COMPLIANT (NULL is outside every declared
+    domain; a rule that accepts NULL must say `isNull() | pred`)."""
+    aggs = [F.sum(F.when(pred, 0).otherwise(1)).cast("long").alias(name)
             for name, pred in rules]
     wide = df.agg(*aggs)
     first = wide.select(

@@ -162,11 +162,11 @@ def catalog_doc_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("catalog_domain_audit", """
 SELECT rule, n_violations FROM (
   SELECT 'event_type_expected' AS rule,
-         CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase','signup')
-             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM events
+         CAST(SUM(CASE WHEN event_type IN ('click','view','purchase','signup')
+             THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM events
   UNION ALL
   SELECT 'value_non_negative',
-         CAST(SUM(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS BIGINT)
          FROM events
   UNION ALL
   SELECT 'user_id_present',

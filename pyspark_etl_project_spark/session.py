@@ -15,9 +15,6 @@ import os
 
 from pyspark.sql import SparkSession
 
-_DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
-
 def get_spark(app_name: str = "pyspark_etl_project_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) the shared SparkSession.
@@ -28,8 +25,12 @@ def get_spark(app_name: str = "pyspark_etl_project_spark",
       which is what makes the same plan survive a 100x scale-up.
     - Arrow on: fast pandas interchange for the Pandas-UDF extensions.
     """
+    # One env read drives BOTH master parallelism and shuffle width —
+    # an import-time snapshot could silently disagree with a caller
+    # that sets SPARK_GRAFT_CPUS after import.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    parts = str(shuffle_partitions or _DEFAULT_SHUFFLE_PARTITIONS)
+    parts = str(cpus if shuffle_partitions is None
+                else shuffle_partitions)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -64,12 +64,18 @@ def probe_temperature_mixture(spark: SparkSession, n: int) -> None:
     from pyspark_etl_project_spark.extensions.dedup import (
         temperature_mixture_sample)
 
-    # Power-law sources: source s covers ~n/2^(s+1) rows (source 0 is
-    # half the corpus — the skew a web crawl actually has).
+    # Power-law sources, SCALE-INVARIANT: the source id derives from
+    # id mod 4096, so source s covers ~2^s/4096 of the corpus at EVERY
+    # n — src11 is half the corpus (the skew a web crawl actually
+    # has). The previous floor(log2(id)) form made the hot source's
+    # identity and mass depend on n, so base and 100x runs probed
+    # different distributions and the ratio partly measured the
+    # distribution change, not scale.
     docs = spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.concat(F.lit("src"),
-                 F.floor(F.log2(F.col("id") + 2)).cast("int") % 12)
+                 F.least(F.floor(F.log2((F.col("id") % 4096) + 1)),
+                         F.lit(11)).cast("int"))
          .alias("source"))
     _materialize(temperature_mixture_sample(docs, "doc_id", "source",
                                             budget=n // 10))

@@ -38,8 +38,10 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+from pyspark_etl_project_spark.plans.tables import TABLES  # noqa: E402
+# (shared with the Spark load path — a copy here once meant a new table
+# could exist Spark-side with no DuckDB view, failing with a confusing
+# error instead of a mismatch)
 
 
 def norm_value(v):
@@ -87,6 +89,13 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # A typo'd/removed name on the command line must be a hard error —
+    # otherwise the filter skips everything and the gate prints
+    # "0 failures" with ZERO coverage.
+    unknown = ONLY - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:

@@ -85,11 +85,13 @@ DEFAULT = [
 
 
 def audit(plan: str) -> dict:
-    # In formatted explain, codegen'd operators carry a leading '* '.
-    nodes = re.findall(r"^\s*[+\-:]*\s*(\*?)\s*([A-Za-z]+[A-Za-z ]*?) \(\d+\)$",
-                       plan, re.M)
-    total = len(nodes)
-    codegen = sum(1 for star, _ in nodes if star)
+    # Each physical node appears exactly ONCE as a detail-section
+    # header '(N) NodeName' — counting those is the unit. (The old
+    # bare `plan.count("Exchange")` counted every node TWICE — tree
+    # line + detail header — and folded BroadcastExchange/
+    # ReusedExchange into the shuffle count, inflating 'shuffles' by
+    # 2-4x; verified against a 1-shuffle plan that reported 4.)
+    names = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.M)
     pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
               if p.strip()]
     part_filtered = [p for p in
@@ -97,11 +99,14 @@ def audit(plan: str) -> dict:
                      if p.strip()]
     read_cols = [s.count(",") + 1 for s in re.findall(r"ReadSchema: (\S+)", plan)]
     return {
-        "exchanges": plan.count("Exchange"),
-        "bhj": plan.count("BroadcastHashJoin"),
-        "smj": plan.count("SortMergeJoin"),
-        "codegen_nodes": codegen,
-        "total_nodes": total,
+        # Exchange = a real shuffle; broadcast/reused exchanges are
+        # reported separately — they are not data shuffles.
+        "exchanges": names.count("Exchange"),
+        "broadcast_exchanges": names.count("BroadcastExchange"),
+        "reused_exchanges": names.count("ReusedExchange"),
+        "bhj": names.count("BroadcastHashJoin"),
+        "smj": names.count("SortMergeJoin"),
+        "total_nodes": len(names),
         "scans_with_pushdown": len(pushed),
         "partition_filtered_scans": len(part_filtered),
         "read_cols": read_cols,
@@ -124,9 +129,11 @@ def main() -> None:
             continue
         df = qs[n](spark, sf_dir)
         a = audit(df._jdf.queryExecution().explainString(mode))
-        print(f"{n}: shuffles={a['exchanges']} broadcast_joins={a['bhj']} "
-              f"sortmerge_joins={a['smj']} "
-              f"codegen={a['codegen_nodes']}/{a['total_nodes']} "
+        print(f"{n}: shuffles={a['exchanges']} "
+              f"broadcast_exchanges={a['broadcast_exchanges']} "
+              f"reused_exchanges={a['reused_exchanges']} "
+              f"broadcast_joins={a['bhj']} "
+              f"sortmerge_joins={a['smj']} nodes={a['total_nodes']} "
               f"pushdown_scans={a['scans_with_pushdown']} "
               f"partition_filtered_scans={a['partition_filtered_scans']} "
               f"read_cols={a['read_cols']}")
