@@ -3836,7 +3836,7 @@ def jsonl_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_id") < 200)
             .select("doc_id", "source", "text"))
     path = os.path.join(tempfile.mkdtemp(prefix="jsonl_sink_"), "out")
-    docs.write.format("jsonlsink").option("path", path).mode("append").save()
+    docs.write.format("jsonlsink").option("path", path).mode("overwrite").save()
     back = (spark.read
             .schema("doc_id bigint, source string, text string")
             .json(os.path.join(path, "part-*.jsonl")))

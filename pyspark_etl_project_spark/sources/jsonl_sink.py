@@ -14,13 +14,15 @@ privately and the atomic rename publishes a complete file either way,
 the idempotence a speculative 1000-executor write needs. The driver
 sees only k commit messages
 (one integer per task), never data. JSON encoding is json.dumps with
-sort_keys for byte-stable output. Whatever save mode is passed, each
-committed write REPLACES the directory's content: commit() removes
-part files the new manifest does not list (a narrower re-write would
-otherwise leave stale wider-write files for glob consumers) — the
-manifest is the authoritative file list. A shared filesystem is
-assumed, as for any production sink; the local[] test rig satisfies
-that trivially. The roundtrip is oracle-gated (`jsonl_sink_roundtrip`).
+sort_keys for byte-stable output. Each committed write REPLACES the
+directory's content — commit() removes part files the new manifest
+does not list (a narrower re-write would otherwise leave stale
+wider-write files for glob consumers), the manifest is the
+authoritative file list, and writer() therefore REJECTS
+mode('append'): replace-behind-an-append-API would be silent data
+loss. A shared filesystem is assumed, as for any production sink; the
+local[] test rig satisfies that trivially. The roundtrip is
+oracle-gated (`jsonl_sink_roundtrip`).
 
 Reference parity note: the reference lands every feed through
 driver-side pandas `to_sql` row loops (ETL/CSV_Batch_Processing.py
@@ -46,8 +48,8 @@ class JsonlCommit(WriterCommitMessage):
 
 
 class JsonlSinkDataSource(DataSource):
-    """`df.write.format("jsonlsink").option("path", dir).mode("append")
-    .save()`"""
+    """`df.write.format("jsonlsink").option("path", dir)
+    .mode("overwrite").save()`"""
 
     @classmethod
     def name(cls) -> str:
@@ -57,6 +59,15 @@ class JsonlSinkDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("jsonlsink requires .option('path', ...)")
+        # Every committed write REPLACES the directory (commit() sweeps
+        # part files not in the new manifest) — accepting mode('append')
+        # would silently delete previously committed data behind an API
+        # that promises accumulation. Demand the mode that matches.
+        if not overwrite:
+            raise ValueError(
+                "jsonlsink replaces the target directory on commit; "
+                "use .mode('overwrite') — append semantics are not "
+                "supported")
         return JsonlSinkWriter(path, [f.name for f in schema.fields])
 
 

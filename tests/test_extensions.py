@@ -1416,7 +1416,7 @@ def test_jsonl_sink_manifest_and_idempotent_files(spark, tmp_path):
                                 "doc_id long, text string")
           .repartition(4))
     path = str(tmp_path / "out")
-    df.write.format("jsonlsink").option("path", path).mode("append").save()
+    df.write.format("jsonlsink").option("path", path).mode("overwrite").save()
     manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
     assert manifest["total_rows"] == 20
     assert len(manifest["files"]) == 4
@@ -1424,7 +1424,7 @@ def test_jsonl_sink_manifest_and_idempotent_files(spark, tmp_path):
         os.path.join(path, "part-*.jsonl"))
     assert back.count() == 20
     # second write of the same frame overwrites per-partition files
-    df.write.format("jsonlsink").option("path", path).mode("append").save()
+    df.write.format("jsonlsink").option("path", path).mode("overwrite").save()
     again = spark.read.schema("doc_id long, text string").json(
         os.path.join(path, "part-*.jsonl"))
     assert again.count() == 20
@@ -1632,7 +1632,7 @@ def test_jsonl_sink_stale_attempt_tmp_is_inert(spark, tmp_path):
                                 "doc_id long, text string")
           .repartition(2))
     df.write.format("jsonlsink").option("path", path).mode(
-        "append").save()
+        "overwrite").save()
     manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
     assert manifest["total_rows"] == 20
     back = spark.read.schema("doc_id long, text string").json(
@@ -1662,12 +1662,12 @@ def test_jsonl_sink_narrower_rewrite_removes_stale_parts(spark, tmp_path):
                                   "doc_id long, text string")
             .repartition(8))
     wide.write.format("jsonlsink").option("path", path).mode(
-        "append").save()
+        "overwrite").save()
     narrow = (spark.createDataFrame([(i, f"n{i}") for i in range(10)],
                                     "doc_id long, text string")
               .repartition(2))
     narrow.write.format("jsonlsink").option("path", path).mode(
-        "append").save()
+        "overwrite").save()
     manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
     on_disk = sorted(p for p in os.listdir(path)
                      if p.startswith("part-") and p.endswith(".jsonl"))
@@ -1755,13 +1755,8 @@ def test_minmax_normalize_null_values_and_int_group(spark):
 def test_lsh_band_split_rejects_indivisible_config(spark):
     """num_hashes not divisible by num_bands raised loudly instead of
     silently dropping trailing signature positions from every band."""
-    import pytest as _pytest
-
-    from pyspark_etl_project_spark.extensions.dedup import (
-        minhash_lsh_candidates)
-
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, t string")
-    with _pytest.raises(ValueError, match="not divisible"):
+    with pytest.raises(ValueError, match="not divisible"):
         minhash_lsh_candidates(df, "doc_id", "t", num_hashes=8,
                                num_bands=3).collect()
 
@@ -1803,19 +1798,17 @@ def test_ipv6_host_distinct_and_blocklistable(spark):
     assert out[2] is None
 
 
-def _tiny_embeddings_dir(spark, tmp_path):
+def _tiny_embeddings_dir(spark, tmp_path, labels=(0, 1, 0, 0, 1)):
     """Fixture where one query's label covers all but <k corpus rows,
     exercising the measured-n_exact (shrunken recall denominator)
-    paths the sf testdata never hits."""
-    rows = []
-    vals = [[float(i + j) for j in range(64)] for i in range(16)]
-    # queries: vec_id 0 (label 0), vec_id 1 (label 1)
-    rows.append((0, vals[0], 0))
-    rows.append((1, vals[1], 1))
-    # corpus: two rows label 0, one row label 1
-    rows.append((8, vals[2], 0))
-    rows.append((9, vals[3], 0))
-    rows.append((10, vals[4], 1))
+    paths the sf testdata never hits. All embedding components are
+    POSITIVE, so every vector shares one sign-LSH bucket — the ANN
+    candidate set equals the exact set and overlap counts are
+    deterministic. ``labels`` = (query0, query1, corpus 8, 9, 10)."""
+    vals = [[float(i + j) for j in range(64)] for i in range(5)]
+    rows = [(0, vals[0], labels[0]), (1, vals[1], labels[1]),
+            (8, vals[2], labels[2]), (9, vals[3], labels[3]),
+            (10, vals[4], labels[4])]
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int")
     path = str(tmp_path / "emb_sf")
@@ -1825,7 +1818,10 @@ def _tiny_embeddings_dir(spark, tmp_path):
 
 def test_hard_negative_mining_ann_measured_denominator(spark, tmp_path):
     """n_exact is the MEASURED exact-negative count (1 and 2 here, not
-    the literal k=3), and recall_pct divides by it."""
+    the literal k=3), and recall_pct divides by it. One bucket holds
+    every vector (positive components), so ANN == exact and the
+    overlap is pinned exactly — a broken overlap join cannot hide
+    behind recall_pct==0."""
     from pyspark_etl_project_spark.plans.extensions import (
         hard_negative_mining_ann_q)
 
@@ -1834,16 +1830,29 @@ def test_hard_negative_mining_ann_measured_denominator(spark, tmp_path):
                spark, _tiny_embeddings_dir(spark, tmp_path)).collect()}
     assert out[0]["n_exact"] == 1   # only vec 10 has a different label
     assert out[1]["n_exact"] == 2   # vecs 8, 9
-    for r in out.values():
-        if r["n_exact"]:
-            assert r["recall_pct"] == r["n_overlap"] * 100 // r["n_exact"]
-        else:
-            assert r["recall_pct"] == 0
+    assert out[0]["n_overlap"] == 1 and out[0]["recall_pct"] == 100
+    assert out[1]["n_overlap"] == 2 and out[1]["recall_pct"] == 100
+
+
+def test_hard_negative_mining_ann_zero_negatives(spark, tmp_path):
+    """A query whose label covers the WHOLE corpus has n_exact == 0
+    and recall_pct == 0 — the guarded-division arm (not a div-by-zero
+    or NULL)."""
+    from pyspark_etl_project_spark.plans.extensions import (
+        hard_negative_mining_ann_q)
+
+    out = {r["query_id"]: r.asDict() for r in
+           hard_negative_mining_ann_q(
+               spark, _tiny_embeddings_dir(
+                   spark, tmp_path, labels=(0, 1, 0, 0, 0))).collect()}
+    assert out[0]["n_exact"] == 0 and out[0]["recall_pct"] == 0
+    assert out[1]["n_exact"] == 3 and out[1]["recall_pct"] == 100
 
 
 def test_ann_recall_calibration_measured_denominator(spark, tmp_path):
     """A corpus smaller than k shrinks n_exact (3 here, not the
-    literal 5) and the recall denominator with it."""
+    literal 5) and the recall denominator with it; one shared bucket
+    makes approx == exact, pinning overlap and recall exactly."""
     from pyspark_etl_project_spark.plans.extensions import (
         ann_recall_calibration_q)
 
@@ -1852,7 +1861,8 @@ def test_ann_recall_calibration_measured_denominator(spark, tmp_path):
                spark, _tiny_embeddings_dir(spark, tmp_path)).collect()}
     for r in out.values():
         assert r["n_exact"] == 3    # corpus has only 3 rows
-        assert r["recall_pct"] == r["n_overlap"] * 100 // 3
+        assert r["n_ann"] == 3 and r["n_overlap"] == 3
+        assert r["recall_pct"] == 100
 
 
 def test_intra_doc_line_dedup_short_doc_parity(spark, tmp_path):

@@ -412,8 +412,6 @@ def test_scd2_merge_preserves_null_active_flag_rows(spark):
     """A mart row with NULL ACTIVE_FLAG (legacy/corrupt load) must
     survive the merge in the inactive branch — a bare `!= 1` filter
     evaluates NULL and silently drops it from the rewritten mart."""
-    from pyspark_etl_project_spark.operators.scd2 import scd2_merge
-
     schema = ("CSD_ID long, SOURCE_ID int, SOURCE_SYSTEM_IDENTIFIER "
               "string, V string, ACTIVE_FLAG int, START_DATE timestamp, "
               "END_DATE timestamp")
@@ -421,13 +419,12 @@ def test_scd2_merge_preserves_null_active_flag_rows(spark):
     mart = spark.createDataFrame(
         [(1, 1, "k1", "v", 1, None, None),
          (2, 1, "k2", "v", None, None, None)], schema)
+    # Arrivals carry mart columns minus the surrogate/flag/stamps —
+    # exactly what scd2_merge's contract asks for.
     arrivals = spark.createDataFrame(
-        [(0, 1, "k1", "v2", 0, None, None)], schema).drop("CSD_ID") \
-        .withColumn("CSD_ID", F.lit(None).cast("long")) \
-        .select(*mart.columns)
-    merged = scd2_merge(mart, arrivals.drop("ACTIVE_FLAG", "START_DATE",
-                                            "END_DATE", "CSD_ID"),
-                        run_ts=t, cache_arrivals=False)
+        [(1, "k1", "v2")],
+        "SOURCE_ID int, SOURCE_SYSTEM_IDENTIFIER string, V string")
+    merged = scd2_merge(mart, arrivals, run_ts=t, cache_arrivals=False)
     flags = {(r["SOURCE_SYSTEM_IDENTIFIER"], r["ACTIVE_FLAG"])
              for r in merged.collect()}
     assert ("k2", None) in flags          # NULL-flag row preserved
@@ -459,7 +456,6 @@ def test_partial_agg_rejects_fractional_sum(spark):
 
     from pyspark_etl_project_spark.operators.incremental import (
         partial_agg)
-
     df = spark.createDataFrame([("a", 1.5)], "k string, v double")
     with _pytest.raises(ValueError, match="non-integral"):
         partial_agg(df, ["k"], {"s": ("sum", "v")})
