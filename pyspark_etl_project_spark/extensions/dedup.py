@@ -23,11 +23,12 @@ from pyspark.sql import functions as F
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
     Documents shorter than n words yield an empty array."""
-    from pyspark_etl_project_spark.extensions.text import ngram_array
+    from pyspark_etl_project_spark.extensions.text import ngram_array, tokens
 
-    c = F.col(col) if isinstance(col, str) else col
-    w = F.split(F.trim(c), r"\s+")
-    return F.array_distinct(ngram_array(w, n))
+    # tokens() drops the phantom '' token an empty/whitespace-only doc
+    # would otherwise contribute — repo-wide whitespace-tokenization
+    # semantics, mirrored by the list_filter in every SQL twin.
+    return F.array_distinct(ngram_array(tokens(col), n))
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
@@ -211,8 +212,10 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str,
 
     Row-local except one groupBy on (id, bit position) — at corpus scale
     the token explode is the cost; positions are a constant factor."""
+    from pyspark_etl_project_spark.extensions.text import tokens
+
     toks = df.select(F.col(id_col).alias("_id"),
-                     F.explode(F.split(F.trim(text_col), r"\s+")).alias("_t"))
+                     F.explode(tokens(text_col)).alias("_t"))
     hashed = toks.select("_id", F.md5(F.col("_t")).alias("_h"))
     pos = hashed.select(
         "_id", F.posexplode(F.array(*[

@@ -42,7 +42,10 @@ def partial_agg(batch: DataFrame, keys: list[str],
     Partials are stored as longs; silently casting a fractional sum to
     long would truncate a little more state on EVERY batch merge, so a
     fractional column is rejected up front instead."""
-    integral = ("byte", "short", "int", "integer", "bigint", "long")
+    # df.dtypes returns Spark simpleStrings: ByteType -> 'tinyint',
+    # ShortType -> 'smallint', IntegerType -> 'int', LongType ->
+    # 'bigint' ('byte'/'long'/'integer' never appear there).
+    integral = ("tinyint", "smallint", "int", "bigint")
     dtypes = dict(batch.dtypes)
     aggs = []
     for out, (kind, col) in metrics.items():

@@ -65,7 +65,7 @@ WITH docs AS (
   SELECT doc_id,
          list_distinct(list_transform(range(len(w) - 2),
                        i -> array_to_string(w[i+1:i+3], ' '))) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
         FROM documents WHERE doc_id < 300)
 ), inv0 AS (
   SELECT doc_id, unnest(sh) AS s FROM docs
@@ -116,7 +116,7 @@ WITH base AS (
   SELECT doc_id,
          list_distinct(list_transform(range(len(w) - 2),
                        i -> array_to_string(w[i+1:i+3], ' '))) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM base)
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM base)
 ), sig AS (
   SELECT doc_id, [{_MINHASH_SIG_SQL}] AS sg
   FROM docs WHERE len(sh) > 0
@@ -254,14 +254,14 @@ def dedup_levenshtein_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("vocab_top_tokens", """
 SELECT t AS token, COUNT(*) AS n
-FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS t
       FROM documents)
 GROUP BY t ORDER BY n DESC, t ASC LIMIT 50
 """)
 def vocab_top_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"))
+        F.explode(X.tokens(F.lower("text"))).alias("token"))
     return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
                 .orderBy(F.col("n").desc(), F.col("token").asc())
                 .limit(50))
@@ -322,7 +322,7 @@ def stratified_sample_deterministic_q(spark: SparkSession, sf_dir: str) -> DataF
 @_q("text_repetition_signals", """
 WITH base AS (
   SELECT doc_id,
-         string_split_regex(trim(text), '\\s+') AS w
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
   FROM documents WHERE doc_id < 400
 ), grams AS (
   SELECT doc_id,
@@ -403,7 +403,7 @@ def pii_redaction_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("dedup_simhash", """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS t
   FROM documents WHERE doc_id < 300
 ), h AS (SELECT doc_id, md5(t) AS hh FROM toks),
 pos AS (
@@ -427,13 +427,13 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("text_stats", """
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
+       len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+       len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS n_distinct_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
        length(text) AS n_chars_measured,
-       (CASE WHEN len(string_split_regex(trim(text), '\\s+'))
+       (CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))
                BETWEEN 20 AND 10000 THEN 5 ELSE 0 END
-        + CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        + CASE WHEN len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''),
                 x -> list_contains(['the', 'and', 'of'], x))) > 0 THEN 3 ELSE 0 END
         + CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
                     * 10 < length(text) THEN 2 ELSE 0 END) AS quality_tenths
@@ -441,7 +441,7 @@ FROM documents
 """)
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = X.tokens(F.lower(F.col("text")))
     sw = F.array(*[F.lit(w) for w in X.LANG_MARKERS["en"]])
     n = X.token_count("text")
     sw_hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
@@ -470,7 +470,7 @@ SELECT doc_id, lang AS labeled_lang,
             ELSE 'und' END AS guessed_lang,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM (SELECT doc_id, lang, text,
-             string_split_regex(trim(lower(text)), '\\s+') AS w
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
       FROM documents)
 """)
 def lang_id_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,7 +1013,7 @@ def udtf_sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle's HAVING.
 
 @_q("decontamination_overlap", """
-WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+WITH d AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
            FROM documents WHERE doc_id < 500),
 sh AS (SELECT doc_id,
               CASE WHEN len(w) >= 5
@@ -1045,7 +1045,7 @@ def decontamination_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + one posexplode; md5 over the rejoined window fingerprints content.
 
 @_q("context_window_chunks", """
-WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+WITH d AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
            FROM documents WHERE doc_id < 500)
 SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
        CAST(len(w[(i*24)+1:(i*24)+32]) AS INTEGER) AS n_tokens,
@@ -1071,7 +1071,7 @@ WITH d AS (
   SELECT doc_id, lang,
          lang || '|' || CAST(CAST(FLOOR(doc_id / 256) AS BIGINT) AS VARCHAR)
            AS grp,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
   FROM documents),
 c AS (
   SELECT doc_id, lang, grp, n_tokens,
@@ -1177,7 +1177,7 @@ def array_higher_order_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("distinctive_terms_topk", """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS t
   FROM documents WHERE doc_id < 300),
 tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
 df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t)
@@ -1191,8 +1191,7 @@ WHERE rn <= 3
 def distinctive_terms_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     toks = docs.select("doc_id",
-                       F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
-                        .alias("t"))
+                       F.explode(X.tokens(F.lower("text"))).alias("t"))
     tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     w = (Window.partitionBy("doc_id")
@@ -1564,8 +1563,8 @@ def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH base AS (
   SELECT doc_id, text,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
-         string_split_regex(trim(text), '\\s+') AS w,
-         string_split_regex(trim(lower(text)), '\\s+') AS lw
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS lw
   FROM documents),
 surv AS (
   SELECT doc_id, w, lw FROM (
@@ -1691,12 +1690,12 @@ from pyspark_etl_project_spark.extensions.corpus import (  # noqa: E402
 @_q("curated_corpus_roundtrip", """
 WITH feat AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-         CASE WHEN list_has_any(string_split_regex(trim(lower(text)), '\\s+'),
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+         CASE WHEN list_has_any(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''),
                                 ['the', 'and', 'of']) THEN 'en'
-              WHEN list_has_any(string_split_regex(trim(lower(text)), '\\s+'),
+              WHEN list_has_any(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''),
                                 ['der', 'und', 'die']) THEN 'de'
-              WHEN list_has_any(string_split_regex(trim(lower(text)), '\\s+'),
+              WHEN list_has_any(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''),
                                 ['el', 'de', 'la']) THEN 'es'
               ELSE 'und' END AS lang
   FROM documents),
@@ -1762,7 +1761,7 @@ from pyspark_etl_project_spark.extensions.text import (  # noqa: E402
 
 @_q("doc_fingerprint_winnowing", """
 WITH w0 AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
   FROM documents),
 g AS (
   SELECT doc_id, len(w) - 2 AS n_grams, i AS pos,
@@ -1834,7 +1833,7 @@ def _mh_bands_sql(src: str) -> str:
                      list_distinct(list_transform(range(len(w) - 2),
                          i -> array_to_string(w[i+1:i+3], ' '))) AS sh
               FROM (SELECT doc_id,
-                           string_split_regex(trim(text), '\\s+') AS w
+                           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
                     FROM {src}))
         WHERE len(sh) > 0),
        unnest(range(4)) AS t(b))"""
@@ -2060,7 +2059,7 @@ def manifest_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("intra_doc_line_dedup", """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents),
 l AS (
   SELECT doc_id,
          list_transform(range(len(w) // 10),
@@ -2126,8 +2125,8 @@ def intra_doc_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("gopher_quality_gate", """
 WITH t AS (
   SELECT doc_id, text,
-         string_split_regex(trim(text), '\\s+') AS w,
-         string_split_regex(trim(lower(text)), '\\s+') AS lw
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS lw
   FROM documents),
 m AS (
   SELECT doc_id,
@@ -2217,7 +2216,7 @@ def _winnow_cte(src: str, p: str) -> str:
     window=4, md5-prefix hash)."""
     return f"""
 {p}w AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM {src}),
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM {src}),
 {p}g AS (
   SELECT doc_id, len(w) - 2 AS n_grams, i AS pos,
          CAST(concat('0x', substring(
@@ -2271,7 +2270,7 @@ def winnowing_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("doc_length_quantiles", """
 WITH c AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS wc
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS wc
   FROM documents),
 r AS (
   SELECT wc, doc_id, row_number() OVER (ORDER BY wc, doc_id) AS rn FROM c),
@@ -2752,7 +2751,7 @@ def bpe_encode_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("cross_source_overlap", """
 WITH w0 AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
   FROM documents),
 g AS (
   SELECT doc_id, len(w) - 2 AS n_grams, i AS pos,
@@ -2798,8 +2797,8 @@ def cross_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT source, lang, CAST(length(text) AS BIGINT) AS chars,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-         string_split_regex(trim(text), '\\s+') AS w,
-         string_split_regex(trim(lower(text)), '\\s+') AS lw,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS lw,
          text
   FROM documents),
 m AS (
@@ -2977,7 +2976,7 @@ def pagerank_doc_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("dup_span_stats", """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents
 ), tok AS (SELECT doc_id, len(w) AS n_tokens, w FROM t),
 g AS (
   SELECT doc_id, n_tokens, i AS start,
@@ -3016,7 +3015,7 @@ def dup_span_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("dup_span_scrub_text", """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
   FROM documents WHERE doc_id < 150
 ), tok AS (SELECT doc_id, len(w) AS n_tokens, w FROM t),
 g AS (
@@ -3066,7 +3065,7 @@ WITH docs AS (
   SELECT doc_id,
          list_distinct(list_transform(range(len(w) - 2),
                        i -> array_to_string(w[i+1:i+3], ' '))) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
         FROM documents WHERE doc_id < 300)
 ), inv0 AS (
   SELECT doc_id, unnest(sh) AS s FROM docs
@@ -3120,7 +3119,7 @@ WITH g AS (
   SELECT source,
          unnest(list_transform(range(len(w) - 2),
                 i -> array_to_string(w[i+1:i+3], ' '))) AS gram
-  FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w
+  FROM (SELECT source, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
         FROM documents)
 )
 SELECT source, COUNT(*) AS total_ngrams,
@@ -3143,7 +3142,7 @@ def ngram_novelty_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("curriculum_length_buckets", """
 WITH t AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
   FROM documents
 ), r AS (
   SELECT doc_id, n_tokens,
@@ -3179,7 +3178,7 @@ def curriculum_length_buckets_q(spark: SparkSession,
 @_q("weighted_quality_sample", """
 WITH d AS (
   SELECT doc_id, source,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
          CAST(concat('0x', substr(md5(concat('wsample-v1|',
               CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT) % 1000000
            AS u_ppm
@@ -3254,7 +3253,7 @@ def minhash_estimator_calibration_q(spark: SparkSession,
 
 @_q("kmv_distinct_sketch_trigrams", """
 WITH t AS (
-  SELECT source, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  SELECT source, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents
 ), g AS (
   SELECT source, unnest(list_transform(range(len(w) - 2),
                  i -> array_to_string(w[i+1:i+3], ' '))) AS v
@@ -3302,7 +3301,7 @@ def kmv_distinct_sketch_trigrams_q(spark: SparkSession,
 
 @_q("collocations_topk", """
 WITH t AS (
-  SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+  SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents
 ), uni AS (
   SELECT unnest(w) AS t FROM t
 ), uc AS (
@@ -3341,7 +3340,7 @@ WITH docs AS (
   SELECT doc_id,
          list_distinct(list_transform(range(len(w) - 2),
                        i -> array_to_string(w[i+1:i+3], ' '))) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
         FROM documents WHERE doc_id < 300)
 ), inv0 AS (
   SELECT doc_id, unnest(sh) AS s FROM docs
@@ -3391,7 +3390,7 @@ WITH f AS (
          len(regexp_extract_all(text,
              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces
   FROM (SELECT text,
-               string_split_regex(trim(lower(text)), '\\s+') AS w
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w
         FROM documents)
 )
 SELECT lang, COUNT(*) AS n_docs,
@@ -3459,7 +3458,7 @@ def incremental_join_view_orders_q(spark: SparkSession,
 @_q("cms_heavy_hitters_tokens", """
 WITH tok AS (
   SELECT t, COUNT(*) AS n FROM (
-    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS t
     FROM documents) GROUP BY t
 ), cells AS (
   SELECT d.seed,
@@ -3977,7 +3976,7 @@ def dedup_cluster_size_histogram_q(spark: SparkSession,
 
 @_q("bigram_surprise_score", """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w FROM documents
 ), bg AS (
   SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS g
   FROM t, unnest(range(CASE WHEN len(w) >= 2 THEN len(w) - 1
@@ -4016,7 +4015,7 @@ def bigram_surprise_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("dedup_survivorship_merge", """
 WITH d AS (
   SELECT doc_id, source,
-         len(string_split_regex(trim(text), '\\s+')) AS q,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS q,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
   FROM documents
 ), keep AS (
@@ -4162,7 +4161,7 @@ def minhash_vs_jaccard_eval_q(spark: SparkSession,
 @_q("tfidf_doc_similarity_topk", """
 WITH tok AS (
   SELECT doc_id, t, COUNT(*) AS tf FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+    SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS t
     FROM documents WHERE doc_id < 300) GROUP BY doc_id, t
 ), df AS (
   SELECT t, COUNT(*) AS dfreq FROM tok GROUP BY t
@@ -4415,7 +4414,7 @@ def multimodal_grayscale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("balanced_token_shards", """
 WITH t AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens
   FROM documents
 ), r AS (
   SELECT doc_id, n_tokens,
@@ -4593,7 +4592,7 @@ def pandas_udf_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("token_prefix_index", """
 WITH tc AS (
   SELECT t, COUNT(*) AS c FROM (
-    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS t
     FROM documents) WHERE length(t) >= 3 GROUP BY t
 ), p AS (
   SELECT substr(t, 1, 3) AS prefix, t, c FROM tc
@@ -4696,7 +4695,7 @@ SELECT {n} AS n,
 FROM (
   SELECT COUNT(*) OVER (PARTITION BY md5(g)) AS c FROM (
     SELECT array_to_string(w[i+1:i+{n}], ' ') AS g
-    FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+    FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
           FROM documents)
        , unnest(range(CASE WHEN len(w) >= {n}
                        THEN len(w) - {n} + 1 ELSE 0 END)) AS r(i)))

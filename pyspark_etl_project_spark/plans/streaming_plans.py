@@ -376,13 +376,13 @@ WITH sd AS (
   SELECT doc_id,
          list_distinct(list_transform(range(len(w) - 2),
                        i -> array_to_string(w[i+1:i+3], ' '))) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
         FROM documents WHERE doc_id >= 300)
 ), cd AS (
   SELECT doc_id,
          list_distinct(list_transform(range(len(w) - 2),
                        i -> array_to_string(w[i+1:i+3], ' '))) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
         FROM documents WHERE doc_id < 300)
 ), ssig AS (
   SELECT doc_id, [{_MINHASH_SIG_SQL}] AS sg FROM sd WHERE len(sh) > 0
@@ -432,7 +432,7 @@ ORACLE["streaming_band_index_dedup"] = _band_sig_cte()
 WITH t AS (
   SELECT DISTINCT unnest(list_transform(range(len(w) - 2),
                   i -> array_to_string(w[i+1:i+3], ' '))) AS v
-  FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+  FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
         FROM documents WHERE doc_id >= 300)
 ), h AS (
   SELECT DISTINCT CAST(concat('0x', substr(md5('kmv-v1|' || v), 1, 12))

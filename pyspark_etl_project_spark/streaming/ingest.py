@@ -106,7 +106,8 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
                        surrogate_col: str = "CSD_ID",
                        prepare=None,
                        num_buckets: int | None = 16,
-                       partition_col: str | None = None) -> None:
+                       partition_col: str | None = None,
+                       reset: bool | None = None) -> None:
     """Merge each micro-batch into an SCD2 parquet mart. At-least-once
     file sink made idempotent by the merge (re-delivered unchanged rows
     route DUPLICATE and drop; a re-delivered UPDATE rewrites the same
@@ -125,28 +126,47 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
         read_mart, scd2_merge, write_mart)
 
     spark = stream.sparkSession
-    # Each invocation is a FRESH load: clear BOTH the mart directory
-    # and the stream checkpoint before seeding. The seed write alone is
-    # NOT a reset — write_mart's bucketed dynamic overwrite touches
-    # only the buckets the initial mart's keys hash to, so a previous
-    # run's other buckets would silently survive under the new seed;
-    # and a surviving checkpoint's committed offsets would make the
-    # restarted stream SKIP batches whose merges the reset just erased
-    # (permanent silent loss). With both cleared, the stream replays
-    # everything and converges to the same mart (the merge is
-    # deterministic given the seed). Resuming an interrupted stream
-    # incrementally is a different mode — it would keep checkpoint AND
-    # mart and skip the seeding entirely. (Hadoop FS API — works on
-    # any supported filesystem, not just local.)
+    # A fresh load clears BOTH the mart directory and the stream
+    # checkpoint before seeding. The seed write alone is NOT a reset —
+    # write_mart's bucketed dynamic overwrite touches only the buckets
+    # the initial mart's keys hash to, so a previous run's other
+    # buckets would silently survive under the new seed; and a
+    # surviving checkpoint's committed offsets would make the restarted
+    # stream SKIP batches whose merges the reset just erased (permanent
+    # silent loss). With both cleared, the stream replays everything
+    # and converges to the same mart (the merge is deterministic given
+    # the seed).
+    #
+    # Destroying a caller-supplied path is OPT-IN, never a default:
+    # ``reset=True`` wipes + seeds, ``reset=False`` resumes an
+    # interrupted stream (keeps checkpoint AND mart, skips the
+    # seeding), and the default ``None`` seeds only a virgin path —
+    # when prior state exists it raises instead of guessing, so a path
+    # mistake cannot silently erase someone's mart. (Hadoop FS API —
+    # works on any supported filesystem, not just local.)
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    for stale in (mart_path, mart_path + "_chk"):
-        jpath = jvm.org.apache.hadoop.fs.Path(stale)
-        fs = jpath.getFileSystem(hconf)
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
-    write_mart(initial_mart, mart_path, partition_col=partition_col,
-               key=key, num_buckets=num_buckets)
+    targets = {}
+    for p in (mart_path, mart_path + "_chk"):
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        targets[p] = (jpath, jpath.getFileSystem(hconf))
+    existing = [p for p, (jp, fs) in targets.items() if fs.exists(jp)]
+    if reset is None and existing:
+        raise ValueError(
+            f"foreach_batch_scd2: prior state exists at {existing}; pass "
+            "reset=True to wipe it (fresh load, replays the whole "
+            "stream) or reset=False to resume from the checkpoint")
+    if reset is False:
+        if mart_path not in existing:
+            raise ValueError(
+                "foreach_batch_scd2: reset=False (resume) requires an "
+                f"existing mart at {mart_path}")
+    else:
+        for p in existing:
+            jp, fs = targets[p]
+            fs.delete(jp, True)
+        write_mart(initial_mart, mart_path, partition_col=partition_col,
+                   key=key, num_buckets=num_buckets)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         arrivals = prepare(batch) if prepare is not None else batch
@@ -226,9 +246,13 @@ def foreach_batch_band_index(stream: DataFrame, bands_path: str,
     batch order is not contractual); the per-batch work stays a pure
     map + explode + append, no state store needed."""
     from pyspark_etl_project_spark.extensions.dedup import (
-        lsh_bands, minhash_signature, word_shingles)
+        _rows_per_band, lsh_bands, minhash_signature, word_shingles)
 
-    rows_per_band = num_hashes // num_bands
+    # Same divisibility guard as every batch-side banding site: a plain
+    # floor division here would silently drop trailing MinHash positions
+    # and desync this stream-built index from the batch-built index it
+    # must join against.
+    rows_per_band = _rows_per_band(num_hashes, num_bands)
 
     def handle(batch: DataFrame, _epoch: int) -> None:
         banded = (batch

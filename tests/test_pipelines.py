@@ -426,16 +426,23 @@ def test_foreach_batch_scd2_restart_replays_after_mart_reset(spark, tmp_path):
 
     mart_path = str(tmp_path / "mart")
 
-    def run():
+    def run(**kw):
         stream, _ = stream_documents(spark, sf, min_doc_id=480, files=2)
         foreach_batch_scd2(stream, mart_path, initial,
                            run_ts="2024-01-01 00:00:00", key="ssi",
                            surrogate_col="csd_id", prepare=prep,
-                           num_buckets=4)
+                           num_buckets=4, **kw)
         return sorted((r["ssi"], r["n_chars"], r["ACTIVE_FLAG"])
                       for r in read_mart(spark, mart_path).collect())
 
-    first = run()
+    first = run()  # virgin path: default reset=None seeds fresh
     assert len(first) > 1  # seed row + streamed docs
-    second = run()
+    # Prior state now exists: the default must REFUSE rather than
+    # silently wipe a caller-supplied directory (path-mistake guard) —
+    # and resume mode must leave the converged mart untouched.
+    with pytest.raises(ValueError, match="prior state exists"):
+        run()
+    second = run(reset=True)  # explicit fresh load replays + converges
     assert second == first
+    third = run(reset=False)  # resume: nothing new to replay
+    assert third == first
