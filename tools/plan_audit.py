@@ -35,7 +35,6 @@ DEFAULT = [
     "intra_doc_line_dedup", "gopher_quality_gate",
     "embedding_gram_matrix", "winnowing_contamination",
     "doc_length_quantiles", "leakage_safe_split_counts",
-    "embedding_pca_project",
     "rare_token_quality_score", "bpe_pair_counts",
     "next_token_conditional_topk", "domain_blocklist_filter",
     "bpe_train_merges", "bpe_encode_token_counts",
