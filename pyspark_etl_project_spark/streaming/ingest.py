@@ -200,17 +200,42 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
     try:
         if num_buckets is not None:
             # Distinct arrival buckets: bounded by num_buckets, so the
-            # collect is constant-size. The isin filter hits the mart's
-            # partition column → partition pruning at the scan.
+            # collect is constant-size.
             bucket_ids = [r["b"] for r in
                           (arrivals.select(mart_bucket(key, num_buckets)
                                            .alias("b"))
                            .distinct().collect())]
             if not bucket_ids:
                 return 0
-            mart = (spark.read.parquet(mart_path)
-                    .filter(F.col(MART_BUCKET_COL).isin(bucket_ids))
-                    .drop(MART_BUCKET_COL))
+            # Read ONLY the touched bucket dirs. A plain
+            # read.parquet(mart_path) + partition filter still LISTS
+            # every bucket dir at planning — O(num_buckets) metadata
+            # per micro-batch, the dominant cost once the data scan is
+            # pruned (measured 8× at 100× mart scale in the
+            # amplification probe before this). basePath + explicit
+            # subdirs keeps listing O(touched); the partition column is
+            # still reconstructed relative to basePath. Buckets no key
+            # has ever hashed to have no dir yet — probe existence
+            # (bounded by the batch's bucket count) and skip absences.
+            jvm = spark.sparkContext._jvm
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            fs = (jvm.org.apache.hadoop.fs.Path(mart_path)
+                  .getFileSystem(hconf))
+            dirs = [d for b in bucket_ids
+                    for d in [f"{mart_path}/{MART_BUCKET_COL}={b}"]
+                    if fs.exists(jvm.org.apache.hadoop.fs.Path(d))]
+            if dirs:
+                mart = (spark.read.option("basePath", mart_path)
+                        .parquet(*dirs).drop(MART_BUCKET_COL))
+            else:
+                # Every arriving key targets a virgin bucket: the
+                # touched slice is empty. Fall back to the full-path
+                # read (one listing) purely for the mart SCHEMA; the
+                # bucket filter keeps the scan itself empty.
+                mart = (spark.read.parquet(mart_path)
+                        .filter(F.col(MART_BUCKET_COL)
+                                .isin(bucket_ids))
+                        .drop(MART_BUCKET_COL))
         else:
             mart = read_mart(spark, mart_path)
         value_cols = _mart_value_cols(mart.columns, surrogate_col)

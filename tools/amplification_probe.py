@@ -451,6 +451,76 @@ def probe_partial_stats_merge(spark: SparkSession, n: int) -> None:
     _materialize(column_stats_merge(scalar, hashes))
 
 
+_SCD2_BASE = 50_000
+_SCD2_PROBE: dict[int, list] = {}  # n -> [mart_path, batch_keys, nb, calls]
+
+
+def _scd2_probe_setup(spark: SparkSession, sizes: list[int]) -> None:
+    """Build one probe mart per size, UNTIMED (runs during the
+    harness's base-scale warmup call, which prepares both scales).
+    Buckets follow the SCALE.md sizing rule — num_buckets grows with
+    the mart so bucket SIZE stays ~1.5k rows — and the seed is
+    pre-repartitioned on the bucket expression so the partitioned
+    write emits one file per bucket, not tasks×buckets."""
+    import tempfile
+
+    from pyspark_etl_project_spark.functions.hashing import row_fingerprint
+    from pyspark_etl_project_spark.operators.scd2 import (
+        mart_bucket, write_mart)
+
+    for size in sizes:
+        if size in _SCD2_PROBE:
+            continue
+        nb = max(32, (size * 32) // _SCD2_BASE)
+        seed = (spark.range(size).select(
+            F.col("id").alias("csd_id"),
+            F.concat(F.lit("K-"), F.col("id")).alias("ssi"),
+            (F.col("id") * 7).alias("v"),
+            F.lit(1).alias("ACTIVE_FLAG"),
+            F.lit("2020-01-01 00:00:00").cast("timestamp")
+             .alias("START_DATE"),
+            F.lit("2099-12-31 00:00:00").cast("timestamp")
+             .alias("END_DATE"))
+            .withColumn("SOURCE_HASH_KEY",
+                        row_fingerprint(sorted(["ssi", "v"])))
+            .repartition(min(nb, 4096), mart_bucket("ssi", nb)))
+        path = tempfile.mkdtemp(prefix=f"scd2probe{size}_") + "/mart"
+        write_mart(seed, path, partition_col=None, key="ssi",
+                   num_buckets=nb)
+        keys = [r["ssi"] for r in
+                (spark.range(size)
+                 .select(F.concat(F.lit("K-"), F.col("id")).alias("ssi"))
+                 .filter(mart_bucket("ssi", nb) == 0)
+                 .limit(1000).collect())]
+        _SCD2_PROBE[size] = [path, keys, nb, 0]
+
+
+def probe_scd2_merge_batch(spark: SparkSession, n: int) -> None:
+    """Streaming SCD2 foreachBatch merge: a FIXED 1000-key update batch
+    (all keys in one bucket) against a mart of n rows. Per-batch cost
+    must be O(touched bucket + batch) — ~FLAT as the mart scales 100×
+    — because the mart read partition-prunes to the touched buckets,
+    the write dynamic-overwrites only those buckets, and the surrogate
+    offset is the caller's high-watermark (no full-mart MAX). Each call
+    merges NEW values (the call counter salts them) so the timed run
+    exercises the real UPDATE path, not the all-DUPLICATE skip."""
+    from pyspark_etl_project_spark.streaming.ingest import scd2_merge_batch
+
+    _scd2_probe_setup(spark, [n, n * AMP] if n == _SCD2_BASE else [n])
+    state = _SCD2_PROBE[n]
+    path, keys, nb = state[0], state[1], state[2]
+    state[3] += 1
+    call = state[3]
+    batch = (spark.createDataFrame([(k,) for k in keys], "ssi string")
+             .withColumn("v", -(F.lit(call) * F.lit(1_000_000)
+                                + F.pmod(F.xxhash64("ssi"),
+                                         F.lit(1_000_000)))))
+    scd2_merge_batch(spark, batch, path, run_ts="2024-01-01 00:00:00",
+                     key="ssi", surrogate_col="csd_id", num_buckets=nb,
+                     partition_col=None,
+                     surrogate_offset=n + call * 1000)
+
+
 PROBES = {
     # name: (fn, base_n)  — 100× runs at base_n * AMP
     "boilerplate_scrub_30pct_hot_line": (probe_boilerplate, 10_000),
@@ -482,6 +552,8 @@ PROBES = {
     "hard_negatives_exact_8q": (probe_hard_negatives_exact, 100_000),
     "hard_negatives_lsh_r1_8q": (probe_hard_negatives_lsh, 100_000),
     "partial_stats_merge_32parts": (probe_partial_stats_merge, 100_000),
+    # round-9: the redelivery-hardened streaming merge
+    "scd2_merge_batch_1k_arrivals": (probe_scd2_merge_batch, _SCD2_BASE),
 }
 
 
