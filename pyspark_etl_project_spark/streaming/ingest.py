@@ -147,13 +147,33 @@ def scd2_route_arrivals(arrivals: DataFrame, mart: DataFrame, key: str,
     from pyspark_etl_project_spark.functions.hashing import row_fingerprint
     from pyspark_etl_project_spark.operators.cdc import cdc_classify
 
+    # Fail fast on contract drift: a prepare() that emits a column the
+    # mart doesn't carry used to die loudly in the merge's unionByName;
+    # the routing projection must not convert that into silent column
+    # loss. (Missing value columns still fail loudly in the select.)
+    extras = set(arrivals.columns) - set(value_cols) - {hash_col}
+    if extras:
+        raise ValueError(
+            f"scd2_route_arrivals: arrival columns {sorted(extras)} are "
+            f"not mart value columns {sorted(value_cols)}; arrivals "
+            "must carry exactly the mart columns minus the surrogate "
+            "and SCD2 stamps")
     fp = row_fingerprint(sorted(value_cols))
     has_hash = hash_col in mart.columns
     active = mart.filter(F.col("ACTIVE_FLAG").eqNullSafe(1))
     hist_hash = F.col(hash_col) if has_hash else fp
     hist = active.select(F.col(key).alias("HISTORIC_SSI"),
                          hist_hash.alias("HISTORIC_HASHKEY"))
-    arr = arrivals.withColumn(hash_col, fp)
+    # Caller-managed fingerprints: a mart seeded from an initial frame
+    # that already carried ``hash_col`` holds the CALLER's hashes, which
+    # this module cannot reconstruct — recomputing our fingerprint on
+    # the arrival side would never match and every redelivery would
+    # phantom-UPDATE (the exact bug routing exists to prevent). So an
+    # arrival batch that carries ``hash_col`` is trusted as the same
+    # caller-managed construction; only hash-less arrivals get the
+    # canonical sorted-value-column fingerprint.
+    arr = (arrivals if hash_col in arrivals.columns
+           else arrivals.withColumn(hash_col, fp))
     arr_keys = arr.select(F.col(key).alias("HISTORIC_SSI")).distinct()
     hist_small = hist.join(F.broadcast(arr_keys), "HISTORIC_SSI",
                            "left_semi")
@@ -294,7 +314,13 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
     mart's SOURCE_HASH_KEY): the routing join then reads only
     (key, hash, ACTIVE_FLAG) from the active slice, not every value
     column. ``initial_mart`` frames that already carry the column keep
-    their own (caller-managed) hashes.
+    their own (caller-managed) hashes — in that case every arrival
+    batch (prepare's output) MUST carry the same caller-computed hash
+    column, or routing compares two different constructions and every
+    redelivery phantom-UPDATEs (scd2_route_arrivals trusts an
+    arrival-side ``SOURCE_HASH_KEY`` verbatim; hash-less arrivals get
+    the canonical sorted-value-column fingerprint, which matches only
+    marts whose hash this module seeded).
 
     The mart lives in the bucketed layout (``write_mart``): each batch
     reads AND rewrites ONLY the (bucket) partitions its arriving keys

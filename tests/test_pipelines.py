@@ -500,6 +500,75 @@ def test_scd2_merge_batch_double_delivery_is_noop(spark, tmp_path):
     assert full_state() == first
 
 
+def test_scd2_merge_batch_caller_managed_hash_routes_duplicates(spark, tmp_path):
+    """A mart seeded with a CALLER-computed SOURCE_HASH_KEY (not this
+    module's fingerprint) still routes redelivery correctly when the
+    arrival batches carry the same caller hash — scd2_route_arrivals
+    must trust the arrival-side hash verbatim instead of recomputing
+    its own construction (which would never match and phantom-UPDATE
+    every redelivery)."""
+    from pyspark_etl_project_spark.operators.scd2 import read_mart, write_mart
+    from pyspark_etl_project_spark.streaming.ingest import scd2_merge_batch
+
+    t0 = "2020-01-01 00:00:00"
+    # Caller hash: md5 of value only — a construction this module
+    # would never produce (it hashes the sorted value columns).
+    initial = spark.createDataFrame(
+        [(1, "K-1", 10, 1, t0, "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, v long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp")) \
+        .withColumn("SOURCE_HASH_KEY", F.md5(F.col("v").cast("string")))
+    mart_path = str(tmp_path / "mart")
+    write_mart(initial, mart_path, partition_col=None, key="ssi",
+               num_buckets=4)
+
+    batch = (spark.createDataFrame([("K-1", 10)], "ssi string, v long")
+             .withColumn("SOURCE_HASH_KEY",
+                         F.md5(F.col("v").cast("string"))))
+    n = scd2_merge_batch(spark, batch, mart_path,
+                         run_ts="2024-01-01 00:00:00", key="ssi",
+                         surrogate_col="csd_id", num_buckets=4,
+                         partition_col=None)
+    # Same caller hash on both sides → DUPLICATE → nothing merged.
+    assert n == 0
+    rows = read_mart(spark, mart_path).collect()
+    assert len(rows) == 1 and rows[0]["ACTIVE_FLAG"] == 1
+
+
+def test_scd2_merge_batch_rejects_extra_arrival_columns(spark, tmp_path):
+    """An arrival column the mart doesn't carry must FAIL FAST, not be
+    silently projected away (pre-routing, the merge's unionByName died
+    loudly on it; the routing projection must not soften that)."""
+    from pyspark_etl_project_spark.functions.hashing import row_fingerprint
+    from pyspark_etl_project_spark.operators.scd2 import write_mart
+    from pyspark_etl_project_spark.streaming.ingest import (
+        STREAM_HASH_COL, _mart_value_cols, scd2_merge_batch)
+
+    t0 = "2020-01-01 00:00:00"
+    initial = spark.createDataFrame(
+        [(1, "K-1", 10, 1, t0, "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, v long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    vcols = _mart_value_cols(initial.columns, "csd_id")
+    seed = initial.withColumn(STREAM_HASH_COL,
+                              row_fingerprint(sorted(vcols)))
+    mart_path = str(tmp_path / "mart")
+    write_mart(seed, mart_path, partition_col=None, key="ssi",
+               num_buckets=4)
+
+    batch = spark.createDataFrame([("K-1", 11, "oops")],
+                                  "ssi string, v long, stray string")
+    with pytest.raises(ValueError, match="stray"):
+        scd2_merge_batch(spark, batch, mart_path,
+                         run_ts="2024-01-01 00:00:00", key="ssi",
+                         surrogate_col="csd_id", num_buckets=4,
+                         partition_col=None)
+
+
 def test_scd2_merge_batch_surrogates_unique_across_buckets(spark, tmp_path):
     """The merge's mart read is pruned to the arriving keys' buckets,
     but the surrogate offset must stay GLOBAL: a MAX over just the
