@@ -1,0 +1,69 @@
+"""Thin Hadoop FileSystem access for layout-aware operators.
+
+The mart/index maintenance code probes and prunes directory layouts
+(bucket dirs, partition dirs, marker files) before Spark ever plans a
+scan. Going through the Hadoop FS API — not os.path — keeps every probe
+working on HDFS/S3/ABFS exactly as on local paths. This module is the
+single home for the py4j incantation so the four former copy-paste
+sites (_check_mart_layout, scd2_merge_batch, foreach_batch_scd2,
+band_index_batch) cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """Return (jvm, fs, jpath) for ``path``: the py4j JVM gateway, the
+    Hadoop FileSystem owning the path's scheme, and the path as a
+    Hadoop Path object."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    _, fs, jpath = hadoop_fs(spark, path)
+    return fs.exists(jpath)
+
+
+def glob_dirs(spark: SparkSession, pattern: str) -> list[str]:
+    """Paths matching a Hadoop glob pattern (empty list when nothing
+    matches — globStatus returns null then, which this wraps away)."""
+    jvm, fs, _ = hadoop_fs(spark, pattern)
+    statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern))
+    return ([str(s.getPath()) for s in statuses]
+            if statuses is not None else [])
+
+
+def write_text_marker(spark: SparkSession, path: str, content: str) -> None:
+    """Create-or-replace a tiny root-level marker file (e.g. fingerprint
+    provenance). Root files survive dynamic partition overwrite, which
+    only replaces partition directories."""
+    _, fs, jpath = hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text_marker(spark: SparkSession, path: str) -> str | None:
+    """Read a marker file written by write_text_marker; None when the
+    file does not exist (legacy layouts predating the marker)."""
+    _, fs, jpath = hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return data.decode("utf-8")
+    finally:
+        stream.close()

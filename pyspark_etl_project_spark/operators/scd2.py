@@ -141,9 +141,9 @@ def _check_mart_layout(spark, path: str, partition_col: str | None,
     place alongside the new layout — every read then double-counts.
     Uses the Hadoop FileSystem API so the check works on HDFS/S3, not
     just local paths."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    from pyspark_etl_project_spark.operators.fs import hadoop_fs
+
+    _, fs, hpath = hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return
     entries = [s for s in fs.listStatus(hpath)
@@ -268,6 +268,45 @@ def read_mart(spark, path: str) -> DataFrame:
     if MART_BUCKET_COL in df.columns:
         df = df.drop(MART_BUCKET_COL)
     return df
+
+
+def read_mart_touched(spark, path: str, bucket_ids: list[int],
+                      partition_col: str | None = None) -> DataFrame:
+    """Read ONLY the mart slice living in ``bucket_ids`` — the
+    per-micro-batch read of the foreachBatch merge loop. A plain
+    read.parquet(path) + bucket filter still LISTS every partition dir
+    at planning — O(num_buckets [× sources]) metadata per micro-batch,
+    the dominant cost once the data scan is pruned (measured 8× at
+    100× mart scale in the amplification probe). basePath + explicit
+    subdirs keeps listing O(touched); partition columns are still
+    reconstructed relative to basePath.
+
+    Layout awareness: write_mart nests buckets UNDER the partition
+    column (``<path>/<pcol>=x/MART_BUCKET=b``), so with
+    ``partition_col`` set the touched dirs are found with a one-level
+    glob per bucket (cost O(partition values) per touched bucket — the
+    dir probe at ``<path>/MART_BUCKET=b`` would never match and every
+    batch would silently fall back to the full listing this function
+    exists to avoid). Buckets no key has ever hashed to have no dir
+    yet — absences are skipped; when NO touched dir exists the
+    full-path read (one listing) is used purely for the mart SCHEMA,
+    with the bucket filter keeping the scan itself empty."""
+    from pyspark_etl_project_spark.operators.fs import glob_dirs, hadoop_fs
+
+    if partition_col is not None:
+        dirs = [d for b in bucket_ids for d in glob_dirs(
+            spark, f"{path}/{partition_col}=*/{MART_BUCKET_COL}={b}")]
+    else:
+        jvm, fs, _ = hadoop_fs(spark, path)
+        dirs = [d for b in bucket_ids
+                for d in [f"{path}/{MART_BUCKET_COL}={b}"]
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(d))]
+    if dirs:
+        return (spark.read.option("basePath", path)
+                .parquet(*dirs).drop(MART_BUCKET_COL))
+    return (spark.read.parquet(path)
+            .filter(F.col(MART_BUCKET_COL).isin(bucket_ids))
+            .drop(MART_BUCKET_COL))
 
 
 def _surrogate_offset(mart: DataFrame, surrogate_col: str) -> int:

@@ -103,6 +103,18 @@ def run_stream_to_memory(agg: DataFrame, name: str | None = None,
 
 STREAM_HASH_COL = "SOURCE_HASH_KEY"
 
+# Root-level mart marker recording which construction built the
+# persisted fingerprints (foreach_batch_scd2 writes it at seed time):
+# "canonical-sorted-v1" = this module's md5 over the SORTED value
+# columns; "caller" = the initial_mart carried its own SOURCE_HASH_KEY,
+# which this module cannot reconstruct — arrivals must then carry the
+# same caller-computed column. Marts predating the marker (or built
+# externally) have no file and fall back to the documented
+# trust-arrival-hash-if-present behavior.
+PROVENANCE_MARKER = "_FINGERPRINT_PROVENANCE"
+HASH_PROVENANCE_CANONICAL = "canonical-sorted-v1"
+HASH_PROVENANCE_CALLER = "caller"
+
 _SCD2_META_COLS = ("ACTIVE_FLAG", "START_DATE", "END_DATE")
 
 
@@ -118,7 +130,8 @@ def _mart_value_cols(mart_cols, surrogate_col: str,
 
 def scd2_route_arrivals(arrivals: DataFrame, mart: DataFrame, key: str,
                         value_cols: list[str],
-                        hash_col: str = STREAM_HASH_COL) -> DataFrame:
+                        hash_col: str = STREAM_HASH_COL,
+                        provenance: str | None = None) -> DataFrame:
     """Hash-CDC route a micro-batch against the active mart slice — the
     streaming twin of the batch spine's routing step
     (pipelines/common.py:96-105, reference
@@ -164,16 +177,39 @@ def scd2_route_arrivals(arrivals: DataFrame, mart: DataFrame, key: str,
     hist_hash = F.col(hash_col) if has_hash else fp
     hist = active.select(F.col(key).alias("HISTORIC_SSI"),
                          hist_hash.alias("HISTORIC_HASHKEY"))
-    # Caller-managed fingerprints: a mart seeded from an initial frame
-    # that already carried ``hash_col`` holds the CALLER's hashes, which
-    # this module cannot reconstruct — recomputing our fingerprint on
-    # the arrival side would never match and every redelivery would
-    # phantom-UPDATE (the exact bug routing exists to prevent). So an
-    # arrival batch that carries ``hash_col`` is trusted as the same
-    # caller-managed construction; only hash-less arrivals get the
-    # canonical sorted-value-column fingerprint.
-    arr = (arrivals if hash_col in arrivals.columns
-           else arrivals.withColumn(hash_col, fp))
+    # Which fingerprint construction to hash the ARRIVAL side with —
+    # it must match the historic side byte-for-byte or every
+    # redelivered unchanged row compares unequal and phantom-UPDATEs
+    # (the exact bug routing exists to prevent). Resolution order:
+    # 1. Hash-less mart: the historic side just got the canonical
+    #    on-the-fly fingerprint, so the arrival side MUST use the same
+    #    — any arrival-carried hash_col is a different construction and
+    #    is overwritten for routing (and dropped before the merge: the
+    #    keep-list below excludes it for hash-less marts anyway).
+    # 2. Marker says canonical: recompute canonical on arrivals even
+    #    when prepare() emitted its own hash_col (e.g. a batch-spine
+    #    prepare reusing the per-source-order SOURCE_HASH_KEY) — and
+    #    the recomputed value is what merges, keeping the mart
+    #    canonical for the next batch.
+    # 3. Marker says caller: this module cannot reconstruct the
+    #    caller's hashes, so hash-less arrivals are a guaranteed
+    #    permanent mismatch — fail fast instead of silently growing
+    #    phantom versions on every retry.
+    # 4. No marker (legacy / externally built mart): the documented
+    #    trust-arrival-hash-if-present fallback.
+    if not has_hash or provenance == HASH_PROVENANCE_CANONICAL:
+        arr = arrivals.withColumn(hash_col, fp)
+    elif (provenance == HASH_PROVENANCE_CALLER
+          and hash_col not in arrivals.columns):
+        raise ValueError(
+            f"scd2_route_arrivals: the mart's {hash_col} fingerprints "
+            "are caller-managed (seed carried the column) but this "
+            f"arrival batch has no {hash_col}; the canonical "
+            "fingerprint would never match — prepare() must emit the "
+            "same caller-computed hash column")
+    else:
+        arr = (arrivals if hash_col in arrivals.columns
+               else arrivals.withColumn(hash_col, fp))
     arr_keys = arr.select(F.col(key).alias("HISTORIC_SSI")).distinct()
     hist_small = hist.join(F.broadcast(arr_keys), "HISTORIC_SSI",
                            "left_semi")
@@ -212,12 +248,25 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
     and collide surrogates across buckets."""
     from pyspark.storagelevel import StorageLevel
 
+    from pyspark_etl_project_spark.operators.fs import read_text_marker
     from pyspark_etl_project_spark.operators.scd2 import (
-        MART_BUCKET_COL, mart_bucket, read_mart, scd2_merge, write_mart)
+        mart_bucket, read_mart, read_mart_touched, scd2_merge, write_mart)
 
     arrivals = prepare(batch) if prepare is not None else batch
     arrivals = arrivals.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        # NULL natural keys defeat every SCD2 key join in the chain
+        # (routing, expire, survivor split — all null-unsafe, like the
+        # SQL joins they mirror): a NULL-key row would route INSERT on
+        # EVERY delivery and its predecessor could never be expired, so
+        # each at-least-once retry stacks another identical active row.
+        # One cheap limit(1) job on the already-persisted batch buys a
+        # loud failure instead of unbounded silent corruption.
+        if arrivals.filter(F.col(key).isNull()).limit(1).count() > 0:
+            raise ValueError(
+                f"scd2_merge_batch: arrival batch contains NULL {key} "
+                "rows; a NULL natural key cannot participate in SCD2 "
+                "matching — filter or repair them in prepare()")
         if num_buckets is not None:
             # Distinct arrival buckets: bounded by num_buckets, so the
             # collect is constant-size.
@@ -227,39 +276,18 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
                            .distinct().collect())]
             if not bucket_ids:
                 return 0
-            # Read ONLY the touched bucket dirs. A plain
-            # read.parquet(mart_path) + partition filter still LISTS
-            # every bucket dir at planning — O(num_buckets) metadata
-            # per micro-batch, the dominant cost once the data scan is
-            # pruned (measured 8× at 100× mart scale in the
-            # amplification probe before this). basePath + explicit
-            # subdirs keeps listing O(touched); the partition column is
-            # still reconstructed relative to basePath. Buckets no key
-            # has ever hashed to have no dir yet — probe existence
-            # (bounded by the batch's bucket count) and skip absences.
-            jvm = spark.sparkContext._jvm
-            hconf = spark.sparkContext._jsc.hadoopConfiguration()
-            fs = (jvm.org.apache.hadoop.fs.Path(mart_path)
-                  .getFileSystem(hconf))
-            dirs = [d for b in bucket_ids
-                    for d in [f"{mart_path}/{MART_BUCKET_COL}={b}"]
-                    if fs.exists(jvm.org.apache.hadoop.fs.Path(d))]
-            if dirs:
-                mart = (spark.read.option("basePath", mart_path)
-                        .parquet(*dirs).drop(MART_BUCKET_COL))
-            else:
-                # Every arriving key targets a virgin bucket: the
-                # touched slice is empty. Fall back to the full-path
-                # read (one listing) purely for the mart SCHEMA; the
-                # bucket filter keeps the scan itself empty.
-                mart = (spark.read.parquet(mart_path)
-                        .filter(F.col(MART_BUCKET_COL)
-                                .isin(bucket_ids))
-                        .drop(MART_BUCKET_COL))
+            # Read ONLY the touched bucket slice — listing stays
+            # O(touched buckets), layout-aware for partitioned marts
+            # (see read_mart_touched for the full plan rationale).
+            mart = read_mart_touched(spark, mart_path, bucket_ids,
+                                     partition_col=partition_col)
         else:
             mart = read_mart(spark, mart_path)
         value_cols = _mart_value_cols(mart.columns, surrogate_col)
-        routed = (scd2_route_arrivals(arrivals, mart, key, value_cols)
+        provenance = read_text_marker(
+            spark, f"{mart_path}/{PROVENANCE_MARKER}")
+        routed = (scd2_route_arrivals(arrivals, mart, key, value_cols,
+                                      provenance=provenance)
                   .persist(StorageLevel.MEMORY_AND_DISK))
         try:
             n_fresh = routed.count()
@@ -313,14 +341,18 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
     over the sorted value columns — same construction as the batch
     mart's SOURCE_HASH_KEY): the routing join then reads only
     (key, hash, ACTIVE_FLAG) from the active slice, not every value
-    column. ``initial_mart`` frames that already carry the column keep
-    their own (caller-managed) hashes — in that case every arrival
-    batch (prepare's output) MUST carry the same caller-computed hash
-    column, or routing compares two different constructions and every
-    redelivery phantom-UPDATEs (scd2_route_arrivals trusts an
-    arrival-side ``SOURCE_HASH_KEY`` verbatim; hash-less arrivals get
-    the canonical sorted-value-column fingerprint, which matches only
-    marts whose hash this module seeded).
+    column. WHICH construction built the persisted hashes is recorded
+    in a root-level provenance marker at seed time (survives dynamic
+    partition overwrite), and every merge routes arrivals with the
+    matching one: a canonical-marked mart recomputes the canonical
+    fingerprint on arrivals even when prepare() emits its own
+    ``SOURCE_HASH_KEY`` (a foreign construction would never match and
+    every redelivery would phantom-UPDATE); a caller-marked mart
+    (``initial_mart`` carried the column) REQUIRES every arrival batch
+    to carry the same caller-computed hash and fails fast when one
+    doesn't. NULL natural keys are rejected at seed and per batch —
+    the (null-unsafe) key joins could never match them, so each retry
+    would stack another identical active row.
 
     The mart lives in the bucketed layout (``write_mart``): each batch
     reads AND rewrites ONLY the (bucket) partitions its arriving keys
@@ -356,20 +388,32 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
     # when prior state exists it raises instead of guessing, so a path
     # mistake cannot silently erase someone's mart. (Hadoop FS API —
     # works on any supported filesystem, not just local.)
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    from pyspark_etl_project_spark.operators.fs import (hadoop_fs,
+                                                        write_text_marker)
+
     targets = {}
     for p in (mart_path, mart_path + "_chk"):
-        jpath = jvm.org.apache.hadoop.fs.Path(p)
-        targets[p] = (jpath, jpath.getFileSystem(hconf))
+        _, fs, jpath = hadoop_fs(spark, p)
+        targets[p] = (jpath, fs)
     existing = [p for p, (jp, fs) in targets.items() if fs.exists(jp)]
     if reset is None and existing:
-        resume_hint = (
-            "or reset=False to resume from the checkpoint"
-            if mart_path + "_chk" in existing else
-            "or reset=False to keep the mart (no checkpoint survives, "
-            "so the stream replays from the start — idempotent: "
-            "re-delivered unchanged rows route DUPLICATE)")
+        # reset=False is only a valid suggestion when the mart survives
+        # (it is the resume state); a checkpoint WITHOUT a mart is a
+        # dead end — its committed offsets point at merges whose
+        # results are gone, so the only sound move is a fresh load.
+        if mart_path not in existing:
+            resume_hint = (
+                "(only a stale checkpoint survives — its committed "
+                "offsets reference a mart that no longer exists, so "
+                "resuming is impossible)")
+        elif mart_path + "_chk" in existing:
+            resume_hint = "or reset=False to resume from the checkpoint"
+        else:
+            resume_hint = (
+                "or reset=False to keep the mart (no checkpoint "
+                "survives, so the stream replays from the start — "
+                "idempotent: re-delivered unchanged rows route "
+                "DUPLICATE)")
         raise ValueError(
             f"foreach_batch_scd2: prior state exists at {existing}; pass "
             "reset=True to wipe it (fresh load, replays the whole "
@@ -384,12 +428,33 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
             jp, fs = targets[p]
             fs.delete(jp, True)
         seed = initial_mart
+        # A NULL natural key in the seed could never be matched by the
+        # routing or merge key joins (both are null-unsafe, like the
+        # SQL join semantics they mirror): its active row would be
+        # unexpirable and every redelivery would stack another copy.
+        # Reject loudly instead of corrupting silently.
+        if seed.filter(F.col(key).isNull()).limit(1).count() > 0:
+            raise ValueError(
+                f"foreach_batch_scd2: initial_mart contains NULL {key} "
+                "rows; a NULL natural key cannot participate in SCD2 "
+                "matching — filter or repair them before seeding")
         if STREAM_HASH_COL not in seed.columns:
             vcols = _mart_value_cols(seed.columns, surrogate_col)
             seed = seed.withColumn(STREAM_HASH_COL,
                                    row_fingerprint(sorted(vcols)))
+            provenance = HASH_PROVENANCE_CANONICAL
+        else:
+            provenance = HASH_PROVENANCE_CALLER
         write_mart(seed, mart_path, partition_col=partition_col,
                    key=key, num_buckets=num_buckets)
+        # Root-level marker (survives dynamic partition overwrite):
+        # records WHOSE construction the persisted fingerprints are, so
+        # every later merge routes arrivals with the matching one —
+        # mixing constructions would make every redelivered unchanged
+        # row compare unequal and phantom-UPDATE, the exact bug routing
+        # exists to prevent.
+        write_text_marker(spark, f"{mart_path}/{PROVENANCE_MARKER}",
+                          provenance)
 
     # Per-run surrogate high-watermark: ONE full-mart MAX at stream
     # start (a single column-pruned pass), then += fresh-row count per
@@ -458,10 +523,14 @@ def stream_documents(spark: SparkSession, sf_dir: str,
     return stream, watch_dir
 
 
+DOC_BUCKET_COL = "DOC_BUCKET"
+
+
 def band_index_batch(batch: DataFrame, bands_path: str,
                      num_hashes: int = 8, num_bands: int = 4,
                      shingle_n: int = 3,
-                     rows_per_band: int | None = None) -> None:
+                     rows_per_band: int | None = None,
+                     num_buckets: int = 64) -> None:
     """One micro-batch of band-index maintenance: band the docs and
     append to the persistent (doc_id, band_id, band_hash) index —
     IDEMPOTENT under at-least-once redelivery. A foreachBatch retry
@@ -472,20 +541,30 @@ def band_index_batch(batch: DataFrame, bands_path: str,
     fully indexed (its append committed) or absent (it didn't), so
     doc-level dedup is exact for whole-batch redelivery.
 
+    The index is PARTITIONED by a doc_id hash bucket (``num_buckets``,
+    fixed per index path — same contract as the mart's MART_BUCKET),
+    so the already-indexed probe reads only the dirs the BATCH's docs
+    hash to: per-batch guard cost is O(index ∩ touched buckets), not
+    O(total docs ever indexed) — a flat index made every tiny batch
+    rescan the whole doc_id column, growing without bound over the
+    stream's lifetime. Readers are unaffected: the partition column
+    rides along and every consumer projects explicit columns.
+
     Join shape: the batch is small; its distinct doc_ids broadcast into
-    a semi-filter of the existing index (reads ONE pruned column of the
-    index — at 100 TB, partition the index by a doc_id bucket and the
-    semi-filter prunes to the batch's buckets), and the surviving
+    a semi-filter of the touched index slice, and the surviving
     already-indexed ids (batch-bounded) broadcast back into the
     anti-join. No shuffle, no full-index broadcast."""
     from pyspark.storagelevel import StorageLevel
 
     from pyspark_etl_project_spark.extensions.dedup import (
         _rows_per_band, lsh_bands, minhash_signature, word_shingles)
+    from pyspark_etl_project_spark.operators.fs import hadoop_fs
 
     if rows_per_band is None:
         rows_per_band = _rows_per_band(num_hashes, num_bands)
     spark = batch.sparkSession
+    doc_bucket = F.pmod(F.xxhash64(F.col("doc_id")),
+                        F.lit(num_buckets)).cast("int")
     banded = (batch
               .select("doc_id",
                       word_shingles("text", shingle_n).alias("_sh"))
@@ -497,28 +576,44 @@ def band_index_batch(batch: DataFrame, bands_path: str,
                   lsh_bands(F.col("_sig"), num_bands, rows_per_band))
                   .alias("b"))
               .select("doc_id", F.col("b.band_id").alias("band_id"),
-                      F.col("b.band_hash").alias("band_hash")))
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(bands_path)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+                      F.col("b.band_hash").alias("band_hash"),
+                      doc_bucket.alias(DOC_BUCKET_COL)))
+    jvm, fs, jpath = hadoop_fs(spark, bands_path)
     if fs.exists(jpath):
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        # Distinct touched buckets: bounded by num_buckets, constant-
+        # size collect. Dirs no doc has hashed to yet don't exist —
+        # probe and skip, mirroring read_mart_touched.
+        touched = [r["b"] for r in
+                   (banded.select(F.col(DOC_BUCKET_COL).alias("b"))
+                    .distinct().collect())]
+        dirs = [d for b in touched
+                for d in [f"{bands_path}/{DOC_BUCKET_COL}={b}"]
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(d))]
         arriving = banded.select("doc_id").distinct()
-        seen = (spark.read.parquet(bands_path).select("doc_id")
-                .join(F.broadcast(arriving), "doc_id", "left_semi")
-                .distinct())
-        fresh = banded.join(F.broadcast(seen), "doc_id", "left_anti")
+        if dirs:
+            idx_slice = (spark.read.option("basePath", bands_path)
+                         .parquet(*dirs).select("doc_id"))
+            seen = (idx_slice
+                    .join(F.broadcast(arriving), "doc_id", "left_semi")
+                    .distinct())
+            fresh = banded.join(F.broadcast(seen), "doc_id", "left_anti")
+        else:
+            fresh = banded
         try:
-            fresh.write.mode("append").parquet(bands_path)
+            (fresh.write.mode("append").partitionBy(DOC_BUCKET_COL)
+             .parquet(bands_path))
         finally:
             banded.unpersist()
     else:
-        banded.write.mode("append").parquet(bands_path)
+        (banded.write.mode("append").partitionBy(DOC_BUCKET_COL)
+         .parquet(bands_path))
 
 
 def foreach_batch_band_index(stream: DataFrame, bands_path: str,
                              num_hashes: int = 8, num_bands: int = 4,
-                             shingle_n: int = 3) -> None:
+                             shingle_n: int = 3,
+                             num_buckets: int = 64) -> None:
     """Continuous near-dup index maintenance: every micro-batch's docs
     are banded (shingle → minhash → LSH buckets) and APPENDED to the
     persistent (doc_id, band_id, band_hash) index — the always-on
@@ -540,7 +635,8 @@ def foreach_batch_band_index(stream: DataFrame, bands_path: str,
     def handle(batch: DataFrame, _epoch: int) -> None:
         band_index_batch(batch, bands_path, num_hashes=num_hashes,
                          num_bands=num_bands, shingle_n=shingle_n,
-                         rows_per_band=rows_per_band)
+                         rows_per_band=rows_per_band,
+                         num_buckets=num_buckets)
 
     q = stream.writeStream.foreachBatch(handle).start()
     try:

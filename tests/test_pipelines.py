@@ -437,6 +437,14 @@ def test_foreach_batch_scd2_restart_replays_after_mart_reset(spark, tmp_path):
 
     first = run()  # virgin path: default reset=None seeds fresh
     assert len(first) > 1  # seed row + streamed docs
+    # The seed recorded fingerprint provenance (module-canonical here:
+    # the initial frame carried no hash column) in a root marker that
+    # survives every later dynamic partition overwrite.
+    from pyspark_etl_project_spark.operators.fs import read_text_marker
+    from pyspark_etl_project_spark.streaming.ingest import (
+        HASH_PROVENANCE_CANONICAL, PROVENANCE_MARKER)
+    assert (read_text_marker(spark, f"{mart_path}/{PROVENANCE_MARKER}")
+            == HASH_PROVENANCE_CANONICAL)
     # Prior state now exists: the default must REFUSE rather than
     # silently wipe a caller-supplied directory (path-mistake guard) —
     # and resume mode must leave the converged mart untouched.
@@ -623,37 +631,52 @@ def test_scd2_merge_batch_surrogates_unique_across_buckets(spark, tmp_path):
 
 
 def test_scd2_merge_batch_mart_read_partition_prunes(spark, tmp_path):
-    """The per-batch mart read must prune to the arriving keys' bucket
-    partitions at the SCAN (PartitionFilters on MART_BUCKET) — at
-    100 TB a micro-batch reads a handful of buckets, never the mart."""
-    import re
-
+    """The PRODUCTION per-batch mart read (read_mart_touched — the
+    function scd2_merge_batch actually calls) must scan only the
+    touched bucket dirs — at 100 TB a micro-batch reads (and lists) a
+    handful of buckets, never the mart. Asserted against the shipped
+    read's own plan, not a test-local reconstruction, for BOTH layouts:
+    bucket-only and partition_col-nested (where the bucket dirs live
+    UNDER <pcol>=x/ and a flat <path>/MART_BUCKET=b probe would miss
+    every dir and silently fall back to the full listing)."""
     from pyspark_etl_project_spark.operators.scd2 import (
-        MART_BUCKET_COL, mart_bucket, write_mart)
+        mart_bucket, read_mart_touched, write_mart)
 
     t0s, t0e = "2020-01-01 00:00:00", "2099-12-31 00:00:00"
+    rows = [(i, f"K-{i}", 1 + i % 2, i * 10, 1, t0s, t0e)
+            for i in range(20)]
     seed = spark.createDataFrame(
-        [(i, f"K-{i}", i * 10, 1, t0s, t0e) for i in range(20)],
-        "csd_id long, ssi string, v long, ACTIVE_FLAG int, "
+        rows,
+        "csd_id long, ssi string, src int, v long, ACTIVE_FLAG int, "
         "START_DATE string, END_DATE string") \
         .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
         .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
-    mart_path = str(tmp_path / "mart")
-    write_mart(seed, mart_path, partition_col=None, key="ssi",
-               num_buckets=4)
+    bucket_of = {r["ssi"]: r["b"] for r in seed.select(
+        "ssi", mart_bucket("ssi", 4).alias("b")).collect()}
+    bucket_ids = [bucket_of["K-0"]]
+    expect = sorted(r[1] for r in rows if bucket_of[r[1]] in bucket_ids)
 
-    # The exact read scd2_merge_batch builds for a batch hashing to
-    # one bucket:
-    batch = spark.createDataFrame([("K-0",)], "ssi string")
-    bucket_ids = [r["b"] for r in batch.select(
-        mart_bucket("ssi", 4).alias("b")).distinct().collect()]
-    pruned = (spark.read.parquet(mart_path)
-              .filter(F.col(MART_BUCKET_COL).isin(bucket_ids)))
-    mode = (spark._jvm.org.apache.spark.sql.execution.ExplainMode
-            .fromString("formatted"))
-    plan = pruned._jdf.queryExecution().explainString(mode)
-    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert pf and MART_BUCKET_COL in pf.group(1)
+    def scan_paths(df):
+        mode = (spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted"))
+        plan = df._jdf.queryExecution().explainString(mode)
+        return "\n".join(ln for ln in plan.splitlines()
+                         if "Location" in ln)
+
+    for pcol in (None, "src"):
+        mart_path = str(tmp_path / f"mart_{pcol}")
+        write_mart(seed, mart_path, partition_col=pcol, key="ssi",
+                   num_buckets=4)
+        got = read_mart_touched(spark, mart_path, bucket_ids,
+                                partition_col=pcol)
+        # Content: exactly the touched bucket's rows (proves the
+        # partitioned-layout glob actually found the nested dirs
+        # instead of falling back to an empty-dirs schema read).
+        assert sorted(r["ssi"] for r in got.collect()) == expect
+        loc = scan_paths(got)
+        assert f"MART_BUCKET={bucket_ids[0]}" in loc
+        untouched = [b for b in range(4) if b not in bucket_ids]
+        assert all(f"MART_BUCKET={b}" not in loc for b in untouched)
 
 
 def test_band_index_double_delivery_appends_nothing(spark, tmp_path):
@@ -682,6 +705,14 @@ def test_band_index_double_delivery_appends_nothing(spark, tmp_path):
     assert len(after_b2) > len(after_b1)
     band_index_batch(b2, path)  # retry of batch 2
     assert state() == after_b2
+    # The index is doc-bucket partitioned, so the per-batch
+    # already-indexed probe reads only the dirs the batch's docs hash
+    # to — O(touched slice), not O(docs ever indexed).
+    import os
+
+    from pyspark_etl_project_spark.streaming.ingest import DOC_BUCKET_COL
+    assert any(d.startswith(f"{DOC_BUCKET_COL}=")
+               for d in os.listdir(path))
 
 
 def test_kmv_double_delivery_estimate_unchanged(spark, tmp_path):
@@ -707,3 +738,166 @@ def test_kmv_double_delivery_estimate_unchanged(spark, tmp_path):
     assert first is not None
     kmv_batch(docs, store, k=k)  # the retry
     assert kth() == first
+
+
+def _mini_mart(spark, with_hash: bool):
+    from pyspark_etl_project_spark.functions.hashing import row_fingerprint
+    from pyspark_etl_project_spark.streaming.ingest import (
+        STREAM_HASH_COL, _mart_value_cols)
+
+    t0 = "2020-01-01 00:00:00"
+    initial = spark.createDataFrame(
+        [(1, "K-1", 10, 1, t0, "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, v long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    if with_hash:
+        vcols = _mart_value_cols(initial.columns, "csd_id")
+        initial = initial.withColumn(STREAM_HASH_COL,
+                                     row_fingerprint(sorted(vcols)))
+    return initial
+
+
+def test_scd2_merge_batch_rejects_null_natural_key(spark, tmp_path):
+    """A NULL natural key can never be matched by the (null-unsafe)
+    routing/expire key joins: it would route INSERT on EVERY delivery
+    and stack an identical active row per retry. The merge must refuse
+    it loudly instead of corrupting silently."""
+    from pyspark_etl_project_spark.operators.scd2 import write_mart
+    from pyspark_etl_project_spark.streaming.ingest import scd2_merge_batch
+
+    mart_path = str(tmp_path / "mart")
+    write_mart(_mini_mart(spark, with_hash=True), mart_path,
+               partition_col=None, key="ssi", num_buckets=4)
+    batch = spark.createDataFrame([(None, 11), ("K-2", 20)],
+                                  "ssi string, v long")
+    with pytest.raises(ValueError, match="NULL ssi"):
+        scd2_merge_batch(spark, batch, mart_path,
+                         run_ts="2024-01-01 00:00:00", key="ssi",
+                         surrogate_col="csd_id", num_buckets=4,
+                         partition_col=None)
+
+
+def test_foreach_batch_scd2_seed_rejects_null_key(spark, tmp_path):
+    """Same NULL-key guard on the SEED: an unexpirable NULL-key active
+    row in the initial mart is rejected before any write happens."""
+    from pyspark_etl_project_spark.streaming.ingest import (
+        foreach_batch_scd2)
+
+    t0 = "2020-01-01 00:00:00"
+    bad_seed = spark.createDataFrame(
+        [(1, None, 0, 1, t0, "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, n long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="NULL ssi"):
+        foreach_batch_scd2(stream, str(tmp_path / "mart"), bad_seed,
+                           run_ts="2024-01-01 00:00:00", key="ssi",
+                           surrogate_col="csd_id", num_buckets=4)
+
+
+def test_canonical_marked_mart_ignores_foreign_arrival_hash(spark, tmp_path):
+    """A mart whose provenance marker says the persisted fingerprints
+    are module-canonical must route with the CANONICAL construction
+    even when prepare() emits its own SOURCE_HASH_KEY (e.g. a
+    batch-spine prepare reusing the per-source-order hash): trusting
+    the foreign hash verbatim would never match the stored canonical
+    one and every redelivered unchanged row would phantom-UPDATE."""
+    from pyspark_etl_project_spark.operators.fs import write_text_marker
+    from pyspark_etl_project_spark.operators.scd2 import (read_mart,
+                                                          write_mart)
+    from pyspark_etl_project_spark.streaming.ingest import (
+        HASH_PROVENANCE_CANONICAL, PROVENANCE_MARKER, scd2_merge_batch)
+
+    mart_path = str(tmp_path / "mart")
+    write_mart(_mini_mart(spark, with_hash=True), mart_path,
+               partition_col=None, key="ssi", num_buckets=4)
+    write_text_marker(spark, f"{mart_path}/{PROVENANCE_MARKER}",
+                      HASH_PROVENANCE_CANONICAL)
+    # Unchanged row, but carrying a FOREIGN hash construction.
+    batch = (spark.createDataFrame([("K-1", 10)], "ssi string, v long")
+             .withColumn("SOURCE_HASH_KEY",
+                         F.md5(F.col("v").cast("string"))))
+    n = scd2_merge_batch(spark, batch, mart_path,
+                         run_ts="2024-01-01 00:00:00", key="ssi",
+                         surrogate_col="csd_id", num_buckets=4,
+                         partition_col=None)
+    assert n == 0  # routed DUPLICATE via the recomputed canonical hash
+    rows = read_mart(spark, mart_path).collect()
+    assert len(rows) == 1 and rows[0]["ACTIVE_FLAG"] == 1
+
+
+def test_caller_marked_mart_requires_arrival_hash(spark, tmp_path):
+    """A mart whose marker says the fingerprints are caller-managed
+    cannot route hash-less arrivals (this module cannot reconstruct
+    the caller's construction — the canonical one would permanently
+    mismatch): fail fast instead of phantom-versioning every retry."""
+    from pyspark_etl_project_spark.operators.fs import write_text_marker
+    from pyspark_etl_project_spark.operators.scd2 import write_mart
+    from pyspark_etl_project_spark.streaming.ingest import (
+        HASH_PROVENANCE_CALLER, PROVENANCE_MARKER, scd2_merge_batch)
+
+    mart_path = str(tmp_path / "mart")
+    caller_seed = (_mini_mart(spark, with_hash=False)
+                   .withColumn("SOURCE_HASH_KEY",
+                               F.md5(F.col("v").cast("string"))))
+    write_mart(caller_seed, mart_path, partition_col=None, key="ssi",
+               num_buckets=4)
+    write_text_marker(spark, f"{mart_path}/{PROVENANCE_MARKER}",
+                      HASH_PROVENANCE_CALLER)
+    batch = spark.createDataFrame([("K-1", 10)], "ssi string, v long")
+    with pytest.raises(ValueError, match="caller-managed"):
+        scd2_merge_batch(spark, batch, mart_path,
+                         run_ts="2024-01-01 00:00:00", key="ssi",
+                         surrogate_col="csd_id", num_buckets=4,
+                         partition_col=None)
+
+
+def test_legacy_hashless_mart_routes_canonical_both_sides(spark, tmp_path):
+    """A legacy mart with NO persisted fingerprint gets the canonical
+    fingerprint recomputed on the historic side — so the ARRIVAL side
+    must use the same construction even when the batch carries its own
+    SOURCE_HASH_KEY (trusting it verbatim would guarantee a mismatch
+    against the canonical historic hash: every redelivery would
+    phantom-UPDATE)."""
+    from pyspark_etl_project_spark.operators.scd2 import (read_mart,
+                                                          write_mart)
+    from pyspark_etl_project_spark.streaming.ingest import scd2_merge_batch
+
+    mart_path = str(tmp_path / "mart")
+    write_mart(_mini_mart(spark, with_hash=False), mart_path,
+               partition_col=None, key="ssi", num_buckets=4)
+    batch = (spark.createDataFrame([("K-1", 10)], "ssi string, v long")
+             .withColumn("SOURCE_HASH_KEY",
+                         F.md5(F.col("v").cast("string"))))
+    n = scd2_merge_batch(spark, batch, mart_path,
+                         run_ts="2024-01-01 00:00:00", key="ssi",
+                         surrogate_col="csd_id", num_buckets=4,
+                         partition_col=None)
+    assert n == 0  # unchanged row routes DUPLICATE, not phantom UPDATE
+    rows = read_mart(spark, mart_path).collect()
+    assert len(rows) == 1 and rows[0]["ACTIVE_FLAG"] == 1
+
+
+def test_foreach_batch_scd2_checkpoint_only_hint(spark, tmp_path):
+    """When only a stale checkpoint survives (mart dir gone), the
+    refuse-path error must NOT advise reset=False — resume requires a
+    mart and would itself raise — and must call out that the
+    checkpoint is unusable."""
+    import os
+
+    from pyspark_etl_project_spark.streaming.ingest import (
+        foreach_batch_scd2)
+
+    mart_path = str(tmp_path / "mart")
+    os.makedirs(mart_path + "_chk")
+    stream = spark.readStream.format("rate").load()
+    seed = _mini_mart(spark, with_hash=False)
+    with pytest.raises(ValueError, match="stale checkpoint") as exc:
+        foreach_batch_scd2(stream, mart_path, seed,
+                           run_ts="2024-01-01 00:00:00", key="ssi",
+                           surrogate_col="csd_id", num_buckets=4)
+    assert "reset=False" not in str(exc.value)
