@@ -530,7 +530,7 @@ def band_index_batch(batch: DataFrame, bands_path: str,
                      num_hashes: int = 8, num_bands: int = 4,
                      shingle_n: int = 3,
                      rows_per_band: int | None = None,
-                     num_buckets: int = 64) -> None:
+                     num_buckets: int = 16) -> None:
     """One micro-batch of band-index maintenance: band the docs and
     append to the persistent (doc_id, band_id, band_hash) index —
     IDEMPOTENT under at-least-once redelivery. A foreachBatch retry
@@ -558,7 +558,7 @@ def band_index_batch(batch: DataFrame, bands_path: str,
 
     from pyspark_etl_project_spark.extensions.dedup import (
         _rows_per_band, lsh_bands, minhash_signature, word_shingles)
-    from pyspark_etl_project_spark.operators.fs import hadoop_fs
+    from pyspark_etl_project_spark.operators.fs import glob_dirs, hadoop_fs
 
     if rows_per_band is None:
         rows_per_band = _rows_per_band(num_hashes, num_bands)
@@ -578,18 +578,24 @@ def band_index_batch(batch: DataFrame, bands_path: str,
               .select("doc_id", F.col("b.band_id").alias("band_id"),
                       F.col("b.band_hash").alias("band_hash"),
                       doc_bucket.alias(DOC_BUCKET_COL)))
-    jvm, fs, jpath = hadoop_fs(spark, bands_path)
+    _, fs, jpath = hadoop_fs(spark, bands_path)
     if fs.exists(jpath):
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         # Distinct touched buckets: bounded by num_buckets, constant-
         # size collect. Dirs no doc has hashed to yet don't exist —
-        # probe and skip, mirroring read_mart_touched.
+        # ONE glob lists what exists (a per-bucket exists() probe costs
+        # a py4j round trip each, which dominates small batches), then
+        # intersect with the touched set.
         touched = [r["b"] for r in
                    (banded.select(F.col(DOC_BUCKET_COL).alias("b"))
                     .distinct().collect())]
-        dirs = [d for b in touched
-                for d in [f"{bands_path}/{DOC_BUCKET_COL}={b}"]
-                if fs.exists(jvm.org.apache.hadoop.fs.Path(d))]
+        # Compare on the bucket id, not the path string — globStatus
+        # returns scheme-qualified paths (file:/...), the constructed
+        # dirs are raw.
+        existing = {p.rsplit("=", 1)[1] for p in glob_dirs(
+            spark, f"{bands_path}/{DOC_BUCKET_COL}=*")}
+        dirs = [f"{bands_path}/{DOC_BUCKET_COL}={b}"
+                for b in touched if str(b) in existing]
         arriving = banded.select("doc_id").distinct()
         if dirs:
             idx_slice = (spark.read.option("basePath", bands_path)
@@ -601,19 +607,30 @@ def band_index_batch(batch: DataFrame, bands_path: str,
         else:
             fresh = banded
         try:
-            (fresh.write.mode("append").partitionBy(DOC_BUCKET_COL)
-             .parquet(bands_path))
+            _write_bands(fresh, bands_path)
         finally:
             banded.unpersist()
     else:
-        (banded.write.mode("append").partitionBy(DOC_BUCKET_COL)
-         .parquet(bands_path))
+        _write_bands(banded, bands_path)
+
+
+def _write_bands(bands: DataFrame, bands_path: str) -> None:
+    """Partitioned append with ONE file per touched bucket per batch:
+    without the hash repartition on the partition column, every task
+    holding rows of a bucket writes its own file there — tasks ×
+    buckets small files per micro-batch, which both slows this write
+    and makes every downstream read (and the next batch's probe)
+    re-list an ever-growing file census. The shuffle moved is one
+    micro-batch of band rows — trivial."""
+    (bands.repartition(F.col(DOC_BUCKET_COL))
+     .write.mode("append").partitionBy(DOC_BUCKET_COL)
+     .parquet(bands_path))
 
 
 def foreach_batch_band_index(stream: DataFrame, bands_path: str,
                              num_hashes: int = 8, num_bands: int = 4,
                              shingle_n: int = 3,
-                             num_buckets: int = 64) -> None:
+                             num_buckets: int = 16) -> None:
     """Continuous near-dup index maintenance: every micro-batch's docs
     are banded (shingle → minhash → LSH buckets) and APPENDED to the
     persistent (doc_id, band_id, band_hash) index — the always-on
