@@ -218,11 +218,17 @@ def scd2_route_arrivals(arrivals: DataFrame, mart: DataFrame, key: str,
     return routed.select(*keep)
 
 
+# Sentinel: "read the mart's provenance marker yourself" — distinct
+# from None, which is a real provenance value (no marker / legacy).
+_READ_MARKER = object()
+
+
 def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
                      run_ts: str, key: str, surrogate_col: str,
                      prepare=None, num_buckets: int | None = 16,
                      partition_col: str | None = None,
-                     surrogate_offset: int | None = None) -> int:
+                     surrogate_offset: int | None = None,
+                     hash_provenance=_READ_MARKER) -> int:
     """One micro-batch of the foreachBatch SCD2 merge: route → merge →
     bucket-pruned rewrite. Returns the number of fresh versions written
     (0 = empty or pure-redelivery batch; merge and write were skipped).
@@ -245,7 +251,12 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
     When None, the fallback scans the FULL mart's surrogate column —
     one column-pruned pass, correct but O(mart files); a MAX over just
     the touched slice would under-count ids living in untouched buckets
-    and collide surrogates across buckets."""
+    and collide surrogates across buckets.
+
+    ``hash_provenance`` is the mart's fingerprint-provenance marker
+    value (see PROVENANCE_MARKER). foreach_batch_scd2 reads it once
+    per run and passes it down; when left at the default sentinel this
+    function reads the marker itself (direct/test callers)."""
     from pyspark.storagelevel import StorageLevel
 
     from pyspark_etl_project_spark.operators.fs import read_text_marker
@@ -255,25 +266,27 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
     arrivals = prepare(batch) if prepare is not None else batch
     arrivals = arrivals.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # NULL natural keys defeat every SCD2 key join in the chain
-        # (routing, expire, survivor split — all null-unsafe, like the
-        # SQL joins they mirror): a NULL-key row would route INSERT on
-        # EVERY delivery and its predecessor could never be expired, so
-        # each at-least-once retry stacks another identical active row.
-        # One cheap limit(1) job on the already-persisted batch buys a
-        # loud failure instead of unbounded silent corruption.
-        if arrivals.filter(F.col(key).isNull()).limit(1).count() > 0:
+        # ONE pre-flight job computes both admission facts: whether any
+        # NULL natural key arrived, and the distinct touched buckets
+        # (collect_set is bounded by num_buckets, so the collect stays
+        # constant-size). NULL keys defeat every SCD2 key join in the
+        # chain (routing, expire, survivor split — all null-unsafe,
+        # like the SQL joins they mirror): a NULL-key row would route
+        # INSERT on EVERY delivery and its predecessor could never be
+        # expired, so each at-least-once retry stacks another identical
+        # active row — fail loudly instead of corrupting silently.
+        bucket_col = (mart_bucket(key, num_buckets)
+                      if num_buckets is not None else F.lit(0))
+        pre = arrivals.agg(
+            F.max(F.col(key).isNull()).alias("has_null"),
+            F.collect_set(bucket_col).alias("bs")).first()
+        if pre["has_null"]:
             raise ValueError(
                 f"scd2_merge_batch: arrival batch contains NULL {key} "
                 "rows; a NULL natural key cannot participate in SCD2 "
                 "matching — filter or repair them in prepare()")
         if num_buckets is not None:
-            # Distinct arrival buckets: bounded by num_buckets, so the
-            # collect is constant-size.
-            bucket_ids = [r["b"] for r in
-                          (arrivals.select(mart_bucket(key, num_buckets)
-                                           .alias("b"))
-                           .distinct().collect())]
+            bucket_ids = list(pre["bs"])
             if not bucket_ids:
                 return 0
             # Read ONLY the touched bucket slice — listing stays
@@ -284,10 +297,11 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
         else:
             mart = read_mart(spark, mart_path)
         value_cols = _mart_value_cols(mart.columns, surrogate_col)
-        provenance = read_text_marker(
-            spark, f"{mart_path}/{PROVENANCE_MARKER}")
+        if hash_provenance is _READ_MARKER:
+            hash_provenance = read_text_marker(
+                spark, f"{mart_path}/{PROVENANCE_MARKER}")
         routed = (scd2_route_arrivals(arrivals, mart, key, value_cols,
-                                      provenance=provenance)
+                                      provenance=hash_provenance)
                   .persist(StorageLevel.MEMORY_AND_DISK))
         try:
             n_fresh = routed.count()
@@ -467,13 +481,21 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
     row = (read_mart(spark, mart_path)
            .agg(F.max(surrogate_col).alias("m")).first())
     hwm = [int(row["m"]) if row and row["m"] is not None else 0]
+    # Read the provenance marker ONCE per run, not per micro-batch —
+    # it cannot change while this run owns the mart (only the seed
+    # path writes it), and a py4j file read per batch is avoidable
+    # per-batch latency.
+    from pyspark_etl_project_spark.operators.fs import read_text_marker
+
+    run_provenance = read_text_marker(
+        spark, f"{mart_path}/{PROVENANCE_MARKER}")
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         hwm[0] += scd2_merge_batch(
             spark, batch, mart_path, run_ts=run_ts, key=key,
             surrogate_col=surrogate_col, prepare=prepare,
             num_buckets=num_buckets, partition_col=partition_col,
-            surrogate_offset=hwm[0])
+            surrogate_offset=hwm[0], hash_provenance=run_provenance)
 
     q = (stream.writeStream.outputMode("append")
          .foreachBatch(merge_batch)
