@@ -521,6 +521,63 @@ def probe_scd2_merge_batch(spark: SparkSession, n: int) -> None:
                      surrogate_offset=n + call * 1000)
 
 
+_BAND_BASE = 10_000
+_BAND_PROBE: dict[int, list] = {}  # n -> [bands_path, nb, calls]
+
+
+def _band_probe_setup(spark: SparkSession, sizes: list[int]) -> None:
+    """One pre-built band index per size, UNTIMED. Bucket count grows
+    with the index (bucket SIZE constant — the same sizing rule as the
+    mart probe), synthesized directly in index shape so setup doesn't
+    pay 1M doc minhashes just to measure the guard."""
+    import tempfile
+
+    from pyspark_etl_project_spark.streaming.ingest import DOC_BUCKET_COL
+
+    for size in sizes:
+        if size in _BAND_PROBE:
+            continue
+        nb = max(16, (size * 16) // _BAND_BASE)
+        idx = (spark.range(size)
+               .select(F.col("id").alias("doc_id"),
+                       F.explode(F.array(*[F.lit(i) for i in range(4)]))
+                        .alias("band_id"))
+               .select("doc_id", "band_id",
+                       F.md5(F.concat_ws("|", "doc_id", "band_id"))
+                        .alias("band_hash"),
+                       F.pmod(F.xxhash64("doc_id"), F.lit(nb))
+                        .cast("int").alias(DOC_BUCKET_COL))
+               .repartition(min(nb, 4096), F.col(DOC_BUCKET_COL)))
+        path = tempfile.mkdtemp(prefix=f"bandprobe{size}_") + "/bands"
+        idx.write.mode("append").partitionBy(DOC_BUCKET_COL).parquet(path)
+        _BAND_PROBE[size] = [path, nb, 0]
+
+
+def probe_band_index_batch(spark: SparkSession, n: int) -> None:
+    """Streaming band-index maintenance: a FIXED 50-doc fresh batch
+    against an index of n docs. The already-indexed guard must stay
+    ~FLAT as the index scales 100× — it reads only the ≤50 bucket dirs
+    the batch's docs hash to, and bucket size is held constant by the
+    sizing rule — where the flat (unpartitioned) layout re-scanned the
+    whole index's doc_id column per batch, growing without bound over
+    the stream's lifetime. Fresh doc_ids per call (call counter salt)
+    so the timed run exercises the real probe + append path."""
+    from pyspark_etl_project_spark.streaming.ingest import band_index_batch
+
+    _band_probe_setup(spark, [n, n * AMP] if n == _BAND_BASE else [n])
+    state = _BAND_PROBE[n]
+    path, nb = state[0], state[1]
+    state[2] += 1
+    base_id = 10_000_000 * state[2] + n
+    words = [F.substring(F.md5((F.col("id") + F.lit(base_id + w))
+                               .cast("string")), 1, 8)
+             for w in range(6)]
+    docs = (spark.range(50)
+            .select((F.col("id") + F.lit(base_id)).alias("doc_id"),
+                    F.concat_ws(" ", *words).alias("text")))
+    band_index_batch(docs, path, num_buckets=nb)
+
+
 PROBES = {
     # name: (fn, base_n)  — 100× runs at base_n * AMP
     "boilerplate_scrub_30pct_hot_line": (probe_boilerplate, 10_000),
@@ -554,6 +611,7 @@ PROBES = {
     "partial_stats_merge_32parts": (probe_partial_stats_merge, 100_000),
     # round-9: the redelivery-hardened streaming merge
     "scd2_merge_batch_1k_arrivals": (probe_scd2_merge_batch, _SCD2_BASE),
+    "band_index_batch_50_fresh": (probe_band_index_batch, _BAND_BASE),
 }
 
 
