@@ -24,11 +24,6 @@ def hadoop_fs(spark: SparkSession, path: str):
     return jvm, fs, jpath
 
 
-def path_exists(spark: SparkSession, path: str) -> bool:
-    _, fs, jpath = hadoop_fs(spark, path)
-    return fs.exists(jpath)
-
-
 def glob_dirs(spark: SparkSession, pattern: str) -> list[str]:
     """Paths matching a Hadoop glob pattern (empty list when nothing
     matches — globStatus returns null then, which this wraps away)."""
@@ -39,9 +34,8 @@ def glob_dirs(spark: SparkSession, pattern: str) -> list[str]:
 
 
 def write_text_marker(spark: SparkSession, path: str, content: str) -> None:
-    """Create-or-replace a tiny root-level marker file (e.g. fingerprint
-    provenance). Root files survive dynamic partition overwrite, which
-    only replaces partition directories."""
+    """Create-or-replace a tiny marker file (e.g. fingerprint
+    provenance)."""
     _, fs, jpath = hadoop_fs(spark, path)
     out = fs.create(jpath, True)
     try:
@@ -52,18 +46,14 @@ def write_text_marker(spark: SparkSession, path: str, content: str) -> None:
 
 def read_text_marker(spark: SparkSession, path: str) -> str | None:
     """Read a marker file written by write_text_marker; None when the
-    file does not exist (legacy layouts predating the marker)."""
-    _, fs, jpath = hadoop_fs(spark, path)
+    file does not exist (legacy layouts predating the marker). Bulk
+    copy through IOUtils — a per-byte stream.read() loop would cost one
+    py4j round trip per byte."""
+    jvm, fs, jpath = hadoop_fs(spark, path)
     if not fs.exists(jpath):
         return None
     stream = fs.open(jpath)
-    try:
-        data = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            data.append(b)
-        return data.decode("utf-8")
-    finally:
-        stream.close()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # closeAll=True closes both ends for us.
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return bytes(baos.toByteArray()).decode("utf-8")

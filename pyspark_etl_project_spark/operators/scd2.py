@@ -283,24 +283,22 @@ def read_mart_touched(spark, path: str, bucket_ids: list[int],
 
     Layout awareness: write_mart nests buckets UNDER the partition
     column (``<path>/<pcol>=x/MART_BUCKET=b``), so with
-    ``partition_col`` set the touched dirs are found with a one-level
-    glob per bucket (cost O(partition values) per touched bucket — the
-    dir probe at ``<path>/MART_BUCKET=b`` would never match and every
+    ``partition_col`` set the glob matches one level down — a dir
+    probe at ``<path>/MART_BUCKET=b`` would never match and every
     batch would silently fall back to the full listing this function
-    exists to avoid). Buckets no key has ever hashed to have no dir
-    yet — absences are skipped; when NO touched dir exists the
-    full-path read (one listing) is used purely for the mart SCHEMA,
-    with the bucket filter keeping the scan itself empty."""
-    from pyspark_etl_project_spark.operators.fs import glob_dirs, hadoop_fs
+    exists to avoid. ONE globStatus with a ``{b1,b2,...}`` alternation
+    covers every touched bucket in a single py4j round trip (a
+    per-bucket exists()/glob costs one driver RPC each — pure
+    per-batch latency at the documented 1024+ bucket scale). Buckets
+    no key has ever hashed to have no dir yet — absences simply don't
+    match; when NO touched dir exists the full-path read (one listing)
+    is used purely for the mart SCHEMA, with the bucket filter keeping
+    the scan itself empty."""
+    from pyspark_etl_project_spark.operators.fs import glob_dirs
 
-    if partition_col is not None:
-        dirs = [d for b in bucket_ids for d in glob_dirs(
-            spark, f"{path}/{partition_col}=*/{MART_BUCKET_COL}={b}")]
-    else:
-        jvm, fs, _ = hadoop_fs(spark, path)
-        dirs = [d for b in bucket_ids
-                for d in [f"{path}/{MART_BUCKET_COL}={b}"]
-                if fs.exists(jvm.org.apache.hadoop.fs.Path(d))]
+    alts = "{" + ",".join(str(b) for b in bucket_ids) + "}"
+    level = f"{partition_col}=*/" if partition_col is not None else ""
+    dirs = glob_dirs(spark, f"{path}/{level}{MART_BUCKET_COL}={alts}")
     if dirs:
         return (spark.read.option("basePath", path)
                 .parquet(*dirs).drop(MART_BUCKET_COL))

@@ -103,17 +103,23 @@ def run_stream_to_memory(agg: DataFrame, name: str | None = None,
 
 STREAM_HASH_COL = "SOURCE_HASH_KEY"
 
-# Root-level mart marker recording which construction built the
+# Sibling marker file recording which construction built the mart's
 # persisted fingerprints (foreach_batch_scd2 writes it at seed time):
 # "canonical-sorted-v1" = this module's md5 over the SORTED value
 # columns; "caller" = the initial_mart carried its own SOURCE_HASH_KEY,
 # which this module cannot reconstruct — arrivals must then carry the
 # same caller-computed column. Marts predating the marker (or built
 # externally) have no file and fall back to the documented
-# trust-arrival-hash-if-present behavior.
-PROVENANCE_MARKER = "_FINGERPRINT_PROVENANCE"
+# trust-arrival-hash-if-present behavior. A SIBLING of the mart dir
+# (like the _chk checkpoint), not a file inside it: the unpartitioned
+# mart config full-overwrites the whole dir per merge batch, which
+# would delete an in-dir marker and silently drop the guard.
 HASH_PROVENANCE_CANONICAL = "canonical-sorted-v1"
 HASH_PROVENANCE_CALLER = "caller"
+
+
+def provenance_marker_path(mart_path: str) -> str:
+    return mart_path.rstrip("/") + "_fingerprint_provenance"
 
 _SCD2_META_COLS = ("ACTIVE_FLAG", "START_DATE", "END_DATE")
 
@@ -254,7 +260,7 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
     and collide surrogates across buckets.
 
     ``hash_provenance`` is the mart's fingerprint-provenance marker
-    value (see PROVENANCE_MARKER). foreach_batch_scd2 reads it once
+    value (see provenance_marker_path). foreach_batch_scd2 reads it once
     per run and passes it down; when left at the default sentinel this
     function reads the marker itself (direct/test callers)."""
     from pyspark.storagelevel import StorageLevel
@@ -299,7 +305,7 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
         value_cols = _mart_value_cols(mart.columns, surrogate_col)
         if hash_provenance is _READ_MARKER:
             hash_provenance = read_text_marker(
-                spark, f"{mart_path}/{PROVENANCE_MARKER}")
+                spark, provenance_marker_path(mart_path))
         routed = (scd2_route_arrivals(arrivals, mart, key, value_cols,
                                       provenance=hash_provenance)
                   .persist(StorageLevel.MEMORY_AND_DISK))
@@ -405,11 +411,16 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
     from pyspark_etl_project_spark.operators.fs import (hadoop_fs,
                                                         write_text_marker)
 
+    # The provenance marker is deleted/rewritten with the mart but does
+    # NOT participate in the prior-state refusal (a stray marker with
+    # no mart is stale bookkeeping, not user data worth refusing over).
+    marker = provenance_marker_path(mart_path)
     targets = {}
-    for p in (mart_path, mart_path + "_chk"):
+    for p in (mart_path, mart_path + "_chk", marker):
         _, fs, jpath = hadoop_fs(spark, p)
         targets[p] = (jpath, fs)
-    existing = [p for p, (jp, fs) in targets.items() if fs.exists(jp)]
+    existing = [p for p, (jp, fs) in targets.items()
+                if p != marker and fs.exists(jp)]
     if reset is None and existing:
         # reset=False is only a valid suggestion when the mart survives
         # (it is the resume state); a checkpoint WITHOUT a mart is a
@@ -438,20 +449,22 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
                 "foreach_batch_scd2: reset=False (resume) requires an "
                 f"existing mart at {mart_path}")
     else:
-        for p in existing:
-            jp, fs = targets[p]
-            fs.delete(jp, True)
         seed = initial_mart
         # A NULL natural key in the seed could never be matched by the
         # routing or merge key joins (both are null-unsafe, like the
         # SQL join semantics they mirror): its active row would be
         # unexpirable and every redelivery would stack another copy.
-        # Reject loudly instead of corrupting silently.
+        # Reject loudly — and BEFORE the reset delete below, so a bad
+        # seed cannot first destroy the prior mart/checkpoint and then
+        # fail, leaving nothing behind.
         if seed.filter(F.col(key).isNull()).limit(1).count() > 0:
             raise ValueError(
                 f"foreach_batch_scd2: initial_mart contains NULL {key} "
                 "rows; a NULL natural key cannot participate in SCD2 "
                 "matching — filter or repair them before seeding")
+        for p, (jp, fs) in targets.items():
+            if p in existing or fs.exists(jp):
+                fs.delete(jp, True)
         if STREAM_HASH_COL not in seed.columns:
             vcols = _mart_value_cols(seed.columns, surrogate_col)
             seed = seed.withColumn(STREAM_HASH_COL,
@@ -459,16 +472,21 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
             provenance = HASH_PROVENANCE_CANONICAL
         else:
             provenance = HASH_PROVENANCE_CALLER
+        # SIBLING marker file (not inside the mart dir): records WHOSE
+        # construction the persisted fingerprints are, so every later
+        # merge routes arrivals with the matching one — mixing
+        # constructions would make every redelivered unchanged row
+        # compare unequal and phantom-UPDATE, the exact bug routing
+        # exists to prevent. Sibling because an UNPARTITIONED mart
+        # config (num_buckets=None, partition_col=None) full-overwrites
+        # the mart dir on every merge batch, which would silently
+        # delete an in-dir marker. Written BEFORE the seed: a crash in
+        # between leaves a marker with no mart — resume then fails
+        # loudly (no mart to resume) instead of a marker-less mart
+        # silently falling back to legacy trust-arrival routing.
+        write_text_marker(spark, marker, provenance)
         write_mart(seed, mart_path, partition_col=partition_col,
                    key=key, num_buckets=num_buckets)
-        # Root-level marker (survives dynamic partition overwrite):
-        # records WHOSE construction the persisted fingerprints are, so
-        # every later merge routes arrivals with the matching one —
-        # mixing constructions would make every redelivered unchanged
-        # row compare unequal and phantom-UPDATE, the exact bug routing
-        # exists to prevent.
-        write_text_marker(spark, f"{mart_path}/{PROVENANCE_MARKER}",
-                          provenance)
 
     # Per-run surrogate high-watermark: ONE full-mart MAX at stream
     # start (a single column-pruned pass), then += fresh-row count per
@@ -488,7 +506,7 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
     from pyspark_etl_project_spark.operators.fs import read_text_marker
 
     run_provenance = read_text_marker(
-        spark, f"{mart_path}/{PROVENANCE_MARKER}")
+        spark, provenance_marker_path(mart_path))
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         hwm[0] += scd2_merge_batch(
@@ -580,13 +598,15 @@ def band_index_batch(batch: DataFrame, bands_path: str,
 
     from pyspark_etl_project_spark.extensions.dedup import (
         _rows_per_band, lsh_bands, minhash_signature, word_shingles)
-    from pyspark_etl_project_spark.operators.fs import glob_dirs, hadoop_fs
+    from pyspark_etl_project_spark.operators.fs import hadoop_fs
+    from pyspark_etl_project_spark.operators.scd2 import mart_bucket
 
     if rows_per_band is None:
         rows_per_band = _rows_per_band(num_hashes, num_bands)
     spark = batch.sparkSession
-    doc_bucket = F.pmod(F.xxhash64(F.col("doc_id")),
-                        F.lit(num_buckets)).cast("int")
+    # Same deterministic bucketing construction as the mart — shared,
+    # not re-derived, so the two cannot drift.
+    doc_bucket = mart_bucket("doc_id", num_buckets)
     banded = (batch
               .select("doc_id",
                       word_shingles("text", shingle_n).alias("_sh"))
@@ -603,19 +623,46 @@ def band_index_batch(batch: DataFrame, bands_path: str,
     _, fs, jpath = hadoop_fs(spark, bands_path)
     if fs.exists(jpath):
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        # ONE root listing serves both the layout guard and the
+        # touched-dir intersection (a per-bucket exists() probe costs a
+        # py4j round trip each, which dominates small batches).
+        entries = [s for s in fs.listStatus(jpath)
+                   if not s.getPath().getName().startswith("_")]
+        existing, stray = set(), []
+        for s in entries:
+            name = s.getPath().getName()
+            if s.isDirectory() and name.startswith(DOC_BUCKET_COL + "="):
+                existing.add(name.split("=", 1)[1])
+            else:
+                stray.append(name)
+        # Layout guard — the band-index twin of _check_mart_layout.
+        # Appending DOC_BUCKET dirs beside a legacy FLAT index would
+        # both bypass the already-indexed probe (no dirs match → every
+        # redelivered doc re-appends, doubling downstream corpus-hit
+        # counts) and leave a mixed layout Spark refuses to read
+        # ("Conflicting directory structures"). A num_buckets change
+        # mid-index would probe the wrong dirs with the same silent
+        # re-append — the bucket count is fixed per index path.
+        if stray:
+            raise ValueError(
+                f"band index at {bands_path} has a legacy flat layout "
+                f"(found {stray[:4]}); appending bucket-partitioned "
+                "data would bypass the dedup guard and mix layouts — "
+                "rebuild the index once in the bucketed layout")
+        over = [b for b in existing if int(b) >= num_buckets]
+        if over:
+            raise ValueError(
+                f"band index at {bands_path} has bucket dirs "
+                f"{sorted(over)[:4]} outside num_buckets={num_buckets}; "
+                "num_buckets must stay constant for an index path (a "
+                "different bucketing probes the wrong dirs and silently "
+                "re-appends already-indexed docs)")
         # Distinct touched buckets: bounded by num_buckets, constant-
         # size collect. Dirs no doc has hashed to yet don't exist —
-        # ONE glob lists what exists (a per-bucket exists() probe costs
-        # a py4j round trip each, which dominates small batches), then
-        # intersect with the touched set.
+        # they simply drop out of the intersection.
         touched = [r["b"] for r in
                    (banded.select(F.col(DOC_BUCKET_COL).alias("b"))
                     .distinct().collect())]
-        # Compare on the bucket id, not the path string — globStatus
-        # returns scheme-qualified paths (file:/...), the constructed
-        # dirs are raw.
-        existing = {p.rsplit("=", 1)[1] for p in glob_dirs(
-            spark, f"{bands_path}/{DOC_BUCKET_COL}=*")}
         dirs = [f"{bands_path}/{DOC_BUCKET_COL}={b}"
                 for b in touched if str(b) in existing]
         arriving = banded.select("doc_id").distinct()

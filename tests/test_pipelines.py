@@ -442,8 +442,8 @@ def test_foreach_batch_scd2_restart_replays_after_mart_reset(spark, tmp_path):
     # survives every later dynamic partition overwrite.
     from pyspark_etl_project_spark.operators.fs import read_text_marker
     from pyspark_etl_project_spark.streaming.ingest import (
-        HASH_PROVENANCE_CANONICAL, PROVENANCE_MARKER)
-    assert (read_text_marker(spark, f"{mart_path}/{PROVENANCE_MARKER}")
+        HASH_PROVENANCE_CANONICAL, provenance_marker_path)
+    assert (read_text_marker(spark, provenance_marker_path(mart_path))
             == HASH_PROVENANCE_CANONICAL)
     # Prior state now exists: the default must REFUSE rather than
     # silently wipe a caller-supplied directory (path-mistake guard) —
@@ -810,12 +810,12 @@ def test_canonical_marked_mart_ignores_foreign_arrival_hash(spark, tmp_path):
     from pyspark_etl_project_spark.operators.scd2 import (read_mart,
                                                           write_mart)
     from pyspark_etl_project_spark.streaming.ingest import (
-        HASH_PROVENANCE_CANONICAL, PROVENANCE_MARKER, scd2_merge_batch)
+        HASH_PROVENANCE_CANONICAL, provenance_marker_path, scd2_merge_batch)
 
     mart_path = str(tmp_path / "mart")
     write_mart(_mini_mart(spark, with_hash=True), mart_path,
                partition_col=None, key="ssi", num_buckets=4)
-    write_text_marker(spark, f"{mart_path}/{PROVENANCE_MARKER}",
+    write_text_marker(spark, provenance_marker_path(mart_path),
                       HASH_PROVENANCE_CANONICAL)
     # Unchanged row, but carrying a FOREIGN hash construction.
     batch = (spark.createDataFrame([("K-1", 10)], "ssi string, v long")
@@ -838,7 +838,7 @@ def test_caller_marked_mart_requires_arrival_hash(spark, tmp_path):
     from pyspark_etl_project_spark.operators.fs import write_text_marker
     from pyspark_etl_project_spark.operators.scd2 import write_mart
     from pyspark_etl_project_spark.streaming.ingest import (
-        HASH_PROVENANCE_CALLER, PROVENANCE_MARKER, scd2_merge_batch)
+        HASH_PROVENANCE_CALLER, provenance_marker_path, scd2_merge_batch)
 
     mart_path = str(tmp_path / "mart")
     caller_seed = (_mini_mart(spark, with_hash=False)
@@ -846,7 +846,7 @@ def test_caller_marked_mart_requires_arrival_hash(spark, tmp_path):
                                F.md5(F.col("v").cast("string"))))
     write_mart(caller_seed, mart_path, partition_col=None, key="ssi",
                num_buckets=4)
-    write_text_marker(spark, f"{mart_path}/{PROVENANCE_MARKER}",
+    write_text_marker(spark, provenance_marker_path(mart_path),
                       HASH_PROVENANCE_CALLER)
     batch = spark.createDataFrame([("K-1", 10)], "ssi string, v long")
     with pytest.raises(ValueError, match="caller-managed"):
@@ -880,6 +880,114 @@ def test_legacy_hashless_mart_routes_canonical_both_sides(spark, tmp_path):
     assert n == 0  # unchanged row routes DUPLICATE, not phantom UPDATE
     rows = read_mart(spark, mart_path).collect()
     assert len(rows) == 1 and rows[0]["ACTIVE_FLAG"] == 1
+
+
+def test_band_index_rejects_flat_legacy_layout(spark, tmp_path):
+    """Appending bucket-partitioned band rows beside a legacy FLAT
+    index would bypass the already-indexed guard (no DOC_BUCKET dirs
+    match → every redelivered doc re-appends) and leave a mixed layout
+    Spark refuses to read — the guard must refuse instead, like
+    _check_mart_layout does for the mart."""
+    from pyspark_etl_project_spark.streaming.ingest import band_index_batch
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 40).select("doc_id", "text"))
+    path = str(tmp_path / "bands")
+    # A flat index, as the pre-bucketing code wrote it.
+    (spark.createDataFrame([(1, 0, "ab")],
+                           "doc_id long, band_id int, band_hash string")
+     .write.parquet(path))
+    with pytest.raises(ValueError, match="legacy flat layout"):
+        band_index_batch(docs, path)
+
+
+def test_band_index_rejects_bucket_count_change(spark, tmp_path):
+    """num_buckets is fixed per index path: a different bucketing would
+    probe the wrong dirs and silently re-append already-indexed docs."""
+    import os
+
+    from pyspark_etl_project_spark.streaming.ingest import (
+        DOC_BUCKET_COL, band_index_batch)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 40).select("doc_id", "text"))
+    path = str(tmp_path / "bands")
+    band_index_batch(docs, path, num_buckets=16)
+    top = max(int(d.split("=", 1)[1]) for d in os.listdir(path)
+              if d.startswith(DOC_BUCKET_COL + "="))
+    # num_buckets == the highest existing dir id guarantees that dir is
+    # out of range for the new bucketing — deterministic trigger.
+    with pytest.raises(ValueError, match="num_buckets must stay"):
+        band_index_batch(docs, path, num_buckets=max(top, 1))
+
+
+def test_foreach_batch_scd2_bad_seed_preserves_prior_state(spark, tmp_path):
+    """reset=True with an invalid seed (NULL natural key) must fail
+    BEFORE deleting the prior mart and checkpoint — a bad fresh load
+    cannot destroy the state it was about to replace."""
+    import os
+
+    from pyspark_etl_project_spark.operators.scd2 import read_mart, write_mart
+    from pyspark_etl_project_spark.streaming.ingest import (
+        foreach_batch_scd2)
+
+    mart_path = str(tmp_path / "mart")
+    write_mart(_mini_mart(spark, with_hash=True), mart_path,
+               partition_col=None, key="ssi", num_buckets=4)
+    os.makedirs(mart_path + "_chk")
+    before = sorted(tuple(r) for r in read_mart(spark, mart_path).collect())
+
+    t0 = "2020-01-01 00:00:00"
+    bad_seed = spark.createDataFrame(
+        [(1, None, 0, 1, t0, "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, v long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="NULL ssi"):
+        foreach_batch_scd2(stream, mart_path, bad_seed,
+                           run_ts="2024-01-01 00:00:00", key="ssi",
+                           surrogate_col="csd_id", num_buckets=4,
+                           reset=True)
+    assert os.path.isdir(mart_path + "_chk")
+    after = sorted(tuple(r) for r in read_mart(spark, mart_path).collect())
+    assert after == before
+
+
+def test_marker_survives_unpartitioned_merge(spark, tmp_path):
+    """The provenance marker lives BESIDE the mart dir: the
+    unpartitioned mart config (num_buckets=None, partition_col=None)
+    full-overwrites the mart dir on every merge batch, which would
+    delete an in-dir marker and silently drop the caller-managed
+    fail-fast on resume."""
+    from pyspark_etl_project_spark.operators.fs import (read_text_marker,
+                                                        write_text_marker)
+    from pyspark_etl_project_spark.operators.scd2 import write_mart
+    from pyspark_etl_project_spark.streaming.ingest import (
+        HASH_PROVENANCE_CANONICAL, provenance_marker_path,
+        scd2_merge_batch)
+
+    mart_path = str(tmp_path / "mart")
+    write_mart(_mini_mart(spark, with_hash=True), mart_path,
+               partition_col=None, key="ssi", num_buckets=None)
+    write_text_marker(spark, provenance_marker_path(mart_path),
+                      HASH_PROVENANCE_CANONICAL)
+    batch = spark.createDataFrame([("K-1", 11)], "ssi string, v long")
+    n = scd2_merge_batch(spark, batch, mart_path,
+                         run_ts="2024-01-01 00:00:00", key="ssi",
+                         surrogate_col="csd_id", num_buckets=None,
+                         partition_col=None)
+    assert n == 1  # a real UPDATE merged and rewrote the whole dir
+    assert (read_text_marker(spark, provenance_marker_path(mart_path))
+            == HASH_PROVENANCE_CANONICAL)
+    # And the marker still routes: redelivering the merged value is a
+    # DUPLICATE no-op.
+    n2 = scd2_merge_batch(spark, batch, mart_path,
+                          run_ts="2024-02-01 00:00:00", key="ssi",
+                          surrogate_col="csd_id", num_buckets=None,
+                          partition_col=None)
+    assert n2 == 0
 
 
 def test_foreach_batch_scd2_checkpoint_only_hint(spark, tmp_path):
