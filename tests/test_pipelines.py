@@ -438,8 +438,8 @@ def test_foreach_batch_scd2_restart_replays_after_mart_reset(spark, tmp_path):
     first = run()  # virgin path: default reset=None seeds fresh
     assert len(first) > 1  # seed row + streamed docs
     # The seed recorded fingerprint provenance (module-canonical here:
-    # the initial frame carried no hash column) in a root marker that
-    # survives every later dynamic partition overwrite.
+    # the initial frame carried no hash column) in the sibling marker
+    # file that survives every later mart rewrite.
     from pyspark_etl_project_spark.operators.fs import read_text_marker
     from pyspark_etl_project_spark.streaming.ingest import (
         HASH_PROVENANCE_CANONICAL, provenance_marker_path)
