@@ -291,10 +291,13 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
                 f"scd2_merge_batch: arrival batch contains NULL {key} "
                 "rows; a NULL natural key cannot participate in SCD2 "
                 "matching — filter or repair them in prepare()")
+        # Empty batch (collect_set over zero rows is [] in BOTH bucket
+        # configs — unbucketed marts collect a constant instead): skip
+        # even the mart read.
+        if not pre["bs"]:
+            return 0
         if num_buckets is not None:
             bucket_ids = list(pre["bs"])
-            if not bucket_ids:
-                return 0
             # Read ONLY the touched bucket slice — listing stays
             # O(touched buckets), layout-aware for partitioned marts
             # (see read_mart_touched for the full plan rationale).
