@@ -117,9 +117,38 @@ STREAM_HASH_COL = "SOURCE_HASH_KEY"
 HASH_PROVENANCE_CANONICAL = "canonical-sorted-v1"
 HASH_PROVENANCE_CALLER = "caller"
 
+# One code revision wrote the marker INSIDE the mart dir before the
+# sibling design landed. Those in-dir markers are correct provenance
+# records — dropping them on upgrade would silently revert an existing
+# mart to trust-arrival routing (re-opening the phantom-UPDATE /
+# missing-fail-fast bugs the marker prevents), so reads fall back to
+# this legacy location and migrate what they find to the sibling path.
+LEGACY_PROVENANCE_MARKER = "_FINGERPRINT_PROVENANCE"
+
 
 def provenance_marker_path(mart_path: str) -> str:
     return mart_path.rstrip("/") + "_fingerprint_provenance"
+
+
+def read_provenance(spark: SparkSession, mart_path: str) -> str | None:
+    """The mart's fingerprint-provenance value, or None (no marker —
+    legacy or externally built mart). Prefers the sibling marker file;
+    falls back to the legacy in-dir location and MIGRATES a hit to the
+    sibling path immediately — an unpartitioned mart's next full
+    overwrite would delete the in-dir copy mid-run, flipping routing
+    to the trust-arrival fallback between two micro-batches."""
+    from pyspark_etl_project_spark.operators.fs import (read_text_marker,
+                                                        write_text_marker)
+
+    sibling = provenance_marker_path(mart_path)
+    value = read_text_marker(spark, sibling)
+    if value is not None:
+        return value
+    legacy = mart_path.rstrip("/") + "/" + LEGACY_PROVENANCE_MARKER
+    value = read_text_marker(spark, legacy)
+    if value is not None:
+        write_text_marker(spark, sibling, value)
+    return value
 
 _SCD2_META_COLS = ("ACTIVE_FLAG", "START_DATE", "END_DATE")
 
@@ -265,7 +294,6 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
     function reads the marker itself (direct/test callers)."""
     from pyspark.storagelevel import StorageLevel
 
-    from pyspark_etl_project_spark.operators.fs import read_text_marker
     from pyspark_etl_project_spark.operators.scd2 import (
         mart_bucket, read_mart, read_mart_touched, scd2_merge, write_mart)
 
@@ -307,8 +335,7 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
             mart = read_mart(spark, mart_path)
         value_cols = _mart_value_cols(mart.columns, surrogate_col)
         if hash_provenance is _READ_MARKER:
-            hash_provenance = read_text_marker(
-                spark, provenance_marker_path(mart_path))
+            hash_provenance = read_provenance(spark, mart_path)
         routed = (scd2_route_arrivals(arrivals, mart, key, value_cols,
                                       provenance=hash_provenance)
                   .persist(StorageLevel.MEMORY_AND_DISK))
@@ -365,8 +392,10 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
     mart's SOURCE_HASH_KEY): the routing join then reads only
     (key, hash, ACTIVE_FLAG) from the active slice, not every value
     column. WHICH construction built the persisted hashes is recorded
-    in a root-level provenance marker at seed time (survives dynamic
-    partition overwrite), and every merge routes arrivals with the
+    at seed time in a provenance marker SIBLING to the mart dir (an
+    in-dir file would be deleted by the unpartitioned config's
+    full-dir overwrite; see read_provenance for the legacy in-dir
+    fallback), and every merge routes arrivals with the
     matching one: a canonical-marked mart recomputes the canonical
     fingerprint on arrivals even when prepare() emits its own
     ``SOURCE_HASH_KEY`` (a foreign construction would never match and
@@ -392,6 +421,13 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
     from pyspark_etl_project_spark.functions.hashing import row_fingerprint
     from pyspark_etl_project_spark.operators.scd2 import write_mart
 
+    # Normalize ONCE so every sibling path derives from the same stem:
+    # a trailing-slash mart_path would put the '_chk' checkpoint INSIDE
+    # the mart dir, where the unpartitioned config's full-dir overwrite
+    # deletes the running query's committed offsets mid-stream (the
+    # marker path rstrips internally, but the checkpoint concat and
+    # the prior-state probe must agree with it).
+    mart_path = mart_path.rstrip("/") or mart_path
     spark = stream.sparkSession
     # A fresh load clears BOTH the mart directory and the stream
     # checkpoint before seeding. The seed write alone is NOT a reset —
@@ -505,11 +541,11 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
     # Read the provenance marker ONCE per run, not per micro-batch —
     # it cannot change while this run owns the mart (only the seed
     # path writes it), and a py4j file read per batch is avoidable
-    # per-batch latency.
-    from pyspark_etl_project_spark.operators.fs import read_text_marker
-
-    run_provenance = read_text_marker(
-        spark, provenance_marker_path(mart_path))
+    # per-batch latency. read_provenance also migrates a legacy
+    # in-dir marker to the sibling path HERE, before the first merge's
+    # overwrite could delete it (the resume path skips seeding, so
+    # this is the only pre-merge hook a legacy mart passes through).
+    run_provenance = read_provenance(spark, mart_path)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         hwm[0] += scd2_merge_batch(
@@ -625,33 +661,45 @@ def band_index_batch(batch: DataFrame, bands_path: str,
                       doc_bucket.alias(DOC_BUCKET_COL)))
     _, fs, jpath = hadoop_fs(spark, bands_path)
     if fs.exists(jpath):
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         # ONE root listing serves both the layout guard and the
         # touched-dir intersection (a per-bucket exists() probe costs a
-        # py4j round trip each, which dominates small batches).
+        # py4j round trip each, which dominates small batches). Hidden
+        # entries follow Spark's own convention: BOTH '_' and '.'
+        # prefixes (e.g. _SUCCESS, .DS_Store, editor dot-temps) —
+        # classifying a stray dotfile as data would wedge the stream.
         entries = [s for s in fs.listStatus(jpath)
-                   if not s.getPath().getName().startswith("_")]
+                   if not s.getPath().getName().startswith(("_", "."))]
         existing, stray = set(), []
         for s in entries:
             name = s.getPath().getName()
-            if s.isDirectory() and name.startswith(DOC_BUCKET_COL + "="):
-                existing.add(name.split("=", 1)[1])
+            suffix = name.split("=", 1)[1] if "=" in name else ""
+            # Non-numeric bucket suffixes are FOREIGN layout, not data
+            # this module wrote — route to the guard's diagnostic, not
+            # a bare int() ValueError.
+            if (s.isDirectory() and name.startswith(DOC_BUCKET_COL + "=")
+                    and suffix.isdigit()):
+                existing.add(suffix)
             else:
                 stray.append(name)
-        # Layout guard — the band-index twin of _check_mart_layout.
-        # Appending DOC_BUCKET dirs beside a legacy FLAT index would
-        # both bypass the already-indexed probe (no dirs match → every
-        # redelivered doc re-appends, doubling downstream corpus-hit
-        # counts) and leave a mixed layout Spark refuses to read
-        # ("Conflicting directory structures"). A num_buckets change
-        # mid-index would probe the wrong dirs with the same silent
-        # re-append — the bucket count is fixed per index path.
+        # Layout guard — the band-index twin of _check_mart_layout
+        # (kept separate: this one must also RETURN the listing for the
+        # intersection below, and the refusal messages name this
+        # module's rebuild contract). Runs BEFORE the persist so a
+        # refused batch doesn't leak a pinned plan in the cache
+        # manager. Appending DOC_BUCKET dirs beside a legacy FLAT
+        # index would both bypass the already-indexed probe (no dirs
+        # match → every redelivered doc re-appends, doubling downstream
+        # corpus-hit counts) and leave a mixed layout Spark refuses to
+        # read ("Conflicting directory structures"). A num_buckets
+        # change mid-index would probe the wrong dirs with the same
+        # silent re-append — the bucket count is fixed per index path.
         if stray:
             raise ValueError(
-                f"band index at {bands_path} has a legacy flat layout "
-                f"(found {stray[:4]}); appending bucket-partitioned "
-                "data would bypass the dedup guard and mix layouts — "
-                "rebuild the index once in the bucketed layout")
+                f"band index at {bands_path} has a legacy flat or "
+                f"foreign layout (found {stray[:4]}); appending "
+                "bucket-partitioned data would bypass the dedup guard "
+                "and mix layouts — rebuild the index once in the "
+                "bucketed layout")
         over = [b for b in existing if int(b) >= num_buckets]
         if over:
             raise ValueError(
@@ -660,6 +708,7 @@ def band_index_batch(batch: DataFrame, bands_path: str,
                 "num_buckets must stay constant for an index path (a "
                 "different bucketing probes the wrong dirs and silently "
                 "re-appends already-indexed docs)")
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         # Distinct touched buckets: bounded by num_buckets, constant-
         # size collect. Dirs no doc has hashed to yet don't exist —
         # they simply drop out of the intersection.

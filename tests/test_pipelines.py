@@ -897,7 +897,7 @@ def test_band_index_rejects_flat_legacy_layout(spark, tmp_path):
     (spark.createDataFrame([(1, 0, "ab")],
                            "doc_id long, band_id int, band_hash string")
      .write.parquet(path))
-    with pytest.raises(ValueError, match="legacy flat layout"):
+    with pytest.raises(ValueError, match="legacy flat or foreign layout"):
         band_index_batch(docs, path)
 
 
@@ -1009,3 +1009,116 @@ def test_foreach_batch_scd2_checkpoint_only_hint(spark, tmp_path):
                            run_ts="2024-01-01 00:00:00", key="ssi",
                            surrogate_col="csd_id", num_buckets=4)
     assert "reset=False" not in str(exc.value)
+
+
+def test_legacy_in_dir_marker_migrates_to_sibling(spark, tmp_path):
+    """One shipped revision wrote the provenance marker INSIDE the mart
+    dir before the sibling design landed. Upgrading must not orphan it
+    (a lost caller-managed marker silently reverts the mart to
+    trust-arrival routing): read_provenance falls back to the legacy
+    in-dir location, migrates the value to the sibling path, and the
+    caller fail-fast still fires through the default marker read."""
+    from pyspark_etl_project_spark.operators.fs import (read_text_marker,
+                                                        write_text_marker)
+    from pyspark_etl_project_spark.operators.scd2 import write_mart
+    from pyspark_etl_project_spark.streaming.ingest import (
+        HASH_PROVENANCE_CALLER, LEGACY_PROVENANCE_MARKER,
+        provenance_marker_path, read_provenance, scd2_merge_batch)
+
+    mart_path = str(tmp_path / "mart")
+    caller_seed = (_mini_mart(spark, with_hash=False)
+                   .withColumn("SOURCE_HASH_KEY",
+                               F.md5(F.col("v").cast("string"))))
+    write_mart(caller_seed, mart_path, partition_col=None, key="ssi",
+               num_buckets=4)
+    write_text_marker(spark, mart_path + "/" + LEGACY_PROVENANCE_MARKER,
+                      HASH_PROVENANCE_CALLER)
+    assert read_provenance(spark, mart_path) == HASH_PROVENANCE_CALLER
+    # Migrated: the sibling copy now exists, safe from full overwrites.
+    assert (read_text_marker(spark, provenance_marker_path(mart_path))
+            == HASH_PROVENANCE_CALLER)
+    # And the migrated provenance drives routing: hash-less arrivals
+    # against a caller-marked mart must fail fast, exactly as if the
+    # marker had been written at the sibling path from the start.
+    batch = spark.createDataFrame([("K-1", 10)], "ssi string, v long")
+    with pytest.raises(ValueError, match="caller-managed"):
+        scd2_merge_batch(spark, batch, mart_path,
+                         run_ts="2024-01-01 00:00:00", key="ssi",
+                         surrogate_col="csd_id", num_buckets=4,
+                         partition_col=None)
+
+
+def test_foreach_batch_scd2_trailing_slash_sibling_paths(spark, tmp_path):
+    """A trailing-slash mart_path must not nest the checkpoint INSIDE
+    the mart dir — under the unpartitioned config every merge batch
+    full-overwrites the mart dir, which would delete the running
+    query's committed offsets mid-stream. Every sibling path (marker,
+    _chk, prior-state probe) derives from one rstripped stem."""
+    import os
+
+    from pyspark_etl_project_spark.operators.scd2 import read_mart
+    from pyspark_etl_project_spark.streaming.ingest import (
+        foreach_batch_scd2, stream_documents)
+
+    sf = "/root/testdata/sf0.001"
+    t0 = "2020-01-01 00:00:00"
+    initial = spark.createDataFrame(
+        [(1, "SEED", 0, 1, t0, "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, n_chars long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+
+    def prep(b):
+        return b.select(
+            F.concat(F.lit("D-"), F.col("doc_id").cast("string"))
+             .alias("ssi"),
+            F.length("text").cast("long").alias("n_chars"))
+
+    mart_path = str(tmp_path / "mart")
+    stream, _ = stream_documents(spark, sf, min_doc_id=480, files=2)
+    foreach_batch_scd2(stream, mart_path + "/", initial,
+                       run_ts="2024-01-01 00:00:00", key="ssi",
+                       surrogate_col="csd_id", prepare=prep,
+                       num_buckets=None, partition_col=None)
+    assert os.path.isdir(mart_path + "_chk")
+    assert not os.path.exists(os.path.join(mart_path, "_chk"))
+    assert read_mart(spark, mart_path).count() > 1
+
+
+def test_band_index_ignores_hidden_files(spark, tmp_path):
+    """'.'-prefixed strays (.DS_Store, editor temps) and '_'-prefixed
+    sidecars (_SUCCESS) follow Spark's own hidden-file convention; the
+    layout guard must skip them — classifying a stray dotfile as data
+    would permanently wedge the stream on a perfectly valid index."""
+    from pyspark_etl_project_spark.streaming.ingest import band_index_batch
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 40).select("doc_id", "text"))
+    path = str(tmp_path / "bands")
+    band_index_batch(docs, path)
+    before = spark.read.parquet(path).count()
+    (tmp_path / "bands" / ".DS_Store").write_bytes(b"junk")
+    (tmp_path / "bands" / "_SUCCESS").write_bytes(b"")
+    band_index_batch(docs, path)  # redelivery: no raise, no re-append
+    assert spark.read.parquet(path).count() == before
+
+
+def test_band_index_foreign_bucket_suffix_raises_guard_message(spark, tmp_path):
+    """A non-numeric DOC_BUCKET suffix (e.g. a NULL-bucket dir from a
+    foreign writer) is a layout violation the guard must explain with
+    its own refusal — not crash with a bare int() ValueError that
+    names neither the index path nor the rebuild contract."""
+    import os
+
+    from pyspark_etl_project_spark.streaming.ingest import (
+        DOC_BUCKET_COL, band_index_batch)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 40).select("doc_id", "text"))
+    path = str(tmp_path / "bands")
+    band_index_batch(docs, path, num_buckets=4)
+    os.makedirs(os.path.join(
+        path, DOC_BUCKET_COL + "=__HIVE_DEFAULT_PARTITION__"))
+    with pytest.raises(ValueError, match="foreign layout"):
+        band_index_batch(docs, path, num_buckets=4)
