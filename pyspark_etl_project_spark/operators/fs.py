@@ -27,8 +27,8 @@ def hadoop_fs(spark: SparkSession, path: str):
 def glob_dirs(spark: SparkSession, pattern: str) -> list[str]:
     """Paths matching a Hadoop glob pattern (empty list when nothing
     matches — globStatus returns null then, which this wraps away)."""
-    jvm, fs, _ = hadoop_fs(spark, pattern)
-    statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern))
+    _, fs, jpattern = hadoop_fs(spark, pattern)
+    statuses = fs.globStatus(jpattern)
     return ([str(s.getPath()) for s in statuses]
             if statuses is not None else [])
 

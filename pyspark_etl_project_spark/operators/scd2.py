@@ -197,7 +197,8 @@ def write_mart(mart: DataFrame, path: str,
                num_buckets: int | None = 16,
                touched_keys: DataFrame | None = None,
                source_id: int | None = None,
-               materialize_first: bool = False) -> None:
+               materialize_first: bool = False,
+               check_layout: bool = True) -> None:
     """Write the mart with DYNAMIC partition overwrite, partitioned by
     (``partition_col``, hash-bucket of the natural ``key``).
 
@@ -224,9 +225,16 @@ def write_mart(mart: DataFrame, path: str,
     ``materialize_first`` persists + counts the outgoing rows before the
     write: required when the merge plan READS the same path the write
     overwrites (the foreachBatch read-merge-rewrite loop).
+    ``check_layout=False`` skips the pre-write layout probe — ONLY for
+    a caller that already verified the layout this run and owns the
+    mart for the run's duration (the foreachBatch merge loop checks
+    once at stream start; re-listing every partition dir per
+    micro-batch is O(sources × buckets) metadata that dwarfs the
+    pruned write at the documented 1024+ bucket scale).
     """
     spark = mart.sparkSession
-    _check_mart_layout(spark, path, partition_col, num_buckets)
+    if check_layout:
+        _check_mart_layout(spark, path, partition_col, num_buckets)
     parts = [partition_col] if partition_col is not None else []
     out = mart
     if num_buckets is not None:
@@ -293,7 +301,10 @@ def read_mart_touched(spark, path: str, bucket_ids: list[int],
     no key has ever hashed to have no dir yet — absences simply don't
     match; when NO touched dir exists the full-path read (one listing)
     is used purely for the mart SCHEMA, with the bucket filter keeping
-    the scan itself empty."""
+    the scan itself empty. A mart with no bucket column AT ALL in that
+    fallback is a legacy un-bucketed layout — raise the same
+    documented rebuild error as the write-side guard, instead of
+    letting the filter die on an unresolvable MART_BUCKET column."""
     from pyspark_etl_project_spark.operators.fs import glob_dirs
 
     alts = "{" + ",".join(str(b) for b in bucket_ids) + "}"
@@ -302,8 +313,15 @@ def read_mart_touched(spark, path: str, bucket_ids: list[int],
     if dirs:
         return (spark.read.option("basePath", path)
                 .parquet(*dirs).drop(MART_BUCKET_COL))
-    return (spark.read.parquet(path)
-            .filter(F.col(MART_BUCKET_COL).isin(bucket_ids))
+    full = spark.read.parquet(path)
+    if MART_BUCKET_COL not in full.columns:
+        raise ValueError(
+            f"mart at {path} has a legacy un-bucketed layout; a "
+            "bucket-pruned read cannot prune it and a bucketed write "
+            "under dynamic overwrite would mix layouts. Rewrite the "
+            "mart once with the bucketed layout, or pass "
+            "num_buckets=None.")
+    return (full.filter(F.col(MART_BUCKET_COL).isin(bucket_ids))
             .drop(MART_BUCKET_COL))
 
 

@@ -263,7 +263,8 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
                      prepare=None, num_buckets: int | None = 16,
                      partition_col: str | None = None,
                      surrogate_offset: int | None = None,
-                     hash_provenance=_READ_MARKER) -> int:
+                     hash_provenance=_READ_MARKER,
+                     check_layout: bool = True) -> int:
     """One micro-batch of the foreachBatch SCD2 merge: route → merge →
     bucket-pruned rewrite. Returns the number of fresh versions written
     (0 = empty or pure-redelivery batch; merge and write were skipped).
@@ -291,11 +292,17 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
     ``hash_provenance`` is the mart's fingerprint-provenance marker
     value (see provenance_marker_path). foreach_batch_scd2 reads it once
     per run and passes it down; when left at the default sentinel this
-    function reads the marker itself (direct/test callers)."""
+    function reads the marker itself (direct/test callers).
+
+    ``check_layout`` mirrors write_mart's flag: foreach_batch_scd2
+    verifies the mart layout ONCE at stream start and passes False so
+    the per-batch write skips the O(sources × buckets) partition-dir
+    re-listing; direct/test callers keep the default True."""
     from pyspark.storagelevel import StorageLevel
 
     from pyspark_etl_project_spark.operators.scd2 import (
-        mart_bucket, read_mart, read_mart_touched, scd2_merge, write_mart)
+        _surrogate_offset, mart_bucket, read_mart, read_mart_touched,
+        scd2_merge, write_mart)
 
     arrivals = prepare(batch) if prepare is not None else batch
     arrivals = arrivals.persist(StorageLevel.MEMORY_AND_DISK)
@@ -346,24 +353,28 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
             if surrogate_offset is None:
                 full = (read_mart(spark, mart_path)
                         if num_buckets is not None else mart)
-                row = full.agg(F.max(surrogate_col).alias("m")).first()
-                surrogate_offset = (int(row["m"])
-                                    if row and row["m"] is not None else 0)
+                surrogate_offset = _surrogate_offset(full, surrogate_col)
             pinned: list = []
-            merged = scd2_merge(mart, routed, run_ts=run_ts, key=key,
-                                surrogate_col=surrogate_col,
-                                dense_ids=True, cache_arrivals=False,
-                                surrogate_offset=surrogate_offset,
-                                pinned=pinned)
-            write_mart(merged, mart_path, partition_col=partition_col,
-                       key=key, num_buckets=num_buckets,
-                       touched_keys=routed.select(key).distinct(),
-                       materialize_first=True)
-            # The write materialized the merge; release this batch's
-            # pins (the dense-id range exchange) or a long-running
-            # stream accumulates one cached plan per batch.
-            for df_ in pinned:
-                df_.unpersist()
+            try:
+                merged = scd2_merge(mart, routed, run_ts=run_ts, key=key,
+                                    surrogate_col=surrogate_col,
+                                    dense_ids=True, cache_arrivals=False,
+                                    surrogate_offset=surrogate_offset,
+                                    pinned=pinned)
+                write_mart(merged, mart_path, partition_col=partition_col,
+                           key=key, num_buckets=num_buckets,
+                           touched_keys=routed.select(key).distinct(),
+                           materialize_first=True,
+                           check_layout=check_layout)
+            finally:
+                # Release this batch's pins (the dense-id range
+                # exchange) whether or not the write succeeded — a
+                # caller retrying a transient write failure must not
+                # pin one more cached plan per attempt, and a
+                # long-running stream must not accumulate one per
+                # batch.
+                for df_ in pinned:
+                    df_.unpersist()
             return n_fresh
         finally:
             routed.unpersist()
@@ -533,11 +544,17 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
     # offset. A crash between a batch's mart write and this in-memory
     # bump cannot leak a stale offset: restart recomputes the watermark
     # from the mart itself, which already contains the written ids.
-    from pyspark_etl_project_spark.operators.scd2 import read_mart
+    from pyspark_etl_project_spark.operators.scd2 import (
+        _check_mart_layout, _surrogate_offset, read_mart)
 
-    row = (read_mart(spark, mart_path)
-           .agg(F.max(surrogate_col).alias("m")).first())
-    hwm = [int(row["m"]) if row and row["m"] is not None else 0]
+    hwm = [_surrogate_offset(read_mart(spark, mart_path), surrogate_col)]
+    # Verify the on-disk layout ONCE per run (the resume path skips the
+    # seed write, so this is the only check it passes through), then
+    # skip the per-batch re-listing: the layout cannot change while
+    # this run owns the mart — write_mart's probe lists every partition
+    # dir, O(sources × buckets) metadata per micro-batch at the
+    # documented 1024+ bucket scale.
+    _check_mart_layout(spark, mart_path, partition_col, num_buckets)
     # Read the provenance marker ONCE per run, not per micro-batch —
     # it cannot change while this run owns the mart (only the seed
     # path writes it), and a py4j file read per batch is avoidable
@@ -552,7 +569,8 @@ def foreach_batch_scd2(stream: DataFrame, mart_path: str, initial_mart: DataFram
             spark, batch, mart_path, run_ts=run_ts, key=key,
             surrogate_col=surrogate_col, prepare=prepare,
             num_buckets=num_buckets, partition_col=partition_col,
-            surrogate_offset=hwm[0], hash_provenance=run_provenance)
+            surrogate_offset=hwm[0], hash_provenance=run_provenance,
+            check_layout=False)
 
     q = (stream.writeStream.outputMode("append")
          .foreachBatch(merge_batch)
@@ -728,7 +746,14 @@ def band_index_batch(batch: DataFrame, bands_path: str,
         else:
             fresh = banded
         try:
-            _write_bands(fresh, bands_path)
+            # A batch that routes entirely already-indexed (the common
+            # foreachBatch retry) or banded to nothing must not run
+            # the repartition+append job just to commit zero rows —
+            # the isEmpty probe is one limit-1 job over the cached
+            # banded frame, the same no-op contract as the mart
+            # merge's n_fresh == 0 skip.
+            if not fresh.isEmpty():
+                _write_bands(fresh, bands_path)
         finally:
             banded.unpersist()
     else:

@@ -1122,3 +1122,35 @@ def test_band_index_foreign_bucket_suffix_raises_guard_message(spark, tmp_path):
         path, DOC_BUCKET_COL + "=__HIVE_DEFAULT_PARTITION__"))
     with pytest.raises(ValueError, match="foreign layout"):
         band_index_batch(docs, path, num_buckets=4)
+
+
+def test_bucket_pruned_read_names_legacy_layout(spark, tmp_path):
+    """A bucketed merge pointed at a legacy UN-bucketed mart must raise
+    the documented rebuild error, not an unresolved-MART_BUCKET
+    AnalysisException from the fallback read's filter."""
+    import pytest
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        read_mart_touched, write_mart)
+    from pyspark_etl_project_spark.streaming.ingest import scd2_merge_batch
+
+    t0 = "2020-01-01 00:00:00"
+    mart = spark.createDataFrame(
+        [(1, "K-1", 10, 1, t0, "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, v long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    mart_path = str(tmp_path / "mart")
+    write_mart(mart, mart_path, partition_col=None, key="ssi",
+               num_buckets=None)
+
+    with pytest.raises(ValueError, match="legacy un-bucketed layout"):
+        read_mart_touched(spark, mart_path, [0, 1])
+
+    batch = spark.createDataFrame([("K-2", 20)], "ssi string, v long")
+    with pytest.raises(ValueError, match="legacy un-bucketed layout"):
+        scd2_merge_batch(spark, batch, mart_path,
+                         run_ts="2024-01-01 00:00:00", key="ssi",
+                         surrogate_col="csd_id", num_buckets=16,
+                         partition_col=None)
