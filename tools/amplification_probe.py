@@ -503,7 +503,11 @@ def probe_scd2_merge_batch(spark: SparkSession, n: int) -> None:
     the write dynamic-overwrites only those buckets, and the surrogate
     offset is the caller's high-watermark (no full-mart MAX). Each call
     merges NEW values (the call counter salts them) so the timed run
-    exercises the real UPDATE path, not the all-DUPLICATE skip."""
+    exercises the real UPDATE path, not the all-DUPLICATE skip.
+    check_layout=False mirrors the foreach_batch_scd2 run loop, which
+    verifies the layout once at stream start — the per-batch probe
+    would otherwise re-list every bucket dir (O(num_buckets) metadata),
+    the exact cost the once-per-run check removes."""
     from pyspark_etl_project_spark.streaming.ingest import scd2_merge_batch
 
     _scd2_probe_setup(spark, [n, n * AMP] if n == _SCD2_BASE else [n])
@@ -518,7 +522,8 @@ def probe_scd2_merge_batch(spark: SparkSession, n: int) -> None:
     scd2_merge_batch(spark, batch, path, run_ts="2024-01-01 00:00:00",
                      key="ssi", surrogate_col="csd_id", num_buckets=nb,
                      partition_col=None,
-                     surrogate_offset=n + call * 1000)
+                     surrogate_offset=n + call * 1000,
+                     check_layout=False)
 
 
 _BAND_BASE = 10_000
