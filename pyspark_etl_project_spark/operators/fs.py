@@ -24,6 +24,21 @@ def hadoop_fs(spark: SparkSession, path: str):
     return jvm, fs, jpath
 
 
+# Hadoop glob metacharacters (GlobPattern): alternation, classes,
+# wildcards, and the backslash that escapes them.
+_GLOB_CHARS = "*?[]{}\\"
+
+
+def escape_glob(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a LITERAL path so
+    it can be embedded in a globStatus pattern (or handed to a Spark
+    path that glob-expands). Without this, a base path containing
+    { } [ ] * ? mis-matches — e.g. read_mart_touched's bucket glob
+    would silently fall back to the full listing it exists to avoid,
+    or match a different directory outright."""
+    return "".join("\\" + c if c in _GLOB_CHARS else c for c in path)
+
+
 def glob_dirs(spark: SparkSession, pattern: str) -> list[str]:
     """Paths matching a Hadoop glob pattern (empty list when nothing
     matches — globStatus returns null then, which this wraps away)."""

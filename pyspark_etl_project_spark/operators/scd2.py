@@ -146,8 +146,11 @@ def _check_mart_layout(spark, path: str, partition_col: str | None,
     _, fs, hpath = hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return
+    # Hidden-entry convention matches Spark's own (and the band-index
+    # guard's): BOTH '_' and '.' prefixes — a stray .DS_Store or editor
+    # dot-temp in the mart dir must not raise the legacy-layout refusal.
     entries = [s for s in fs.listStatus(hpath)
-               if not s.getPath().getName().startswith("_")]
+               if not s.getPath().getName().startswith(("_", "."))]
     if not entries:
         return
     if partition_col is not None:
@@ -159,7 +162,7 @@ def _check_mart_layout(spark, path: str, partition_col: str | None,
                 f"(found {[s.getPath().getName() for s in entries[:4]]}); "
                 "refusing to mix layouts under dynamic overwrite")
         children = [c for d in dirs for c in fs.listStatus(d.getPath())
-                    if not c.getPath().getName().startswith("_")]
+                    if not c.getPath().getName().startswith(("_", "."))]
     else:
         children = entries
     bucket_dirs = [c.getPath().getName() for c in children
@@ -304,15 +307,23 @@ def read_mart_touched(spark, path: str, bucket_ids: list[int],
     the scan itself empty. A mart with no bucket column AT ALL in that
     fallback is a legacy un-bucketed layout — raise the same
     documented rebuild error as the write-side guard, instead of
-    letting the filter die on an unresolvable MART_BUCKET column."""
-    from pyspark_etl_project_spark.operators.fs import glob_dirs
+    letting the filter die on an unresolvable MART_BUCKET column.
+
+    The BASE path is glob-escaped before embedding in the pattern (and
+    the matched dirs re-escaped before the read — Spark's path
+    resolution glob-expands too): a mart path containing glob
+    metacharacters ({ } [ ] * ?) would otherwise mis-match or silently
+    fall back to the full listing this function exists to avoid."""
+    from pyspark_etl_project_spark.operators.fs import escape_glob, glob_dirs
 
     alts = "{" + ",".join(str(b) for b in bucket_ids) + "}"
     level = f"{partition_col}=*/" if partition_col is not None else ""
-    dirs = glob_dirs(spark, f"{path}/{level}{MART_BUCKET_COL}={alts}")
+    dirs = glob_dirs(spark,
+                     f"{escape_glob(path)}/{level}{MART_BUCKET_COL}={alts}")
     if dirs:
         return (spark.read.option("basePath", path)
-                .parquet(*dirs).drop(MART_BUCKET_COL))
+                .parquet(*[escape_glob(d) for d in dirs])
+                .drop(MART_BUCKET_COL))
     full = spark.read.parquet(path)
     if MART_BUCKET_COL not in full.columns:
         raise ValueError(

@@ -1,25 +1,52 @@
 """Central registry: every implemented operator's (spark query, oracle SQL)
 pair, merged from the plan modules. Consumed by __spark_entry__.py.
 
-Ordering is *coverage-aware*: external correctness gates check queries in
-registry insertion order and may cap how many they run per round, so
-queries that have never produced a green gate row (never checked, or
-checked and failed) sort first, and green queries sort oldest-green
-first. Over successive rounds every query rotates through the checked
-window — no query family stays permanently unverified.
+Ordering is *coverage-aware* AND *code-change-aware*: external
+correctness gates check queries in registry insertion order and may cap
+how many they run per round, so
+
+1. queries that have never produced a green gate row (never checked, or
+   checked and failed) sort first;
+2. queries whose IMPLEMENTATION changed since their last green gate row
+   sort with them (a green row proves the code as it was THEN — a
+   rewrite invalidates the evidence, so the query must re-verify before
+   the untouched backlog rotates through);
+3. green, unchanged queries sort oldest-green first.
+
+"Changed" is detected by fingerprint: sha256 over the query function's
+source, its oracle SQL, and the contents of every engine module the
+function references (dotted imports in the source + module-level names
+the code object resolves through). The fingerprint each green query had
+AT GATE TIME is recorded in GREEN_HASHES.json at the repo root by
+tools/update_green_hashes.py — run it at ROUND START, before editing
+anything, so the recorded hash matches what the previous round's gate
+actually verified. A query with no recorded hash, or whose current
+fingerprint differs, is treated like never-green. Missing ledger
+degrades gracefully to the old oldest-green-first rotation (everything
+green is then "changed", which only means the rotation re-verifies more
+than strictly needed — the safe direction).
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
+import re
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+
+GREEN_HASHES_PATH = os.path.join(_REPO_ROOT, "GREEN_HASHES.json")
+
+_PKG = "pyspark_etl_project_spark"
+_MODULE_REF = re.compile(rf"{_PKG}(?:\.\w+)+")
 
 
 def _modules():
@@ -60,20 +87,111 @@ def _latest_green_round() -> dict[str, int]:
     return green
 
 
-def _ordered(mapping_attr: str) -> dict:
-    raw: dict = {}
+_file_hash_cache: dict[str, str] = {}
+
+
+def _file_hash(path: str) -> str:
+    h = _file_hash_cache.get(path)
+    if h is None:
+        try:
+            with open(path, "rb") as f:
+                h = hashlib.sha256(f.read()).hexdigest()
+        except OSError:
+            h = "unreadable"
+        _file_hash_cache[path] = h
+    return h
+
+
+def _watched_files(fn) -> list[str]:
+    """Engine module files whose edits must invalidate this query's
+    green evidence: every package module the function source imports
+    with a dotted path (the plan files' function-local import
+    convention), plus the defining module of every module-level name
+    the code object references (top-level `from x import y` helpers
+    like load/keep_latest/row_fingerprint). One level deep by design —
+    the plan-visible surface, not the transitive closure."""
+    files: set[str] = set()
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = ""
+    mod_names = set(_MODULE_REF.findall(src))
+    for name in getattr(fn, "__code__", None).co_names if hasattr(fn, "__code__") else []:
+        obj = fn.__globals__.get(name)
+        if obj is None:
+            continue
+        mod = obj.__name__ if inspect.ismodule(obj) else getattr(obj, "__module__", None)
+        if isinstance(mod, str) and mod.startswith(_PKG):
+            mod_names.add(mod)
+    for mod in mod_names:
+        m = sys.modules.get(mod)
+        f = getattr(m, "__file__", None)
+        if f:
+            files.add(f)
+    return sorted(files)
+
+
+def query_fingerprint(fn, oracle_sql: str | None) -> str:
+    """Content fingerprint of a (query, oracle) pair: the function's
+    own source, the oracle SQL, and the bytes of every watched engine
+    module file. Any change to any part → different fingerprint →
+    the rotation re-verifies the query before rotating elsewhere."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)
+    h = hashlib.sha256()
+    h.update(src.encode("utf-8"))
+    h.update((oracle_sql or "").encode("utf-8"))
+    for f in _watched_files(fn):
+        h.update(os.path.basename(f).encode("utf-8"))
+        h.update(_file_hash(f).encode("utf-8"))
+    return h.hexdigest()
+
+
+def _load_green_hashes() -> dict:
+    try:
+        with open(GREEN_HASHES_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _raw_maps() -> tuple[dict, dict]:
+    queries: dict = {}
+    oracle: dict = {}
     for m in _modules():
-        raw.update(getattr(m, mapping_attr))
+        queries.update(m.QUERIES)
+        oracle.update(m.ORACLE)
+    return queries, oracle
+
+
+def _order_names(queries: dict, oracle: dict) -> list[str]:
     green = _latest_green_round()
-    # Stable sort: never-green first (priority 0), then by oldest green
-    # round; insertion order breaks ties.
-    names = sorted(raw, key=lambda n: green.get(n, -1))
-    return {n: raw[n] for n in names}
+    ledger = _load_green_hashes()
+
+    def key(n: str) -> int:
+        g = green.get(n, -1)
+        if g < 0:
+            return -1
+        ent = ledger.get(n)
+        if not isinstance(ent, dict):
+            return -1
+        if ent.get("hash") != query_fingerprint(queries[n], oracle.get(n)):
+            return -1  # implementation changed since the recorded green
+        return g
+
+    # Stable sort: never-green and changed-since-green first (priority
+    # -1), then by oldest green round; insertion order breaks ties.
+    return sorted(queries, key=key)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _ordered("QUERIES")
+    queries, oracle = _raw_maps()
+    return {n: queries[n] for n in _order_names(queries, oracle)}
 
 
 def all_oracle_sql() -> dict[str, str]:
-    return _ordered("ORACLE")
+    queries, oracle = _raw_maps()
+    return {n: oracle[n] for n in _order_names(queries, oracle)
+            if n in oracle}

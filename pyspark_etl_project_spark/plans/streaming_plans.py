@@ -333,8 +333,12 @@ def streaming_band_index_dedup_q(spark: SparkSession,
     from pyspark_etl_project_spark.streaming.ingest import (
         foreach_batch_band_index, stream_documents)
 
+    # The corpus slice arrives as one parquet split — spread it so the
+    # 8-lane minhash banding runs on every core, not one (the same
+    # single-split fix band_index_batch applies to micro-batches).
     corpus = (load(spark, sf_dir, "documents")
-              .filter(F.col("doc_id") < 300).select("doc_id", "text"))
+              .filter(F.col("doc_id") < 300).select("doc_id", "text")
+              .repartition(spark.sparkContext.defaultParallelism))
     corpus_index = build_band_index(corpus, "text")
 
     stream, _watch = stream_documents(spark, sf_dir, min_doc_id=300,

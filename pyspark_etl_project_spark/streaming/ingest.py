@@ -600,34 +600,102 @@ def stream_documents(spark: SparkSession, sf_dir: str,
             .select("doc_id", "text"))
     watch_dir = tempfile.mkdtemp(prefix="docs_stream_")
     lo = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    # Empty filtered slice → min/max are NULL; write `files` empty
-    # chunks (so maxFilesPerTrigger still sees the expected file count
-    # and downstream drains produce an empty stream) instead of
-    # raising TypeError on None + int in the range filters below.
-    span = (lo[1] - lo[0] + files) // files if lo[0] is not None else 1
-    base = lo[0] if lo[0] is not None else 0
-    for i in range(files):
-        part = docs.filter(
-            (F.col("doc_id") >= base + i * span)
-            & (F.col("doc_id") < base + (i + 1) * span))
-        part.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(watch_dir, f"chunk{i}"))
+    if lo[0] is not None:
+        # ONE write job lays down every chunk: a chunk-id column +
+        # partitionBy replaces the former per-chunk coalesce(1) loop
+        # (``files`` serial jobs, each re-reading + re-filtering the
+        # parquet). Hash-repartitioning on the chunk id keeps all rows
+        # of a chunk in one task, so each chunk dir still gets exactly
+        # ONE file — the maxFilesPerTrigger=1 multi-batch contract.
+        # The explicit readStream schema below omits the partition
+        # column, so the streamed rows stay (doc_id, text).
+        span = (lo[1] - lo[0] + files) // files
+        chunk = F.floor((F.col("doc_id") - F.lit(lo[0])) / F.lit(span))
+        (docs.withColumn("chunk", chunk.cast("int"))
+         .repartition(files, F.col("chunk"))
+         .write.mode("overwrite").partitionBy("chunk").parquet(watch_dir))
+    else:
+        # Empty filtered slice: a zero-row partitioned write creates NO
+        # chunk dirs and the source glob would match nothing — write
+        # `files` empty chunk dirs the long way so the drain still
+        # produces a (deterministically empty) stream.
+        for i in range(files):
+            docs.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(watch_dir, f"chunk={i}"))
     schema = T.StructType([T.StructField("doc_id", T.LongType(), True),
                            T.StructField("text", T.StringType(), True)])
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1)
-              .parquet(os.path.join(watch_dir, "chunk*")))
+              .parquet(os.path.join(watch_dir, "chunk=*")))
     return stream, watch_dir
 
 
 DOC_BUCKET_COL = "DOC_BUCKET"
 
 
+def _band_index_existing_buckets(spark: SparkSession, bands_path: str,
+                                 num_buckets: int) -> set[str]:
+    """ONE root listing serving both the layout guard and the
+    touched-dir intersection: returns the set of existing DOC_BUCKET
+    dir suffixes (empty when the index path doesn't exist yet), or
+    raises when the on-disk layout disagrees with this module's
+    bucketed contract.
+
+    The band-index twin of _check_mart_layout (kept separate: this one
+    must also RETURN the listing, and the refusal messages name this
+    module's rebuild contract). Hidden entries follow Spark's own
+    convention: BOTH '_' and '.' prefixes (e.g. _SUCCESS, .DS_Store,
+    editor dot-temps) — classifying a stray dotfile as data would wedge
+    the stream. Appending DOC_BUCKET dirs beside a legacy FLAT index
+    would both bypass the already-indexed probe (no dirs match → every
+    redelivered doc re-appends, doubling downstream corpus-hit counts)
+    and leave a mixed layout Spark refuses to read ("Conflicting
+    directory structures"). A num_buckets change mid-index would probe
+    the wrong dirs with the same silent re-append — the bucket count is
+    fixed per index path."""
+    from pyspark_etl_project_spark.operators.fs import hadoop_fs
+
+    _, fs, jpath = hadoop_fs(spark, bands_path)
+    if not fs.exists(jpath):
+        return set()
+    entries = [s for s in fs.listStatus(jpath)
+               if not s.getPath().getName().startswith(("_", "."))]
+    existing, stray = set(), []
+    for s in entries:
+        name = s.getPath().getName()
+        suffix = name.split("=", 1)[1] if "=" in name else ""
+        # Non-numeric bucket suffixes are FOREIGN layout, not data
+        # this module wrote — route to the guard's diagnostic, not
+        # a bare int() ValueError.
+        if (s.isDirectory() and name.startswith(DOC_BUCKET_COL + "=")
+                and suffix.isdigit()):
+            existing.add(suffix)
+        else:
+            stray.append(name)
+    if stray:
+        raise ValueError(
+            f"band index at {bands_path} has a legacy flat or "
+            f"foreign layout (found {stray[:4]}); appending "
+            "bucket-partitioned data would bypass the dedup guard "
+            "and mix layouts — rebuild the index once in the "
+            "bucketed layout")
+    over = [b for b in existing if int(b) >= num_buckets]
+    if over:
+        raise ValueError(
+            f"band index at {bands_path} has bucket dirs "
+            f"{sorted(over)[:4]} outside num_buckets={num_buckets}; "
+            "num_buckets must stay constant for an index path (a "
+            "different bucketing probes the wrong dirs and silently "
+            "re-appends already-indexed docs)")
+    return existing
+
+
 def band_index_batch(batch: DataFrame, bands_path: str,
                      num_hashes: int = 8, num_bands: int = 4,
                      shingle_n: int = 3,
                      rows_per_band: int | None = None,
-                     num_buckets: int = 16) -> None:
+                     num_buckets: int = 16,
+                     existing_buckets: set[str] | None = None) -> set[str]:
     """One micro-batch of band-index maintenance: band the docs and
     append to the persistent (doc_id, band_id, band_hash) index —
     IDEMPOTENT under at-least-once redelivery. A foreachBatch retry
@@ -647,6 +715,29 @@ def band_index_batch(batch: DataFrame, bands_path: str,
     stream's lifetime. Readers are unaffected: the partition column
     rides along and every consumer projects explicit columns.
 
+    ``existing_buckets`` is the set of DOC_BUCKET dir suffixes already
+    on disk (foreach_batch_band_index lists + layout-checks ONCE at
+    stream start via _band_index_existing_buckets and maintains the
+    set across batches — the per-batch FS listing was this sink's
+    dominant fixed cost at small batch sizes, mirroring the SCD2
+    path's check_layout=False hoist). Direct/test callers leave the
+    default None and get the listing + guard per call. Returns the
+    batch's touched bucket suffixes — after this call every one of
+    them exists on disk (pre-existing, or just written: a touched
+    bucket with no prior dir always has surviving fresh rows, since
+    no index data existed to mark its docs as seen), so the caller
+    folds them into its running set.
+
+    Per-batch jobs: ONE pre-flight agg over the cached banded frame
+    (NULL-key guard + distinct touched buckets via a num_buckets-
+    bounded collect_set — the same shape as scd2_merge_batch's
+    pre-flight), then the probe join + write only when prior index
+    data overlaps. NULL doc_ids are rejected loudly (like the SCD2
+    NULL natural-key guard): a NULL would hash to a NULL bucket,
+    writing a __HIVE_DEFAULT_PARTITION__ dir the layout guard then
+    classifies as foreign (wedging the stream), and could never match
+    the doc-level dedup probe — re-appending on every redelivery.
+
     Join shape: the batch is small; its distinct doc_ids broadcast into
     a semi-filter of the touched index slice, and the surviving
     already-indexed ids (batch-bounded) broadcast back into the
@@ -655,12 +746,25 @@ def band_index_batch(batch: DataFrame, bands_path: str,
 
     from pyspark_etl_project_spark.extensions.dedup import (
         _rows_per_band, lsh_bands, minhash_signature, word_shingles)
-    from pyspark_etl_project_spark.operators.fs import hadoop_fs
     from pyspark_etl_project_spark.operators.scd2 import mart_bucket
 
     if rows_per_band is None:
         rows_per_band = _rows_per_band(num_hashes, num_bands)
     spark = batch.sparkSession
+    if existing_buckets is None:
+        # Runs BEFORE the persist so a refused batch doesn't leak a
+        # pinned plan in the cache manager.
+        existing_buckets = _band_index_existing_buckets(
+            spark, bands_path, num_buckets)
+    # A maxFilesPerTrigger=1 micro-batch is ONE file = one partition,
+    # which would run the whole shingle→minhash compute (8 md5 lanes
+    # per shingle — the batch's dominant CPU cost) on a single core.
+    # Spread it first: the shuffle moves one micro-batch of raw text —
+    # trivial next to serializing the banding. Skipped when the source
+    # already delivers enough splits (a real Kafka/file batch at scale).
+    par = spark.sparkContext.defaultParallelism
+    if batch.rdd.getNumPartitions() < par:
+        batch = batch.repartition(par)
     # Same deterministic bucketing construction as the mart — shared,
     # not re-derived, so the two cannot drift.
     doc_bucket = mart_bucket("doc_id", num_buckets)
@@ -677,98 +781,93 @@ def band_index_batch(batch: DataFrame, bands_path: str,
               .select("doc_id", F.col("b.band_id").alias("band_id"),
                       F.col("b.band_hash").alias("band_hash"),
                       doc_bucket.alias(DOC_BUCKET_COL)))
-    _, fs, jpath = hadoop_fs(spark, bands_path)
-    if fs.exists(jpath):
-        # ONE root listing serves both the layout guard and the
-        # touched-dir intersection (a per-bucket exists() probe costs a
-        # py4j round trip each, which dominates small batches). Hidden
-        # entries follow Spark's own convention: BOTH '_' and '.'
-        # prefixes (e.g. _SUCCESS, .DS_Store, editor dot-temps) —
-        # classifying a stray dotfile as data would wedge the stream.
-        entries = [s for s in fs.listStatus(jpath)
-                   if not s.getPath().getName().startswith(("_", "."))]
-        existing, stray = set(), []
-        for s in entries:
-            name = s.getPath().getName()
-            suffix = name.split("=", 1)[1] if "=" in name else ""
-            # Non-numeric bucket suffixes are FOREIGN layout, not data
-            # this module wrote — route to the guard's diagnostic, not
-            # a bare int() ValueError.
-            if (s.isDirectory() and name.startswith(DOC_BUCKET_COL + "=")
-                    and suffix.isdigit()):
-                existing.add(suffix)
-            else:
-                stray.append(name)
-        # Layout guard — the band-index twin of _check_mart_layout
-        # (kept separate: this one must also RETURN the listing for the
-        # intersection below, and the refusal messages name this
-        # module's rebuild contract). Runs BEFORE the persist so a
-        # refused batch doesn't leak a pinned plan in the cache
-        # manager. Appending DOC_BUCKET dirs beside a legacy FLAT
-        # index would both bypass the already-indexed probe (no dirs
-        # match → every redelivered doc re-appends, doubling downstream
-        # corpus-hit counts) and leave a mixed layout Spark refuses to
-        # read ("Conflicting directory structures"). A num_buckets
-        # change mid-index would probe the wrong dirs with the same
-        # silent re-append — the bucket count is fixed per index path.
-        if stray:
-            raise ValueError(
-                f"band index at {bands_path} has a legacy flat or "
-                f"foreign layout (found {stray[:4]}); appending "
-                "bucket-partitioned data would bypass the dedup guard "
-                "and mix layouts — rebuild the index once in the "
-                "bucketed layout")
-        over = [b for b in existing if int(b) >= num_buckets]
-        if over:
-            raise ValueError(
-                f"band index at {bands_path} has bucket dirs "
-                f"{sorted(over)[:4]} outside num_buckets={num_buckets}; "
-                "num_buckets must stay constant for an index path (a "
-                "different bucketing probes the wrong dirs and silently "
-                "re-appends already-indexed docs)")
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-        # Distinct touched buckets: bounded by num_buckets, constant-
-        # size collect. Dirs no doc has hashed to yet don't exist —
-        # they simply drop out of the intersection.
-        touched = [r["b"] for r in
-                   (banded.select(F.col(DOC_BUCKET_COL).alias("b"))
-                    .distinct().collect())]
+    _null_guard_msg = (
+        "band_index_batch: batch contains NULL doc_id rows; a "
+        "NULL key hashes to a NULL bucket (foreign-layout dir) "
+        "and can never match the dedup probe — filter or "
+        "repair them upstream")
+    if not existing_buckets:
+        # Virgin/no-overlap index: nothing to probe, so the whole batch
+        # is ONE Spark job — the write itself, with the admission facts
+        # (NULL-key flag + touched buckets) computed as an Observation
+        # riding the write instead of a separate pre-flight pass (and
+        # no persist: the banded frame is consumed exactly once). A
+        # NULL doc_id is detected after the rows land — its
+        # __HIVE_DEFAULT_PARTITION__ dir is deleted before raising, so
+        # the index never holds the foreign-layout dir that would
+        # wedge the next batch's guard; the batch's valid docs stay
+        # fully indexed and a post-repair redelivery dedupes them out.
+        from pyspark.sql import Observation
+
+        from pyspark_etl_project_spark.operators.fs import hadoop_fs
+
+        obs = Observation()
+        _write_bands(
+            banded.observe(obs,
+                           F.max(F.col("doc_id").isNull()).alias("has_null"),
+                           F.collect_set(F.col(DOC_BUCKET_COL)).alias("bs")),
+            bands_path, num_buckets)
+        vals = obs.get
+        if vals["has_null"]:
+            null_dir = (bands_path.rstrip("/") + "/" + DOC_BUCKET_COL
+                        + "=__HIVE_DEFAULT_PARTITION__")
+            _, fs, jpath = hadoop_fs(spark, null_dir)
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
+            raise ValueError(_null_guard_msg)
+        return {str(b) for b in vals["bs"]}
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # ONE pre-flight job computes both admission facts: whether any
+        # NULL doc_id banded (collect_set skips NULLs, so the explicit
+        # max-isNull flag is the only visibility), and the distinct
+        # touched buckets (bounded by num_buckets — constant-size
+        # collect).
+        pre = banded.agg(
+            F.max(F.col("doc_id").isNull()).alias("has_null"),
+            F.collect_set(F.col(DOC_BUCKET_COL)).alias("bs")).first()
+        if pre["has_null"]:
+            raise ValueError(_null_guard_msg)
+        touched = {str(b) for b in pre["bs"]}
+        # Banded to nothing (empty batch / all-empty texts): no write,
+        # no probe.
+        if not touched:
+            return touched
         dirs = [f"{bands_path}/{DOC_BUCKET_COL}={b}"
-                for b in touched if str(b) in existing]
-        arriving = banded.select("doc_id").distinct()
+                for b in sorted(touched & existing_buckets, key=int)]
         if dirs:
+            arriving = banded.select("doc_id").distinct()
             idx_slice = (spark.read.option("basePath", bands_path)
                          .parquet(*dirs).select("doc_id"))
             seen = (idx_slice
                     .join(F.broadcast(arriving), "doc_id", "left_semi")
                     .distinct())
             fresh = banded.join(F.broadcast(seen), "doc_id", "left_anti")
+            # No separate emptiness probe: the write executes the
+            # probe join exactly once (an isEmpty pre-check would run
+            # the same join a second time on every NON-retry batch —
+            # the common case — to save only a zero-row partitioned
+            # append on retries, which commits no files and changes
+            # nothing a reader sees).
+            _write_bands(fresh, bands_path, num_buckets)
         else:
-            fresh = banded
-        try:
-            # A batch that routes entirely already-indexed (the common
-            # foreachBatch retry) or banded to nothing must not run
-            # the repartition+append job just to commit zero rows —
-            # the isEmpty probe is one limit-1 job over the cached
-            # banded frame, the same no-op contract as the mart
-            # merge's n_fresh == 0 skip.
-            if not fresh.isEmpty():
-                _write_bands(fresh, bands_path)
-        finally:
-            banded.unpersist()
-    else:
-        _write_bands(banded, bands_path)
+            _write_bands(banded, bands_path, num_buckets)
+        return touched
+    finally:
+        banded.unpersist()
 
 
-def _write_bands(bands: DataFrame, bands_path: str) -> None:
+def _write_bands(bands: DataFrame, bands_path: str,
+                 num_buckets: int) -> None:
     """Partitioned append with ONE file per touched bucket per batch:
     without the hash repartition on the partition column, every task
     holding rows of a bucket writes its own file there — tasks ×
     buckets small files per micro-batch, which both slows this write
     and makes every downstream read (and the next batch's probe)
     re-list an ever-growing file census. The shuffle moved is one
-    micro-batch of band rows — trivial."""
-    (bands.repartition(F.col(DOC_BUCKET_COL))
+    micro-batch of band rows — trivial; the reducer count is capped at
+    num_buckets (never more distinct write targets than that)."""
+    (bands.repartition(num_buckets, F.col(DOC_BUCKET_COL))
      .write.mode("append").partitionBy(DOC_BUCKET_COL)
      .parquet(bands_path))
 
@@ -786,7 +885,15 @@ def foreach_batch_band_index(stream: DataFrame, bands_path: str,
     is invariant to how the source splits batches (the file source's
     batch order is not contractual); the per-batch work is a pure
     map + explode + an idempotent append (band_index_batch — a
-    redelivered batch appends nothing), no state store needed."""
+    redelivered batch appends nothing), no state store needed.
+
+    The index layout is listed + guarded ONCE here at stream start
+    (the mirror of foreach_batch_scd2's check_layout hoist): this run
+    owns the index for its duration, and every batch's writes are the
+    only layout changes — so the bucket-dir set is maintained
+    in-memory across batches instead of re-listed per micro-batch
+    (the FS listing + its guard were the dominant per-batch fixed
+    cost at small batch sizes)."""
     from pyspark_etl_project_spark.extensions.dedup import _rows_per_band
 
     # Same divisibility guard as every batch-side banding site: a plain
@@ -794,12 +901,15 @@ def foreach_batch_band_index(stream: DataFrame, bands_path: str,
     # and desync this stream-built index from the batch-built index it
     # must join against.
     rows_per_band = _rows_per_band(num_hashes, num_bands)
+    existing = _band_index_existing_buckets(stream.sparkSession,
+                                            bands_path, num_buckets)
 
     def handle(batch: DataFrame, _epoch: int) -> None:
-        band_index_batch(batch, bands_path, num_hashes=num_hashes,
-                         num_bands=num_bands, shingle_n=shingle_n,
-                         rows_per_band=rows_per_band,
-                         num_buckets=num_buckets)
+        existing.update(band_index_batch(
+            batch, bands_path, num_hashes=num_hashes,
+            num_bands=num_bands, shingle_n=shingle_n,
+            rows_per_band=rows_per_band, num_buckets=num_buckets,
+            existing_buckets=set(existing)))
 
     q = stream.writeStream.foreachBatch(handle).start()
     try:

@@ -81,3 +81,40 @@ def test_source_system_identifier(spark):
     df = spark.createDataFrame([(42,)], "id int")
     out = df.select(source_system_identifier("AT&T", "id").alias("ssi")).first()["ssi"]
     assert out == "AT&T - 42"
+
+
+def test_registry_rotation_is_code_change_aware(tmp_path, monkeypatch):
+    """A query whose implementation changed since its recorded green
+    fingerprint must sort with the never-green block (the gate re-runs
+    it next round), while unchanged green queries keep oldest-green
+    order. Ledger built in-memory against the real registry so the
+    test exercises the real fingerprint construction."""
+    import json
+
+    from pyspark_etl_project_spark.plans import registry
+
+    queries, oracle = registry._raw_maps()
+    green = registry._latest_green_round()
+    green_names = [n for n in queries if n in green]
+    assert len(green_names) >= 2
+    changed, fresh = green_names[0], green_names[1]
+    ledger = {
+        # Recorded hash differs from the current fingerprint → changed.
+        changed: {"round": green[changed], "hash": "stale-fingerprint"},
+        # Recorded hash matches → evidence still valid.
+        fresh: {"round": green[fresh],
+                "hash": registry.query_fingerprint(queries[fresh],
+                                                   oracle.get(fresh))},
+    }
+    path = tmp_path / "GREEN_HASHES.json"
+    path.write_text(json.dumps(ledger))
+    monkeypatch.setattr(registry, "GREEN_HASHES_PATH", str(path))
+
+    names = list(registry.all_queries())
+    # Every green query absent from the ledger is also treated as
+    # changed, so the verified-unchanged query must sort after ALL
+    # unverified ones — in particular after the hash-mismatched one.
+    assert names.index(changed) < names.index(fresh)
+    never_green = [n for n in queries if n not in green]
+    for n in never_green:
+        assert names.index(n) < names.index(fresh)

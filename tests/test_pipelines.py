@@ -1154,3 +1154,76 @@ def test_bucket_pruned_read_names_legacy_layout(spark, tmp_path):
                          run_ts="2024-01-01 00:00:00", key="ssi",
                          surrogate_col="csd_id", num_buckets=16,
                          partition_col=None)
+
+
+def test_band_index_rejects_null_doc_id(spark, tmp_path):
+    """A NULL doc_id hashes to a NULL DOC_BUCKET — writing a
+    __HIVE_DEFAULT_PARTITION__ dir the next batch's layout guard calls
+    foreign (wedging the stream with a misleading rebuild error) — and
+    can never match the left_anti dedup probe, so it would re-append on
+    every redelivery. The guard must reject loudly, mirroring
+    scd2_merge_batch's NULL natural-key guard."""
+    import pytest
+
+    from pyspark_etl_project_spark.streaming.ingest import band_index_batch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (None, "epsilon zeta eta theta")],
+        "doc_id long, text string")
+    path = str(tmp_path / "bands")
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        band_index_batch(docs, path)
+    # The guard must leave no __HIVE_DEFAULT_PARTITION__ dir behind —
+    # and the index must NOT be wedged for the repaired retry.
+    import os
+
+    from pyspark_etl_project_spark.streaming.ingest import DOC_BUCKET_COL
+    if os.path.isdir(path):
+        assert not any("__HIVE_DEFAULT" in d for d in os.listdir(path))
+    band_index_batch(docs.filter(F.col("doc_id").isNotNull()), path)
+    got = spark.read.parquet(path)
+    assert got.select("doc_id").distinct().collect()[0]["doc_id"] == 1
+    # An index seeded through the NULL-cleanup path must also accept a
+    # NULL arriving on the overlap (pre-flight) path.
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        band_index_batch(docs, path)
+
+
+def test_check_mart_layout_ignores_dotfiles(spark, tmp_path):
+    """'.'-prefixed strays in the mart dir (.DS_Store, editor temps)
+    follow the same hidden-entry convention as '_' sidecars — the
+    layout probe must not classify them as data and raise the
+    legacy-layout refusal on a perfectly valid mart."""
+    from pyspark_etl_project_spark.operators.scd2 import (
+        _check_mart_layout, write_mart)
+
+    mart = spark.createDataFrame([(1, "K-1", 10)],
+                                 "csd_id long, ssi string, v long")
+    mart_path = str(tmp_path / "mart")
+    write_mart(mart, mart_path, partition_col=None, key="ssi",
+               num_buckets=4)
+    (tmp_path / "mart" / ".DS_Store").write_bytes(b"junk")
+    # Must not raise: the dotfile is hidden, the bucket dirs are the
+    # only real entries.
+    _check_mart_layout(spark, mart_path, None, 4)
+
+
+def test_read_mart_touched_glob_metachar_path(spark, tmp_path):
+    """A mart path containing glob metacharacters ([ ]) must still
+    bucket-prune correctly: without escaping, the globStatus pattern
+    mis-matches and the read silently falls back to the full listing —
+    or matches a different directory outright."""
+    from pyspark_etl_project_spark.operators.scd2 import (
+        mart_bucket, read_mart_touched, write_mart)
+
+    mart = spark.createDataFrame(
+        [(i, f"K-{i}", i * 10) for i in range(20)],
+        "csd_id long, ssi string, v long")
+    mart_path = str(tmp_path / "m[x]" / "mart")
+    write_mart(mart, mart_path, partition_col=None, key="ssi",
+               num_buckets=4)
+    want_bucket = (mart.withColumn("b", mart_bucket("ssi", 4))
+                   .filter(F.col("b") == 2))
+    got = read_mart_touched(spark, mart_path, [2])
+    assert (sorted(r["ssi"] for r in got.collect())
+            == sorted(r["ssi"] for r in want_bucket.collect()))
