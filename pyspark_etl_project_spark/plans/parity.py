@@ -79,6 +79,28 @@ def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "ts", "event_type")
 
 
+# The extreme-skew arm of the same operator (SCALE.md sizing rules):
+# groupBy + max_by(struct) enables map-side partial aggregation, so a
+# hot key combines per partition before the shuffle instead of
+# funneling every duplicate through one window task. Same reference E1
+# semantics, same oracle — both physical plans of the engine's
+# most-used operator are value-verified.
+
+@_q("window_dedup_latest_maxby", """
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def window_dedup_latest_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = keep_latest(ev, keys="user_id", order_by=["ts", "event_id"],
+                      descending=True, use_max_by=True)
+    return out.select("user_id", "event_id", "ts", "event_type")
+
+
 # --- C1-C3/B5/H1: CDC hash-compare router -------------------------------
 
 @_q("cdc_router", """

@@ -325,13 +325,30 @@ def streaming_stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFram
 # source's batch order is not contractual). Oracle rebuilds signatures,
 # buckets and both joins from scratch in SQL.
 
-@_q("streaming_band_index_dedup", None)
-def streaming_band_index_dedup_q(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
-    from pyspark_etl_project_spark.extensions.dedup import build_band_index
-    from pyspark_etl_project_spark.plans.tables import load
+def _drain_band_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the streamed band index: drain the documents stream
+    through the foreachBatch band-index sink, return the index path."""
     from pyspark_etl_project_spark.streaming.ingest import (
         foreach_batch_band_index, stream_documents)
+
+    stream, _watch = stream_documents(spark, sf_dir, min_doc_id=300,
+                                      files=2)
+    bands_path = os.path.join(tempfile.mkdtemp(prefix="band_idx_"),
+                              "bands")
+    foreach_batch_band_index(stream, bands_path)
+    return bands_path
+
+
+def _band_index_verdicts(spark: SparkSession, sf_dir: str,
+                         bands_path: str) -> DataFrame:
+    """Near-dup verdicts from an accumulated band index: corpus_dup
+    (collides with the static corpus index), stream_dup (collides with
+    a lower-doc_id streamed doc), else fresh. Shared by the live-index
+    gate query and its post-compaction twin — byte-identical input
+    rows must give byte-identical verdicts however the files are
+    arranged."""
+    from pyspark_etl_project_spark.extensions.dedup import build_band_index
+    from pyspark_etl_project_spark.plans.tables import load
 
     # The corpus slice arrives as one parquet split — spread it so the
     # 8-lane minhash banding runs on every core, not one (the same
@@ -340,12 +357,6 @@ def streaming_band_index_dedup_q(spark: SparkSession,
               .filter(F.col("doc_id") < 300).select("doc_id", "text")
               .repartition(spark.sparkContext.defaultParallelism))
     corpus_index = build_band_index(corpus, "text")
-
-    stream, _watch = stream_documents(spark, sf_dir, min_doc_id=300,
-                                      files=2)
-    bands_path = os.path.join(tempfile.mkdtemp(prefix="band_idx_"),
-                              "bands")
-    foreach_batch_band_index(stream, bands_path)
 
     bands = spark.read.parquet(bands_path)
     hits = (bands.join(F.broadcast(corpus_index),
@@ -370,6 +381,40 @@ def streaming_band_index_dedup_q(spark: SparkSession,
                         F.when(F.col("n_corpus_hits") > 0, "corpus_dup")
                          .when(F.col("n_prior_partners") > 0, "stream_dup")
                          .otherwise("fresh")))
+
+
+@_q("streaming_band_index_dedup", None)
+def streaming_band_index_dedup_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    bands_path = _drain_band_index(spark, sf_dir)
+    return _band_index_verdicts(spark, sf_dir, bands_path)
+
+
+# --- band-index retention/compaction roundtrip -------------------------------
+# The maintenance half of the streaming index: the sink appends one
+# file per touched bucket per micro-batch forever, so a lifetime index
+# needs periodic per-bucket compaction (compact_band_index). The gate
+# pins the ONLY thing compaction may change — file boundaries: the
+# stream is drained, the index compacted to one file per bucket (the
+# query raises if the file census didn't shrink — a vacuous roundtrip
+# must not pass), and the verdicts recomputed from the compacted index
+# must still match the same from-scratch SQL oracle as the live index.
+
+@_q("streaming_band_index_compacted", None)
+def streaming_band_index_compacted_q(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from pyspark_etl_project_spark.streaming.ingest import compact_band_index
+
+    bands_path = _drain_band_index(spark, sf_dir)
+    before = len(_glob.glob(os.path.join(bands_path, "*", "*.parquet")))
+    after = compact_band_index(spark, bands_path, files_per_bucket=1)
+    if after >= before:
+        raise ValueError(
+            f"band-index compaction did not shrink the file census "
+            f"({before} -> {after}); the roundtrip gate would be vacuous")
+    return _band_index_verdicts(spark, sf_dir, bands_path)
 
 
 def _band_sig_cte() -> str:
@@ -423,6 +468,8 @@ LEFT JOIN prior p ON s.doc_id = p.doc_id"""
 
 
 ORACLE["streaming_band_index_dedup"] = _band_sig_cte()
+# The compacted index must yield the SAME verdicts — identical oracle.
+ORACLE["streaming_band_index_compacted"] = _band_sig_cte()
 
 
 # --- streaming KMV sketch maintenance ----------------------------------------

@@ -918,6 +918,45 @@ def foreach_batch_band_index(stream: DataFrame, bands_path: str,
         q.stop()
 
 
+def compact_band_index(spark: SparkSession, bands_path: str,
+                       num_buckets: int = 16,
+                       files_per_bucket: int = 1) -> int:
+    """Retention/compaction maintenance for the streaming band index:
+    rewrite each DOC_BUCKET partition down to ``files_per_bucket``
+    files. The sink appends one file per touched bucket per micro-batch
+    FOREVER — over a stream's lifetime the file census, not data
+    volume, comes to dominate both the per-batch dedup probe and every
+    downstream read (the same small-files decay compact_small_files
+    fixes for the mart). Returns the total post-compaction file count.
+
+    Honors the index contract end-to-end: the same layout guard as the
+    write path runs first (foreign/flat layouts refuse with the rebuild
+    message — including the _compacting/_precompact staging dirs a
+    CRASHED compaction leaves behind, which is the desired fail-fast:
+    compact_small_files documents the stale-backup trap), each bucket
+    dir is rewritten through the staged read-aside-swap of
+    compact_small_files (never in place), and rows/verdicts are
+    byte-identical after — only file boundaries move, which
+    tests/test_pipelines.py and the gated oracle twin
+    (streaming_band_index_compacted) pin.
+
+    Buckets compact independently — at 1024+ buckets the loop is a
+    schedulable maintenance sweep (run it bucket-sliced or in parallel
+    drivers); per-bucket cost is one read+write of that bucket's rows.
+    Run it BETWEEN streaming runs, not concurrently with an active
+    foreachBatch writer: the swap window is non-atomic on object
+    stores and the writer's in-memory bucket-dir set does not expect
+    dirs to vanish mid-run."""
+    from pyspark_etl_project_spark.operators.joins import compact_small_files
+
+    existing = _band_index_existing_buckets(spark, bands_path, num_buckets)
+    total = 0
+    for b in sorted(existing, key=int):
+        total += compact_small_files(
+            spark, f"{bands_path}/{DOC_BUCKET_COL}={b}", files_per_bucket)
+    return total
+
+
 def kmv_batch(batch: DataFrame, store_path: str,
               k: int = 64, salt: str = "kmv-v1") -> None:
     """One micro-batch of KMV-sketch maintenance: append the batch's k

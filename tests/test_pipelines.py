@@ -1227,3 +1227,37 @@ def test_read_mart_touched_glob_metachar_path(spark, tmp_path):
     got = read_mart_touched(spark, mart_path, [2])
     assert (sorted(r["ssi"] for r in got.collect())
             == sorted(r["ssi"] for r in want_bucket.collect()))
+
+
+def test_compact_band_index_preserves_rows_and_guard(spark, tmp_path):
+    """Compaction may move file boundaries ONLY: rows identical, file
+    census reduced, and the index still accepts batches afterward with
+    the redelivery guard intact (layout contract preserved)."""
+    import glob as _glob
+
+    from pyspark_etl_project_spark.streaming.ingest import (
+        band_index_batch, compact_band_index)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    b1 = docs.filter(F.col("doc_id") < 40)
+    b2 = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+    b3 = docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 120))
+    path = str(tmp_path / "bands")
+    for b in (b1, b2, b3):
+        band_index_batch(b, path)
+
+    def state():
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    before_rows = state()
+    before_files = len(_glob.glob(str(tmp_path / "bands" / "*" / "*.parquet")))
+    after_files = compact_band_index(spark, path, files_per_bucket=1)
+    assert after_files < before_files
+    assert state() == before_rows
+    # Guard + dedup still work on the compacted layout.
+    band_index_batch(b3, path)  # redelivery: appends nothing
+    assert state() == before_rows
+    b4 = docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 140))
+    band_index_batch(b4, path)  # fresh batch still lands
+    assert len(state()) > len(before_rows)
