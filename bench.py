@@ -19,6 +19,16 @@ overhead-dominated local harness made sub-second round-over-round
 deltas unreadable (scheduling jitter of the same magnitude as the
 numbers).
 
+Round-10 policy: reps are INTERLEAVED (round-robin over the whole
+query list, `reps` passes) rather than 5-consecutive-per-query, so a
+transient machine-load spike smears a little over many queries'
+distributions instead of landing entirely inside one query's 5
+samples (r9 forensics: four code-untouched queries read >2x in one
+run and ~1.2x in a same-code re-run). BENCH_DETAIL also records
+per-query {median,min,max} ("stats") so drift is distinguishable from
+regression at a glance: a real regression lifts MIN; noise lifts
+max/spread while min stays put.
+
 Reading deltas (round-6 policy, evidence in SCALE.md): even medians
 move >2x when anything else runs on the box — a single-query delta
 under ~3x is only actionable if it reproduces in an UNCONTENDED
@@ -179,20 +189,33 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     # One broken query must never zero the whole round's bench: isolate
     # per query, record null, keep going, and always print the JSON line.
-    times: dict[str, float | None] = {}
+    # Interleaved reps: pass p runs every query once, then the next
+    # pass — machine drift averages ACROSS queries instead of
+    # concentrating in whichever query owned the core during a spike.
+    samples: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, str] = {}
-    for name in names:
-        samples = []
-        try:
-            for _ in range(reps):
+    for _pass in range(reps):
+        for name in names:
+            if name in errors:
+                continue
+            try:
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.time() - t0)
-            times[name] = round(statistics.median(samples), 3)
-        except Exception as exc:  # noqa: BLE001
+                samples[name].append(time.time() - t0)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = str(exc).splitlines()[0][:200]
+                print(f"query {name} failed: {errors[name]}", file=sys.stderr)
+    times: dict[str, float | None] = {}
+    stats: dict[str, dict[str, float]] = {}
+    for name in names:
+        s = samples[name]
+        if name in errors or not s:
             times[name] = None
-            errors[name] = str(exc).splitlines()[0][:200]
-            print(f"query {name} failed: {errors[name]}", file=sys.stderr)
+            continue
+        times[name] = round(statistics.median(s), 3)
+        stats[name] = {"median": times[name],
+                       "min": round(min(s), 3),
+                       "max": round(max(s), 3)}
 
     # The streaming query's time conflates per-run fixed cost (query
     # start/stop, checkpoint + offset-log init, memory-sink setup) with
@@ -225,10 +248,12 @@ def main() -> None:
                                detail_name)
     detail = {
         "queries": times,
+        "stats": stats,
         "errors": errors,
         "sf": sf_val,
         "reps": reps,
         "stat": "median",
+        "rep_order": "interleaved",
     }
     if stream_startup is not None:
         detail["stream_startup_sec"] = stream_startup

@@ -865,9 +865,15 @@ def _write_bands(bands: DataFrame, bands_path: str,
     buckets small files per micro-batch, which both slows this write
     and makes every downstream read (and the next batch's probe)
     re-list an ever-growing file census. The shuffle moved is one
-    micro-batch of band rows — trivial; the reducer count is capped at
-    num_buckets (never more distinct write targets than that)."""
-    (bands.repartition(num_buckets, F.col(DOC_BUCKET_COL))
+    micro-batch of band rows — trivial; the reducer count is the
+    SMALLER of num_buckets and the session's shuffle parallelism
+    (hash-clustering several buckets per task still writes one file
+    per bucket dir — partitionBy splits by value within the task —
+    while a plain repartition(num_buckets) at a 1024+-bucket index
+    would schedule a thousand near-empty reducers per micro-batch)."""
+    conf = bands.sparkSession.conf
+    n = min(num_buckets, int(conf.get("spark.sql.shuffle.partitions")))
+    (bands.repartition(n, F.col(DOC_BUCKET_COL))
      .write.mode("append").partitionBy(DOC_BUCKET_COL)
      .parquet(bands_path))
 
