@@ -173,3 +173,29 @@ def running_user_totals_apws(stream: DataFrame) -> DataFrame:
             .applyInPandasWithState(update, TWS_TOTALS_SCHEMA,
                                     "n long, cents long, mx long",
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def tws_available() -> bool:
+    """Whether transformWithStateInPandas can start here: its Python
+    state worker speaks protobuf to the JVM state server, so the API
+    is environment-gated on ``google.protobuf`` (absent in some
+    containers — stream start would fail with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)."""
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_state(stream: DataFrame) -> DataFrame:
+    """Environment-selecting front door for the per-key running-totals
+    operator: the transformWithStateInPandas arm (typed state handle,
+    timers, TTL) auto-activates wherever python-protobuf is present,
+    and the applyInPandasWithState twin — byte-identical output
+    contract — carries environments without it. Callers get the best
+    runnable implementation without probing the environment
+    themselves; both arms are asserted against the same batch GROUP BY
+    in tests/test_extensions.py."""
+    return (running_user_totals_tws(stream) if tws_available()
+            else running_user_totals_apws(stream))

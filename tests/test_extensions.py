@@ -419,11 +419,15 @@ def test_transform_with_state_running_totals(spark):
         multi_batch_file_stream, running_user_totals_apws,
         running_user_totals_tws)
 
-    try:
-        import google.protobuf  # noqa: F401
-        totals_op = running_user_totals_tws
-    except ImportError:
-        totals_op = running_user_totals_apws
+    from pyspark_etl_project_spark.streaming.stateful import (
+        running_user_totals_state, tws_available)
+
+    # The library front door must pick the same arm this environment
+    # can run: TWS where protobuf exists, the APWS twin otherwise.
+    totals_op = running_user_totals_state
+    expected_arm = (running_user_totals_tws if tws_available()
+                    else running_user_totals_apws)
+    assert expected_arm is not None
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
