@@ -807,7 +807,14 @@ def band_index_batch(batch: DataFrame, bands_path: str,
                            F.max(F.col("doc_id").isNull()).alias("has_null"),
                            F.collect_set(F.col(DOC_BUCKET_COL)).alias("bs")),
             bands_path, num_buckets)
-        vals = obs.get
+        try:
+            vals = obs.get
+        except Exception:  # noqa: BLE001
+            # The write COMMITTED (we're past _write_bands) but the
+            # observation has no row: a zero-row frame plans to zero
+            # tasks under AQE, so CollectMetrics never fires. Zero
+            # tasks == zero rows — the empty-batch outcome.
+            return set()
         if vals["has_null"]:
             null_dir = (bands_path.rstrip("/") + "/" + DOC_BUCKET_COL
                         + "=__HIVE_DEFAULT_PARTITION__")
@@ -872,7 +879,11 @@ def _write_bands(bands: DataFrame, bands_path: str,
     while a plain repartition(num_buckets) at a 1024+-bucket index
     would schedule a thousand near-empty reducers per micro-batch)."""
     conf = bands.sparkSession.conf
-    n = min(num_buckets, int(conf.get("spark.sql.shuffle.partitions")))
+    try:
+        shuffle_par = int(conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on some deployments
+        shuffle_par = bands.sparkSession.sparkContext.defaultParallelism
+    n = min(num_buckets, shuffle_par)
     (bands.repartition(n, F.col(DOC_BUCKET_COL))
      .write.mode("append").partitionBy(DOC_BUCKET_COL)
      .parquet(bands_path))

@@ -1261,3 +1261,20 @@ def test_compact_band_index_preserves_rows_and_guard(spark, tmp_path):
     b4 = docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 140))
     band_index_batch(b4, path)  # fresh batch still lands
     assert len(state()) > len(before_rows)
+
+
+def test_band_index_empty_batch_fast_path(spark, tmp_path):
+    """An empty (or all-empty-text) batch through the virgin-index fast
+    path must return an empty touched set without hanging on the
+    Observation (metrics over a zero-row write) — and a later real
+    batch still lands normally."""
+    from pyspark_etl_project_spark.streaming.ingest import band_index_batch
+
+    path = str(tmp_path / "bands")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert band_index_batch(empty, path) == set()
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 20).select("doc_id", "text"))
+    touched = band_index_batch(docs, path)
+    assert touched
+    assert spark.read.parquet(path).count() > 0
