@@ -125,6 +125,23 @@ def _watched_files(fn) -> list[str]:
             mod_names.add(mod)
     for mod in mod_names:
         m = sys.modules.get(mod)
+        if m is None:
+            # Function-local imports haven't executed at ordering time;
+            # an unimported module would silently drop out of the
+            # watched set (its edits then couldn't invalidate the green
+            # evidence). These are all this package's own modules —
+            # importing them here is safe and cheap.
+            try:
+                import importlib
+
+                m = importlib.import_module(mod)
+            except Exception:  # noqa: BLE001
+                # Some modules have import-time requirements this
+                # context can't meet (e.g. a live SparkSession). An
+                # unwatchable module is skipped, not fatal — the
+                # fingerprint simply doesn't extend to it, exactly the
+                # pre-import behavior.
+                continue
         f = getattr(m, "__file__", None)
         if f:
             files.add(f)
