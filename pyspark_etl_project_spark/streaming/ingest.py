@@ -614,6 +614,18 @@ def stream_documents(spark: SparkSession, sf_dir: str,
         (docs.withColumn("chunk", chunk.cast("int"))
          .repartition(files, F.col("chunk"))
          .write.mode("overwrite").partitionBy("chunk").parquet(watch_dir))
+        # A chunk whose doc_id range is EMPTY (gapped/sparse ids)
+        # produces no dir in the partitioned write — but the contract
+        # is exactly ``files`` parquet files (= micro-batches under
+        # maxFilesPerTrigger=1); split-invariance tests compare
+        # run(1) vs run(N) and need the requested split to actually
+        # happen. Backfill the missing chunks with empty single-file
+        # writes (a no-op on the dense gate data).
+        for i in range(files):
+            cdir = os.path.join(watch_dir, f"chunk={i}")
+            if not os.path.isdir(cdir):
+                (docs.filter(F.lit(False)).coalesce(1)
+                 .write.mode("overwrite").parquet(cdir))
     else:
         # Empty filtered slice: a zero-row partitioned write creates NO
         # chunk dirs and the source glob would match nothing — write
@@ -781,31 +793,36 @@ def band_index_batch(batch: DataFrame, bands_path: str,
               .select("doc_id", F.col("b.band_id").alias("band_id"),
                       F.col("b.band_hash").alias("band_hash"),
                       doc_bucket.alias(DOC_BUCKET_COL)))
+    # NB: a NULL doc_id does NOT hash to a null bucket —
+    # xxhash64(NULL) returns the seed, so mart_bucket lands NULLs in a
+    # perfectly ordinary numeric bucket. The reason NULLs must be
+    # rejected is the dedup probe: a NULL join key never equals
+    # anything, so an indexed NULL-doc row could never be matched by
+    # the already-indexed anti-join and would re-append on every
+    # redelivery — and no downstream consumer can address it either.
     _null_guard_msg = (
-        "band_index_batch: batch contains NULL doc_id rows; a "
-        "NULL key hashes to a NULL bucket (foreign-layout dir) "
-        "and can never match the dedup probe — filter or "
-        "repair them upstream")
+        "band_index_batch: batch contains NULL doc_id rows; a NULL "
+        "key can never match the dedup probe (it would re-append on "
+        "every redelivery) — filter or repair them upstream")
     if not existing_buckets:
         # Virgin/no-overlap index: nothing to probe, so the whole batch
         # is ONE Spark job — the write itself, with the admission facts
         # (NULL-key flag + touched buckets) computed as an Observation
         # riding the write instead of a separate pre-flight pass (and
-        # no persist: the banded frame is consumed exactly once). A
-        # NULL doc_id is detected after the rows land — its
-        # __HIVE_DEFAULT_PARTITION__ dir is deleted before raising, so
-        # the index never holds the foreign-layout dir that would
-        # wedge the next batch's guard; the batch's valid docs stay
-        # fully indexed and a post-repair redelivery dedupes them out.
+        # no persist: the banded frame is consumed exactly once). The
+        # observation is attached BEFORE the NULL filter, so it sees
+        # any NULL-doc rows, while the write itself never commits them
+        # — the index stays clean, the batch's valid docs stay fully
+        # indexed, and the raise below still fails the batch loudly
+        # (a post-repair redelivery dedupes the valid docs out).
         from pyspark.sql import Observation
-
-        from pyspark_etl_project_spark.operators.fs import hadoop_fs
 
         obs = Observation()
         _write_bands(
             banded.observe(obs,
                            F.max(F.col("doc_id").isNull()).alias("has_null"),
-                           F.collect_set(F.col(DOC_BUCKET_COL)).alias("bs")),
+                           F.collect_set(F.col(DOC_BUCKET_COL)).alias("bs"))
+                  .filter(F.col("doc_id").isNotNull()),
             bands_path, num_buckets)
         try:
             vals = obs.get
@@ -816,11 +833,6 @@ def band_index_batch(batch: DataFrame, bands_path: str,
             # tasks == zero rows — the empty-batch outcome.
             return set()
         if vals["has_null"]:
-            null_dir = (bands_path.rstrip("/") + "/" + DOC_BUCKET_COL
-                        + "=__HIVE_DEFAULT_PARTITION__")
-            _, fs, jpath = hadoop_fs(spark, null_dir)
-            if fs.exists(jpath):
-                fs.delete(jpath, True)
             raise ValueError(_null_guard_msg)
         return {str(b) for b in vals["bs"]}
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)

@@ -403,7 +403,7 @@ def test_docsynth_source_declares_partitions_and_handles_empty(spark):
     assert empty.count() == 0
 
 
-def test_transform_with_state_running_totals(spark):
+def test_transform_with_state_running_totals(spark, monkeypatch):
     """Per-key running totals across micro-batches match the batch
     GROUP BY. Uses Spark 4 transformWithStateInPandas where
     python-protobuf is available (the API's Python worker speaks
@@ -419,15 +419,29 @@ def test_transform_with_state_running_totals(spark):
         multi_batch_file_stream, running_user_totals_apws,
         running_user_totals_tws)
 
+    import pyspark_etl_project_spark.streaming.stateful as stateful_mod
     from pyspark_etl_project_spark.streaming.stateful import (
         running_user_totals_state, tws_available)
 
-    # The library front door must pick the same arm this environment
-    # can run: TWS where protobuf exists, the APWS twin otherwise.
+    # The library front door must pick the arm this environment can
+    # run: TWS where protobuf exists, the APWS twin otherwise. Wrap
+    # both arms to RECORD which one the selector actually dispatches
+    # to — then run the totals through the front door so the dispatch
+    # check and the semantics check exercise the same call.
+    dispatched = []
+
+    def _marked(name, fn):
+        def wrapper(stream):
+            dispatched.append(name)
+            return fn(stream)
+        return wrapper
+
+    monkeypatch.setattr(stateful_mod, "running_user_totals_tws",
+                        _marked("tws", running_user_totals_tws))
+    monkeypatch.setattr(stateful_mod, "running_user_totals_apws",
+                        _marked("apws", running_user_totals_apws))
     totals_op = running_user_totals_state
-    expected_arm = (running_user_totals_tws if tws_available()
-                    else running_user_totals_apws)
-    assert expected_arm is not None
+    expected_arm = "tws" if tws_available() else "apws"
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
@@ -458,6 +472,7 @@ def test_transform_with_state_running_totals(spark):
                                F.sum("cents").alias("c"),
                                F.max("event_id").alias("m")).collect())}
         assert got == want
+        assert dispatched == [expected_arm]
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -109,6 +109,10 @@ def test_registry_rotation_is_code_change_aware(tmp_path, monkeypatch):
     path = tmp_path / "GREEN_HASHES.json"
     path.write_text(json.dumps(ledger))
     monkeypatch.setattr(registry, "GREEN_HASHES_PATH", str(path))
+    # The ordering is memoized per process (fixed inputs in
+    # production); this test swaps the ledger, so drop the memo —
+    # monkeypatch restores the real cache state afterwards.
+    monkeypatch.setattr(registry, "_order_cache", None)
 
     names = list(registry.all_queries())
     # Every green query absent from the ledger is also treated as

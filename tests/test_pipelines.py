@@ -1173,20 +1173,27 @@ def test_band_index_rejects_null_doc_id(spark, tmp_path):
     path = str(tmp_path / "bands")
     with pytest.raises(ValueError, match="NULL doc_id"):
         band_index_batch(docs, path)
-    # The guard must leave no __HIVE_DEFAULT_PARTITION__ dir behind —
-    # and the index must NOT be wedged for the repaired retry.
+    # NULL-doc rows must NOT have been committed (xxhash64(NULL) is the
+    # SEED, so without the write-side filter they'd land in an ordinary
+    # numeric bucket and silently pollute the index forever — a NULL
+    # join key can never be matched by the dedup probe). The valid doc
+    # may legitimately be indexed already; the index must not be wedged.
     import os
 
-    from pyspark_etl_project_spark.streaming.ingest import DOC_BUCKET_COL
     if os.path.isdir(path):
-        assert not any("__HIVE_DEFAULT" in d for d in os.listdir(path))
+        ids = {r["doc_id"] for r in (spark.read.parquet(path)
+                                     .select("doc_id").distinct().collect())}
+        assert ids <= {1} and None not in ids
     band_index_batch(docs.filter(F.col("doc_id").isNotNull()), path)
-    got = spark.read.parquet(path)
-    assert got.select("doc_id").distinct().collect()[0]["doc_id"] == 1
-    # An index seeded through the NULL-cleanup path must also accept a
-    # NULL arriving on the overlap (pre-flight) path.
+    ids = {r["doc_id"] for r in (spark.read.parquet(path)
+                                 .select("doc_id").distinct().collect())}
+    assert ids == {1}
+    # A NULL arriving on the overlap (pre-flight) path must also raise.
     with pytest.raises(ValueError, match="NULL doc_id"):
         band_index_batch(docs, path)
+    ids = {r["doc_id"] for r in (spark.read.parquet(path)
+                                 .select("doc_id").distinct().collect())}
+    assert ids == {1}
 
 
 def test_check_mart_layout_ignores_dotfiles(spark, tmp_path):
@@ -1278,3 +1285,37 @@ def test_band_index_empty_batch_fast_path(spark, tmp_path):
     touched = band_index_batch(docs, path)
     assert touched
     assert spark.read.parquet(path).count() > 0
+
+
+def test_stream_documents_sparse_ids_keep_file_count(spark, tmp_path):
+    """Gapped doc_id ranges leave empty chunks; the source must still
+    expose exactly `files` parquet files (= micro-batches under
+    maxFilesPerTrigger=1) so split-invariance runs genuinely split."""
+    import glob as _glob
+    import os
+
+    from pyspark_etl_project_spark.streaming.ingest import stream_documents
+
+    # Write a doc table whose ids cluster at the range ends — the
+    # middle chunk's range is empty.
+    src_dir = str(tmp_path / "sfx")
+    os.makedirs(src_dir)
+    docs = spark.createDataFrame(
+        [(300, "alpha beta gamma delta"), (301, "beta gamma delta eps"),
+         (998, "omega psi chi phi"), (999, "psi chi phi upsilon")],
+        "doc_id long, text string")
+    docs.coalesce(1).write.parquet(os.path.join(src_dir, "documents.parquet"))
+
+    stream, watch = stream_documents(spark, src_dir, min_doc_id=300,
+                                     files=3)
+    files = _glob.glob(os.path.join(watch, "chunk=*", "*.parquet"))
+    assert len(files) == 3
+    batches = []
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _e: batches.append(b.count()))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) == 3 and sum(batches) == 4
