@@ -949,7 +949,8 @@ def foreach_batch_band_index(stream: DataFrame, bands_path: str,
 
 def compact_band_index(spark: SparkSession, bands_path: str,
                        num_buckets: int = 16,
-                       files_per_bucket: int = 1) -> int:
+                       files_per_bucket: int = 1,
+                       parallelism: int = 4) -> int:
     """Retention/compaction maintenance for the streaming band index:
     rewrite each DOC_BUCKET partition down to ``files_per_bucket``
     files. The sink appends one file per touched bucket per micro-batch
@@ -969,21 +970,35 @@ def compact_band_index(spark: SparkSession, bands_path: str,
     tests/test_pipelines.py and the gated oracle twin
     (streaming_band_index_compacted) pin.
 
-    Buckets compact independently — at 1024+ buckets the loop is a
-    schedulable maintenance sweep (run it bucket-sliced or in parallel
-    drivers); per-bucket cost is one read+write of that bucket's rows.
-    Run it BETWEEN streaming runs, not concurrently with an active
-    foreachBatch writer: the swap window is non-atomic on object
-    stores and the writer's in-memory bucket-dir set does not expect
-    dirs to vanish mid-run."""
+    Buckets compact independently, so the sweep submits up to
+    ``parallelism`` per-bucket rewrite jobs concurrently from driver
+    threads (SparkSession job submission is thread-safe; each tiny
+    bucket job alone cannot fill the cluster, and a 1024-bucket index
+    compacted strictly serially would spend the sweep waiting on
+    per-job scheduling latency). Per-bucket cost is one read+write of
+    that bucket's rows; any failure propagates after in-flight buckets
+    finish — already-swapped buckets stay compacted (idempotent to
+    re-run), the failed bucket's staging/backup dirs refuse loudly on
+    the next attempt. Run it BETWEEN streaming runs, not concurrently
+    with an active foreachBatch writer: the swap window is non-atomic
+    on object stores and the writer's in-memory bucket-dir set does
+    not expect dirs to vanish mid-run."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark_etl_project_spark.operators.joins import compact_small_files
 
     existing = _band_index_existing_buckets(spark, bands_path, num_buckets)
-    total = 0
-    for b in sorted(existing, key=int):
-        total += compact_small_files(
-            spark, f"{bands_path}/{DOC_BUCKET_COL}={b}", files_per_bucket)
-    return total
+    buckets = sorted(existing, key=int)
+    if not buckets:
+        return 0
+    workers = max(1, min(parallelism, len(buckets)))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        counts = list(pool.map(
+            lambda b: compact_small_files(
+                spark, f"{bands_path}/{DOC_BUCKET_COL}={b}",
+                files_per_bucket),
+            buckets))
+    return sum(counts)
 
 
 def kmv_batch(batch: DataFrame, store_path: str,
