@@ -369,3 +369,41 @@ def test_partial_column_stats_merge_equals_direct(spark, vals, n_parts, k):
         assert merged[f] == direct[f], (f, merged[f], direct[f])
     if direct["exact_ndv"] < k:
         assert merged["est_ndv"] == direct["exact_ndv"]
+
+
+@_SETTINGS
+@given(st.lists(
+    st.tuples(st.integers(0, 5),       # key (few distinct -> many dups)
+              st.integers(0, 3),       # ord1 (ties likely)
+              st.integers(0, 1000),    # ord2 (tiebreaker, may still tie)
+              st.integers(0, 9)),      # payload
+    min_size=1, max_size=30))
+def test_keep_latest_arms_agree(spark, rows):
+    """The window arm and the max_by arm of keep-latest dedup are two
+    physical plans of ONE operator (reference E1): for any input whose
+    (key, ordering) is unique per survivor they must pick identical
+    rows, and when the full ordering ties the survivor sets must still
+    agree on the ordering columns (both arms pick SOME maximal row).
+    Guards the skew arm against drifting from the gate-verified window
+    arm between rounds."""
+    from pyspark_etl_project_spark.operators.dedup import keep_latest
+
+    df = spark.createDataFrame(rows, "k int, o1 int, o2 int, v int")
+    win = keep_latest(df, keys="k", order_by=["o1", "o2"],
+                      descending=True).collect()
+    mb = keep_latest(df, keys="k", order_by=["o1", "o2"],
+                     descending=True, use_max_by=True).collect()
+    assert len(win) == len(mb)
+    win_by_k = {r["k"]: r for r in win}
+    mb_by_k = {r["k"]: r for r in mb}
+    assert win_by_k.keys() == mb_by_k.keys()
+    for k in win_by_k:
+        w, m = win_by_k[k], mb_by_k[k]
+        # Ordering columns must agree always (the maximal ordering is
+        # unique even when several rows share it).
+        assert (w["o1"], w["o2"]) == (m["o1"], m["o2"])
+        # With a unique maximal row the payload must match too.
+        dup_max = sum(1 for r in rows
+                      if r[0] == k and (r[1], r[2]) == (w["o1"], w["o2"]))
+        if dup_max == 1:
+            assert w["v"] == m["v"]
