@@ -227,7 +227,13 @@ def compact_small_files(spark, path: str, target_files: int) -> int:
             f"stale backup dir {backup} exists (previous compaction "
             "crashed mid-swap?); inspect and remove it before compacting")
 
-    df = spark.read.parquet(path)
+    # The read path is glob-escaped: Spark glob-expands reader paths,
+    # so a dir containing { } [ ] * ? (e.g. a bucket dir under a
+    # metachar-bearing index root) would mis-resolve. Write paths and
+    # the Hadoop rename Paths below are literal APIs — no escaping.
+    from pyspark_etl_project_spark.operators.fs import escape_glob
+
+    df = spark.read.parquet(escape_glob(path))
     df.repartition(target_files).write.mode("overwrite").parquet(staging.toString())
     if not fs.rename(jpath, backup):
         raise IOError(f"rename {path} -> {backup} failed")

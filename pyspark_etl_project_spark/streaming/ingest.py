@@ -852,7 +852,12 @@ def band_index_batch(batch: DataFrame, bands_path: str,
         # no probe.
         if not touched:
             return touched
-        dirs = [f"{bands_path}/{DOC_BUCKET_COL}={b}"
+        # Dir paths are glob-ESCAPED for the read: Spark glob-expands
+        # reader paths, so an index path containing { } [ ] * ? would
+        # otherwise mis-resolve (same hazard read_mart_touched guards).
+        from pyspark_etl_project_spark.operators.fs import escape_glob
+
+        dirs = [escape_glob(f"{bands_path}/{DOC_BUCKET_COL}={b}")
                 for b in sorted(touched & existing_buckets, key=int)]
         if dirs:
             arriving = banded.select("doc_id").distinct()

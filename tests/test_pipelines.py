@@ -1319,3 +1319,32 @@ def test_stream_documents_sparse_ids_keep_file_count(spark, tmp_path):
     finally:
         q.stop()
     assert len(batches) == 3 and sum(batches) == 4
+
+
+def test_band_index_glob_metachar_path(spark, tmp_path):
+    """A band-index root containing glob metacharacters must still
+    dedupe correctly end-to-end: the probe's dir reads and the
+    compaction rewrite glob-escape their reader paths (Spark
+    glob-expands read paths; write/rename APIs are literal)."""
+    from pyspark_etl_project_spark.streaming.ingest import (
+        band_index_batch, compact_band_index)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    b1 = docs.filter(F.col("doc_id") < 40)
+    b2 = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+    path = str(tmp_path / "i[x]" / "bands")
+
+    def state():
+        return sorted(tuple(r) for r in spark.read.parquet(
+            path.replace("[", "\\[").replace("]", "\\]")).collect())
+
+    band_index_batch(b1, path)
+    after_b1 = state()
+    band_index_batch(b1, path)  # redelivery must probe the right dirs
+    assert state() == after_b1
+    band_index_batch(b2, path)
+    after_b2 = state()
+    assert len(after_b2) > len(after_b1)
+    assert compact_band_index(spark, path, files_per_bucket=1) > 0
+    assert state() == after_b2
