@@ -324,7 +324,10 @@ def read_mart_touched(spark, path: str, bucket_ids: list[int],
         return (spark.read.option("basePath", path)
                 .parquet(*[escape_glob(d) for d in dirs])
                 .drop(MART_BUCKET_COL))
-    full = spark.read.parquet(path)
+    # The no-touched-dir fallback reads the full path (for schema /
+    # the legacy-layout diagnostic) — same glob-expansion hazard as
+    # the pruned read above, so the path is escaped here too.
+    full = spark.read.parquet(escape_glob(path))
     if MART_BUCKET_COL not in full.columns:
         raise ValueError(
             f"mart at {path} has a legacy un-bucketed layout; a "

@@ -1348,3 +1348,32 @@ def test_band_index_glob_metachar_path(spark, tmp_path):
     assert len(after_b2) > len(after_b1)
     assert compact_band_index(spark, path, files_per_bucket=1) > 0
     assert state() == after_b2
+
+
+def test_read_mart_touched_metachar_legacy_fallback(spark, tmp_path):
+    """The no-touched-dir fallback read must also survive a glob-
+    metachar mart path: a legacy un-bucketed mart under such a path
+    must raise the documented rebuild error (reached only if the
+    fallback read itself resolves the literal path), and a bucketed
+    mart whose touched buckets have no dirs yet must return the empty
+    slice rather than PATH_NOT_FOUND."""
+    import pytest
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        mart_bucket, read_mart_touched, write_mart)
+
+    mart = spark.createDataFrame([(1, "K-1", 10)],
+                                 "csd_id long, ssi string, v long")
+    legacy_path = str(tmp_path / "m[x]" / "legacy")
+    write_mart(mart, legacy_path, partition_col=None, key="ssi",
+               num_buckets=None)
+    with pytest.raises(ValueError, match="legacy un-bucketed layout"):
+        read_mart_touched(spark, legacy_path, [0, 1])
+
+    bucketed_path = str(tmp_path / "m[x]" / "bucketed")
+    write_mart(mart, bucketed_path, partition_col=None, key="ssi",
+               num_buckets=4)
+    b = mart.select(mart_bucket("ssi", 4).alias("b")).first()["b"]
+    missing = [x for x in range(4) if x != b][:2]
+    got = read_mart_touched(spark, bucketed_path, missing)
+    assert got.count() == 0 and "ssi" in got.columns
