@@ -359,21 +359,24 @@ def _band_index_verdicts(spark: SparkSession, sf_dir: str,
     corpus_index = build_band_index(corpus, "text")
 
     bands = spark.read.parquet(bands_path)
-    hits = (bands.join(F.broadcast(corpus_index),
-                       ["band_id", "band_hash"], "inner")
+    # ONE scan yields both the seen-doc universe and the corpus-hit
+    # counts: LEFT-joining the (distinct-pair) corpus index keeps every
+    # band row, and count(marker) counts only matches — identical to
+    # the former distinct(seen) + inner-join(hits) + left-join shape,
+    # minus a whole scan of the index and the seen×hits join.
+    hits = (bands.join(F.broadcast(corpus_index.withColumn("_m", F.lit(1))),
+                       ["band_id", "band_hash"], "left")
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_corpus_hits")))
+            .agg(F.count("_m").alias("n_corpus_hits")))
     a, b = bands.alias("a"), bands.alias("b")
     prior = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                     & (F.col("a.band_hash") == F.col("b.band_hash"))
                     & (F.col("b.doc_id") < F.col("a.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_id"))
              .agg(F.countDistinct("b.doc_id").alias("n_prior_partners")))
-    seen = bands.select("doc_id").distinct()
-    return (seen.join(hits, "doc_id", "left")
-            .join(prior, "doc_id", "left")
+    return (hits.join(prior, "doc_id", "left")
             .select("doc_id",
-                    F.coalesce("n_corpus_hits", F.lit(0)).cast("int")
+                    F.col("n_corpus_hits").cast("int")
                      .alias("n_corpus_hits"),
                     F.coalesce("n_prior_partners", F.lit(0)).cast("int")
                      .alias("n_prior_partners"))
