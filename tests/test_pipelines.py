@@ -1377,3 +1377,30 @@ def test_read_mart_touched_metachar_legacy_fallback(spark, tmp_path):
     missing = [x for x in range(4) if x != b][:2]
     got = read_mart_touched(spark, bucketed_path, missing)
     assert got.count() == 0 and "ssi" in got.columns
+
+
+def test_compact_band_index_refuses_crashed_state(spark, tmp_path):
+    """A compaction that crashed mid-swap leaves _precompact/_compacting
+    sibling dirs INSIDE the index root; both the next compaction sweep
+    and the next streaming batch must refuse loudly (data-loss trap
+    documented in compact_small_files) rather than treat the strays as
+    data or silently nest live files."""
+    import os
+
+    import pytest
+
+    from pyspark_etl_project_spark.streaming.ingest import (
+        DOC_BUCKET_COL, band_index_batch, compact_band_index)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 40).select("doc_id", "text"))
+    path = str(tmp_path / "bands")
+    band_index_batch(docs, path)
+    bucket = next(d for d in os.listdir(path)
+                  if d.startswith(DOC_BUCKET_COL + "="))
+    # Simulate the crash artifact of that bucket's staged rewrite.
+    os.makedirs(os.path.join(path, bucket + "_precompact"))
+    with pytest.raises(Exception, match="stale backup|foreign layout"):
+        compact_band_index(spark, path)
+    with pytest.raises(ValueError, match="foreign layout"):
+        band_index_batch(docs, path)
