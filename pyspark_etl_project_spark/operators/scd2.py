@@ -452,3 +452,72 @@ def vacuum_expired(mart: DataFrame, horizon_ts: str,
     runs as a partition rewrite during compaction, same predicate."""
     t = F.lit(horizon_ts).cast("timestamp")
     return mart.filter(F.col(end_col) >= t)
+
+
+def vacuum_mart_path(spark, path: str, horizon_ts: str,
+                     partition_col: str | None = None,
+                     key: str = KEY,
+                     num_buckets: int | None = 16) -> None:
+    """ON-DISK retention maintenance for a persisted mart: apply
+    vacuum_expired's predicate and rewrite the mart IN ITS OWN LAYOUT
+    — the maintenance twin of compact_band_index for the SCD2 side.
+    ``partition_col``/``key``/``num_buckets`` must match the layout the
+    mart was written with (the same contract as every write_mart
+    caller); the pre-write layout probe refuses a mismatch before any
+    data moves.
+
+    Write shape: the filtered mart flows back through write_mart's
+    dynamic partition overwrite WITHOUT a touched-keys prune — every
+    surviving row re-derives its own bucket, so every partition that
+    still has survivors is rewritten in place. A partition whose rows
+    are ALL expired would be skipped by dynamic overwrite (nothing
+    produced for it), silently leaving the old files — so fully-dead
+    partitions are detected by re-deriving the surviving bucket set
+    and deleting the difference through the Hadoop FS API. The scan is
+    one pass, predicate pushed to parquet (END_DATE min/max row-group
+    pruning applies under the standard sort-on-write layout).
+
+    Run it BETWEEN loads/streams, like every maintenance pass here:
+    dynamic overwrite of a mart another writer owns mid-run would
+    interleave two rewrite sets."""
+    from pyspark_etl_project_spark.operators.fs import hadoop_fs
+
+    mart = read_mart(spark, path)
+    kept = vacuum_expired(mart, horizon_ts)
+    # Deriving the surviving partition-dir set is a bounded collect:
+    # distinct (partition, bucket) pairs ≤ sources × num_buckets.
+    parts_cols = []
+    if partition_col is not None:
+        parts_cols.append(F.col(partition_col).cast("string"))
+    if num_buckets is not None:
+        parts_cols.append(mart_bucket(key, num_buckets).cast("string"))
+    # Survivor partitions are collected BEFORE the rewrite: kept's plan
+    # holds the PRE-write file listing, and re-executing it after the
+    # overwrite would race the deleted files (and read the path it
+    # just rewrote). Bounded collect: ≤ sources × num_buckets pairs.
+    survivors = ({tuple(r) for r in
+                  kept.select(*parts_cols).distinct().collect()}
+                 if parts_cols else None)
+    write_mart(kept, path, partition_col=partition_col, key=key,
+               num_buckets=num_buckets, materialize_first=True)
+    if survivors is None:
+        return  # unpartitioned layout: full-dir overwrite, nothing stale
+    _, fs, jroot = hadoop_fs(spark, path)
+    prefixes = ([partition_col] if partition_col is not None else []) \
+        + ([MART_BUCKET_COL] if num_buckets is not None else [])
+
+    def walk(jdir, depth, values):
+        for s in fs.listStatus(jdir):
+            name = s.getPath().getName()
+            if name.startswith(("_", ".")) or not s.isDirectory():
+                continue
+            if not name.startswith(prefixes[depth] + "="):
+                continue
+            vals = values + (name.split("=", 1)[1],)
+            if depth + 1 == len(prefixes):
+                if vals not in survivors:
+                    fs.delete(s.getPath(), True)
+            else:
+                walk(s.getPath(), depth + 1, vals)
+
+    walk(jroot, 0, ())

@@ -1404,3 +1404,56 @@ def test_compact_band_index_refuses_crashed_state(spark, tmp_path):
         compact_band_index(spark, path)
     with pytest.raises(ValueError, match="foreign layout"):
         band_index_batch(docs, path)
+
+
+def test_vacuum_mart_path_rewrites_and_prunes_dead_partitions(spark, tmp_path):
+    """On-disk retention: expired-before-horizon versions disappear
+    from the persisted mart, surviving history and open rows are
+    byte-identical, and a bucket whose rows ALL expired loses its dir
+    (dynamic overwrite alone would silently leave the old files)."""
+    import os
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        MART_BUCKET_COL, mart_bucket, read_mart, vacuum_mart_path,
+        write_mart)
+
+    rows = []
+    # Keys chosen at runtime to guarantee one bucket holds ONLY
+    # expired rows: find two keys in different buckets.
+    probe = spark.createDataFrame(
+        [(f"K-{i}",) for i in range(20)], "ssi string") \
+        .withColumn("b", mart_bucket("ssi", 4))
+    by_bucket = {}
+    for r in probe.collect():
+        by_bucket.setdefault(r["b"], []).append(r["ssi"])
+    (dead_bucket, dead_keys), (live_bucket, live_keys) = \
+        [(b, ks) for b, ks in by_bucket.items()][:2]
+    # dead bucket: only a version expired long before the horizon
+    rows.append((1, dead_keys[0], 10, 0, "2020-01-01 00:00:00",
+                 "2020-06-01 00:00:00"))
+    # live bucket: one old-expired (drops), one recent-expired
+    # (survives), one open row (survives)
+    rows.append((2, live_keys[0], 20, 0, "2020-01-01 00:00:00",
+                 "2020-06-01 00:00:00"))
+    rows.append((3, live_keys[0], 21, 0, "2020-06-01 00:00:00",
+                 "2024-01-01 00:00:00"))
+    rows.append((4, live_keys[0], 22, 1, "2024-01-01 00:00:00",
+                 "2099-12-31 00:00:00"))
+    mart = spark.createDataFrame(
+        rows, "csd_id long, ssi string, v long, ACTIVE_FLAG int, "
+              "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    path = str(tmp_path / "mart")
+    write_mart(mart, path, partition_col=None, key="ssi", num_buckets=4)
+    assert os.path.isdir(os.path.join(path, f"{MART_BUCKET_COL}={dead_bucket}"))
+
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col=None, key="ssi", num_buckets=4)
+    got = read_mart(spark, path)
+    assert sorted(r["csd_id"] for r in got.collect()) == [3, 4]
+    # the all-expired bucket's dir is gone, the survivor's remains
+    assert not os.path.isdir(
+        os.path.join(path, f"{MART_BUCKET_COL}={dead_bucket}"))
+    assert os.path.isdir(
+        os.path.join(path, f"{MART_BUCKET_COL}={live_bucket}"))
