@@ -1034,6 +1034,45 @@ def kmv_batch(batch: DataFrame, store_path: str,
     topk.write.mode("append").parquet(store_path)
 
 
+def compact_kmv_store(spark: SparkSession, store_path: str,
+                      k: int = 64) -> int:
+    """Fold the KMV sketch store to its k smallest DISTINCT hashes in
+    ONE file — the maintenance pass for the one unbounded thing the
+    sink leaves behind: every micro-batch appends a ≤k-row FILE, so
+    rows stay bounded (≤ k per delivery) but the file census grows
+    with batch count forever. The fold is LOSSLESS for the estimator:
+    min-k is associative, so the k smallest distinct of the union
+    (which is exactly what every consumer computes — the stats.py
+    hash-dedup invariant) equals the k smallest distinct of any
+    superset that contains them. Staged rewrite via compact_small_files
+    semantics is unnecessary here: the store is append-only and tiny,
+    so read → overwrite-aside → swap happens through one overwrite of
+    a temp dir + rename, reusing the library's staged rewrite.
+    Returns the post-fold file count (1). Run between streaming runs,
+    like every maintenance pass here."""
+    from pyspark_etl_project_spark.operators.fs import hadoop_fs
+
+    folded = (spark.read.parquet(store_path)
+              .distinct().orderBy("h").limit(k))
+    jvm, fs, jpath = hadoop_fs(spark, store_path)
+    staging = jvm.org.apache.hadoop.fs.Path(
+        store_path.rstrip("/") + "_compacting")
+    backup = jvm.org.apache.hadoop.fs.Path(
+        store_path.rstrip("/") + "_prefold")
+    if fs.exists(backup):
+        raise IOError(
+            f"stale backup dir {backup} exists (previous fold crashed "
+            "mid-swap?); inspect and remove it before folding")
+    folded.coalesce(1).write.mode("overwrite").parquet(staging.toString())
+    if not fs.rename(jpath, backup):
+        raise IOError(f"rename {store_path} -> {backup} failed")
+    if not fs.rename(staging, jpath):
+        fs.rename(backup, jpath)
+        raise IOError(f"rename {staging} -> {store_path} failed")
+    fs.delete(backup, True)
+    return 1
+
+
 def foreach_batch_kmv(stream: DataFrame, store_path: str,
                       k: int = 64, salt: str = "kmv-v1") -> None:
     """Streaming cardinality-sketch maintenance: per micro-batch the

@@ -1457,3 +1457,38 @@ def test_vacuum_mart_path_rewrites_and_prunes_dead_partitions(spark, tmp_path):
         os.path.join(path, f"{MART_BUCKET_COL}={dead_bucket}"))
     assert os.path.isdir(
         os.path.join(path, f"{MART_BUCKET_COL}={live_bucket}"))
+
+
+def test_compact_kmv_store_lossless_fold(spark, tmp_path):
+    """Folding the KMV store to its k smallest distinct hashes must
+    not move the k-th distinct minimum (the estimator input), must
+    shrink the file census to one, and must keep accepting appends."""
+    import glob as _glob
+
+    from pyspark_etl_project_spark.streaming.ingest import (
+        compact_kmv_store, kmv_batch)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    store = str(tmp_path / "kmv")
+    k = 16
+    for lo, hi in ((0, 40), (40, 80), (80, 120)):
+        kmv_batch(docs.filter((F.col("doc_id") >= lo)
+                              & (F.col("doc_id") < hi)), store, k=k)
+
+    def kth():
+        cand = spark.read.parquet(store).distinct().orderBy("h").limit(k)
+        rows = cand.collect()
+        return rows[-1]["h"] if len(rows) == k else None
+
+    before = kth()
+    assert before is not None
+    files_before = len(_glob.glob(str(tmp_path / "kmv" / "*.parquet")))
+    assert files_before >= 3
+    assert compact_kmv_store(spark, store, k=k) == 1
+    assert kth() == before
+    assert len(_glob.glob(str(tmp_path / "kmv" / "*.parquet"))) == 1
+    # post-fold appends still merge correctly
+    kmv_batch(docs.filter(F.col("doc_id") >= 120), store, k=k)
+    after = kth()
+    assert after is not None and after <= before
