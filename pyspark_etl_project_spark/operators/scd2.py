@@ -274,8 +274,12 @@ def read_mart(spark, path: str) -> DataFrame:
     """Read the mart back in merge shape: the physical bucket column is
     layout, not data (derivable from the key), so it is dropped —
     scd2_merge's final select uses mart.columns and arrival batches
-    don't carry it."""
-    df = spark.read.parquet(path)
+    don't carry it. The path is glob-escaped (reader paths are
+    glob-expanded by Spark; escaping is the identity for paths without
+    metacharacters)."""
+    from pyspark_etl_project_spark.operators.fs import escape_glob
+
+    df = spark.read.parquet(escape_glob(path))
     if MART_BUCKET_COL in df.columns:
         df = df.drop(MART_BUCKET_COL)
     return df
@@ -480,26 +484,58 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
     Run it BETWEEN loads/streams, like every maintenance pass here:
     dynamic overwrite of a mart another writer owns mid-run would
     interleave two rewrite sets."""
+    from pyspark.storagelevel import StorageLevel
+
     from pyspark_etl_project_spark.operators.fs import hadoop_fs
 
     mart = read_mart(spark, path)
-    kept = vacuum_expired(mart, horizon_ts)
-    # Deriving the surviving partition-dir set is a bounded collect:
-    # distinct (partition, bucket) pairs ≤ sources × num_buckets.
-    parts_cols = []
-    if partition_col is not None:
-        parts_cols.append(F.col(partition_col).cast("string"))
-    if num_buckets is not None:
-        parts_cols.append(mart_bucket(key, num_buckets).cast("string"))
-    # Survivor partitions are collected BEFORE the rewrite: kept's plan
-    # holds the PRE-write file listing, and re-executing it after the
-    # overwrite would race the deleted files (and read the path it
-    # just rewrote). Bounded collect: ≤ sources × num_buckets pairs.
-    survivors = ({tuple(r) for r in
-                  kept.select(*parts_cols).distinct().collect()}
-                 if parts_cols else None)
-    write_mart(kept, path, partition_col=partition_col, key=key,
-               num_buckets=num_buckets, materialize_first=True)
+    # Persisted across its two consumers (the survivor collect below
+    # and the rewrite) so the mart scans once, not twice.
+    kept = (vacuum_expired(mart, horizon_ts)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        # A vacuum that would empty the mart entirely is refused: the
+        # rewrite would produce no partitions, the dead-dir sweep
+        # would then delete every partition dir, and the remaining
+        # file-less root crashes every subsequent read ("Unable to
+        # infer schema"). Deleting a whole mart is an explicit caller
+        # action, not a retention side effect.
+        if kept.limit(1).count() == 0:
+            raise ValueError(
+                f"vacuum_mart_path: horizon {horizon_ts} would expire "
+                f"EVERY row of the mart at {path}; refusing to vacuum "
+                "a mart to empty — delete the mart explicitly if that "
+                "is intended")
+        # The dead-dir sweep compares DIRECTORY NAMES, so survivor
+        # values must be rendered exactly as the writer renders them:
+        # Hive path-escaping for special characters and the
+        # __HIVE_DEFAULT_PARTITION__ sentinel for NULL — a raw-string
+        # compare would mismatch (e.g. 'a:b' vs dir 'a%3Ab') and
+        # delete a LIVE partition. Spark's own escaper is used via the
+        # JVM so the two cannot drift.
+        esc = spark.sparkContext._jvm.org.apache.spark.sql.catalyst \
+            .catalog.ExternalCatalogUtils
+        null_dir = "__HIVE_DEFAULT_PARTITION__"
+
+        def dir_value(v) -> str:
+            return null_dir if v is None else esc.escapePathName(str(v))
+
+        parts_cols = []
+        if partition_col is not None:
+            parts_cols.append(F.col(partition_col).cast("string"))
+        if num_buckets is not None:
+            parts_cols.append(mart_bucket(key, num_buckets).cast("string"))
+        # Survivor partitions are collected BEFORE the rewrite: kept's
+        # plan holds the PRE-write file listing, and re-executing it
+        # after the overwrite would race the deleted files. Bounded
+        # collect: ≤ sources × num_buckets pairs, column-pruned scan.
+        survivors = ({tuple(dir_value(v) for v in r) for r in
+                      kept.select(*parts_cols).distinct().collect()}
+                     if parts_cols else None)
+        write_mart(kept, path, partition_col=partition_col, key=key,
+                   num_buckets=num_buckets, materialize_first=True)
+    finally:
+        kept.unpersist()
     if survivors is None:
         return  # unpartitioned layout: full-dir overwrite, nothing stale
     _, fs, jroot = hadoop_fs(spark, path)

@@ -988,7 +988,7 @@ def compact_band_index(spark: SparkSession, bands_path: str,
     with an active foreachBatch writer: the swap window is non-atomic
     on object stores and the writer's in-memory bucket-dir set does
     not expect dirs to vanish mid-run."""
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
     from pyspark_etl_project_spark.operators.joins import compact_small_files
 
@@ -997,13 +997,23 @@ def compact_band_index(spark: SparkSession, bands_path: str,
     if not buckets:
         return 0
     workers = max(1, min(parallelism, len(buckets)))
+    # Fail FAST: on the first bucket failure, queued (not-yet-started)
+    # buckets are cancelled so a 1024-bucket sweep doesn't run to
+    # completion before surfacing e.g. a stale-backup refusal; only
+    # the ≤`parallelism` in-flight rewrites finish. Already-swapped
+    # buckets stay compacted — the sweep is idempotent to re-run.
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        counts = list(pool.map(
-            lambda b: compact_small_files(
-                spark, f"{bands_path}/{DOC_BUCKET_COL}={b}",
-                files_per_bucket),
-            buckets))
-    return sum(counts)
+        futures = [pool.submit(compact_small_files, spark,
+                               f"{bands_path}/{DOC_BUCKET_COL}={b}",
+                               files_per_bucket)
+                   for b in buckets]
+        done, not_done = wait(futures, return_when=FIRST_EXCEPTION)
+        failed = next((f for f in done if f.exception() is not None), None)
+        if failed is not None:
+            for f in not_done:
+                f.cancel()
+            raise failed.exception()
+        return sum(f.result() for f in futures)
 
 
 def kmv_batch(batch: DataFrame, store_path: str,
@@ -1050,19 +1060,24 @@ def compact_kmv_store(spark: SparkSession, store_path: str,
     a temp dir + rename, reusing the library's staged rewrite.
     Returns the post-fold file count (1). Run between streaming runs,
     like every maintenance pass here."""
-    from pyspark_etl_project_spark.operators.fs import hadoop_fs
+    from pyspark_etl_project_spark.operators.fs import escape_glob, hadoop_fs
 
-    folded = (spark.read.parquet(store_path)
-              .distinct().orderBy("h").limit(k))
     jvm, fs, jpath = hadoop_fs(spark, store_path)
     staging = jvm.org.apache.hadoop.fs.Path(
         store_path.rstrip("/") + "_compacting")
     backup = jvm.org.apache.hadoop.fs.Path(
         store_path.rstrip("/") + "_prefold")
+    # Stale-backup refusal BEFORE the schema-resolving read: a fold
+    # that crashed between the two renames leaves the data in _prefold
+    # and no store dir — reading first would die with PATH_NOT_FOUND
+    # instead of this diagnostic.
     if fs.exists(backup):
         raise IOError(
             f"stale backup dir {backup} exists (previous fold crashed "
             "mid-swap?); inspect and remove it before folding")
+    # Reader path glob-escaped, same as every other maintenance read.
+    folded = (spark.read.parquet(escape_glob(store_path))
+              .distinct().orderBy("h").limit(k))
     folded.coalesce(1).write.mode("overwrite").parquet(staging.toString())
     if not fs.rename(jpath, backup):
         raise IOError(f"rename {store_path} -> {backup} failed")

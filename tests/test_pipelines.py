@@ -1492,3 +1492,40 @@ def test_compact_kmv_store_lossless_fold(spark, tmp_path):
     kmv_batch(docs.filter(F.col("doc_id") >= 120), store, k=k)
     after = kth()
     assert after is not None and after <= before
+
+
+def test_vacuum_mart_path_escaped_values_and_empty_refusal(spark, tmp_path):
+    """Survivor comparison must happen in escaped-dir-name space: a
+    partition value with a Hive-escaped character (':') must survive
+    the dead-dir sweep. And a horizon that would empty the mart must
+    refuse loudly instead of leaving an unreadable file-less root."""
+    import os
+
+    import pytest
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        read_mart, vacuum_mart_path, write_mart)
+
+    mart = spark.createDataFrame(
+        [(1, "K-1", "src:a", 1, "2024-01-01 00:00:00",
+          "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, SOURCE string, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    path = str(tmp_path / "mart")
+    write_mart(mart, path, partition_col="SOURCE", key="ssi",
+               num_buckets=4)
+    escaped = [d for d in os.listdir(path) if d.startswith("SOURCE=")]
+    assert escaped and ":" not in escaped[0]  # value was Hive-escaped
+
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col="SOURCE", key="ssi", num_buckets=4)
+    got = read_mart(spark, path)
+    assert [r["csd_id"] for r in got.collect()] == [1]
+
+    with pytest.raises(ValueError, match="refusing to vacuum"):
+        vacuum_mart_path(spark, path, "2100-01-01 00:00:00",
+                         partition_col="SOURCE", key="ssi",
+                         num_buckets=4)
+    assert read_mart(spark, path).count() == 1  # untouched after refusal
