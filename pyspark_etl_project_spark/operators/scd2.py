@@ -518,7 +518,15 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
         null_dir = "__HIVE_DEFAULT_PARTITION__"
 
         def dir_value(v) -> str:
-            return null_dir if v is None else esc.escapePathName(str(v))
+            # Spark renders BOTH NULL and the empty string as the
+            # __HIVE_DEFAULT_PARTITION__ dir (ExternalCatalogUtils.
+            # getPartitionPathString special-cases value.isEmpty), so
+            # an empty-string survivor must map to the sentinel too —
+            # escapePathName('') would yield '' and the sweep would
+            # delete the live default-partition dir.
+            if v is None or str(v) == "":
+                return null_dir
+            return esc.escapePathName(str(v))
 
         parts_cols = []
         if partition_col is not None:

@@ -1508,6 +1508,12 @@ def test_vacuum_mart_path_escaped_values_and_empty_refusal(spark, tmp_path):
 
     mart = spark.createDataFrame(
         [(1, "K-1", "src:a", 1, "2024-01-01 00:00:00",
+          "2099-12-31 00:00:00"),
+         # Empty-string partition value: Spark writes it to the
+         # __HIVE_DEFAULT_PARTITION__ dir (same as NULL) — the sweep
+         # must render the survivor the same way or it deletes a LIVE
+         # just-rewritten partition.
+         (2, "K-2", "", 1, "2024-01-01 00:00:00",
           "2099-12-31 00:00:00")],
         "csd_id long, ssi string, SOURCE string, ACTIVE_FLAG int, "
         "START_DATE string, END_DATE string") \
@@ -1517,15 +1523,18 @@ def test_vacuum_mart_path_escaped_values_and_empty_refusal(spark, tmp_path):
     write_mart(mart, path, partition_col="SOURCE", key="ssi",
                num_buckets=4)
     escaped = [d for d in os.listdir(path) if d.startswith("SOURCE=")]
-    assert escaped and ":" not in escaped[0]  # value was Hive-escaped
+    assert any(":" not in d and "%3A" in d for d in escaped), escaped
+    assert "SOURCE=__HIVE_DEFAULT_PARTITION__" in escaped
 
     vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
                      partition_col="SOURCE", key="ssi", num_buckets=4)
     got = read_mart(spark, path)
-    assert [r["csd_id"] for r in got.collect()] == [1]
+    assert sorted(r["csd_id"] for r in got.collect()) == [1, 2]
+    assert os.path.isdir(
+        os.path.join(path, "SOURCE=__HIVE_DEFAULT_PARTITION__"))
 
     with pytest.raises(ValueError, match="refusing to vacuum"):
         vacuum_mart_path(spark, path, "2100-01-01 00:00:00",
                          partition_col="SOURCE", key="ssi",
                          num_buckets=4)
-    assert read_mart(spark, path).count() == 1  # untouched after refusal
+    assert read_mart(spark, path).count() == 2  # untouched after refusal
