@@ -549,6 +549,14 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
     _, fs, jroot = hadoop_fs(spark, path)
     prefixes = ([partition_col] if partition_col is not None else []) \
         + ([MART_BUCKET_COL] if num_buckets is not None else [])
+    # One membership set per layout level: a dir whose value-prefix
+    # matches NO survivor is deleted as a whole subtree — this both
+    # removes a fully-dead parent partition dir (deleting only its
+    # leaf bucket dirs would leave an empty `pcol=x` shell behind) and
+    # prunes the walk (a dead source's buckets are never even listed —
+    # the sweep stays O(live dirs), not O(all dirs)).
+    prefix_sets = [{sv[:d + 1] for sv in survivors}
+                   for d in range(len(prefixes))]
 
     def walk(jdir, depth, values):
         for s in fs.listStatus(jdir):
@@ -558,10 +566,9 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
             if not name.startswith(prefixes[depth] + "="):
                 continue
             vals = values + (name.split("=", 1)[1],)
-            if depth + 1 == len(prefixes):
-                if vals not in survivors:
-                    fs.delete(s.getPath(), True)
-            else:
+            if vals not in prefix_sets[depth]:
+                fs.delete(s.getPath(), True)
+            elif depth + 1 < len(prefixes):
                 walk(s.getPath(), depth + 1, vals)
 
     walk(jroot, 0, ())

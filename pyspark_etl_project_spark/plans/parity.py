@@ -413,6 +413,104 @@ def scd2_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("END_DATE").alias("end_date"))
 
 
+# --- SCD2 on-disk retention roundtrip --------------------------------------
+# Gate for vacuum_mart_path (operators/scd2.py), the maintenance pass
+# that rewrites the persisted mart under vacuum_expired's predicate and
+# deletes fully-dead partition dirs that dynamic overwrite would
+# silently leave behind. Modeled on streaming_band_index_compacted: a
+# deterministic mixed-expiry history is WRITTEN to disk, vacuumed, the
+# query raises unless the maintenance actually changed the physical
+# state (the all-expired partition dir must be gone), and the surviving
+# rows read back from the maintained store must hash-match the same
+# from-scratch END_DATE >= horizon oracle (retention semantics per
+# reference SCD2 expiry, /root/reference/ETL/CSV_Batch_Processing.py:
+# 311-324 — expired versions carry a closed END_DATE; retention drops
+# versions closed before the horizon, keeping open rows and
+# recently-closed history so as-of queries inside the window still
+# reconstruct).
+
+@_q("scd2_vacuum_roundtrip", """
+WITH hist AS (
+  SELECT c_custkey AS csd_id,
+         'CUST - ' || CAST(c_custkey AS VARCHAR) AS ssi,
+         c_mktsegment,
+         CASE WHEN c_custkey % 2 = 0 THEN 'RETIRED' ELSE 'ACTIVE' END AS seg,
+         0 AS active_flag,
+         TIMESTAMP '2020-01-01 00:00:00' AS start_date,
+         TIMESTAMP '2020-06-01 00:00:00' AS end_date
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 10000000,
+         'CUST - ' || CAST(c_custkey AS VARCHAR),
+         c_mktsegment, 'ACTIVE', 0,
+         TIMESTAMP '2020-06-01 00:00:00',
+         TIMESTAMP '2024-01-01 00:00:00'
+  FROM customer WHERE c_custkey % 2 = 1
+  UNION ALL
+  SELECT c_custkey + 20000000,
+         'CUST - ' || CAST(c_custkey AS VARCHAR),
+         c_mktsegment, 'ACTIVE', 1,
+         TIMESTAMP '2024-01-01 00:00:00',
+         TIMESTAMP '2099-12-31 00:00:00'
+  FROM customer WHERE c_custkey % 2 = 1
+)
+SELECT csd_id, ssi, c_mktsegment, seg, active_flag, start_date, end_date
+FROM hist WHERE end_date >= TIMESTAMP '2023-01-01 00:00:00'
+""")
+def scd2_vacuum_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        read_mart, vacuum_mart_path, write_mart)
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey",
+                                                  "c_mktsegment")
+    ssi = F.concat(F.lit("CUST - "), F.col("c_custkey").cast("string"))
+    seg = (F.when(F.col("c_custkey") % 2 == 0, F.lit("RETIRED"))
+            .otherwise(F.lit("ACTIVE")))
+    odd = F.col("c_custkey") % 2 == 1
+
+    def version(id_off: int, flag: int, start: str, end: str,
+                pred=None) -> DataFrame:
+        d = cust if pred is None else cust.filter(pred)
+        return d.select(
+            (F.col("c_custkey") + id_off).cast("long").alias("csd_id"),
+            ssi.alias("ssi"), "c_mktsegment", seg.alias("seg"),
+            F.lit(flag).alias("active_flag"),
+            F.lit(start).cast("timestamp").alias("START_DATE"),
+            F.lit(end).cast("timestamp").alias("END_DATE"))
+
+    # Every customer gets one long-expired version; odd keys also get a
+    # recently-closed version (survives the horizon) and an open one —
+    # so the RETIRED partition is ALL-expired and must physically
+    # disappear, while ACTIVE keeps mixed history.
+    hist = (version(0, 0, "2020-01-01 00:00:00", "2020-06-01 00:00:00")
+            .unionByName(version(10_000_000, 0, "2020-06-01 00:00:00",
+                                 "2024-01-01 00:00:00", odd))
+            .unionByName(version(20_000_000, 1, "2024-01-01 00:00:00",
+                                 "2099-12-31 00:00:00", odd)))
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_vac_"), "mart")
+    write_mart(hist, path, partition_col="seg", key="ssi", num_buckets=8)
+    dead_dir = os.path.join(path, "seg=RETIRED")
+    if not os.path.isdir(dead_dir):
+        raise ValueError("scd2_vacuum_roundtrip: expected the pre-vacuum "
+                         "mart to materialize the seg=RETIRED partition")
+
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col="seg", key="ssi", num_buckets=8)
+    # The roundtrip must not be vacuous: the all-expired partition's
+    # dir has to be GONE (dynamic overwrite alone would leave it, and a
+    # reader would resurrect the expired rows).
+    if os.path.isdir(dead_dir):
+        raise ValueError("scd2_vacuum_roundtrip: vacuum left the "
+                         "fully-dead seg=RETIRED partition dir in place")
+    return read_mart(spark, path).select(
+        "csd_id", "ssi", "c_mktsegment", "seg", "active_flag",
+        F.col("START_DATE").alias("start_date"),
+        F.col("END_DATE").alias("end_date"))
+
+
 # --- H10 + H6: validity flag + rating floor quirk -------------------------
 # (consolidated: the former `rating_floor_scale` query's H6 column lives
 # here — same source table, same row-wise-transform plan shape)

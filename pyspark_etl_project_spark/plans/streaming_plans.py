@@ -482,7 +482,7 @@ ORACLE["streaming_band_index_compacted"] = _band_sig_cte()
 # the source split them). The oracle recomputes the whole sketch AND
 # the exact distinct count from scratch in SQL.
 
-@_q("streaming_kmv_trigram_sketch", """
+_KMV_SKETCH_SQL = """
 WITH t AS (
   SELECT DISTINCT unnest(list_transform(range(len(w) - 2),
                   i -> array_to_string(w[i+1:i+3], ' '))) AS v
@@ -501,16 +501,31 @@ SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS exact_distinct,
        (SELECT kth_min_hash FROM kth) AS kth_min_hash,
        CAST(63 * CAST(281474976710656 AS BIGINT)
             // (SELECT kth_min_hash FROM kth) AS BIGINT) AS est_distinct
-""")
-def streaming_kmv_trigram_sketch_q(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
+"""
+
+
+def _drain_kmv_store(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the shared document stream through the KMV foreachBatch
+    sink into a fresh store dir; shared by the live-store gate and its
+    post-fold twin."""
     from pyspark_etl_project_spark.streaming.ingest import (
         foreach_batch_kmv, stream_documents)
 
     stream, _ = stream_documents(spark, sf_dir, min_doc_id=300, files=2)
     store = os.path.join(tempfile.mkdtemp(prefix="kmv_stream_"), "sketch")
     foreach_batch_kmv(stream, store, k=64)
+    return store
 
+
+@_q("streaming_kmv_trigram_sketch", _KMV_SKETCH_SQL)
+def streaming_kmv_trigram_sketch_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    store = _drain_kmv_store(spark, sf_dir)
+    return _kmv_sketch_estimates(spark, sf_dir, store)
+
+
+def _kmv_sketch_estimates(spark: SparkSession, sf_dir: str,
+                          store: str) -> DataFrame:
     cand = spark.read.parquet(store)
     # k-th minimum as TakeOrderedAndProject + single-row aggregate —
     # ALWAYS one row: when the streamed slice has fewer than k=64
@@ -541,3 +556,36 @@ def streaming_kmv_trigram_sketch_q(spark: SparkSession,
                     F.expr(f"cast(63 * cast({max_h} as bigint)"
                            " div kth_min_hash as bigint)")
                      .alias("est_distinct")))
+
+
+# --- KMV store fold roundtrip -------------------------------------------------
+# Gate for compact_kmv_store (streaming/ingest.py), the maintenance
+# pass that folds the append-per-batch sketch store to its k smallest
+# DISTINCT hashes in ONE file. Modeled on
+# streaming_band_index_compacted: drain the stream, fold, raise if the
+# file census didn't shrink (a vacuous roundtrip must not pass), then
+# recompute the estimates FROM THE FOLDED STORE — they must hash-match
+# the same from-scratch SQL oracle as the live store, proving the fold
+# is lossless for the estimator (min-k associativity).
+
+@_q("streaming_kmv_store_compacted", _KMV_SKETCH_SQL)
+def streaming_kmv_store_compacted_q(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from pyspark_etl_project_spark.streaming.ingest import compact_kmv_store
+
+    store = _drain_kmv_store(spark, sf_dir)
+    before = len(_glob.glob(os.path.join(store, "*.parquet")))
+    if before < 2:
+        raise ValueError(
+            f"streaming_kmv_store_compacted: expected >=2 appended "
+            f"files before the fold, found {before} — the shrink "
+            "assertion would be vacuous")
+    compact_kmv_store(spark, store, k=64)
+    after = len(_glob.glob(os.path.join(store, "*.parquet")))
+    if after >= before:
+        raise ValueError(
+            f"KMV store fold did not shrink the file census "
+            f"({before} -> {after}); the roundtrip gate would be vacuous")
+    return _kmv_sketch_estimates(spark, sf_dir, store)

@@ -1514,7 +1514,13 @@ def test_vacuum_mart_path_escaped_values_and_empty_refusal(spark, tmp_path):
          # must render the survivor the same way or it deletes a LIVE
          # just-rewritten partition.
          (2, "K-2", "", 1, "2024-01-01 00:00:00",
-          "2099-12-31 00:00:00")],
+          "2099-12-31 00:00:00"),
+         # A partition whose rows ALL expire: the sweep must remove
+         # the parent SOURCE=gone dir itself, not just its bucket
+         # leaves (an empty `SOURCE=x` shell would survive a
+         # leaf-only sweep).
+         (3, "K-3", "gone", 0, "2020-01-01 00:00:00",
+          "2020-06-01 00:00:00")],
         "csd_id long, ssi string, SOURCE string, ACTIVE_FLAG int, "
         "START_DATE string, END_DATE string") \
         .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
@@ -1532,6 +1538,7 @@ def test_vacuum_mart_path_escaped_values_and_empty_refusal(spark, tmp_path):
     assert sorted(r["csd_id"] for r in got.collect()) == [1, 2]
     assert os.path.isdir(
         os.path.join(path, "SOURCE=__HIVE_DEFAULT_PARTITION__"))
+    assert not os.path.isdir(os.path.join(path, "SOURCE=gone"))
 
     with pytest.raises(ValueError, match="refusing to vacuum"):
         vacuum_mart_path(spark, path, "2100-01-01 00:00:00",
