@@ -209,13 +209,20 @@ def main() -> None:
     stats: dict[str, dict[str, float]] = {}
     for name in names:
         s = samples[name]
-        if name in errors or not s:
+        if not s:
             times[name] = None
             continue
+        # A failure on a LATER pass must not erase the earlier good
+        # samples: record the stats over what succeeded, flag them
+        # partial, and keep the error visible in error_names — so one
+        # flaky pass costs sample count, not the whole query's record.
         times[name] = round(statistics.median(s), 3)
         stats[name] = {"median": times[name],
                        "min": round(min(s), 3),
                        "max": round(max(s), 3)}
+        if name in errors:
+            stats[name]["partial"] = True
+            stats[name]["n_samples"] = len(s)
 
     # The streaming query's time conflates per-run fixed cost (query
     # start/stop, checkpoint + offset-log init, memory-sink setup) with
@@ -273,6 +280,11 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(names),
         "n_ok": sum(1 for t in times.values() if t is not None),
+        # Sum of per-query MINIMA — the statistic least moved by
+        # machine drift (noise lifts max/spread; only a real
+        # regression lifts min), so cross-round totals compare
+        # like-for-like even when the box wasn't equally idle.
+        "sum_of_mins": round(sum(st["min"] for st in stats.values()), 3),
         "sf": sf_val,
         "reps": reps,
         "stat": "median",

@@ -745,10 +745,13 @@ def band_index_batch(batch: DataFrame, bands_path: str,
     bounded collect_set — the same shape as scd2_merge_batch's
     pre-flight), then the probe join + write only when prior index
     data overlaps. NULL doc_ids are rejected loudly (like the SCD2
-    NULL natural-key guard): a NULL would hash to a NULL bucket,
-    writing a __HIVE_DEFAULT_PARTITION__ dir the layout guard then
-    classifies as foreign (wedging the stream), and could never match
-    the doc-level dedup probe — re-appending on every redelivery.
+    NULL natural-key guard) and NEVER written: xxhash64(NULL) returns
+    the seed, so a NULL would land in an ordinary numeric bucket — the
+    problem is the dedup probe, whose NULL join key never equals
+    anything, so an indexed NULL-doc row would re-append on every
+    redelivery. The guard sees NULLs pre-filter (Observation on the
+    virgin path, pre-flight agg on the overlap path), the write
+    commits only non-NULL rows, and the raise fails the batch.
 
     Join shape: the batch is small; its distinct doc_ids broadcast into
     a semi-filter of the touched index slice, and the surviving
