@@ -593,6 +593,70 @@ def probe_band_index_batch(spark: SparkSession, n: int) -> None:
                                      existing_buckets=set(existing)))
 
 
+_VAC_BASE = 50_000
+_VAC_PROBE: dict[int, list] = {}  # n -> [nb, path, path, ...] (paths are a queue)
+
+
+def _vac_probe_setup(spark: SparkSession, sizes: list[int]) -> None:
+    """Pre-write the marts to vacuum, UNTIMED (first call at base scale
+    is the harness's warmup). vacuum_mart_path is destructive, so each
+    timed call consumes its own fresh mart: two per size at base
+    (warmup + timed), one at 100×. Bucket count follows the SCALE.md
+    sizing rule (bucket SIZE constant), and expiry is a function of the
+    BUCKET id so a deterministic third of the buckets is fully dead —
+    the dead-subtree deletion path — while the rest hold mixed expiry
+    (the rewrite + survivor-collect path)."""
+    import tempfile
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        mart_bucket, write_mart)
+
+    for size in sizes:
+        if size in _VAC_PROBE:
+            continue
+        nb = max(32, (size * 32) // _VAC_BASE)
+        b = mart_bucket("ssi", nb)
+        state: list = [nb]
+        for _ in range(2 if size == _VAC_BASE else 1):
+            seed = (spark.range(size).select(
+                F.col("id").alias("csd_id"),
+                F.concat(F.lit("K-"), F.col("id")).alias("ssi"),
+                F.lit(1).alias("ACTIVE_FLAG"),
+                F.lit("2020-01-01 00:00:00").cast("timestamp")
+                 .alias("START_DATE"))
+                .withColumn(
+                    "END_DATE",
+                    F.when(b % 3 == 0, F.lit("2020-06-01 00:00:00"))
+                     .when(F.col("csd_id") % 2 == 0,
+                           F.lit("2021-06-01 00:00:00"))
+                     .otherwise(F.lit("2099-12-31 00:00:00"))
+                     .cast("timestamp"))
+                .repartition(min(nb, 4096), b))
+            path = tempfile.mkdtemp(prefix=f"vacprobe{size}_") + "/mart"
+            write_mart(seed, path, partition_col=None, key="ssi",
+                       num_buckets=nb)
+            state.append(path)
+        _VAC_PROBE[size] = state
+
+
+def probe_vacuum_mart_path(spark: SparkSession, n: int) -> None:
+    """On-disk SCD2 retention: vacuum a mart of n rows where 1/3 of the
+    buckets are fully dead and the rest are half-expired. The dominant
+    term is the survivor rewrite — inherently O(mart) — so the 100×
+    ratio is expected ~linear-or-below (fixed overhead amortizes); what
+    the probe falsifies is anything SUPER-linear hiding in the sweep:
+    the survivor collect (bounded at sources × buckets), the dir walk
+    (O(live dirs), dead subtrees pruned unlisted), or a skew funnel in
+    the rewrite shuffle."""
+    from pyspark_etl_project_spark.operators.scd2 import vacuum_mart_path
+
+    _vac_probe_setup(spark, [n, n * AMP] if n == _VAC_BASE else [n])
+    state = _VAC_PROBE[n]
+    nb, path = state[0], state.pop(1)
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col=None, key="ssi", num_buckets=nb)
+
+
 PROBES = {
     # name: (fn, base_n)  — 100× runs at base_n * AMP
     "boilerplate_scrub_30pct_hot_line": (probe_boilerplate, 10_000),
@@ -627,6 +691,8 @@ PROBES = {
     # round-9: the redelivery-hardened streaming merge
     "scd2_merge_batch_1k_arrivals": (probe_scd2_merge_batch, _SCD2_BASE),
     "band_index_batch_50_fresh": (probe_band_index_batch, _BAND_BASE),
+    # round-11: the destructive maintenance pass gated this round
+    "vacuum_mart_path_third_dead": (probe_vacuum_mart_path, _VAC_BASE),
 }
 
 
