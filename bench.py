@@ -272,14 +272,19 @@ def main() -> None:
     # on this line (it lives in the sidecar above).
     payload = {
         "metric": "headline_queries_total_time",
-        # value sums the n_ok SUCCEEDED queries — when errors exist,
-        # n_ok < n_queries makes the shrunken denominator visible, so
-        # a failed 60 s query cannot masquerade as a 60 s speedup in a
-        # cross-round total comparison.
+        # value sums every query with at least one good sample — a
+        # query with NO samples drops out, and n_ok < n_queries makes
+        # the shrunken denominator visible, so a failed 60 s query
+        # cannot masquerade as a 60 s speedup in a cross-round total.
+        # A query that failed on a LATER pass still contributes (its
+        # stats are over fewer, colder samples) — n_partial on this
+        # line flags how many medians are that kind, so a total mixing
+        # 1-sample times with 5-sample medians can't read as clean.
         "value": round(sum(t for t in times.values() if t is not None), 3),
         "unit": "sec",
         "n_queries": len(names),
         "n_ok": sum(1 for t in times.values() if t is not None),
+        "n_partial": sum(1 for st in stats.values() if st.get("partial")),
         # Sum of per-query MINIMA — the statistic least moved by
         # machine drift (noise lifts max/spread; only a real
         # regression lifts min), so cross-round totals compare

@@ -488,7 +488,22 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
 
     from pyspark_etl_project_spark.operators.fs import hadoop_fs
 
-    mart = read_mart(spark, path)
+    # Partition values must round-trip VERBATIM through this pass:
+    # with type inference on, a string partition dir like 'SRC=0123'
+    # reads back as int 123, and the rewrite would silently rename the
+    # partition to 'SRC=123' (and merge '01' with '1'). Retention must
+    # never mutate values, so the vacuum read pins partition columns
+    # to their on-disk strings; inference is a read-schema concern and
+    # re-applies untouched for every later reader. (Schema/partition
+    # discovery runs eagerly inside read.parquet, so scoping the
+    # toggle around the read is sufficient.)
+    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old_infer = spark.conf.get(_INFER, "true")
+    spark.conf.set(_INFER, "false")
+    try:
+        mart = read_mart(spark, path)
+    finally:
+        spark.conf.set(_INFER, old_infer)
     # Persisted across its two consumers (the survivor collect below
     # and the rewrite) so the mart scans once, not twice.
     kept = (vacuum_expired(mart, horizon_ts)
@@ -509,35 +524,36 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
         # The dead-dir sweep compares DIRECTORY NAMES, so survivor
         # values must be rendered exactly as the writer renders them:
         # Hive path-escaping for special characters and the
-        # __HIVE_DEFAULT_PARTITION__ sentinel for NULL — a raw-string
-        # compare would mismatch (e.g. 'a:b' vs dir 'a%3Ab') and
-        # delete a LIVE partition. Spark's own escaper is used via the
-        # JVM so the two cannot drift.
+        # __HIVE_DEFAULT_PARTITION__ sentinel for NULL/empty — a
+        # raw-string compare would mismatch (e.g. 'a:b' vs dir
+        # 'a%3Ab') and delete a LIVE partition. Spark's OWN renderer
+        # (getPartitionPathString, which applies the escaping AND the
+        # sentinel special cases itself and returns the full
+        # 'col=value' dir name) is called via the JVM, so the compare
+        # cannot drift from the write side — no rule is
+        # re-implemented here.
         esc = spark.sparkContext._jvm.org.apache.spark.sql.catalyst \
             .catalog.ExternalCatalogUtils
-        null_dir = "__HIVE_DEFAULT_PARTITION__"
 
-        def dir_value(v) -> str:
-            # Spark renders BOTH NULL and the empty string as the
-            # __HIVE_DEFAULT_PARTITION__ dir (ExternalCatalogUtils.
-            # getPartitionPathString special-cases value.isEmpty), so
-            # an empty-string survivor must map to the sentinel too —
-            # escapePathName('') would yield '' and the sweep would
-            # delete the live default-partition dir.
-            if v is None or str(v) == "":
-                return null_dir
-            return esc.escapePathName(str(v))
-
-        parts_cols = []
+        parts_cols, part_names = [], []
         if partition_col is not None:
             parts_cols.append(F.col(partition_col).cast("string"))
+            part_names.append(partition_col)
         if num_buckets is not None:
             parts_cols.append(mart_bucket(key, num_buckets).cast("string"))
+            part_names.append(MART_BUCKET_COL)
+
+        def dir_names(r) -> tuple:
+            return tuple(
+                esc.getPartitionPathString(
+                    c, None if v is None else str(v))
+                for c, v in zip(part_names, r))
+
         # Survivor partitions are collected BEFORE the rewrite: kept's
         # plan holds the PRE-write file listing, and re-executing it
         # after the overwrite would race the deleted files. Bounded
         # collect: ≤ sources × num_buckets pairs, column-pruned scan.
-        survivors = ({tuple(dir_value(v) for v in r) for r in
+        survivors = ({dir_names(r) for r in
                       kept.select(*parts_cols).distinct().collect()}
                      if parts_cols else None)
         write_mart(kept, path, partition_col=partition_col, key=key,
@@ -565,7 +581,7 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
                 continue
             if not name.startswith(prefixes[depth] + "="):
                 continue
-            vals = values + (name.split("=", 1)[1],)
+            vals = values + (name,)
             if vals not in prefix_sets[depth]:
                 fs.delete(s.getPath(), True)
             elif depth + 1 < len(prefixes):

@@ -1520,7 +1520,13 @@ def test_vacuum_mart_path_escaped_values_and_empty_refusal(spark, tmp_path):
          # leaves (an empty `SOURCE=x` shell would survive a
          # leaf-only sweep).
          (3, "K-3", "gone", 0, "2020-01-01 00:00:00",
-          "2020-06-01 00:00:00")],
+          "2020-06-01 00:00:00"),
+         # A numeric-LOOKING string partition value: partition type
+         # inference would read '0123' back as int 123 and the
+         # rewrite would silently rename the dir — retention must
+         # round-trip values verbatim.
+         (4, "K-4", "0123", 1, "2024-01-01 00:00:00",
+          "2099-12-31 00:00:00")],
         "csd_id long, ssi string, SOURCE string, ACTIVE_FLAG int, "
         "START_DATE string, END_DATE string") \
         .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
@@ -1535,13 +1541,17 @@ def test_vacuum_mart_path_escaped_values_and_empty_refusal(spark, tmp_path):
     vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
                      partition_col="SOURCE", key="ssi", num_buckets=4)
     got = read_mart(spark, path)
-    assert sorted(r["csd_id"] for r in got.collect()) == [1, 2]
+    assert sorted(r["csd_id"] for r in got.collect()) == [1, 2, 4]
     assert os.path.isdir(
         os.path.join(path, "SOURCE=__HIVE_DEFAULT_PARTITION__"))
     assert not os.path.isdir(os.path.join(path, "SOURCE=gone"))
+    # verbatim round-trip: the dir keeps its leading zero, and no
+    # inference-renamed twin appeared
+    assert os.path.isdir(os.path.join(path, "SOURCE=0123"))
+    assert not os.path.isdir(os.path.join(path, "SOURCE=123"))
 
     with pytest.raises(ValueError, match="refusing to vacuum"):
         vacuum_mart_path(spark, path, "2100-01-01 00:00:00",
                          partition_col="SOURCE", key="ssi",
                          num_buckets=4)
-    assert read_mart(spark, path).count() == 2  # untouched after refusal
+    assert read_mart(spark, path).count() == 3  # untouched after refusal
