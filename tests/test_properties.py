@@ -407,3 +407,65 @@ def test_keep_latest_arms_agree(spark, rows):
                       if r[0] == k and (r[1], r[2]) == (w["o1"], w["o2"]))
         if dup_max == 1:
             assert w["v"] == m["v"]
+
+
+_PART_VALS = st.sampled_from([None, "", "a:b", "0123", "1e2", "a b",
+                              "x%25y", "a=b", "tail.", "UPPER", "123"])
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(_PART_VALS, st.sampled_from([0, 1, 2])),
+                min_size=1, max_size=12))
+def test_vacuum_mart_path_matches_filter_model(spark, rows):
+    """The DESTRUCTIVE retention pass equals the pure filter model for
+    any mix of partition values (Hive escapables, numeric-looking
+    strings whose dirs must not be inference-renamed, NULL/empty) and
+    expiry classes: read-back after vacuum_mart_path == rows with
+    END_DATE >= horizon, with partition values round-tripped verbatim
+    (modulo Spark's own NULL/'' -> default-partition merge, which the
+    model normalizes the same way)."""
+    import os
+    import shutil
+    import tempfile
+
+    from hypothesis import assume
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        read_mart, vacuum_mart_path, write_mart)
+
+    # The all-expired mart is the documented refusal case, not a vacuum.
+    assume(any(e != 0 for _, e in rows))
+    ends = {0: "2020-06-01 00:00:00",   # expired before horizon
+            1: "2024-01-01 00:00:00",   # closed after horizon: survives
+            2: "2099-12-31 00:00:00"}   # open: survives
+    data = [(i, f"K-{i}", v, ends[e]) for i, (v, e) in enumerate(rows)]
+    mart = spark.createDataFrame(
+        data, "csd_id long, ssi string, SOURCE string, END_DATE string") \
+        .withColumn("START_DATE",
+                    F.lit("2020-01-01 00:00:00").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    work = tempfile.mkdtemp(prefix="vac_prop_")
+    try:
+        path = os.path.join(work, "mart")
+        write_mart(mart, path, partition_col="SOURCE", key="ssi",
+                   num_buckets=4)
+        vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                         partition_col="SOURCE", key="ssi", num_buckets=4)
+        # Read back with partition type inference OFF: fidelity is
+        # checked against the on-disk dir VALUES (inference would
+        # re-type '0123' to 123 on read — the reader's lossiness, not
+        # the vacuum's — and refuses a NullType partition column when
+        # every surviving dir is the NULL sentinel).
+        infer = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        old = spark.conf.get(infer, "true")
+        spark.conf.set(infer, "false")
+        try:
+            got = {(r["csd_id"], r["SOURCE"])
+                   for r in read_mart(spark, path).collect()}
+        finally:
+            spark.conf.set(infer, old)
+        want = {(i, (None if v in (None, "") else v))
+                for i, (v, e) in enumerate(rows) if e != 0}
+        assert got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
