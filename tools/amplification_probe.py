@@ -530,7 +530,8 @@ _BAND_BASE = 10_000
 _BAND_PROBE: dict[int, list] = {}  # n -> [bands_path, nb, calls]
 
 
-def _band_probe_setup(spark: SparkSession, sizes: list[int]) -> None:
+def _band_probe_setup(spark: SparkSession, sizes: list[int],
+                      store: dict | None = None) -> None:
     """One pre-built band index per size, UNTIMED. Bucket count grows
     with the index (bucket SIZE constant — the same sizing rule as the
     mart probe), synthesized directly in index shape so setup doesn't
@@ -539,8 +540,10 @@ def _band_probe_setup(spark: SparkSession, sizes: list[int]) -> None:
 
     from pyspark_etl_project_spark.streaming.ingest import DOC_BUCKET_COL
 
+    if store is None:
+        store = _BAND_PROBE
     for size in sizes:
-        if size in _BAND_PROBE:
+        if size in store:
             continue
         nb = max(16, (size * 16) // _BAND_BASE)
         idx = (spark.range(size)
@@ -555,7 +558,7 @@ def _band_probe_setup(spark: SparkSession, sizes: list[int]) -> None:
                .repartition(min(nb, 4096), F.col(DOC_BUCKET_COL)))
         path = tempfile.mkdtemp(prefix=f"bandprobe{size}_") + "/bands"
         idx.write.mode("append").partitionBy(DOC_BUCKET_COL).parquet(path)
-        _BAND_PROBE[size] = [path, nb, 0]
+        store[size] = [path, nb, 0]
 
 
 def probe_band_index_batch(spark: SparkSession, n: int) -> None:
@@ -591,6 +594,30 @@ def probe_band_index_batch(spark: SparkSession, n: int) -> None:
                     F.concat_ws(" ", *words).alias("text")))
     existing.update(band_index_batch(docs, path, num_buckets=nb,
                                      existing_buckets=set(existing)))
+
+
+_BAND_COMPACT_PROBE: dict[int, list] = {}
+
+
+def probe_band_index_compact(spark: SparkSession, n: int) -> None:
+    """Band-index retention sweep at 100× BUCKET count (the sizing
+    rule scales buckets with the index, so a 100× index is a 100×-dir
+    sweep with constant rows per bucket). Cost is O(buckets) per-bucket
+    rewrite jobs amortized over the driver-thread pool BY DESIGN — so
+    the expected ratio is ~linear-in-buckets; what the probe falsifies
+    is a super-linear term (a per-bucket re-listing of the whole
+    index, a guard re-walk per bucket). Re-compacting an
+    already-compacted index rewrites 1 file -> 1 file per bucket —
+    idempotent, so warmup/timed calls measure the same per-bucket
+    work. Uses its own index store: compaction must not interleave
+    with probe_band_index_batch's live append stream."""
+    from pyspark_etl_project_spark.streaming.ingest import (
+        compact_band_index)
+
+    _band_probe_setup(spark, [n, n * AMP] if n == _BAND_BASE else [n],
+                      _BAND_COMPACT_PROBE)
+    path, nb = _BAND_COMPACT_PROBE[n][0], _BAND_COMPACT_PROBE[n][1]
+    compact_band_index(spark, path, num_buckets=nb, files_per_bucket=1)
 
 
 _VAC_BASE = 50_000
@@ -691,8 +718,10 @@ PROBES = {
     # round-9: the redelivery-hardened streaming merge
     "scd2_merge_batch_1k_arrivals": (probe_scd2_merge_batch, _SCD2_BASE),
     "band_index_batch_50_fresh": (probe_band_index_batch, _BAND_BASE),
-    # round-11: the destructive maintenance pass gated this round
+    # round-11: the destructive maintenance passes gated this round
     "vacuum_mart_path_third_dead": (probe_vacuum_mart_path, _VAC_BASE),
+    "band_index_compact_100x_buckets": (probe_band_index_compact,
+                                        _BAND_BASE),
 }
 
 
