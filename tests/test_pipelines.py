@@ -1492,6 +1492,19 @@ def test_compact_kmv_store_lossless_fold(spark, tmp_path):
     kmv_batch(docs.filter(F.col("doc_id") >= 120), store, k=k)
     after = kth()
     assert after is not None and after <= before
+    # crash-mid-swap recovery contract: a leftover _prefold backup dir
+    # (the window between the two renames) must refuse loudly BEFORE
+    # any data moves, and leave both dirs untouched for inspection.
+    import os
+
+    import pytest
+
+    backup = str(tmp_path / "kmv_prefold")
+    os.makedirs(backup)
+    with pytest.raises(IOError, match="stale backup"):
+        compact_kmv_store(spark, store, k=k)
+    assert os.path.isdir(backup)
+    assert kth() == after  # store untouched by the refused fold
 
 
 def test_vacuum_mart_path_escaped_values_and_empty_refusal(spark, tmp_path):
