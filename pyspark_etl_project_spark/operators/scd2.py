@@ -458,6 +458,26 @@ def vacuum_expired(mart: DataFrame, horizon_ts: str,
     return mart.filter(F.col(end_col) >= t)
 
 
+def _first_data_file(spark, path: str) -> str:
+    """First parquet data file under the mart root — the one-footer
+    schema probe for vacuum_mart_path's pinned read. Depth-first FS
+    walk: O(layout depth) listStatus calls, not O(all dirs)."""
+    from pyspark_etl_project_spark.operators.fs import hadoop_fs
+
+    _, fs, jroot = hadoop_fs(spark, path)
+    stack = [jroot]
+    while stack:
+        for s in fs.listStatus(stack.pop()):
+            name = s.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if s.isDirectory():
+                stack.append(s.getPath())
+            elif name.endswith(".parquet"):
+                return s.getPath().toString()
+    raise ValueError(f"no parquet data files under mart at {path}")
+
+
 def vacuum_mart_path(spark, path: str, horizon_ts: str,
                      partition_col: str | None = None,
                      key: str = KEY,
@@ -492,18 +512,38 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
     # with type inference on, a string partition dir like 'SRC=0123'
     # reads back as int 123, and the rewrite would silently rename the
     # partition to 'SRC=123' (and merge '01' with '1'). Retention must
-    # never mutate values, so the vacuum read pins partition columns
-    # to their on-disk strings; inference is a read-schema concern and
-    # re-applies untouched for every later reader. (Schema/partition
-    # discovery runs eagerly inside read.parquet, so scoping the
-    # toggle around the read is sufficient.)
-    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    old_infer = spark.conf.get(_INFER, "true")
-    spark.conf.set(_INFER, "false")
-    try:
+    # never mutate values, so the vacuum read pins an EXPLICIT schema
+    # — data columns probed from one parquet footer, every
+    # partition-dir column as string. A user-specified schema bypasses
+    # partition type inference PER-READ (verified: '0123' stays
+    # '0123', 'a%3Ab' unescapes to 'a:b', sentinel dirs read back
+    # NULL), so no session-global conf is touched — a concurrent
+    # reader in the same SparkSession is unaffected (the r11 interim
+    # fix toggled partitionColumnTypeInference for the discovery
+    # window). It also fixes the all-NULL mart (hypothesis-found,
+    # round 12): a mart whose every dir is __HIVE_DEFAULT_PARTITION__
+    # reads back as a VOID-typed partition column under plain
+    # discovery, and the rewrite's write.partitionBy refuses VOID —
+    # pinned to string, it round-trips.
+    part_cols = ([partition_col] if partition_col is not None else []) \
+        + ([MART_BUCKET_COL] if num_buckets is not None else [])
+    if part_cols:
+        from pyspark.sql import types as T
+
+        from pyspark_etl_project_spark.operators.fs import escape_glob
+
+        data_schema = spark.read.parquet(
+            escape_glob(_first_data_file(spark, path))).schema
+        full = T.StructType([f for f in data_schema.fields
+                             if f.name not in part_cols])
+        for c in part_cols:
+            full = full.add(c, T.StringType())
+        # Bucket col is layout, not data (read_mart's contract) —
+        # write_mart re-derives it from the key on the rewrite.
+        mart = (spark.read.schema(full).parquet(escape_glob(path))
+                .drop(MART_BUCKET_COL))
+    else:
         mart = read_mart(spark, path)
-    finally:
-        spark.conf.set(_INFER, old_infer)
     # Persisted across its two consumers (the survivor collect below
     # and the rewrite) so the mart scans once, not twice.
     kept = (vacuum_expired(mart, horizon_ts)

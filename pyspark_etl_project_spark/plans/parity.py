@@ -458,7 +458,9 @@ SELECT csd_id, ssi, c_mktsegment, seg, active_flag, start_date, end_date
 FROM hist WHERE end_date >= TIMESTAMP '2023-01-01 00:00:00'
 """)
 def scd2_vacuum_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from pyspark_etl_project_spark.operators.scd2 import (
@@ -490,7 +492,13 @@ def scd2_vacuum_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "2024-01-01 00:00:00", odd))
             .unionByName(version(20_000_000, 1, "2024-01-01 00:00:00",
                                  "2099-12-31 00:00:00", odd)))
-    path = os.path.join(tempfile.mkdtemp(prefix="scd2_vac_"), "mart")
+    root = tempfile.mkdtemp(prefix="scd2_vac_")
+    # The returned DataFrame reads LAZILY from this dir (the driver /
+    # bench collect happens after we return), so an in-scope rmtree
+    # would race the read. Process-exit cleanup instead — without it,
+    # bench's 5 reps leave 5 marts per run in /tmp.
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "mart")
     write_mart(hist, path, partition_col="seg", key="ssi", num_buckets=8)
     dead_dir = os.path.join(path, "seg=RETIRED")
     if not os.path.isdir(dead_dir):

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -416,6 +416,12 @@ _PART_VALS = st.sampled_from([None, "", "a:b", "0123", "1e2", "a b",
 @settings(max_examples=6, deadline=None)
 @given(st.lists(st.tuples(_PART_VALS, st.sampled_from([0, 1, 2])),
                 min_size=1, max_size=12))
+# Round-12 regression pin (the local hypothesis DB is gitignored, so
+# the found example must ride with the test): a mart whose EVERY dir
+# is the NULL sentinel read back as a VOID-typed partition column
+# under plain discovery, and the rewrite's partitionBy refuses VOID —
+# fixed by the vacuum read's pinned string schema.
+@example(rows=[(None, 1)])
 def test_vacuum_mart_path_matches_filter_model(spark, rows):
     """The DESTRUCTIVE retention pass equals the pure filter model for
     any mix of partition values (Hive escapables, numeric-looking
