@@ -163,6 +163,14 @@ HEADLINE = [
     # round 7 (registry growth frozen at +2 this round per r6 verdict)
     "hard_negative_mining_ann",
     "partial_stats_merge",
+    # Round-12 set decision (SURVEY §7.1 candidate 4): the two r11
+    # maintenance gates (scd2_vacuum_roundtrip,
+    # streaming_kmv_store_compacted) are NOT added. Same rationale as
+    # the scd2_asof_snapshot exclusion above: their bench time would be
+    # ~entirely temp-mart/store construction, already represented by
+    # the etl pipeline entries — and holding the set at 106 keeps
+    # cross-round totals like-for-like, which matters more now that
+    # noise_floor (below) exists to interpret those totals.
 ]
 
 
@@ -194,7 +202,21 @@ def main() -> None:
     # concentrating in whichever query owned the core during a spike.
     samples: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, str] = {}
+    # Round-12 policy: one fixed-cost calibration probe per pass,
+    # interleaved exactly like the queries. It runs NO repo code and
+    # reads NO data (a 32-task spark.range sum), so its wall-clock is
+    # pure harness overhead — scheduler latency, codegen, JVM ambient
+    # load. Cross-round movement in noise_floor is machine drift BY
+    # CONSTRUCTION; a totals delta is only attributable to code once
+    # it exceeds what the noise_floor ratio predicts (r10→r11's +7%
+    # sum_of_mins on untouched code was exactly this unresolvable
+    # class — see SCALE.md "Bench interpretation").
+    noise_samples: list[float] = []
     for _pass in range(reps):
+        try:
+            noise_samples.append(_noise_floor_probe(spark))
+        except Exception as exc:  # noqa: BLE001 — calibration must not kill the run
+            print(f"noise-floor probe failed: {exc}", file=sys.stderr)
         for name in names:
             if name in errors:
                 continue
@@ -264,6 +286,14 @@ def main() -> None:
     }
     if stream_startup is not None:
         detail["stream_startup_sec"] = stream_startup
+    noise_floor: dict[str, float] | None = None
+    if noise_samples:
+        noise_floor = {
+            "median": round(statistics.median(noise_samples), 3),
+            "min": round(min(noise_samples), 3),
+            "max": round(max(noise_samples), 3),
+        }
+        detail["noise_floor"] = noise_floor
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -297,10 +327,29 @@ def main() -> None:
     }
     if stream_startup is not None:
         payload["stream_startup_sec"] = stream_startup
+    # Noise-floor calibration (min + median of the fixed probe): use it
+    # to normalize cross-round totals — if round B's noise_floor is
+    # 1.2x round A's, a 1.2x drift in sum_of_mins is ambient, not code.
+    if noise_floor is not None:
+        payload["noise_floor"] = {"median": noise_floor["median"],
+                                  "min": noise_floor["min"]}
     if errors:
         payload["error_names"] = sorted(errors)
     print(json.dumps(payload))
     spark.stop()
+
+
+def _noise_floor_probe(spark) -> float:
+    """One fixed-cost calibration sample: a 32-task sum over
+    spark.range — no repo code, no file IO, constant work per call.
+    Wall-clock here is pure harness ambient (task scheduling, codegen,
+    JVM/GC, machine load); any cross-round movement is noise by
+    construction, giving the headline totals a same-run yardstick."""
+    t0 = time.time()
+    (spark.range(0, 2_000_000, 1, 32)
+         .selectExpr("sum(id * 3 + 1) as s")
+         .write.format("noop").mode("overwrite").save())
+    return time.time() - t0
 
 
 def _stream_startup_cost(spark, reps: int) -> float:

@@ -679,9 +679,75 @@ def probe_vacuum_mart_path(spark: SparkSession, n: int) -> None:
 
     _vac_probe_setup(spark, [n, n * AMP] if n == _VAC_BASE else [n])
     state = _VAC_PROBE[n]
+    if len(state) < 2:
+        # The pre-built queue is sized to the harness's exact
+        # warmup + timed-base + timed-100x call pattern; any extra
+        # invocation (an added rep, reuse from another harness) would
+        # otherwise die on a bare pop IndexError with no diagnostic.
+        # Rebuild lazily instead — vacuum is destructive, so a fresh
+        # mart per call is the only correct replay anyway.
+        del _VAC_PROBE[n]
+        _vac_probe_setup(spark, [n])
+        state = _VAC_PROBE[n]
     nb, path = state[0], state.pop(1)
     vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
                      partition_col=None, key="ssi", num_buckets=nb)
+
+
+def probe_cross_source_overlap(spark: SparkSession, n: int) -> None:
+    """Pairwise source-overlap matrix under the WORST-case fingerprint
+    distribution: every document carries the same 10-token boilerplate
+    phrase, so one winnowing fingerprint is corpus-universal. The
+    operator's scale claim (extensions/dedup.py:cross_source_overlap)
+    is that the fp self-join cannot explode because the (src, fp)
+    DISTINCT bounds every per-fp group by the NUMBER OF SOURCES (20
+    here) — NOT by how many documents share the fingerprint. If that
+    claim were wrong, the universal fp's group would grow with n and
+    the pair join would go quadratic; the probe falsifies it by
+    timing base vs 100× docs (expected ~linear: the winnowing pass
+    dominates)."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        cross_source_overlap)
+
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 20)).alias("source"),
+        # Universal 10-token prefix (every window inside it selects the
+        # same gram minima in every doc) + per-doc unique tail.
+        F.concat_ws(
+            " ",
+            F.lit("terms of service apply to all content on this site"),
+            F.concat(F.lit("u"), F.col("id")), F.lit("alpha"),
+            F.concat(F.lit("v"), F.col("id")), F.lit("beta"),
+            F.concat(F.lit("w"), F.col("id")), F.lit("gamma"),
+        ).alias("text"))
+    _materialize(cross_source_overlap(docs, "doc_id", "text", "source"))
+
+
+def probe_leakage_safe_split(spark: SparkSession, n: int) -> None:
+    """Cluster-then-split under the two adversarial graph shapes at
+    once: (a) chain clusters of 5 (constant diameter 4 — the label
+    propagation round count must NOT grow with n) and (b) one STAR
+    cluster covering 1% of all docs (a hub label that is a hot groupBy
+    key in every propagation round — the skew funnel a tiny SF never
+    exposes). The scale claim (extensions/dedup.py:leakage_safe_split)
+    is pointer-doubled label propagation O(log diameter) + a pure map
+    split expression; expected ratio ~linear."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        leakage_safe_split)
+
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    chains = (spark.range(n - 1)
+              .filter((F.col("id") % 5 != 4) & (F.col("id") % 100 != 0))
+              .select(F.col("id").alias("id_a"),
+                      (F.col("id") + 1).alias("id_b")))
+    hub = (spark.range(n).filter((F.col("id") % 100 == 0)
+                                 & (F.col("id") > 0))
+           .select(F.lit(0).cast("long").alias("id_a"),
+                   F.col("id").alias("id_b")))
+    pairs = chains.unionByName(hub)
+    _materialize(leakage_safe_split(pairs, ids,
+                                    {"train": 90, "val": 5, "test": 5}))
 
 
 PROBES = {
@@ -722,6 +788,11 @@ PROBES = {
     "vacuum_mart_path_third_dead": (probe_vacuum_mart_path, _VAC_BASE),
     "band_index_compact_100x_buckets": (probe_band_index_compact,
                                         _BAND_BASE),
+    # round-12: the two most expensive extension plans not yet probed
+    "cross_source_overlap_universal_fp": (probe_cross_source_overlap,
+                                          10_000),
+    "leakage_split_chain5_plus_1pct_hub": (probe_leakage_safe_split,
+                                           100_000),
 }
 
 
