@@ -458,26 +458,6 @@ def vacuum_expired(mart: DataFrame, horizon_ts: str,
     return mart.filter(F.col(end_col) >= t)
 
 
-def _first_data_file(spark, path: str) -> str:
-    """First parquet data file under the mart root — the one-footer
-    schema probe for vacuum_mart_path's pinned read. Depth-first FS
-    walk: O(layout depth) listStatus calls, not O(all dirs)."""
-    from pyspark_etl_project_spark.operators.fs import hadoop_fs
-
-    _, fs, jroot = hadoop_fs(spark, path)
-    stack = [jroot]
-    while stack:
-        for s in fs.listStatus(stack.pop()):
-            name = s.getPath().getName()
-            if name.startswith(("_", ".")):
-                continue
-            if s.isDirectory():
-                stack.append(s.getPath())
-            elif name.endswith(".parquet"):
-                return s.getPath().toString()
-    raise ValueError(f"no parquet data files under mart at {path}")
-
-
 def vacuum_mart_path(spark, path: str, horizon_ts: str,
                      partition_col: str | None = None,
                      key: str = KEY,
@@ -513,7 +493,7 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
     # reads back as int 123, and the rewrite would silently rename the
     # partition to 'SRC=123' (and merge '01' with '1'). Retention must
     # never mutate values, so the vacuum read pins an EXPLICIT schema
-    # — data columns probed from one parquet footer, every
+    # — data columns probed from the MERGED footers of all files, every
     # partition-dir column as string. A user-specified schema bypasses
     # partition type inference PER-READ (verified: '0123' stays
     # '0123', 'a%3Ab' unescapes to 'a:b', sentinel dirs read back
@@ -532,8 +512,18 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
 
         from pyspark_etl_project_spark.operators.fs import escape_glob
 
-        data_schema = spark.read.parquet(
-            escape_glob(_first_data_file(spark, path))).schema
+        # The probe MERGES every file's footer (recursiveFileLookup
+        # skips partition parsing, so this yields data columns only):
+        # a single-footer probe would silently DROP any column absent
+        # from the one probed file on a schema-evolved mart — the
+        # rewrite then deletes that column's data from disk with no
+        # error. Merged-footer reads are one distributed job over
+        # O(files) footers — linear, and the only correct basis for a
+        # destructive rewrite that must preserve every column.
+        data_schema = (spark.read
+                       .option("recursiveFileLookup", "true")
+                       .option("mergeSchema", "true")
+                       .parquet(escape_glob(path)).schema)
         full = T.StructType([f for f in data_schema.fields
                              if f.name not in part_cols])
         for c in part_cols:

@@ -1507,6 +1507,45 @@ def test_compact_kmv_store_lossless_fold(spark, tmp_path):
     assert kth() == after  # store untouched by the refused fold
 
 
+def test_vacuum_mart_path_preserves_schema_evolved_columns(spark, tmp_path):
+    """A mart written over time can hold files with DIFFERENT data
+    schemas (a later load added a column; older files lack it). The
+    vacuum rewrite must preserve the UNION of columns — a
+    single-footer schema probe would silently delete the late-added
+    column's data from disk (review-found, round 12), which is why the
+    probe merges every file's footer."""
+    from pyspark_etl_project_spark.operators.scd2 import (
+        vacuum_mart_path, write_mart)
+
+    def hist(rows, schema):
+        return (spark.createDataFrame(rows, schema)
+                .withColumn("START_DATE",
+                            F.lit("2020-01-01 00:00:00").cast("timestamp"))
+                .withColumn("END_DATE",
+                            F.col("END_DATE").cast("timestamp")))
+
+    path = str(tmp_path / "mart")
+    # Load 1 (source A): no NEW_COL; one expired row, one survivor.
+    write_mart(hist([(1, "K-1", "A", "2020-06-01 00:00:00"),
+                     (2, "K-2", "A", "2099-12-31 00:00:00")],
+                    "csd_id long, ssi string, SOURCE string, "
+                    "END_DATE string"),
+               path, partition_col="SOURCE", key="ssi", num_buckets=4)
+    # Load 2 (source B): schema evolved — NEW_COL exists only here.
+    write_mart(hist([(3, "K-3", "B", "n3", "2099-12-31 00:00:00")],
+                    "csd_id long, ssi string, SOURCE string, "
+                    "NEW_COL string, END_DATE string"),
+               path, partition_col="SOURCE", key="ssi", num_buckets=4)
+
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col="SOURCE", key="ssi", num_buckets=4)
+    back = (spark.read.option("mergeSchema", "true").parquet(path)
+            .select("csd_id", "NEW_COL").collect())
+    got = {(r["csd_id"], r["NEW_COL"]) for r in back}
+    # Survivors: 2 (source A, NEW_COL null) and 3 (source B, value kept).
+    assert got == {(2, None), (3, "n3")}
+
+
 def test_vacuum_mart_path_escaped_values_and_empty_refusal(spark, tmp_path):
     """Survivor comparison must happen in escaped-dir-name space: a
     partition value with a Hive-escaped character (':') must survive

@@ -624,14 +624,17 @@ _VAC_BASE = 50_000
 _VAC_PROBE: dict[int, list] = {}  # n -> [nb, path, path, ...] (paths are a queue)
 
 
-def _vac_probe_setup(spark: SparkSession, sizes: list[int]) -> None:
+def _vac_probe_setup(spark: SparkSession, sizes: list[int],
+                     count: int | None = None) -> None:
     """Pre-write the marts to vacuum, UNTIMED (first call at base scale
     is the harness's warmup). vacuum_mart_path is destructive, so each
     timed call consumes its own fresh mart: two per size at base
-    (warmup + timed), one at 100×. Bucket count follows the SCALE.md
-    sizing rule (bucket SIZE constant), and expiry is a function of the
-    BUCKET id so a deterministic third of the buckets is fully dead —
-    the dead-subtree deletion path — while the rest hold mixed expiry
+    (warmup + timed), one at 100× — or exactly ``count`` when the
+    caller knows how many it needs (the lazy rebuild needs one).
+    Bucket count follows the SCALE.md sizing rule (bucket SIZE
+    constant), and expiry is a function of the BUCKET id so a
+    deterministic third of the buckets is fully dead — the
+    dead-subtree deletion path — while the rest hold mixed expiry
     (the rewrite + survivor-collect path)."""
     import tempfile
 
@@ -644,7 +647,7 @@ def _vac_probe_setup(spark: SparkSession, sizes: list[int]) -> None:
         nb = max(32, (size * 32) // _VAC_BASE)
         b = mart_bucket("ssi", nb)
         state: list = [nb]
-        for _ in range(2 if size == _VAC_BASE else 1):
+        for _ in range(count or (2 if size == _VAC_BASE else 1)):
             seed = (spark.range(size).select(
                 F.col("id").alias("csd_id"),
                 F.concat(F.lit("K-"), F.col("id")).alias("ssi"),
@@ -685,9 +688,11 @@ def probe_vacuum_mart_path(spark: SparkSession, n: int) -> None:
         # invocation (an added rep, reuse from another harness) would
         # otherwise die on a bare pop IndexError with no diagnostic.
         # Rebuild lazily instead — vacuum is destructive, so a fresh
-        # mart per call is the only correct replay anyway.
+        # mart per call is the only correct replay anyway. count=1:
+        # the extra call needs exactly one mart, not the base-size
+        # warmup+timed pair.
         del _VAC_PROBE[n]
-        _vac_probe_setup(spark, [n])
+        _vac_probe_setup(spark, [n], count=1)
         state = _VAC_PROBE[n]
     nb, path = state[0], state.pop(1)
     vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
