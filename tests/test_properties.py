@@ -475,3 +475,74 @@ def test_vacuum_mart_path_matches_filter_model(spark, rows):
         assert got == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_MERGE_KEYS = st.sampled_from([None, "a", "b", "c", "d"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(_MERGE_KEYS, st.sampled_from([0, 1, None])),
+                max_size=10),
+       st.lists(_MERGE_KEYS, max_size=6))
+def test_scd2_merge_matches_model(spark, mart_rows, arrival_keys):
+    """The flagship custom operator equals the pure SCD2 model
+    (reference semantics, /root/reference/ETL/CSV_Batch_Processing.py:
+    247-334) for any mix of: NULL natural keys (SQL join semantics —
+    a NULL-key active row never expires and a NULL-key arrival always
+    inserts), NULL ACTIVE_FLAG (legacy rows route to the inactive
+    branch VERBATIM — the eqNullSafe split), several active versions
+    of one key (all expire together), arrivals hitting only-inactive
+    keys (plain insert), and the empty mart. Both surrogate arms
+    (monotonic and dense) must agree on the business columns, and
+    fresh surrogates must be distinct and above the mart's high
+    water."""
+    from pyspark_etl_project_spark.config import SCD2_OPEN_END_DATE
+    from pyspark_etl_project_spark.operators.scd2 import scd2_merge
+
+    RUN = "2024-06-01 00:00:00"
+    OLD_START, OLD_END = "2020-01-01 00:00:00", "2021-01-01 00:00:00"
+
+    mart = spark.createDataFrame(
+        [(i + 1, k, i * 10, f, OLD_START, OLD_END)
+         for i, (k, f) in enumerate(mart_rows)],
+        "CSD_ID long, ssi string, v long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    # Arrivals carry the mart columns minus the surrogate; the merge
+    # overwrites flag/stamps itself, so the inbound values are dummies.
+    arrivals = spark.createDataFrame(
+        [(k, 1000 + j, 9, OLD_START, OLD_START)
+         for j, k in enumerate(arrival_keys)],
+        "ssi string, v long, ACTIVE_FLAG int, "
+        "START_DATE string, END_DATE string") \
+        .withColumn("START_DATE", F.col("START_DATE").cast("timestamp")) \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+
+    arriving = {k for k in arrival_keys if k is not None}
+    model = []
+    for i, (k, f) in enumerate(mart_rows):
+        if f == 1:
+            if k is not None and k in arriving:
+                model.append((k, i * 10, 0, OLD_START, RUN))
+            else:
+                model.append((k, i * 10, 1, OLD_START, OLD_END))
+        else:  # 0 or NULL flag: inactive branch, preserved verbatim
+            model.append((k, i * 10, f, OLD_START, OLD_END))
+    for j, k in enumerate(arrival_keys):
+        model.append((k, 1000 + j, 1, RUN, SCD2_OPEN_END_DATE))
+    want = sorted(model, key=repr)
+
+    mart_ids = {i + 1 for i in range(len(mart_rows))}
+    for dense in (False, True):
+        got = scd2_merge(mart, arrivals, RUN, key="ssi",
+                         dense_ids=dense).collect()
+        biz = sorted(((r["ssi"], r["v"], r["ACTIVE_FLAG"],
+                       str(r["START_DATE"]), str(r["END_DATE"]))
+                      for r in got), key=repr)
+        assert biz == want, f"dense={dense}"
+        fresh_ids = [r["CSD_ID"] for r in got
+                     if str(r["START_DATE"]) == RUN
+                     and r["ACTIVE_FLAG"] == 1 and r["v"] >= 1000]
+        assert len(fresh_ids) == len(set(fresh_ids)) == len(arrival_keys)
+        assert all(x is not None and x not in mart_ids for x in fresh_ids)
