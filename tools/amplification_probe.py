@@ -729,6 +729,27 @@ def probe_cross_source_overlap(spark: SparkSession, n: int) -> None:
     _materialize(cross_source_overlap(docs, "doc_id", "text", "source"))
 
 
+def probe_pagerank_hub(spark: SparkSession, n: int) -> None:
+    """Fixed-point PageRank (extensions/graph.py:pagerank_integer) on a
+    ring graph where 1% of all nodes ALSO link to node 0 — the hub's
+    in-degree grows with n, making it the hot key of every iteration's
+    contribution groupBy. Map-side partial aggregation must absorb it
+    (an un-combined shuffle would funnel n/100 rows into one reducer);
+    the per-iteration score join is co-partitioned after iteration 1.
+    Expected ~linear; completes the iterative-graph probe family
+    (label propagation, triangle count)."""
+    from pyspark_etl_project_spark.extensions.graph import pagerank_integer
+
+    nodes = spark.range(n).select(F.col("id"))
+    ring = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst"))
+    to_hub = (spark.range(n).filter(F.col("id") % 100 == 1)
+              .select(F.col("id").alias("src"),
+                      F.lit(0).cast("long").alias("dst")))
+    _materialize(pagerank_integer(nodes, ring.unionByName(to_hub),
+                                  n_iter=3))
+
+
 def probe_leakage_safe_split(spark: SparkSession, n: int) -> None:
     """Cluster-then-split under the two adversarial graph shapes at
     once: (a) chain clusters of 5 (constant diameter 4 — the label
@@ -798,6 +819,7 @@ PROBES = {
                                           10_000),
     "leakage_split_chain5_plus_1pct_hub": (probe_leakage_safe_split,
                                            100_000),
+    "pagerank_3iter_ring_1pct_hub": (probe_pagerank_hub, 100_000),
 }
 
 
