@@ -729,6 +729,47 @@ def probe_cross_source_overlap(spark: SparkSession, n: int) -> None:
     _materialize(cross_source_overlap(docs, "doc_id", "text", "source"))
 
 
+def probe_tfidf_pairs_universal_term(spark: SparkSession, n: int) -> None:
+    """The tfidf_doc_similarity_topk plan shape (plans/extensions.py:
+    tfidf_doc_similarity_topk_q — tokenize → tf → document-frequency
+    cap 100 → inverted-index pair join → top-20) under the worst-case
+    vocabulary: three tokens appear in EVERY document. Without the
+    dfreq <= 100 gate, each universal token alone would produce
+    n²/2 join rows; with it, the universal tokens are dropped before
+    the self-join and only the engineered pair tokens (each shared by
+    exactly 2 docs) reach it. The df groupBy itself sees the hot keys
+    — map-side combine must absorb them. Expected ~linear."""
+    from pyspark_etl_project_spark.extensions import text as X
+
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("the of and"),
+            F.concat(F.lit("p"), (F.col("id") / 2).cast("long")),
+            F.concat(F.lit("u"), F.col("id")),
+        ).alias("text"))
+    tok = (docs.select("doc_id",
+                       F.explode(X.tokens(F.col("text"))).alias("t"))
+               .groupBy("doc_id", "t")
+               .agg(F.count(F.lit(1)).alias("tf"))
+               .localCheckpoint(eager=False))
+    keep = (tok.groupBy("t").agg(F.count(F.lit(1)).alias("dfreq"))
+               .filter(F.col("dfreq") <= 100))
+    w = (tok.join(keep, "t")
+            .select("doc_id", "t",
+                    F.expr("tf * (1000000 div dfreq)").alias("wgt")))
+    pairs = (w.alias("a")
+             .join(w.alias("b").hint("shuffle_hash"),
+                   (F.col("a.t") == F.col("b.t"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.sum(F.col("a.wgt") * F.col("b.wgt")).cast("long")
+                  .alias("score")))
+    _materialize(pairs.orderBy(F.desc("score"), "id_a", "id_b").limit(20))
+
+
 def probe_pagerank_hub(spark: SparkSession, n: int) -> None:
     """Fixed-point PageRank (extensions/graph.py:pagerank_integer) on a
     ring graph where 1% of all nodes ALSO link to node 0 — the hub's
@@ -820,6 +861,8 @@ PROBES = {
     "leakage_split_chain5_plus_1pct_hub": (probe_leakage_safe_split,
                                            100_000),
     "pagerank_3iter_ring_1pct_hub": (probe_pagerank_hub, 100_000),
+    "tfidf_pairs_universal_term": (probe_tfidf_pairs_universal_term,
+                                   10_000),
 }
 
 
