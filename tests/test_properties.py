@@ -477,6 +477,69 @@ def test_vacuum_mart_path_matches_filter_model(spark, rows):
         shutil.rmtree(work, ignore_errors=True)
 
 
+_BAND_TOKENS = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 7),
+                          st.lists(_BAND_TOKENS, min_size=3, max_size=6)),
+                min_size=1, max_size=12),
+       st.integers(1, 4))
+def test_band_index_batching_insensitive(spark, rows, n_batches):
+    """The persistent band index is BATCHING-INSENSITIVE: feeding the
+    doc stream in any number of micro-batches leaves exactly the same
+    (doc_id, band_id, band_hash) rows on disk as one batch over the
+    FIRST occurrence of every doc_id — the doc-level redelivery guard
+    skips later occurrences whole (streaming/ingest.py:
+    band_index_batch), so no batch boundary can duplicate or drop an
+    index row. This is the on-disk analogue of
+    test_incremental_agg_merge_batching_insensitive."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_etl_project_spark.streaming.ingest import band_index_batch
+
+    def mk_batch(pairs):
+        return spark.createDataFrame(
+            [(int(d), " ".join(toks)) for d, toks in pairs],
+            "doc_id long, text string")
+
+    def read_index(path):
+        return {(r["doc_id"], r["band_id"], r["band_hash"])
+                for r in spark.read.parquet(path)
+                .select("doc_id", "band_id", "band_hash").collect()}
+
+    # Contiguous chunks; per-batch doc_ids deduped to first occurrence
+    # (stream micro-batches carry one row per doc — the cross-BATCH
+    # repeat is the redelivery case under test).
+    size = max(1, -(-len(rows) // n_batches))
+    chunks = []
+    for i in range(0, len(rows), size):
+        seen, chunk = set(), []
+        for d, toks in rows[i:i + size]:
+            if d not in seen:
+                seen.add(d)
+                chunk.append((d, toks))
+        chunks.append(chunk)
+    firsts, seen = [], set()
+    for d, toks in rows:
+        if d not in seen:
+            seen.add(d)
+            firsts.append((d, toks))
+
+    work = tempfile.mkdtemp(prefix="band_prop_")
+    try:
+        inc_path = os.path.join(work, "inc")
+        for chunk in chunks:
+            band_index_batch(mk_batch(chunk), inc_path)
+        one_path = os.path.join(work, "one")
+        band_index_batch(mk_batch(firsts), one_path)
+        assert read_index(inc_path) == read_index(one_path)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _MERGE_KEYS = st.sampled_from([None, "a", "b", "c", "d"])
 
 
