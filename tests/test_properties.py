@@ -540,6 +540,51 @@ def test_band_index_batching_insensitive(spark, rows, n_batches):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.lists(_BAND_TOKENS, min_size=3, max_size=8),
+                          st.booleans()),
+                min_size=1, max_size=8))
+def test_kmv_store_fold_anywhere_preserves_estimator(spark, batches):
+    """The KMV store's estimator input — the k smallest DISTINCT
+    hashes — is invariant under ANY interleaving of appends and folds:
+    for every batch sequence with compact_kmv_store called after an
+    arbitrary subset of batches, the final k-minimum set equals the
+    one-shot batch over all documents (min-k associativity, the
+    invariant the fold's losslessness claim rests on; k=8 so folds
+    actually cut rows). Generalizes the fixed two-batch invariant
+    test to hypothesis-chosen fold points."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_etl_project_spark.streaming.ingest import (
+        compact_kmv_store, kmv_batch)
+
+    K = 8
+
+    def kmin(path):
+        return [r["h"] for r in
+                (spark.read.parquet(path).select("h").distinct()
+                 .orderBy("h").limit(K).collect())]
+
+    work = tempfile.mkdtemp(prefix="kmv_prop_")
+    try:
+        inc = os.path.join(work, "inc")
+        for toks, fold in batches:
+            kmv_batch(spark.createDataFrame([(" ".join(toks),)],
+                                            "text string"),
+                      inc, k=K)
+            if fold:
+                assert compact_kmv_store(spark, inc, k=K) == 1
+        one = os.path.join(work, "one")
+        kmv_batch(spark.createDataFrame(
+            [(" ".join(toks),) for toks, _ in batches], "text string"),
+            one, k=K)
+        assert kmin(inc) == kmin(one)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _MERGE_KEYS = st.sampled_from([None, "a", "b", "c", "d"])
 
 
