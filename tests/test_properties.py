@@ -540,6 +540,46 @@ def test_band_index_batching_insensitive(spark, rows, n_batches):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 7),
+                          st.lists(_BAND_TOKENS, min_size=3, max_size=6),
+                          st.booleans()),
+                min_size=1, max_size=8))
+def test_band_index_compaction_anywhere_preserves_rows(spark, rows):
+    """compact_band_index is row-invariant at ANY point in the batch
+    sequence: interleaving per-batch appends with hypothesis-chosen
+    compaction sweeps leaves exactly the index rows of the
+    never-compacted run — only file boundaries may move, and the
+    post-fold index keeps accepting appends with the redelivery guard
+    intact (a later duplicate doc_id still appends nothing)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_etl_project_spark.streaming.ingest import (
+        band_index_batch, compact_band_index)
+
+    def read_index(path):
+        return {(r["doc_id"], r["band_id"], r["band_hash"])
+                for r in spark.read.parquet(path)
+                .select("doc_id", "band_id", "band_hash").collect()}
+
+    work = tempfile.mkdtemp(prefix="bandfold_prop_")
+    try:
+        inc = os.path.join(work, "inc")
+        plain = os.path.join(work, "plain")
+        for d, toks, fold in rows:
+            batch = spark.createDataFrame([(int(d), " ".join(toks))],
+                                          "doc_id long, text string")
+            band_index_batch(batch, inc)
+            band_index_batch(batch, plain)
+            if fold:
+                compact_band_index(spark, inc)
+        assert read_index(inc) == read_index(plain)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @settings(max_examples=5, deadline=None)
 @given(st.lists(st.tuples(st.lists(_BAND_TOKENS, min_size=3, max_size=8),
                           st.booleans()),
