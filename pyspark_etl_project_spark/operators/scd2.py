@@ -458,6 +458,58 @@ def vacuum_expired(mart: DataFrame, horizon_ts: str,
     return mart.filter(F.col(end_col) >= t)
 
 
+def _vacuum_read(spark, path: str, partition_col: str | None,
+                 num_buckets: int | None) -> DataFrame:
+    """The vacuum pass's mart read. Partition values must round-trip
+    VERBATIM through the pass: with type inference on, a string
+    partition dir like 'SRC=0123' reads back as int 123, and the
+    rewrite would silently rename the partition to 'SRC=123' (and
+    merge '01' with '1'). Retention must never mutate values, so the
+    read pins an EXPLICIT schema — data columns probed from the MERGED
+    footers of all files, every partition-dir column as string. A
+    user-specified schema bypasses partition type inference PER-READ
+    (verified on 4.1: '0123' stays '0123', 'a%3Ab' unescapes to
+    'a:b', sentinel dirs read back NULL), so no session-global conf is
+    touched — a concurrent reader in the same SparkSession is
+    unaffected (the r11 interim fix toggled
+    partitionColumnTypeInference for the discovery window). It also
+    fixes the all-NULL mart (hypothesis-found, round 12): a mart whose
+    every dir is __HIVE_DEFAULT_PARTITION__ reads back as a VOID-typed
+    partition column under plain discovery, and the rewrite's
+    write.partitionBy refuses VOID — pinned to string, it round-trips.
+
+    The schema probe MERGES every file's footer (recursiveFileLookup
+    skips partition parsing, so it yields data columns only): a
+    single-footer probe would silently DROP any column absent from the
+    one probed file on a schema-evolved mart — the rewrite then
+    deletes that column's data from disk with no error. Merged-footer
+    reads are one distributed job over O(files) footers — linear, and
+    the only correct basis for a destructive rewrite that must
+    preserve every column. The retention predicate still pushes down
+    to the parquet scan (tests/test_scale.py pins PushedFilters on
+    this read)."""
+    part_cols = ([partition_col] if partition_col is not None else []) \
+        + ([MART_BUCKET_COL] if num_buckets is not None else [])
+    if not part_cols:
+        return read_mart(spark, path)
+    from pyspark.sql import types as T
+
+    from pyspark_etl_project_spark.operators.fs import escape_glob
+
+    data_schema = (spark.read
+                   .option("recursiveFileLookup", "true")
+                   .option("mergeSchema", "true")
+                   .parquet(escape_glob(path)).schema)
+    full = T.StructType([f for f in data_schema.fields
+                         if f.name not in part_cols])
+    for c in part_cols:
+        full = full.add(c, T.StringType())
+    # Bucket col is layout, not data (read_mart's contract) —
+    # write_mart re-derives it from the key on the rewrite.
+    return (spark.read.schema(full).parquet(escape_glob(path))
+            .drop(MART_BUCKET_COL))
+
+
 def vacuum_mart_path(spark, path: str, horizon_ts: str,
                      partition_col: str | None = None,
                      key: str = KEY,
@@ -488,52 +540,7 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
 
     from pyspark_etl_project_spark.operators.fs import hadoop_fs
 
-    # Partition values must round-trip VERBATIM through this pass:
-    # with type inference on, a string partition dir like 'SRC=0123'
-    # reads back as int 123, and the rewrite would silently rename the
-    # partition to 'SRC=123' (and merge '01' with '1'). Retention must
-    # never mutate values, so the vacuum read pins an EXPLICIT schema
-    # — data columns probed from the MERGED footers of all files, every
-    # partition-dir column as string. A user-specified schema bypasses
-    # partition type inference PER-READ (verified: '0123' stays
-    # '0123', 'a%3Ab' unescapes to 'a:b', sentinel dirs read back
-    # NULL), so no session-global conf is touched — a concurrent
-    # reader in the same SparkSession is unaffected (the r11 interim
-    # fix toggled partitionColumnTypeInference for the discovery
-    # window). It also fixes the all-NULL mart (hypothesis-found,
-    # round 12): a mart whose every dir is __HIVE_DEFAULT_PARTITION__
-    # reads back as a VOID-typed partition column under plain
-    # discovery, and the rewrite's write.partitionBy refuses VOID —
-    # pinned to string, it round-trips.
-    part_cols = ([partition_col] if partition_col is not None else []) \
-        + ([MART_BUCKET_COL] if num_buckets is not None else [])
-    if part_cols:
-        from pyspark.sql import types as T
-
-        from pyspark_etl_project_spark.operators.fs import escape_glob
-
-        # The probe MERGES every file's footer (recursiveFileLookup
-        # skips partition parsing, so this yields data columns only):
-        # a single-footer probe would silently DROP any column absent
-        # from the one probed file on a schema-evolved mart — the
-        # rewrite then deletes that column's data from disk with no
-        # error. Merged-footer reads are one distributed job over
-        # O(files) footers — linear, and the only correct basis for a
-        # destructive rewrite that must preserve every column.
-        data_schema = (spark.read
-                       .option("recursiveFileLookup", "true")
-                       .option("mergeSchema", "true")
-                       .parquet(escape_glob(path)).schema)
-        full = T.StructType([f for f in data_schema.fields
-                             if f.name not in part_cols])
-        for c in part_cols:
-            full = full.add(c, T.StringType())
-        # Bucket col is layout, not data (read_mart's contract) —
-        # write_mart re-derives it from the key on the rewrite.
-        mart = (spark.read.schema(full).parquet(escape_glob(path))
-                .drop(MART_BUCKET_COL))
-    else:
-        mart = read_mart(spark, path)
+    mart = _vacuum_read(spark, path, partition_col, num_buckets)
     # Persisted across its two consumers (the survivor collect below
     # and the rewrite) so the mart scans once, not twice.
     kept = (vacuum_expired(mart, horizon_ts)

@@ -468,3 +468,33 @@ def test_table_column_stats_has_no_expand_and_prunes_to_one_column(spark):
     # Every lineitem scan reads exactly the one column its agg needs.
     for cols in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
         assert "," not in cols, cols
+
+
+def test_vacuum_pinned_read_pushes_filter_and_keeps_strings(spark, tmp_path):
+    """The vacuum pass's pinned-schema read (round 12: explicit
+    merged-footer schema instead of partition discovery) must not cost
+    the scan its pushdown: the retention predicate has to reach the
+    parquet scan as a PushedFilter (END_DATE min/max row-group pruning
+    is the scan's only defense at 100 TB), the read schema must stay
+    column-prunable, and partition columns must come back as verbatim
+    STRINGS (numeric-looking dirs like SRC=0123 must not re-type)."""
+    from pyspark_etl_project_spark.operators.scd2 import (
+        _vacuum_read, vacuum_expired, write_mart)
+
+    mart = spark.createDataFrame(
+        [(1, "K-1", "0123", "2020-06-01 00:00:00"),
+         (2, "K-2", "7", "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, SOURCE string, END_DATE string") \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    path = str(tmp_path / "mart")
+    write_mart(mart, path, partition_col="SOURCE", key="ssi",
+               num_buckets=4)
+
+    r = _vacuum_read(spark, path, "SOURCE", 4)
+    assert dict(r.dtypes)["SOURCE"] == "string"
+    assert {row["SOURCE"] for row in r.select("SOURCE").collect()} \
+        == {"0123", "7"}
+
+    plan = _formatted_plan(vacuum_expired(r, "2023-01-01 00:00:00"))
+    assert "PushedFilters: [IsNotNull(END_DATE), " \
+           "GreaterThanOrEqual(END_DATE" in plan
