@@ -212,6 +212,13 @@ def main() -> None:
     # sum_of_mins on untouched code was exactly this unresolvable
     # class — see SCALE.md "Bench interpretation").
     noise_samples: list[float] = []
+    # One discarded warmup probe: pass-0 would otherwise absorb the
+    # probe shape's one-time codegen, biasing the reported median
+    # upward and muddying cross-round noise-floor ratio comparisons.
+    try:
+        _noise_floor_probe(spark)
+    except Exception as exc:  # noqa: BLE001 — calibration must not kill the run
+        print(f"noise-floor warmup failed: {exc}", file=sys.stderr)
     for _pass in range(reps):
         try:
             noise_samples.append(_noise_floor_probe(spark))

@@ -458,6 +458,107 @@ def vacuum_expired(mart: DataFrame, horizon_ts: str,
     return mart.filter(F.col(end_col) >= t)
 
 
+_INTEGRALS = ("tinyint", "smallint", "int", "bigint")
+
+
+def _widen_simple_types(types: set[str]) -> str | None:
+    """Smallest Spark type EVERY footer type in ``types`` upcasts to
+    inside the parquet reader itself, or None when no verified such
+    type exists. Only reader-verified widenings (Spark 4.1 vectorized
+    reader, probed empirically) are allowed: the integral chain
+    tinyint<smallint<int<bigint, float→double, and
+    int-or-narrower→double. bigint→double is NOT in the lattice — the
+    reader refuses INT64→double — so a bigint/floating mix (and any
+    non-numeric or nested conflict) returns None and the vacuum
+    refuses before touching data."""
+    if len(types) == 1:
+        return next(iter(types))
+    if types <= set(_INTEGRALS):
+        return _INTEGRALS[max(_INTEGRALS.index(t) for t in types)]
+    if types <= {"tinyint", "smallint", "int", "float", "double"}:
+        return "double"
+    return None
+
+
+def _widened_footer_schema(spark, path: str):
+    """Schema probe for a TYPE-evolved mart, used when Spark's own
+    mergeSchema refuses the footer mix. One distributed job: the
+    recursive file listing (names only — the same listing every Spark
+    scan holds on the driver) is parallelized and each task reads its
+    files' parquet FOOTERS via pyarrow (no row data moves), emitting
+    (column, spark-type, footer-position) triples; the driver sees
+    only the per-column DISTINCT type sets — O(columns), not O(files).
+    Each conflicted column is pinned to _widen_simple_types' verified
+    reader-upcast supertype; an unwidenable mix raises with the column
+    and types named, before any data is modified. Column order follows
+    first footer appearance (ties by name) so the healed mart keeps a
+    stable, deterministic layout."""
+    from urllib.parse import urlparse
+
+    from pyspark.sql import types as T
+
+    from pyspark_etl_project_spark.operators.fs import hadoop_fs
+
+    _, fs, jroot = hadoop_fs(spark, path)
+    files = []
+    it = fs.listFiles(jroot, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if not p.getName().startswith(("_", ".")):
+            files.append(str(p))
+    if not files:
+        raise ValueError(
+            f"vacuum_mart_path: no data files under {path} to probe")
+
+    def footer_fields(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        for pdf in batches:
+            names, dtypes, poss = [], [], []
+            for uri in pdf["path"]:
+                if uri.startswith("file:"):
+                    sch = pq.read_schema(urlparse(uri).path)
+                else:
+                    from pyarrow import fs as pafs
+                    filesystem, rel = pafs.FileSystem.from_uri(uri)
+                    sch = pq.read_schema(rel, filesystem=filesystem)
+                for i, fld in enumerate(sch):
+                    names.append(fld.name)
+                    dtypes.append(from_arrow_type(fld.type).simpleString())
+                    poss.append(i)
+            yield pd.DataFrame({"name": names, "dtype": dtypes,
+                                "pos": poss})
+
+    par = max(1, min(len(files),
+                     spark.sparkContext.defaultParallelism * 4))
+    rows = (spark.createDataFrame([(f,) for f in files], "path string")
+            .repartition(par)
+            .mapInPandas(footer_fields, "name string, dtype string, pos int")
+            .groupBy("name")
+            .agg(F.collect_set("dtype").alias("dtypes"),
+                 F.min("pos").alias("pos"))
+            .collect())
+
+    ddl_fields = []
+    for r in sorted(rows, key=lambda r: (r["pos"], r["name"])):
+        widened = _widen_simple_types(set(r["dtypes"]))
+        if widened is None:
+            raise ValueError(
+                f"vacuum_mart_path: column {r['name']!r} has unmergeable "
+                f"footer types {sorted(r['dtypes'])} across the mart's "
+                f"files at {path}; only verified parquet-reader widenings "
+                "(integral chains, float->double, int-or-narrower->double) "
+                "can be healed by the vacuum rewrite — migrate the mart's "
+                "schema explicitly first. No data was modified.")
+        # simpleString IS DDL (bigint, struct<...>) — StructType.add's
+        # json-name parser would reject it, so go through fromDDL.
+        name = r["name"].replace("`", "``")
+        ddl_fields.append(f"`{name}` {widened}")
+    return T.StructType.fromDDL(", ".join(ddl_fields))
+
+
 def _vacuum_read(spark, path: str, partition_col: str | None,
                  num_buckets: int | None) -> DataFrame:
     """The vacuum pass's mart read. Partition values must round-trip
@@ -487,7 +588,20 @@ def _vacuum_read(spark, path: str, partition_col: str | None,
     the only correct basis for a destructive rewrite that must
     preserve every column. The retention predicate still pushes down
     to the parquet scan (tests/test_scale.py pins PushedFilters on
-    this read)."""
+    this read).
+
+    TYPE-evolved marts (the same column int in load-1 files, long in
+    load-2): Spark's mergeSchema probe REFUSES that mix
+    (CANNOT_MERGE_SCHEMAS — it never widens), so the read falls back
+    to _widened_footer_schema: one distributed footer pass computes
+    the per-column type sets and pins each conflicted column to the
+    smallest type the parquet reader itself can upcast every file to
+    (verified on 4.1: integral chains, float→double,
+    int-or-narrower→double). The rewrite then persists survivors in
+    the widened type — one vacuum HEALS the mart to a uniform schema.
+    A mix outside the verified lattice (string vs int,
+    bigint vs double, conflicting nested types) raises before any
+    data moves."""
     part_cols = ([partition_col] if partition_col is not None else []) \
         + ([MART_BUCKET_COL] if num_buckets is not None else [])
     if not part_cols:
@@ -496,10 +610,17 @@ def _vacuum_read(spark, path: str, partition_col: str | None,
 
     from pyspark_etl_project_spark.operators.fs import escape_glob
 
-    data_schema = (spark.read
-                   .option("recursiveFileLookup", "true")
-                   .option("mergeSchema", "true")
-                   .parquet(escape_glob(path)).schema)
+    try:
+        data_schema = (spark.read
+                       .option("recursiveFileLookup", "true")
+                       .option("mergeSchema", "true")
+                       .parquet(escape_glob(path)).schema)
+    except Exception as exc:  # noqa: BLE001 — gate on the MERGE error only
+        # Py4J surfaces this one unconverted; anything that is not the
+        # schema-merge refusal (missing path, permissions) re-raises.
+        if "CANNOT_MERGE_SCHEMAS" not in str(exc):
+            raise
+        data_schema = _widened_footer_schema(spark, path)
     full = T.StructType([f for f in data_schema.fields
                          if f.name not in part_cols])
     for c in part_cols:

@@ -1546,6 +1546,88 @@ def test_vacuum_mart_path_preserves_schema_evolved_columns(spark, tmp_path):
     assert got == {(2, None), (3, "n3")}
 
 
+def test_vacuum_mart_path_heals_type_widened_mart(spark, tmp_path):
+    """A mart whose loads wrote the SAME column at DIFFERENT numeric
+    widths (csd_id int in load 1, long in load 2) defeats Spark's
+    mergeSchema probe (CANNOT_MERGE_SCHEMAS — Spark never widens), so
+    the vacuum's fallback pins the reader-verified supertype from a
+    distributed footer scan and the rewrite HEALS the mart: survivors
+    come back uniformly bigint, values intact — including one above
+    2^31 that an int pin would have corrupted."""
+    from pyspark_etl_project_spark.operators.scd2 import (
+        vacuum_mart_path, write_mart)
+
+    def hist(rows, schema):
+        return (spark.createDataFrame(rows, schema)
+                .withColumn("START_DATE",
+                            F.lit("2020-01-01 00:00:00").cast("timestamp"))
+                .withColumn("END_DATE",
+                            F.col("END_DATE").cast("timestamp")))
+
+    path = str(tmp_path / "mart")
+    # Load 1 (source A): csd_id INT; one expired row, one survivor.
+    write_mart(hist([(1, "K-1", "A", "2020-06-01 00:00:00"),
+                     (2, "K-2", "A", "2099-12-31 00:00:00")],
+                    "csd_id int, ssi string, SOURCE string, "
+                    "END_DATE string"),
+               path, partition_col="SOURCE", key="ssi", num_buckets=4)
+    # Load 2 (source B): csd_id LONG, with a value int cannot hold.
+    write_mart(hist([(2 ** 40, "K-3", "B", "2099-12-31 00:00:00"),
+                     (5, "K-4", "B", "2020-06-01 00:00:00")],
+                    "csd_id long, ssi string, SOURCE string, "
+                    "END_DATE string"),
+               path, partition_col="SOURCE", key="ssi", num_buckets=4)
+
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col="SOURCE", key="ssi", num_buckets=4)
+    # Post-heal the mart is uniform: a PLAIN read (no mergeSchema)
+    # must see bigint and both survivors.
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["csd_id"] == "bigint"
+    assert {(r["csd_id"], r["ssi"]) for r in
+            back.select("csd_id", "ssi").collect()} \
+        == {(2, "K-2"), (2 ** 40, "K-3")}
+
+
+def test_vacuum_mart_path_refuses_unwidenable_type_conflict(
+        spark, tmp_path):
+    """A footer type mix OUTSIDE the verified reader-upcast lattice
+    (csd_id int in load 1, string in load 2) must refuse LOUDLY,
+    naming the column and types, with the mart byte-untouched — a
+    destructive rewrite may never guess a cast."""
+    import glob as _glob
+
+    import pytest
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        vacuum_mart_path, write_mart)
+
+    def hist(rows, schema):
+        return (spark.createDataFrame(rows, schema)
+                .withColumn("START_DATE",
+                            F.lit("2020-01-01 00:00:00").cast("timestamp"))
+                .withColumn("END_DATE",
+                            F.col("END_DATE").cast("timestamp")))
+
+    path = str(tmp_path / "mart")
+    write_mart(hist([(1, "K-1", "A", "2020-06-01 00:00:00")],
+                    "csd_id int, ssi string, SOURCE string, "
+                    "END_DATE string"),
+               path, partition_col="SOURCE", key="ssi", num_buckets=4)
+    write_mart(hist([("x2", "K-2", "B", "2099-12-31 00:00:00")],
+                    "csd_id string, ssi string, SOURCE string, "
+                    "END_DATE string"),
+               path, partition_col="SOURCE", key="ssi", num_buckets=4)
+
+    before = sorted(_glob.glob(path + "/**/*.parquet", recursive=True))
+    with pytest.raises(ValueError,
+                       match="csd_id.*unmergeable footer types"):
+        vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                         partition_col="SOURCE", key="ssi", num_buckets=4)
+    after = sorted(_glob.glob(path + "/**/*.parquet", recursive=True))
+    assert before == after  # refusal happened before any data moved
+
+
 def test_vacuum_mart_path_escaped_values_and_empty_refusal(spark, tmp_path):
     """Survivor comparison must happen in escaped-dir-name space: a
     partition value with a Hive-escaped character (':') must survive

@@ -647,7 +647,8 @@ def _vac_probe_setup(spark: SparkSession, sizes: list[int],
         nb = max(32, (size * 32) // _VAC_BASE)
         b = mart_bucket("ssi", nb)
         state: list = [nb]
-        for _ in range(count or (2 if size == _VAC_BASE else 1)):
+        for _ in range(count if count is not None
+                       else (2 if size == _VAC_BASE else 1)):
             seed = (spark.range(size).select(
                 F.col("id").alias("csd_id"),
                 F.concat(F.lit("K-"), F.col("id")).alias("ssi"),
