@@ -694,3 +694,55 @@ def test_scd2_merge_matches_model(spark, mart_rows, arrival_keys):
                      and r["ACTIVE_FLAG"] == 1 and r["v"] >= 1000]
         assert len(fresh_ids) == len(set(fresh_ids)) == len(arrival_keys)
         assert all(x is not None and x not in mart_ids for x in fresh_ids)
+
+
+_CDC_KEYS = st.sampled_from([None, "a", "b", "c"])
+_CDC_HASHES = st.sampled_from([None, "h1", "h2"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(_CDC_KEYS, _CDC_HASHES), max_size=8),
+       st.lists(st.tuples(_CDC_KEYS, _CDC_HASHES), max_size=6))
+def test_cdc_classify_matches_model(spark, batch_rows, hist_rows):
+    """The CDC router equals the pure model (reference C1-C3+B5,
+    /root/reference/ETL/CSV_Batch_Processing.py:150-162) for any mix
+    of: NULL natural keys (SQL join semantics — a NULL-key batch row
+    NEVER matches, even a NULL-key historic row, so it routes INSERT),
+    NULL hashes on either or both sides (NULL<=>NULL is DUPLICATE —
+    the eqNullSafe pin; one-sided NULL is UPDATE), duplicate keys in
+    the historic slice (join multiplicity: one routed row per match),
+    and empty batch/historic. Both join strategies (broadcast and
+    shuffled) and both drop_duplicates arms must agree with the
+    model."""
+    from pyspark_etl_project_spark.operators.cdc import (
+        DUPLICATE, INSERT, ROUTER_COL, UPDATE, cdc_classify)
+
+    batch = spark.createDataFrame(
+        batch_rows,
+        "SOURCE_SYSTEM_IDENTIFIER string, SOURCE_HASH_KEY string")
+    hist = spark.createDataFrame(
+        hist_rows, "HISTORIC_SSI string, HISTORIC_HASHKEY string")
+
+    def model(drop):
+        out = []
+        for k, h in batch_rows:
+            matches = [(hk, hh) for hk, hh in hist_rows
+                       if k is not None and hk == k]
+            if not matches:
+                out.append((k, h, None, None, INSERT))
+                continue
+            for hk, hh in matches:
+                tag = DUPLICATE if h == hh else UPDATE
+                if not (drop and tag == DUPLICATE):
+                    out.append((k, h, hk, hh, tag))
+        return sorted(out, key=repr)
+
+    for drop in (False, True):
+        for bc in (True, False):
+            got = cdc_classify(batch, hist, broadcast_historic=bc,
+                               drop_duplicates=drop).collect()
+            rows = sorted(((r["SOURCE_SYSTEM_IDENTIFIER"],
+                            r["SOURCE_HASH_KEY"], r["HISTORIC_SSI"],
+                            r["HISTORIC_HASHKEY"], r[ROUTER_COL])
+                           for r in got), key=repr)
+            assert rows == model(drop), f"drop={drop} broadcast={bc}"
