@@ -519,6 +519,87 @@ def scd2_vacuum_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("END_DATE").alias("end_date"))
 
 
+# --- SCD2 vacuum heal of a TYPE-evolved mart -------------------------------
+# Gate for _widened_footer_schema (operators/scd2.py): a mart whose
+# loads wrote the SAME column at different numeric widths (csd_id int
+# in load 1, long in load 2) defeats Spark's mergeSchema probe
+# (CANNOT_MERGE_SCHEMAS — Spark never widens), so the vacuum's
+# distributed footer scan pins the reader-verified supertype and the
+# rewrite HEALS the mart to a uniform schema. The query raises unless
+# the heal is observable (a PLAIN post-vacuum read sees bigint), and
+# the survivors must hash-match the from-scratch retention oracle —
+# including load-2 ids above 2^31 that an int pin would corrupt.
+
+@_q("scd2_vacuum_type_widened", """
+WITH hist AS (
+  SELECT CAST(c_custkey AS BIGINT) AS csd_id,
+         'CUST - ' || CAST(c_custkey AS VARCHAR) AS ssi,
+         'L1' AS seg,
+         CASE WHEN c_custkey % 2 = 0 THEN TIMESTAMP '2020-06-01 00:00:00'
+              ELSE TIMESTAMP '2099-12-31 00:00:00' END AS end_date
+  FROM customer
+  UNION ALL
+  SELECT CAST(c_custkey + 10000000000 AS BIGINT),
+         'CUST2 - ' || CAST(c_custkey AS VARCHAR),
+         'L2',
+         CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '2020-06-01 00:00:00'
+              ELSE TIMESTAMP '2099-12-31 00:00:00' END
+  FROM customer
+)
+SELECT csd_id, ssi, seg, end_date
+FROM hist WHERE end_date >= TIMESTAMP '2023-01-01 00:00:00'
+""")
+def scd2_vacuum_type_widened_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        vacuum_mart_path, write_mart)
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def version(csd, ssi_prefix: str, seg: str, expired) -> DataFrame:
+        return cust.select(
+            csd.alias("csd_id"),
+            F.concat(F.lit(ssi_prefix),
+                     F.col("c_custkey").cast("string")).alias("ssi"),
+            F.lit(seg).alias("seg"),
+            F.lit("2020-01-01 00:00:00").cast("timestamp")
+             .alias("START_DATE"),
+            F.when(expired, F.lit("2020-06-01 00:00:00"))
+             .otherwise(F.lit("2099-12-31 00:00:00"))
+             .cast("timestamp").alias("END_DATE"))
+
+    root = tempfile.mkdtemp(prefix="scd2_vac_widen_")
+    # Lazy read after return (driver collects later) — process-exit
+    # cleanup, same rationale as scd2_vacuum_roundtrip.
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "mart")
+    # Load 1: csd_id INT. Load 2: csd_id LONG, above 2^31.
+    write_mart(version(F.col("c_custkey").cast("int"), "CUST - ", "L1",
+                       F.col("c_custkey") % 2 == 0),
+               path, partition_col="seg", key="ssi", num_buckets=8)
+    write_mart(version((F.col("c_custkey") + 10_000_000_000)
+                       .cast("long"), "CUST2 - ", "L2",
+                       F.col("c_custkey") % 3 == 0),
+               path, partition_col="seg", key="ssi", num_buckets=8)
+
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col="seg", key="ssi", num_buckets=8)
+    # Non-vacuous: the heal must be OBSERVABLE — a plain read (no
+    # mergeSchema crutch) succeeds and sees the widened type.
+    healed = spark.read.parquet(path)
+    if dict(healed.dtypes).get("csd_id") != "bigint":
+        raise ValueError("scd2_vacuum_type_widened: post-vacuum mart "
+                         "is not healed to bigint csd_id — got "
+                         f"{dict(healed.dtypes).get('csd_id')!r}")
+    return healed.select("csd_id", "ssi", "seg",
+                         F.col("END_DATE").alias("end_date"))
+
+
 # --- H10 + H6: validity flag + rating floor quirk -------------------------
 # (consolidated: the former `rating_floor_scale` query's H6 column lives
 # here — same source table, same row-wise-transform plan shape)
