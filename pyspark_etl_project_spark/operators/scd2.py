@@ -480,60 +480,74 @@ def _widen_simple_types(types: set[str]) -> str | None:
     return None
 
 
-def _widened_footer_schema(spark, path: str):
+def _widened_footer_schema(spark, path: str, depth: int):
     """Schema probe for a TYPE-evolved mart, used when Spark's own
-    mergeSchema refuses the footer mix. One distributed job: the
-    recursive file listing (names only — the same listing every Spark
-    scan holds on the driver) is parallelized and each task reads its
-    files' parquet FOOTERS via pyarrow (no row data moves), emitting
-    (column, spark-type, footer-position) triples; the driver sees
-    only the per-column DISTINCT type sets — O(columns), not O(files).
-    Each conflicted column is pinned to _widen_simple_types' verified
-    reader-upcast supertype; an unwidenable mix raises with the column
-    and types named, before any data is modified. Column order follows
-    first footer appearance (ties by name) so the healed mart keeps a
-    stable, deterministic layout."""
-    from urllib.parse import urlparse
-
+    mergeSchema refuses the footer mix. The driver never enumerates
+    files: one globStatus call lists the LEAF partition dirs (bounded
+    at sources × num_buckets — the same bound the vacuum's survivor
+    collect already relies on), and one distributed job fans those
+    dirs out so each task lists its own dirs and reads their parquet
+    FOOTERS via pyarrow (no row data moves — O(files) work lives on
+    executors), emitting (column, spark-type, footer-position)
+    triples; the driver sees only the per-column DISTINCT type sets —
+    O(columns), not O(files). Each conflicted column is pinned to
+    _widen_simple_types' verified reader-upcast supertype; an
+    unwidenable mix raises with the column and types named, before any
+    data is modified. Column order follows first footer appearance
+    (ties by name) so the healed mart keeps a stable, deterministic
+    layout."""
     from pyspark.sql import types as T
 
-    from pyspark_etl_project_spark.operators.fs import hadoop_fs
+    from pyspark_etl_project_spark.operators.fs import (
+        escape_glob, glob_dirs)
 
-    _, fs, jroot = hadoop_fs(spark, path)
-    files = []
-    it = fs.listFiles(jroot, True)
-    while it.hasNext():
-        p = it.next().getPath()
-        if not p.getName().startswith(("_", ".")):
-            files.append(str(p))
-    if not files:
+    leaf_dirs = [
+        d for d in glob_dirs(spark, escape_glob(path) + "/*" * depth)
+        # A glob * also matches _temporary/.staging dirs — exclude any
+        # leaf whose relative components are non-data, same convention
+        # as every Spark listing.
+        if all(not c.startswith(("_", "."))
+               for c in d.split("/")[-depth:])]
+    if not leaf_dirs:
         raise ValueError(
-            f"vacuum_mart_path: no data files under {path} to probe")
+            f"vacuum_mart_path: no partition dirs under {path} to probe")
 
     def footer_fields(batches):
+        import os as _os
+        from urllib.parse import urlparse
+
         import pandas as pd
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_type
 
         for pdf in batches:
             names, dtypes, poss = [], [], []
-            for uri in pdf["path"]:
-                if uri.startswith("file:"):
-                    sch = pq.read_schema(urlparse(uri).path)
+            for duri in pdf["dir"]:
+                if duri.startswith("file:") or "://" not in duri:
+                    d = urlparse(duri).path if ":" in duri else duri
+                    entries = [(_os.path.join(d, f), None)
+                               for f in _os.listdir(d)]
                 else:
                     from pyarrow import fs as pafs
-                    filesystem, rel = pafs.FileSystem.from_uri(uri)
-                    sch = pq.read_schema(rel, filesystem=filesystem)
-                for i, fld in enumerate(sch):
-                    names.append(fld.name)
-                    dtypes.append(from_arrow_type(fld.type).simpleString())
-                    poss.append(i)
+                    filesystem, rel = pafs.FileSystem.from_uri(duri)
+                    infos = filesystem.get_file_info(
+                        pafs.FileSelector(rel))
+                    entries = [(i.path, filesystem) for i in infos]
+                for fpath, filesystem in entries:
+                    if _os.path.basename(fpath).startswith(("_", ".")):
+                        continue
+                    sch = pq.read_schema(fpath, filesystem=filesystem)
+                    for i, fld in enumerate(sch):
+                        names.append(fld.name)
+                        dtypes.append(
+                            from_arrow_type(fld.type).simpleString())
+                        poss.append(i)
             yield pd.DataFrame({"name": names, "dtype": dtypes,
                                 "pos": poss})
 
-    par = max(1, min(len(files),
+    par = max(1, min(len(leaf_dirs),
                      spark.sparkContext.defaultParallelism * 4))
-    rows = (spark.createDataFrame([(f,) for f in files], "path string")
+    rows = (spark.createDataFrame([(d,) for d in leaf_dirs], "dir string")
             .repartition(par)
             .mapInPandas(footer_fields, "name string, dtype string, pos int")
             .groupBy("name")
@@ -620,7 +634,8 @@ def _vacuum_read(spark, path: str, partition_col: str | None,
         # schema-merge refusal (missing path, permissions) re-raises.
         if "CANNOT_MERGE_SCHEMAS" not in str(exc):
             raise
-        data_schema = _widened_footer_schema(spark, path)
+        data_schema = _widened_footer_schema(spark, path,
+                                             depth=len(part_cols))
     full = T.StructType([f for f in data_schema.fields
                          if f.name not in part_cols])
     for c in part_cols:
