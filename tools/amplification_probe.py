@@ -700,6 +700,86 @@ def probe_vacuum_mart_path(spark: SparkSession, n: int) -> None:
                      partition_col=None, key="ssi", num_buckets=nb)
 
 
+_VAC_WIDEN_PROBE: dict[int, list] = {}
+
+
+def _vac_widen_probe_setup(spark: SparkSession, sizes: list[int],
+                           count: int | None = None) -> None:
+    """TYPE-evolved marts for the widening-heal probe, UNTIMED: each
+    mart is two loads in separate SRC partitions — csd_id INT in L1,
+    LONG (above 2^31) in L2 — so the vacuum's mergeSchema probe
+    refuses (CANNOT_MERGE_SCHEMAS) and the heal path runs: one
+    globStatus over the leaf dirs, a distributed pyarrow footer scan,
+    then the widened rewrite. Same sizing/expiry rules as
+    _vac_probe_setup (bucket SIZE constant; a deterministic third of
+    the buckets fully dead)."""
+    import tempfile
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        mart_bucket, write_mart)
+
+    for size in sizes:
+        if size in _VAC_WIDEN_PROBE:
+            continue
+        nb = max(32, (size * 32) // _VAC_BASE)
+        b = mart_bucket("ssi", nb)
+        state: list = [nb]
+        half = size // 2
+
+        def seed(lo: int, hi: int, cast_type: str, off: int,
+                 src: str):
+            return (spark.range(lo, hi).select(
+                (F.col("id") + off).cast(cast_type).alias("csd_id"),
+                F.concat(F.lit("K-"), F.col("id")).alias("ssi"),
+                F.lit(src).alias("SRC"),
+                F.lit(1).alias("ACTIVE_FLAG"),
+                F.lit("2020-01-01 00:00:00").cast("timestamp")
+                 .alias("START_DATE"))
+                .withColumn(
+                    "END_DATE",
+                    F.when(b % 3 == 0, F.lit("2020-06-01 00:00:00"))
+                     .when(F.col("csd_id") % 2 == 0,
+                           F.lit("2021-06-01 00:00:00"))
+                     .otherwise(F.lit("2099-12-31 00:00:00"))
+                     .cast("timestamp"))
+                .repartition(min(nb, 4096), b))
+
+        for _ in range(count if count is not None
+                       else (2 if size == _VAC_BASE else 1)):
+            path = tempfile.mkdtemp(prefix=f"vacwiden{size}_") + "/mart"
+            write_mart(seed(0, half, "int", 0, "L1"), path,
+                       partition_col="SRC", key="ssi", num_buckets=nb)
+            write_mart(seed(half, size, "long", 2 ** 40, "L2"), path,
+                       partition_col="SRC", key="ssi", num_buckets=nb)
+            state.append(path)
+        _VAC_WIDEN_PROBE[size] = state
+
+
+def probe_vacuum_widened_heal(spark: SparkSession, n: int) -> None:
+    """The round-13 heal path end-to-end on a type-evolved mart: the
+    merge-refusal catch, the leaf-dir glob (bounded at 2 sources ×
+    buckets), the distributed footer scan (O(files), on executors),
+    and the widened survivor rewrite. Expected ~linear like the plain
+    vacuum (rewrite dominates); what the probe falsifies is a
+    super-linear term in the footer fan-out (a per-file driver
+    round-trip, a footer re-read per bucket) or a widened-read decode
+    cliff (INT32 pages upcast to long in the vectorized reader)."""
+    from pyspark_etl_project_spark.operators.scd2 import vacuum_mart_path
+
+    _vac_widen_probe_setup(spark,
+                           [n, n * AMP] if n == _VAC_BASE else [n])
+    state = _VAC_WIDEN_PROBE[n]
+    if len(state) < 2:
+        # Same lazy-rebuild contract as probe_vacuum_mart_path: the
+        # destructive pass consumes one fresh mart per call.
+        del _VAC_WIDEN_PROBE[n]
+        _vac_widen_probe_setup(spark, [n], count=1)
+        state = _VAC_WIDEN_PROBE[n]
+    nb, path = state[0], state.pop(1)
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col="SRC", key="ssi", num_buckets=nb)
+
+
 def probe_cross_source_overlap(spark: SparkSession, n: int) -> None:
     """Pairwise source-overlap matrix under the WORST-case fingerprint
     distribution: every document carries the same 10-token boilerplate
@@ -854,6 +934,9 @@ PROBES = {
     "band_index_batch_50_fresh": (probe_band_index_batch, _BAND_BASE),
     # round-11: the destructive maintenance passes gated this round
     "vacuum_mart_path_third_dead": (probe_vacuum_mart_path, _VAC_BASE),
+    # round-13: the type-widening heal path
+    "vacuum_widened_heal_int_long": (probe_vacuum_widened_heal,
+                                     _VAC_BASE),
     "band_index_compact_100x_buckets": (probe_band_index_compact,
                                         _BAND_BASE),
     # round-12: the two most expensive extension plans not yet probed
