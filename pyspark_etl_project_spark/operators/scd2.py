@@ -501,13 +501,16 @@ def _widened_footer_schema(spark, path: str, depth: int):
     from pyspark_etl_project_spark.operators.fs import (
         escape_glob, glob_dirs)
 
+    # depth=0 (unpartitioned mart): the root dir IS the leaf — no glob
+    # components, no relative names to filter ([-0:] would slice the
+    # WHOLE path and wrongly drop roots like /tmp/.cache/mart).
     leaf_dirs = [
         d for d in glob_dirs(spark, escape_glob(path) + "/*" * depth)
         # A glob * also matches _temporary/.staging dirs — exclude any
         # leaf whose relative components are non-data, same convention
         # as every Spark listing.
-        if all(not c.startswith(("_", "."))
-               for c in d.split("/")[-depth:])]
+        if depth == 0 or all(not c.startswith(("_", "."))
+                             for c in d.split("/")[-depth:])]
     if not leaf_dirs:
         raise ValueError(
             f"vacuum_mart_path: no partition dirs under {path} to probe")
@@ -616,13 +619,30 @@ def _vacuum_read(spark, path: str, partition_col: str | None,
     A mix outside the verified lattice (string vs int,
     bigint vs double, conflicting nested types) raises before any
     data moves."""
-    part_cols = ([partition_col] if partition_col is not None else []) \
-        + ([MART_BUCKET_COL] if num_buckets is not None else [])
-    if not part_cols:
-        return read_mart(spark, path)
     from pyspark.sql import types as T
 
     from pyspark_etl_project_spark.operators.fs import escape_glob
+
+    part_cols = ([partition_col] if partition_col is not None else []) \
+        + ([MART_BUCKET_COL] if num_buckets is not None else [])
+    if not part_cols:
+        # UNPARTITIONED layout: no dir values to round-trip, but the
+        # schema hazards are identical — a plain read picks ONE footer
+        # and would silently drop a late-added column from the rewrite
+        # (the r12 bug class), and a type-evolved mix needs the same
+        # widening heal. mergeSchema covers the first; the footer-scan
+        # fallback (depth=0 probes the root dir itself) the second.
+        try:
+            df = (spark.read.option("mergeSchema", "true")
+                  .parquet(escape_glob(path)))
+        except Exception as exc:  # noqa: BLE001 — gate on the MERGE error
+            if "CANNOT_MERGE_SCHEMAS" not in str(exc):
+                raise
+            schema = _widened_footer_schema(spark, path, depth=0)
+            df = spark.read.schema(schema).parquet(escape_glob(path))
+        if MART_BUCKET_COL in df.columns:
+            df = df.drop(MART_BUCKET_COL)
+        return df
 
     try:
         data_schema = (spark.read

@@ -1628,6 +1628,76 @@ def test_vacuum_mart_path_refuses_unwidenable_type_conflict(
     assert before == after  # refusal happened before any data moved
 
 
+def test_vacuum_mart_path_unpartitioned_schema_evolution(spark, tmp_path):
+    """The UNPARTITIONED layout (partition_col=None, num_buckets=None)
+    has the same two schema-evolution hazards as the partitioned one,
+    previously unguarded: a plain read picks ONE footer, so the
+    full-dir overwrite would silently DELETE a late-added column
+    (round-13-found, same class as the r12 partitioned fix), and a
+    type-widened mix needs the same heal. One mart exercises both: an
+    old-schema file (csd_id int, no NEW_COL) plus a new-schema file
+    (csd_id long above 2^31, NEW_COL)."""
+    from pyspark_etl_project_spark.operators.scd2 import vacuum_mart_path
+
+    def hist(rows, schema):
+        return (spark.createDataFrame(rows, schema)
+                .withColumn("START_DATE",
+                            F.lit("2020-01-01 00:00:00").cast("timestamp"))
+                .withColumn("END_DATE",
+                            F.col("END_DATE").cast("timestamp")))
+
+    path = str(tmp_path / "mart")
+    # Written as plain appends — how an unpartitioned mart accumulates.
+    hist([(1, "K-1", "2020-06-01 00:00:00"),
+          (2, "K-2", "2099-12-31 00:00:00")],
+         "csd_id int, ssi string, END_DATE string") \
+        .coalesce(1).write.mode("append").parquet(path)
+    hist([(2 ** 40, "K-3", "n3", "2099-12-31 00:00:00")],
+         "csd_id long, ssi string, NEW_COL string, END_DATE string") \
+        .coalesce(1).write.mode("append").parquet(path)
+
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col=None, key="ssi", num_buckets=None)
+    back = spark.read.parquet(path)  # healed: plain read sees it all
+    assert dict(back.dtypes)["csd_id"] == "bigint"
+    assert "NEW_COL" in back.columns
+    assert {(r["csd_id"], r["NEW_COL"]) for r in
+            back.select("csd_id", "NEW_COL").collect()} \
+        == {(2, None), (2 ** 40, "n3")}
+
+
+def test_vacuum_mart_path_unpartitioned_preserves_added_column(
+        spark, tmp_path):
+    """Column-added evolution WITHOUT a type conflict on the
+    unpartitioned layout — the mergeSchema (non-fallback) arm. A
+    plain single-footer read would drop NEW_COL from the full-dir
+    overwrite; the vacuum read must carry the column union."""
+    from pyspark_etl_project_spark.operators.scd2 import vacuum_mart_path
+
+    def hist(rows, schema):
+        return (spark.createDataFrame(rows, schema)
+                .withColumn("START_DATE",
+                            F.lit("2020-01-01 00:00:00").cast("timestamp"))
+                .withColumn("END_DATE",
+                            F.col("END_DATE").cast("timestamp")))
+
+    path = str(tmp_path / "mart")
+    hist([(1, "K-1", "2020-06-01 00:00:00"),
+          (2, "K-2", "2099-12-31 00:00:00")],
+         "csd_id long, ssi string, END_DATE string") \
+        .coalesce(1).write.mode("append").parquet(path)
+    hist([(3, "K-3", "n3", "2099-12-31 00:00:00")],
+         "csd_id long, ssi string, NEW_COL string, END_DATE string") \
+        .coalesce(1).write.mode("append").parquet(path)
+
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col=None, key="ssi", num_buckets=None)
+    back = (spark.read.option("mergeSchema", "true").parquet(path)
+            .select("csd_id", "NEW_COL").collect())
+    assert {(r["csd_id"], r["NEW_COL"]) for r in back} \
+        == {(2, None), (3, "n3")}
+
+
 def test_vacuum_mart_path_escaped_values_and_empty_refusal(spark, tmp_path):
     """Survivor comparison must happen in escaped-dir-name space: a
     partition value with a Hive-escaped character (':') must survive
