@@ -746,3 +746,53 @@ def test_cdc_classify_matches_model(spark, batch_rows, hist_rows):
                             r["HISTORIC_HASHKEY"], r[ROUTER_COL])
                            for r in got), key=repr)
             assert rows == model(drop), f"drop={drop} broadcast={bc}"
+
+
+_WIDEN_POOL = ["tinyint", "smallint", "int", "bigint", "float",
+               "double", "string", "timestamp", "struct<a:int>"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sets(st.sampled_from(_WIDEN_POOL), min_size=1, max_size=5),
+       st.sets(st.sampled_from(_WIDEN_POOL), min_size=1, max_size=5))
+def test_widen_simple_types_lattice(types_a, types_b):
+    """The vacuum heal's widening lattice (operators/scd2.py) is a
+    sound partial join: a singleton widens to itself; a defined result
+    can REPRESENT every input (integral rank never decreases, floats
+    only go to double, and no integral above int ever mixes into a
+    floating result — the reader-verified boundary); and it composes —
+    widening incrementally (as footer batches would arrive) agrees
+    with widening the union whenever the union is defined."""
+    from pyspark_etl_project_spark.operators.scd2 import (
+        _INTEGRALS, _widen_simple_types)
+
+    def rank(t):
+        return _INTEGRALS.index(t) if t in _INTEGRALS else None
+
+    for s in (types_a, types_b, types_a | types_b):
+        w = _widen_simple_types(set(s))
+        if len(s) == 1:
+            assert w == next(iter(s))
+        if w is None:
+            continue
+        assert w in s or w in ("bigint", "int", "smallint", "double")
+        for t in s:
+            if t in _INTEGRALS:
+                if w in _INTEGRALS:
+                    assert rank(w) >= rank(t)
+                else:
+                    # floating result: only int-or-narrower may widen
+                    # (bigint->double is not reader-supported)
+                    assert w == "double" and rank(t) <= rank("int")
+            elif t in ("float", "double"):
+                assert w in ("float", "double") and not (
+                    t == "double" and w == "float")
+            else:
+                assert w == t  # non-numeric only via singleton
+
+    union = _widen_simple_types(types_a | types_b)
+    wa = _widen_simple_types(types_a)
+    wb = _widen_simple_types(types_b)
+    if union is not None:
+        assert wa is not None and wb is not None
+        assert _widen_simple_types({wa, wb}) == union
