@@ -270,25 +270,45 @@ def write_mart(mart: DataFrame, path: str,
             out.unpersist()
 
 
-def read_mart(spark, path: str) -> DataFrame:
+def read_mart(spark, path: str, merge_schema: bool = False) -> DataFrame:
     """Read the mart back in merge shape: the physical bucket column is
     layout, not data (derivable from the key), so it is dropped —
     scd2_merge's final select uses mart.columns and arrival batches
     don't carry it. The path is glob-escaped (reader paths are
     glob-expanded by Spark; escaping is the identity for paths without
-    metacharacters)."""
+    metacharacters).
+
+    ``merge_schema``: on a schema-evolved mart (bucket dirs of
+    differing vintage — a later load added a column) the default
+    single-footer read surfaces whichever file's schema Spark probes.
+    That is fine for NON-destructive reads (worst case a query misses
+    a late column, visibly), but any read that FEEDS a rewrite must
+    pass True: the merged-footer schema is the only correct basis for
+    overwriting partitions (scd2_merge_batch does; the vacuum pass has
+    its own pinned-schema read)."""
     from pyspark_etl_project_spark.operators.fs import escape_glob
 
-    df = spark.read.parquet(escape_glob(path))
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(escape_glob(path))
     if MART_BUCKET_COL in df.columns:
         df = df.drop(MART_BUCKET_COL)
     return df
 
 
 def read_mart_touched(spark, path: str, bucket_ids: list[int],
-                      partition_col: str | None = None) -> DataFrame:
+                      partition_col: str | None = None,
+                      merge_schema: bool = False) -> DataFrame:
     """Read ONLY the mart slice living in ``bucket_ids`` — the
-    per-micro-batch read of the foreachBatch merge loop. A plain
+    per-micro-batch read of the foreachBatch merge loop.
+    ``merge_schema`` has read_mart's contract: the merge loop passes
+    True because this read FEEDS the bucket rewrite — on an evolved
+    mart whose touched buckets have differing vintage, a single-footer
+    read could surface the old schema and the overwrite would delete
+    the late-added column from every touched bucket (footer merging
+    here stays O(touched files), matching this function's listing
+    contract). A plain
     read.parquet(path) + bucket filter still LISTS every partition dir
     at planning — O(num_buckets [× sources]) metadata per micro-batch,
     the dominant cost once the data scan is pruned (measured 8× at
@@ -324,14 +344,17 @@ def read_mart_touched(spark, path: str, bucket_ids: list[int],
     level = f"{partition_col}=*/" if partition_col is not None else ""
     dirs = glob_dirs(spark,
                      f"{escape_glob(path)}/{level}{MART_BUCKET_COL}={alts}")
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     if dirs:
-        return (spark.read.option("basePath", path)
+        return (reader.option("basePath", path)
                 .parquet(*[escape_glob(d) for d in dirs])
                 .drop(MART_BUCKET_COL))
     # The no-touched-dir fallback reads the full path (for schema /
     # the legacy-layout diagnostic) — same glob-expansion hazard as
     # the pruned read above, so the path is escaped here too.
-    full = spark.read.parquet(escape_glob(path))
+    full = reader.parquet(escape_glob(path))
     if MART_BUCKET_COL not in full.columns:
         raise ValueError(
             f"mart at {path} has a legacy un-bucketed layout; a "

@@ -336,10 +336,15 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
             # Read ONLY the touched bucket slice — listing stays
             # O(touched buckets), layout-aware for partitioned marts
             # (see read_mart_touched for the full plan rationale).
+            # merge_schema: this read FEEDS the bucket rewrite — on an
+            # evolved mart with touched buckets of differing vintage a
+            # single-footer read could drop a late-added column from
+            # every rewritten bucket. Footer merging stays O(touched).
             mart = read_mart_touched(spark, mart_path, bucket_ids,
-                                     partition_col=partition_col)
+                                     partition_col=partition_col,
+                                     merge_schema=True)
         else:
-            mart = read_mart(spark, mart_path)
+            mart = read_mart(spark, mart_path, merge_schema=True)
         value_cols = _mart_value_cols(mart.columns, surrogate_col)
         if hash_provenance is _READ_MARKER:
             hash_provenance = read_provenance(spark, mart_path)

@@ -508,6 +508,71 @@ def test_scd2_merge_batch_double_delivery_is_noop(spark, tmp_path):
     assert full_state() == first
 
 
+def test_scd2_merge_batch_preserves_evolved_column_across_buckets(
+        spark, tmp_path):
+    """A schema-evolved mart has bucket dirs of DIFFERING vintage (each
+    dynamic overwrite rewrites whole buckets, so vintage varies only
+    ACROSS buckets). When a batch touches an old-vintage bucket and an
+    evolved bucket together, the merge read must surface the column
+    UNION: a single-footer read could pick the old schema and the
+    bucket rewrite would silently delete the late-added column's data
+    from the evolved bucket (round-13-found, the vacuum r12 bug class
+    on the merge path). K-1 hashes to bucket 3, K-3 to bucket 1
+    (xxhash64 % 4) — two distinct buckets by construction."""
+    from pyspark_etl_project_spark.functions.hashing import row_fingerprint
+    from pyspark_etl_project_spark.operators.scd2 import (
+        read_mart, write_mart)
+    from pyspark_etl_project_spark.streaming.ingest import (
+        STREAM_HASH_COL, _mart_value_cols, scd2_merge_batch)
+
+    t0 = "2020-01-01 00:00:00"
+    open_end = "2099-12-31 00:00:00"
+
+    def stamp(df):
+        return (df.withColumn("START_DATE",
+                              F.lit(t0).cast("timestamp"))
+                  .withColumn("END_DATE",
+                              F.lit(open_end).cast("timestamp")))
+
+    # Load 1: no NEW_COL anywhere.
+    v1 = stamp(spark.createDataFrame(
+        [(1, "K-1", 10, 1), (2, "K-3", 30, 1)],
+        "csd_id long, ssi string, v long, ACTIVE_FLAG int"))
+    v1 = v1.withColumn(STREAM_HASH_COL, row_fingerprint(
+        sorted(_mart_value_cols(v1.columns, "csd_id"))))
+    mart_path = str(tmp_path / "mart")
+    write_mart(v1, mart_path, partition_col=None, key="ssi",
+               num_buckets=4)
+    # Load 2 evolves ONLY K-3's bucket: touched-keys pruning rewrites
+    # bucket 1 with the NEW_COL schema; K-1's bucket 3 keeps vintage 1.
+    v2 = stamp(spark.createDataFrame(
+        [(2, "K-3", 30, "n3", 1)],
+        "csd_id long, ssi string, v long, NEW_COL string, "
+        "ACTIVE_FLAG int"))
+    v2 = v2.withColumn(STREAM_HASH_COL, row_fingerprint(
+        sorted(_mart_value_cols(v2.columns, "csd_id"))))
+    write_mart(v2, mart_path, partition_col=None, key="ssi",
+               num_buckets=4,
+               touched_keys=v2.select("ssi").distinct())
+
+    # One batch touches BOTH buckets with the evolved shape.
+    batch = spark.createDataFrame([("K-1", 11, "n1"), ("K-3", 31, "n3b")],
+                                  "ssi string, v long, NEW_COL string")
+    n = scd2_merge_batch(spark, batch, mart_path,
+                         run_ts="2024-01-01 00:00:00", key="ssi",
+                         surrogate_col="csd_id", num_buckets=4,
+                         partition_col=None)
+    assert n == 2
+    back = read_mart(spark, mart_path, merge_schema=True)
+    got = {(r["ssi"], r["v"], r["ACTIVE_FLAG"], r["NEW_COL"])
+           for r in back.select("ssi", "v", "ACTIVE_FLAG",
+                                "NEW_COL").collect()}
+    # K-3's EXPIRED version keeps its pre-merge NEW_COL value — the
+    # single-footer failure mode would have nulled it on disk.
+    assert got == {("K-1", 10, 0, None), ("K-1", 11, 1, "n1"),
+                   ("K-3", 30, 0, "n3"), ("K-3", 31, 1, "n3b")}
+
+
 def test_scd2_merge_batch_caller_managed_hash_routes_duplicates(spark, tmp_path):
     """A mart seeded with a CALLER-computed SOURCE_HASH_KEY (not this
     module's fingerprint) still routes redelivery correctly when the
