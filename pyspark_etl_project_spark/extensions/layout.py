@@ -130,7 +130,13 @@ def compact_small_files(spark, src_path: str, dst_path: str,
     Returns (rows_written, files_written)."""
     import math
 
-    df = spark.read.parquet(src_path)
+    # mergeSchema: the source is a fragmented APPEND dir — exactly
+    # where schema evolution accumulates. A single-footer read could
+    # pick an old file's schema and the compacted copy would silently
+    # drop a late-added column (the r13 vacuum/merge bug class). The
+    # footer merge is O(files) metadata on files this pass fully reads
+    # anyway.
+    df = spark.read.option("mergeSchema", "true").parquet(src_path)
     n = df.count()
     parts = max(1, math.ceil(n / target_rows_per_file))
     (df.repartitionByRange(parts, F.col(order_col))

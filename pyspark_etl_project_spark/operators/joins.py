@@ -233,7 +233,12 @@ def compact_small_files(spark, path: str, target_files: int) -> int:
     # the Hadoop rename Paths below are literal APIs — no escaping.
     from pyspark_etl_project_spark.operators.fs import escape_glob
 
-    df = spark.read.parquet(escape_glob(path))
+    # mergeSchema: a foreachBatch sink dir is append-accumulated, so
+    # files can differ in vintage (a later deploy added a column); the
+    # swap REPLACES the input, so a single-footer read here would
+    # silently delete the late-added column (r13 vacuum/merge class).
+    df = (spark.read.option("mergeSchema", "true")
+          .parquet(escape_glob(path)))
     df.repartition(target_files).write.mode("overwrite").parquet(staging.toString())
     if not fs.rename(jpath, backup):
         raise IOError(f"rename {path} -> {backup} failed")

@@ -1914,3 +1914,29 @@ def test_intra_doc_line_dedup_short_doc_parity(spark, tmp_path):
     sql = entry.oracle_sql()["intra_doc_line_dedup"]
     oracle = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
     assert oracle == got
+
+
+def test_compact_small_files_range_preserves_evolved_column(
+        spark, tmp_path):
+    """The range-partitioned compaction (extensions/layout.py) reads a
+    fragmented APPEND dir — where schema evolution accumulates — and
+    its output replaces the fragmented copy downstream, so the read
+    must merge footers or the compacted copy silently drops the
+    late-added column."""
+    from pyspark_etl_project_spark.extensions.layout import (
+        compact_small_files)
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    spark.range(0, 50).select("id").repartition(4) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame([(100, "late")], "id long, note string") \
+        .write.mode("append").parquet(src)
+
+    n, files = compact_small_files(spark, src, dst, "id",
+                                   target_rows_per_file=30)
+    assert n == 51
+    back = spark.read.parquet(dst)
+    assert set(back.columns) == {"id", "note"}
+    assert [r["note"] for r in
+            back.filter(F.col("id") == 100).collect()] == ["late"]

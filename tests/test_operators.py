@@ -461,3 +461,27 @@ def test_partial_agg_rejects_fractional_sum(spark):
         partial_agg(df, ["k"], {"s": ("sum", "v")})
     ok = spark.createDataFrame([("a", 2)], "k string, v long")
     assert partial_agg(ok, ["k"], {"s": ("sum", "v")}).collect()[0]["s"] == 2
+
+
+def test_compact_small_files_preserves_evolved_column(spark, tmp_path):
+    """An append-accumulated sink dir can hold files of differing
+    vintage (a later deploy added a column). The in-place swap REPLACES
+    the input, so the compaction read must carry the column UNION — a
+    single-footer read would silently delete the late-added column
+    (round-13-found, the vacuum/merge bug class on the compaction
+    path)."""
+    from pyspark_etl_project_spark.operators.joins import (
+        compact_small_files)
+
+    p = str(tmp_path / "sink")
+    spark.range(0, 50).select("id").repartition(4) \
+        .write.mode("append").parquet(p)
+    spark.createDataFrame([(100, "late")], "id long, note string") \
+        .write.mode("append").parquet(p)
+
+    assert compact_small_files(spark, p, target_files=2) == 2
+    back = spark.read.parquet(p)
+    assert set(back.columns) == {"id", "note"}
+    assert back.count() == 51
+    assert [r["note"] for r in
+            back.filter(F.col("id") == 100).collect()] == ["late"]
