@@ -345,6 +345,30 @@ def scd2_merge_batch(spark: SparkSession, batch: DataFrame, mart_path: str,
                                      merge_schema=True)
         else:
             mart = read_mart(spark, mart_path, merge_schema=True)
+        # The partition column is NOT stored in the parquet files
+        # (partitionBy strips it) — its read-back type comes from DIR
+        # NAME inference. A numeric-looking STRING value ('0123')
+        # infers int (123), and the rewrite would fork the partition
+        # (SRC=123 written beside the surviving SRC=0123 → reads
+        # double-count). That silent corruption is detectable exactly
+        # as a dtype disagreement with the arrival batch (which
+        # carries the column as real data), so refuse loudly before
+        # anything merges. Data columns are exempt on purpose: their
+        # footer types are authoritative (no inference), and benign
+        # union widenings (int arrivals into a long mart) are normal.
+        if partition_col is not None and partition_col in arrivals.columns:
+            mt = dict(mart.dtypes).get(partition_col)
+            at = dict(arrivals.dtypes).get(partition_col)
+            if mt is not None and mt != at:
+                raise ValueError(
+                    f"scd2_merge_batch: partition column {partition_col!r} "
+                    f"reads back from the mart's dir names as {mt} but the "
+                    f"arrival batch carries it as {at}. Dir-name type "
+                    "inference has re-typed the stored values (e.g. a "
+                    "numeric-looking string like '0123'), and a rewrite "
+                    "would fork the partition dirs. Use a value space "
+                    "whose type round-trips (int ids, or strings that "
+                    "don't all parse numeric), or migrate the mart.")
         value_cols = _mart_value_cols(mart.columns, surrogate_col)
         if hash_provenance is _READ_MARKER:
             hash_provenance = read_provenance(spark, mart_path)

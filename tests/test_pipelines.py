@@ -573,6 +573,67 @@ def test_scd2_merge_batch_preserves_evolved_column_across_buckets(
                    ("K-3", 30, 0, "n3"), ("K-3", 31, 1, "n3b")}
 
 
+def test_scd2_merge_batch_refuses_retyped_partition_column(
+        spark, tmp_path):
+    """The partition column is reconstructed from DIR NAMES, so a
+    numeric-looking STRING value ('0123') reads back as int — and a
+    rewrite would fork the partition (SRC=123 beside the surviving
+    SRC=0123, double-counting every read). The merge must detect the
+    dtype flip against the arrival batch and refuse BEFORE anything
+    merges; a non-numeric string partition value round-trips and
+    merges normally (control)."""
+    import os
+
+    import pytest
+
+    from pyspark_etl_project_spark.functions.hashing import row_fingerprint
+    from pyspark_etl_project_spark.operators.scd2 import (
+        read_mart, write_mart)
+    from pyspark_etl_project_spark.streaming.ingest import (
+        STREAM_HASH_COL, _mart_value_cols, scd2_merge_batch)
+
+    def seed_mart(path, src_val):
+        base = (spark.createDataFrame(
+            [(1, "K-1", 10, src_val, 1)],
+            "csd_id long, ssi string, v long, SRC string, "
+            "ACTIVE_FLAG int")
+            .withColumn("START_DATE",
+                        F.lit("2020-01-01 00:00:00").cast("timestamp"))
+            .withColumn("END_DATE",
+                        F.lit("2099-12-31 00:00:00").cast("timestamp")))
+        base = base.withColumn(STREAM_HASH_COL, row_fingerprint(
+            sorted(_mart_value_cols(base.columns, "csd_id"))))
+        write_mart(base, path, partition_col="SRC", key="ssi",
+                   num_buckets=4)
+
+    def merge(path, src_val):
+        batch = spark.createDataFrame([("K-1", 11, src_val)],
+                                      "ssi string, v long, SRC string")
+        return scd2_merge_batch(spark, batch, path,
+                                run_ts="2024-01-01 00:00:00", key="ssi",
+                                surrogate_col="csd_id", num_buckets=4,
+                                partition_col="SRC")
+
+    # All-numeric string dirs re-type to int on read: refuse loudly.
+    bad = str(tmp_path / "mart_bad")
+    seed_mart(bad, "0123")
+    import glob as _glob
+    before = sorted(_glob.glob(bad + "/**/*.parquet", recursive=True))
+    with pytest.raises(ValueError, match="reads back.*as int"):
+        merge(bad, "0123")
+    assert sorted(_glob.glob(bad + "/**/*.parquet",
+                             recursive=True)) == before
+    assert os.path.isdir(os.path.join(bad, "SRC=0123"))  # no fork
+
+    # Control: a non-numeric string value round-trips verbatim.
+    ok = str(tmp_path / "mart_ok")
+    seed_mart(ok, "web-a")
+    assert merge(ok, "web-a") == 1
+    rows = {(r["ssi"], r["v"], r["ACTIVE_FLAG"], r["SRC"]) for r in
+            read_mart(spark, ok).collect()}
+    assert rows == {("K-1", 10, 0, "web-a"), ("K-1", 11, 1, "web-a")}
+
+
 def test_scd2_merge_batch_caller_managed_hash_routes_duplicates(spark, tmp_path):
     """A mart seeded with a CALLER-computed SOURCE_HASH_KEY (not this
     module's fingerprint) still routes redelivery correctly when the
