@@ -551,14 +551,17 @@ def _widened_footer_schema(spark, path: str, depth: int):
             for duri in pdf["dir"]:
                 if duri.startswith("file:") or "://" not in duri:
                     d = urlparse(duri).path if ":" in duri else duri
-                    entries = [(_os.path.join(d, f), None)
-                               for f in _os.listdir(d)]
+                    entries = [(p, None) for p in
+                               (_os.path.join(d, f)
+                                for f in _os.listdir(d))
+                               if _os.path.isfile(p)]
                 else:
                     from pyarrow import fs as pafs
                     filesystem, rel = pafs.FileSystem.from_uri(duri)
                     infos = filesystem.get_file_info(
                         pafs.FileSelector(rel))
-                    entries = [(i.path, filesystem) for i in infos]
+                    entries = [(i.path, filesystem) for i in infos
+                               if i.type == pafs.FileType.File]
                 for fpath, filesystem in entries:
                     if _os.path.basename(fpath).startswith(("_", ".")):
                         continue
