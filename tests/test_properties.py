@@ -796,3 +796,89 @@ def test_widen_simple_types_lattice(types_a, types_b):
     if union is not None:
         assert wa is not None and wb is not None
         assert _widen_simple_types({wa, wb}) == union
+
+
+_SEG_POOL = st.sampled_from([None, "", "0123", "a:b", "s1"])
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), _SEG_POOL, st.booleans(),
+                          st.integers(0, 1)),
+                min_size=1, max_size=8))
+def test_vacuum_heal_matches_model(spark, rows):
+    """vacuum_mart_path equals the pure retention model for any mix
+    of: partition values needing verbatim round-trip (NULL and ''
+    both land in the Hive NULL-sentinel dir; '0123' must not re-type;
+    'a:b' is %-escaped on disk), TWO loads of different csd_id width
+    (int then long — surviving mixed-vintage files force the widening
+    heal), dynamic-overwrite collisions between the loads (load 2
+    replaces exactly the (seg, bucket) partitions it produces), and
+    arbitrary expiry — including the all-expired case, which must
+    REFUSE rather than delete the mart. The model is plain Python;
+    bucket ids come from one small Spark job so the overwrite is
+    modeled exactly."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        _vacuum_read, mart_bucket, vacuum_mart_path, write_mart)
+
+    HORIZON = "2023-01-01 00:00:00"
+    EXPIRED, OPEN = "2020-06-01 00:00:00", "2099-12-31 00:00:00"
+
+    loads = {0: [], 1: []}
+    for idx, (kid, seg, expired, load) in enumerate(rows):
+        csd = idx if load == 0 else idx + 2 ** 40
+        loads[load].append((csd, f"K-{kid}", seg, expired))
+
+    def frame(recs, id_type):
+        return (spark.createDataFrame(
+            [(c, k, s, EXPIRED if e else OPEN) for c, k, s, e in recs],
+            f"csd_id {id_type}, ssi string, seg string, END_DATE string")
+            .withColumn("START_DATE",
+                        F.lit("2020-01-01 00:00:00").cast("timestamp"))
+            .withColumn("END_DATE", F.col("END_DATE").cast("timestamp")))
+
+    # Bucket ids via Spark (xxhash64 is not re-implemented in Python).
+    keys = sorted({r[1] for load_recs in loads.values()
+                   for r in load_recs})
+    bmap = {r["ssi"]: r["b"] for r in
+            spark.createDataFrame([(k,) for k in keys], "ssi string")
+            .select("ssi", mart_bucket("ssi", 4).alias("b")).collect()}
+
+    def norm(seg):  # NULL and '' share the Hive sentinel dir
+        return None if seg in (None, "") else seg
+
+    work = tempfile.mkdtemp(prefix="vac_model_")
+    try:
+        path = work + "/mart"
+        for load in (0, 1):
+            if loads[load]:
+                write_mart(frame(loads[load],
+                                 "int" if load == 0 else "long"),
+                           path, partition_col="seg", key="ssi",
+                           num_buckets=4)
+        # Dynamic overwrite: load 1 replaced exactly the (seg, bucket)
+        # partitions it produced.
+        l1_parts = {(norm(s), bmap[k]) for _, k, s, _ in loads[1]}
+        alive = loads[1] + ([r for r in loads[0]
+                             if (norm(r[2]), bmap[r[1]]) not in l1_parts]
+                            if loads[1] else loads[0])
+        survivors = {(c, k, norm(s)) for c, k, s, e in alive if not e}
+
+        if not survivors:
+            with pytest.raises(ValueError, match="refusing to vacuum"):
+                vacuum_mart_path(spark, path, HORIZON,
+                                 partition_col="seg", key="ssi",
+                                 num_buckets=4)
+            return
+        vacuum_mart_path(spark, path, HORIZON, partition_col="seg",
+                         key="ssi", num_buckets=4)
+        back = {(int(r["csd_id"]), r["ssi"], r["seg"]) for r in
+                _vacuum_read(spark, path, "seg", 4)
+                .select("csd_id", "ssi", "seg").collect()}
+        assert back == survivors
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
