@@ -670,6 +670,22 @@ def _vacuum_read(spark, path: str, partition_col: str | None,
             df = df.drop(MART_BUCKET_COL)
         return df
 
+    # Bucket col is layout, not data (read_mart's contract) —
+    # write_mart re-derives it from the key on the rewrite.
+    return (spark.read.schema(_vacuum_schema(spark, path, part_cols))
+            .parquet(escape_glob(path))
+            .drop(MART_BUCKET_COL))
+
+
+def _vacuum_schema(spark, path: str, part_cols: list):
+    """The pinned full read schema for a PARTITIONED mart's vacuum-side
+    reads: data columns from the merged footers (or the widened
+    fallback on a type-evolved mix), every partition-dir column as
+    string (verbatim round-trip — see _vacuum_read's contract)."""
+    from pyspark.sql import types as T
+
+    from pyspark_etl_project_spark.operators.fs import escape_glob
+
     try:
         data_schema = (spark.read
                        .option("recursiveFileLookup", "true")
@@ -686,10 +702,7 @@ def _vacuum_read(spark, path: str, partition_col: str | None,
                          if f.name not in part_cols])
     for c in part_cols:
         full = full.add(c, T.StringType())
-    # Bucket col is layout, not data (read_mart's contract) —
-    # write_mart re-derives it from the key on the rewrite.
-    return (spark.read.schema(full).parquet(escape_glob(path))
-            .drop(MART_BUCKET_COL))
+    return full
 
 
 def vacuum_mart_path(spark, path: str, horizon_ts: str,
@@ -704,106 +717,164 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
     caller); the pre-write layout probe refuses a mismatch before any
     data moves.
 
-    Write shape: the filtered mart flows back through write_mart's
-    dynamic partition overwrite WITHOUT a touched-keys prune — every
-    surviving row re-derives its own bucket, so every partition that
-    still has survivors is rewritten in place. A partition whose rows
-    are ALL expired would be skipped by dynamic overwrite (nothing
-    produced for it), silently leaving the old files — so fully-dead
-    partitions are detected by re-deriving the surviving bucket set
-    and deleting the difference through the Hadoop FS API. The scan is
-    one pass, predicate pushed to parquet (END_DATE min/max row-group
-    pruning applies under the standard sort-on-write layout).
+    Write shape, expiry-pruned (round 13): one narrow stats pass
+    (END_DATE + the leaf partition columns only — column-pruned, no
+    other bytes read) classifies every (partition, bucket) LEAF as
+    clean (min END >= horizon, no NULLs: nothing to drop — its files
+    are left byte-untouched), dead (max END < horizon or all-NULL:
+    no survivors — its dir is deleted through the Hadoop FS API,
+    parent dirs included when a partition value dies whole), or
+    touched (has both expired and surviving rows — ONLY these leaves
+    are re-read, filtered and rewritten via dynamic overwrite).
+    Before this, every vacuum rewrote the WHOLE mart: at 100 TB a
+    retention pass dropping 1% of rows paid a 100% rewrite; now it
+    pays the narrow stats scan plus a rewrite proportional to the
+    leaves that actually hold expired rows. (Footer min/max stats
+    cannot replace the stats scan: Spark writes timestamps as INT96
+    by default, which carries NO parquet column statistics — also the
+    reason the pushed END_DATE filter cannot row-group-prune on this
+    layout.) Rows with NULL END_DATE never satisfy `END >= horizon`,
+    so they are dropped by the rewrite, as before — a leaf containing
+    them is classified touched (or dead when nothing survives).
+
+    The heal (type-widened marts) applies to the leaves the vacuum
+    rewrites: clean leaves keep their on-disk vintage — every
+    vacuum-side read pins the merged/widened schema, so mixed-vintage
+    marts stay readable and heal progressively as retention touches
+    them.
 
     Run it BETWEEN loads/streams, like every maintenance pass here:
     dynamic overwrite of a mart another writer owns mid-run would
     interleave two rewrite sets."""
     from pyspark.storagelevel import StorageLevel
 
-    from pyspark_etl_project_spark.operators.fs import hadoop_fs
+    from pyspark_etl_project_spark.operators.fs import (
+        escape_glob, hadoop_fs)
 
-    mart = _vacuum_read(spark, path, partition_col, num_buckets)
-    # Persisted across its two consumers (the survivor collect below
-    # and the rewrite) so the mart scans once, not twice.
-    kept = (vacuum_expired(mart, horizon_ts)
-            .persist(StorageLevel.MEMORY_AND_DISK))
-    try:
-        # A vacuum that would empty the mart entirely is refused: the
-        # rewrite would produce no partitions, the dead-dir sweep
-        # would then delete every partition dir, and the remaining
+    def refuse() -> ValueError:
+        # A vacuum that would empty the mart entirely is refused: a
         # file-less root crashes every subsequent read ("Unable to
         # infer schema"). Deleting a whole mart is an explicit caller
         # action, not a retention side effect.
-        if kept.limit(1).count() == 0:
-            raise ValueError(
-                f"vacuum_mart_path: horizon {horizon_ts} would expire "
-                f"EVERY row of the mart at {path}; refusing to vacuum "
-                "a mart to empty — delete the mart explicitly if that "
-                "is intended")
-        # The dead-dir sweep compares DIRECTORY NAMES, so survivor
-        # values must be rendered exactly as the writer renders them:
-        # Hive path-escaping for special characters and the
-        # __HIVE_DEFAULT_PARTITION__ sentinel for NULL/empty — a
-        # raw-string compare would mismatch (e.g. 'a:b' vs dir
-        # 'a%3Ab') and delete a LIVE partition. Spark's OWN renderer
-        # (getPartitionPathString, which applies the escaping AND the
-        # sentinel special cases itself and returns the full
-        # 'col=value' dir name) is called via the JVM, so the compare
-        # cannot drift from the write side — no rule is
-        # re-implemented here.
-        esc = spark.sparkContext._jvm.org.apache.spark.sql.catalyst \
-            .catalog.ExternalCatalogUtils
+        return ValueError(
+            f"vacuum_mart_path: horizon {horizon_ts} would expire "
+            f"EVERY row of the mart at {path}; refusing to vacuum "
+            "a mart to empty — delete the mart explicitly if that "
+            "is intended")
 
-        parts_cols, part_names = [], []
-        if partition_col is not None:
-            parts_cols.append(F.col(partition_col).cast("string"))
-            part_names.append(partition_col)
-        if num_buckets is not None:
-            parts_cols.append(mart_bucket(key, num_buckets).cast("string"))
-            part_names.append(MART_BUCKET_COL)
-
-        def dir_names(r) -> tuple:
-            return tuple(
-                esc.getPartitionPathString(
-                    c, None if v is None else str(v))
-                for c, v in zip(part_names, r))
-
-        # Survivor partitions are collected BEFORE the rewrite: kept's
-        # plan holds the PRE-write file listing, and re-executing it
-        # after the overwrite would race the deleted files. Bounded
-        # collect: ≤ sources × num_buckets pairs, column-pruned scan.
-        survivors = ({dir_names(r) for r in
-                      kept.select(*parts_cols).distinct().collect()}
-                     if parts_cols else None)
-        write_mart(kept, path, partition_col=partition_col, key=key,
-                   num_buckets=num_buckets, materialize_first=True)
-    finally:
-        kept.unpersist()
-    if survivors is None:
-        return  # unpartitioned layout: full-dir overwrite, nothing stale
-    _, fs, jroot = hadoop_fs(spark, path)
-    prefixes = ([partition_col] if partition_col is not None else []) \
+    part_cols = ([partition_col] if partition_col is not None else []) \
         + ([MART_BUCKET_COL] if num_buckets is not None else [])
-    # One membership set per layout level: a dir whose value-prefix
-    # matches NO survivor is deleted as a whole subtree — this both
-    # removes a fully-dead parent partition dir (deleting only its
-    # leaf bucket dirs would leave an empty `pcol=x` shell behind) and
-    # prunes the walk (a dead source's buckets are never even listed —
-    # the sweep stays O(live dirs), not O(all dirs)).
-    prefix_sets = [{sv[:d + 1] for sv in survivors}
-                   for d in range(len(prefixes))]
+    # The horizon is parsed by SPARK (same cast the filter uses), so
+    # the driver-side stats compare cannot drift from the rewrite's
+    # predicate semantics.
+    hz = spark.range(1).select(
+        F.lit(horizon_ts).cast("timestamp").alias("t")).first()["t"]
+    if hz is None:
+        raise ValueError(
+            f"vacuum_mart_path: unparseable horizon {horizon_ts!r}")
 
-    def walk(jdir, depth, values):
-        for s in fs.listStatus(jdir):
-            name = s.getPath().getName()
-            if name.startswith(("_", ".")) or not s.isDirectory():
-                continue
-            if not name.startswith(prefixes[depth] + "="):
-                continue
-            vals = values + (name,)
-            if vals not in prefix_sets[depth]:
-                fs.delete(s.getPath(), True)
-            elif depth + 1 < len(prefixes):
-                walk(s.getPath(), depth + 1, vals)
+    if not part_cols:
+        # UNPARTITIONED layout: a single leaf. Stats decide no-op /
+        # refusal; otherwise it is a full-dir overwrite as before.
+        mart = _vacuum_read(spark, path, None, None)
+        st = mart.agg(F.min("END_DATE").alias("mn"),
+                      F.max("END_DATE").alias("mx"),
+                      F.max(F.col("END_DATE").isNull()).alias("nn")) \
+                 .first()
+        if st["mx"] is None or st["mx"] < hz:
+            raise refuse()
+        if not st["nn"] and st["mn"] is not None and st["mn"] >= hz:
+            return  # nothing to drop: leave the files byte-untouched
+        kept = (vacuum_expired(mart, horizon_ts)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            write_mart(kept, path, partition_col=None, key=key,
+                       num_buckets=None, materialize_first=True)
+        finally:
+            kept.unpersist()
+        return
 
-    walk(jroot, 0, ())
+    schema = _vacuum_schema(spark, path, part_cols)
+    full = spark.read.schema(schema).parquet(escape_glob(path))
+    # ONE narrow pass: leaf partition columns + END_DATE (column
+    # pruning leaves every other byte unread). Bounded result:
+    # ≤ sources × num_buckets rows.
+    stats = (full.groupBy(*part_cols)
+             .agg(F.min("END_DATE").alias("mn"),
+                  F.max("END_DATE").alias("mx"),
+                  F.max(F.col("END_DATE").isNull()).alias("nn"))
+             .collect())
+    # Leaf dirs are rendered by Spark's OWN renderer
+    # (getPartitionPathString: Hive escaping + the
+    # __HIVE_DEFAULT_PARTITION__ sentinel for NULL/empty), so names
+    # cannot drift from what the writer produced. Rendering is one
+    # py4j call per component, so it is done ONLY for the dead and
+    # touched leaves — the (usually dominant) clean set costs zero
+    # round trips. Leaf identity by raw read-back value is exact:
+    # the pinned read already normalized dir values (NULL/'' both
+    # come back NULL), so no two stats rows share a dir.
+    esc = spark.sparkContext._jvm.org.apache.spark.sql.catalyst \
+        .catalog.ExternalCatalogUtils
+
+    def leaf(vals) -> tuple:
+        return tuple(
+            esc.getPartitionPathString(
+                c, None if v is None else str(v))
+            for c, v in zip(part_cols, vals))
+
+    dead, touched = [], []
+    alive_first = set()
+    for r in stats:
+        vals = tuple(r[c] for c in part_cols)
+        if r["mx"] is None or r["mx"] < hz:
+            dead.append(vals)             # no survivors in this leaf
+        elif r["nn"] or (r["mn"] is not None and r["mn"] < hz):
+            touched.append(vals)          # something to drop, rest stays
+            alive_first.add(vals[0])
+        else:
+            # clean — not read again, not rewritten, files untouched
+            alive_first.add(vals[0])
+    if len(dead) == len(stats):
+        raise refuse()
+    touched = [leaf(v) for v in touched]
+
+    if touched:
+        base = path.rstrip("/")
+        dirs = [base + "/" + "/".join(lf) for lf in touched]
+        # Re-read ONLY the touched leaves (explicit subdirs + basePath
+        # keeps the listing O(touched); the pinned schema keeps the
+        # partition values verbatim), filter, and dynamic-overwrite
+        # exactly those leaves — every touched leaf has at least one
+        # survivor (max END >= horizon), so none is silently skipped.
+        kept = vacuum_expired(
+            spark.read.schema(schema).option("basePath", path)
+                 .parquet(*[escape_glob(d) for d in dirs])
+                 .drop(MART_BUCKET_COL),
+            horizon_ts).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            write_mart(kept, path, partition_col=partition_col, key=key,
+                       num_buckets=num_buckets, materialize_first=True)
+        finally:
+            kept.unpersist()
+
+    if dead:
+        from collections import defaultdict
+
+        jvm, fs, _ = hadoop_fs(spark, path)
+        base = path.rstrip("/")
+        # First-level values with NO alive leaf die as a whole subtree
+        # (removing only bucket leaves would leave an empty pcol=x
+        # shell); otherwise only the dead leaf dirs are removed.
+        # Comparison stays in RAW value space (alive_first above);
+        # rendering happens once per deleted path.
+        by_first = defaultdict(list)
+        for vals in dead:
+            by_first[vals[0]].append(vals)
+        for first, dead_vals in by_first.items():
+            if first not in alive_first:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(
+                    base + "/" + leaf(dead_vals[0])[0]), True)
+            else:
+                for vals in dead_vals:
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(
+                        base + "/" + "/".join(leaf(vals))), True)

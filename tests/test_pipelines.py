@@ -1679,7 +1679,10 @@ def test_vacuum_mart_path_heals_type_widened_mart(spark, tmp_path):
     the vacuum's fallback pins the reader-verified supertype from a
     distributed footer scan and the rewrite HEALS the mart: survivors
     come back uniformly bigint, values intact — including one above
-    2^31 that an int pin would have corrupted."""
+    2^31 that an int pin would have corrupted. Each key carries an
+    expired older version IN THE SAME LEAF as its open one (the
+    standard SCD2 shape), so both leaves are expiry-TOUCHED — the
+    pruned vacuum heals exactly the leaves it rewrites."""
     from pyspark_etl_project_spark.operators.scd2 import (
         vacuum_mart_path, write_mart)
 
@@ -1691,15 +1694,15 @@ def test_vacuum_mart_path_heals_type_widened_mart(spark, tmp_path):
                             F.col("END_DATE").cast("timestamp")))
 
     path = str(tmp_path / "mart")
-    # Load 1 (source A): csd_id INT; one expired row, one survivor.
-    write_mart(hist([(1, "K-1", "A", "2020-06-01 00:00:00"),
+    # Load 1 (source A): csd_id INT; K-2's expired predecessor + open.
+    write_mart(hist([(1, "K-2", "A", "2020-06-01 00:00:00"),
                      (2, "K-2", "A", "2099-12-31 00:00:00")],
                     "csd_id int, ssi string, SOURCE string, "
                     "END_DATE string"),
                path, partition_col="SOURCE", key="ssi", num_buckets=4)
     # Load 2 (source B): csd_id LONG, with a value int cannot hold.
     write_mart(hist([(2 ** 40, "K-3", "B", "2099-12-31 00:00:00"),
-                     (5, "K-4", "B", "2020-06-01 00:00:00")],
+                     (2 ** 40 + 1, "K-3", "B", "2020-06-01 00:00:00")],
                     "csd_id long, ssi string, SOURCE string, "
                     "END_DATE string"),
                path, partition_col="SOURCE", key="ssi", num_buckets=4)
@@ -1752,6 +1755,68 @@ def test_vacuum_mart_path_refuses_unwidenable_type_conflict(
                          partition_col="SOURCE", key="ssi", num_buckets=4)
     after = sorted(_glob.glob(path + "/**/*.parquet", recursive=True))
     assert before == after  # refusal happened before any data moved
+
+
+def test_vacuum_mart_path_prunes_clean_leaves(spark, tmp_path):
+    """The expiry-pruned vacuum touches exactly the leaves the stats
+    classify: a CLEAN leaf (nothing expired) keeps its files
+    byte-untouched (same paths, same mtimes — at 100 TB this is the
+    difference between a 1% rewrite and a 100% rewrite), a TOUCHED
+    leaf is rewritten without its expired rows, and a fully-dead
+    partition value's subtree is deleted whole. K-1 hashes to bucket
+    3, K-2 to bucket 0, K-3 to bucket 1 (xxhash64 % 4) — distinct
+    leaves by construction."""
+    import glob as _glob
+    import os
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        read_mart, vacuum_mart_path, write_mart)
+
+    def hist(rows):
+        return (spark.createDataFrame(
+            rows, "csd_id long, ssi string, SOURCE string, "
+                  "END_DATE string")
+            .withColumn("START_DATE",
+                        F.lit("2020-01-01 00:00:00").cast("timestamp"))
+            .withColumn("END_DATE", F.col("END_DATE").cast("timestamp")))
+
+    path = str(tmp_path / "mart")
+    write_mart(hist([
+        (1, "K-2", "A", "2099-12-31 00:00:00"),     # clean leaf (A, 0)
+        (2, "K-1", "A", "2020-06-01 00:00:00"),     # touched leaf (A, 3)
+        (3, "K-1", "A", "2099-12-31 00:00:00"),
+        (4, "K-3", "GONE", "2020-06-01 00:00:00"),  # dead leaf + parent
+    ]), path, partition_col="SOURCE", key="ssi", num_buckets=4)
+
+    def listing(d):
+        return sorted((p, os.path.getmtime(p)) for p in
+                      _glob.glob(os.path.join(d, "*.parquet")))
+
+    clean_dir = os.path.join(path, "SOURCE=A", "MART_BUCKET=0")
+    touched_dir = os.path.join(path, "SOURCE=A", "MART_BUCKET=3")
+    clean_before = listing(clean_dir)
+    touched_before = listing(touched_dir)
+    assert clean_before and touched_before
+
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col="SOURCE", key="ssi", num_buckets=4)
+    assert listing(clean_dir) == clean_before        # byte-untouched
+    assert listing(touched_dir) != touched_before    # rewritten
+    assert not os.path.isdir(os.path.join(path, "SOURCE=GONE"))
+    got = {(r["csd_id"], r["ssi"]) for r in
+           read_mart(spark, path).select("csd_id", "ssi").collect()}
+    assert got == {(1, "K-2"), (3, "K-1")}
+
+    # Second vacuum at the same horizon: everything is now clean —
+    # a pure no-op, nothing rewritten anywhere.
+    all_before = sorted((p, os.path.getmtime(p)) for p in
+                        _glob.glob(path + "/**/*.parquet",
+                                   recursive=True))
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col="SOURCE", key="ssi", num_buckets=4)
+    assert sorted((p, os.path.getmtime(p)) for p in
+                  _glob.glob(path + "/**/*.parquet",
+                             recursive=True)) == all_before
 
 
 def test_vacuum_mart_path_unpartitioned_schema_evolution(spark, tmp_path):

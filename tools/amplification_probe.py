@@ -700,6 +700,71 @@ def probe_vacuum_mart_path(spark: SparkSession, n: int) -> None:
                      partition_col=None, key="ssi", num_buckets=nb)
 
 
+_VAC_SPARSE_PROBE: dict[int, list] = {}
+
+
+def _vac_sparse_probe_setup(spark: SparkSession, sizes: list[int],
+                            count: int | None = None) -> None:
+    """Marts where expiry is SPARSE — only bucket 0 holds any expired
+    rows (half of them), every other bucket is fully alive. The
+    expiry-pruned vacuum should classify all-but-one leaf clean and
+    rewrite ONE bucket regardless of mart size."""
+    import tempfile
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        mart_bucket, write_mart)
+
+    for size in sizes:
+        if size in _VAC_SPARSE_PROBE:
+            continue
+        nb = max(32, (size * 32) // _VAC_BASE)
+        b = mart_bucket("ssi", nb)
+        state: list = [nb]
+        for _ in range(count if count is not None
+                       else (2 if size == _VAC_BASE else 1)):
+            seed = (spark.range(size).select(
+                F.col("id").alias("csd_id"),
+                F.concat(F.lit("K-"), F.col("id")).alias("ssi"),
+                F.lit(1).alias("ACTIVE_FLAG"),
+                F.lit("2020-01-01 00:00:00").cast("timestamp")
+                 .alias("START_DATE"))
+                .withColumn(
+                    "END_DATE",
+                    F.when((b == 0) & (F.col("csd_id") % 2 == 0),
+                           F.lit("2020-06-01 00:00:00"))
+                     .otherwise(F.lit("2099-12-31 00:00:00"))
+                     .cast("timestamp"))
+                .repartition(min(nb, 4096), b))
+            path = tempfile.mkdtemp(prefix=f"vacsparse{size}_") + "/mart"
+            write_mart(seed, path, partition_col=None, key="ssi",
+                       num_buckets=nb)
+            state.append(path)
+        _VAC_SPARSE_PROBE[size] = state
+
+
+def probe_vacuum_sparse_expiry(spark: SparkSession, n: int) -> None:
+    """The expiry-pruned vacuum's headline case: expired rows live in
+    ONE bucket out of 32-per-base-unit, so the pass should pay the
+    narrow stats scan (END_DATE column only — linear but a sliver of
+    mart bytes) plus a SINGLE-leaf rewrite (constant). Before the
+    round-13 pruning, this vacuum rewrote the whole mart — the probe
+    falsifies any regression back toward O(mart) rewrite by comparing
+    against probe_vacuum_mart_path's rewrite-dominated ratio and
+    absolute times."""
+    from pyspark_etl_project_spark.operators.scd2 import vacuum_mart_path
+
+    _vac_sparse_probe_setup(spark,
+                            [n, n * AMP] if n == _VAC_BASE else [n])
+    state = _VAC_SPARSE_PROBE[n]
+    if len(state) < 2:
+        del _VAC_SPARSE_PROBE[n]
+        _vac_sparse_probe_setup(spark, [n], count=1)
+        state = _VAC_SPARSE_PROBE[n]
+    nb, path = state[0], state.pop(1)
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col=None, key="ssi", num_buckets=nb)
+
+
 _VAC_WIDEN_PROBE: dict[int, list] = {}
 
 
@@ -934,8 +999,10 @@ PROBES = {
     "band_index_batch_50_fresh": (probe_band_index_batch, _BAND_BASE),
     # round-11: the destructive maintenance passes gated this round
     "vacuum_mart_path_third_dead": (probe_vacuum_mart_path, _VAC_BASE),
-    # round-13: the type-widening heal path
+    # round-13: the type-widening heal path + the expiry-pruned pass
     "vacuum_widened_heal_int_long": (probe_vacuum_widened_heal,
+                                     _VAC_BASE),
+    "vacuum_sparse_expiry_1bucket": (probe_vacuum_sparse_expiry,
                                      _VAC_BASE),
     "band_index_compact_100x_buckets": (probe_band_index_compact,
                                         _BAND_BASE),
