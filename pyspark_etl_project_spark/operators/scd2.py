@@ -807,20 +807,28 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
     # Leaf dirs are rendered by Spark's OWN renderer
     # (getPartitionPathString: Hive escaping + the
     # __HIVE_DEFAULT_PARTITION__ sentinel for NULL/empty), so names
-    # cannot drift from what the writer produced. Rendering is one
-    # py4j call per component, so it is done ONLY for the dead and
-    # touched leaves — the (usually dominant) clean set costs zero
-    # round trips. Leaf identity by raw read-back value is exact:
-    # the pinned read already normalized dir values (NULL/'' both
-    # come back NULL), so no two stats rows share a dir.
+    # cannot drift from what the writer produced. Each render is one
+    # py4j round trip, so results are CACHED per distinct value —
+    # user partition values are bounded by the source count, and the
+    # bucket component skips the JVM entirely (pmod-derived integers:
+    # never NULL, never escaped — the rendering is the identity
+    # `MART_BUCKET=<n>`). Leaf identity by raw read-back value is
+    # exact: the pinned read already normalized dir values (NULL/''
+    # both come back NULL), so no two stats rows share a dir.
     esc = spark.sparkContext._jvm.org.apache.spark.sql.catalyst \
         .catalog.ExternalCatalogUtils
+    _render_cache: dict = {}
+
+    def _render(col: str, v) -> str:
+        if col == MART_BUCKET_COL and v is not None:
+            return f"{col}={v}"
+        if (col, v) not in _render_cache:
+            _render_cache[(col, v)] = esc.getPartitionPathString(
+                col, None if v is None else str(v))
+        return _render_cache[(col, v)]
 
     def leaf(vals) -> tuple:
-        return tuple(
-            esc.getPartitionPathString(
-                c, None if v is None else str(v))
-            for c, v in zip(part_cols, vals))
+        return tuple(_render(c, v) for c, v in zip(part_cols, vals))
 
     dead, touched = [], []
     alive_first = set()
