@@ -705,6 +705,20 @@ def _vacuum_schema(spark, path: str, part_cols: list):
     return full
 
 
+def _leaf_expiry_stats(full: DataFrame, part_cols: list) -> DataFrame:
+    """Per-leaf expiry statistics driving the pruned vacuum: min/max
+    END_DATE and a NULL-presence flag, grouped by the leaf partition
+    columns. Deliberately touches NO other column — the vacuum's
+    scale claim is that classification costs a sliver of mart bytes,
+    and the plan test pins this frame's scan ReadSchema to exactly
+    END_DATE (partition columns come from dir names, not file
+    bytes)."""
+    return (full.groupBy(*part_cols)
+            .agg(F.min("END_DATE").alias("mn"),
+                 F.max("END_DATE").alias("mx"),
+                 F.max(F.col("END_DATE").isNull()).alias("nn")))
+
+
 def vacuum_mart_path(spark, path: str, horizon_ts: str,
                      partition_col: str | None = None,
                      key: str = KEY,
@@ -797,13 +811,10 @@ def vacuum_mart_path(spark, path: str, horizon_ts: str,
     schema = _vacuum_schema(spark, path, part_cols)
     full = spark.read.schema(schema).parquet(escape_glob(path))
     # ONE narrow pass: leaf partition columns + END_DATE (column
-    # pruning leaves every other byte unread). Bounded result:
+    # pruning leaves every other byte unread — a plan test pins the
+    # scan's ReadSchema to exactly END_DATE). Bounded result:
     # ≤ sources × num_buckets rows.
-    stats = (full.groupBy(*part_cols)
-             .agg(F.min("END_DATE").alias("mn"),
-                  F.max("END_DATE").alias("mx"),
-                  F.max(F.col("END_DATE").isNull()).alias("nn"))
-             .collect())
+    stats = _leaf_expiry_stats(full, part_cols).collect()
     # Leaf dirs are rendered by Spark's OWN renderer
     # (getPartitionPathString: Hive escaping + the
     # __HIVE_DEFAULT_PARTITION__ sentinel for NULL/empty), so names

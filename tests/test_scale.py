@@ -474,10 +474,13 @@ def test_vacuum_pinned_read_pushes_filter_and_keeps_strings(spark, tmp_path):
     """The vacuum pass's pinned-schema read (round 12: explicit
     merged-footer schema instead of partition discovery) must not cost
     the scan its pushdown: the retention predicate has to reach the
-    parquet scan as a PushedFilter (END_DATE min/max row-group pruning
-    is the scan's only defense at 100 TB), the read schema must stay
-    column-prunable, and partition columns must come back as verbatim
-    STRINGS (numeric-looking dirs like SRC=0123 must not re-type)."""
+    parquet scan as a PushedFilter (NB: INT96 timestamps carry no
+    parquet stats, so the pushed filter cannot row-group-prune on this
+    layout — the r13 expiry-pruned vacuum exists for exactly that
+    reason; the pushed filter still short-circuits row decoding), the
+    read schema must stay column-prunable, and partition columns must
+    come back as verbatim STRINGS (numeric-looking dirs like SRC=0123
+    must not re-type)."""
     from pyspark_etl_project_spark.operators.scd2 import (
         _vacuum_read, vacuum_expired, write_mart)
 
@@ -502,3 +505,33 @@ def test_vacuum_pinned_read_pushes_filter_and_keeps_strings(spark, tmp_path):
     assert pushed, plan
     assert "IsNotNull(END_DATE)" in pushed[0]
     assert "GreaterThanOrEqual(END_DATE" in pushed[0]
+
+
+def test_vacuum_stats_scan_reads_only_end_date(spark, tmp_path):
+    """The expiry-pruned vacuum's whole premise is that leaf
+    classification costs a SLIVER of mart bytes: the stats frame's
+    parquet scan must read exactly END_DATE (partition columns come
+    from dir names, not file bytes). If an edit accidentally widens
+    that aggregate, this pins the regression at plan level."""
+    from pyspark_etl_project_spark.operators.scd2 import (
+        MART_BUCKET_COL, _leaf_expiry_stats, _vacuum_schema, write_mart)
+
+    mart = spark.createDataFrame(
+        [(1, "K-1", "A", "x" * 20, "2099-12-31 00:00:00")],
+        "csd_id long, ssi string, SOURCE string, payload string, "
+        "END_DATE string") \
+        .withColumn("END_DATE", F.col("END_DATE").cast("timestamp"))
+    path = str(tmp_path / "mart")
+    write_mart(mart, path, partition_col="SOURCE", key="ssi",
+               num_buckets=4)
+
+    part_cols = ["SOURCE", MART_BUCKET_COL]
+    full = spark.read.schema(_vacuum_schema(spark, path, part_cols)) \
+        .parquet(path)
+    plan = _formatted_plan(_leaf_expiry_stats(full, part_cols))
+    read = [l for l in plan.splitlines() if "ReadSchema:" in l]
+    assert read, plan
+    # Exactly the one data column — payload/csd_id/ssi must be pruned.
+    assert "END_DATE" in read[0]
+    for col in ("payload", "csd_id", "ssi"):
+        assert col not in read[0], read[0]
