@@ -882,3 +882,90 @@ def test_vacuum_heal_matches_model(spark, rows):
         assert back == survivors
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- connected components vs a pure union-find model -----------------------
+
+
+def _unionfind_min_labels(n_nodes: int, edges: list[tuple[int, int]]):
+    """Pure model: every node maps to the MIN node id reachable through
+    the undirected edge set — the operator's documented contract."""
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # Min-representative: roots were always merged toward the smaller
+    # id, so find(x) IS the component minimum.
+    return {x: find(x) for x in range(n_nodes)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=1, max_value=9),
+       st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                max_size=10))
+@example(8, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)])
+@example(6, [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0), (0, 5)])
+def test_connected_clusters_match_unionfind_model(spark, n_nodes, raw_edges):
+    """connected_dedup_clusters (iterative min-label propagation with
+    pointer doubling, extensions/dedup.py) equals a pure union-find
+    model for arbitrary small graphs: isolated nodes label themselves,
+    self-loops are inert, and the two @example chains force >2 rounds
+    so the path-halving arm (it >= 2) is exercised, including the
+    cycle-closing edge case."""
+    from pyspark_etl_project_spark.extensions.dedup import connected_dedup_clusters
+
+    edges = [(a % n_nodes, b % n_nodes) for a, b in raw_edges]
+    ids = spark.createDataFrame([(i,) for i in range(n_nodes)],
+                                "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long") \
+        if edges else spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_dedup_clusters(pairs, ids).collect()}
+    assert got == _unionfind_min_labels(n_nodes, edges)
+
+
+# --- winnowing fingerprints vs the SIGMOD-2003 paper model -----------------
+
+
+_WIN_TOKEN = st.sampled_from(["a", "b", "ab", "x1", "zz", "q"])
+
+
+def _winnow_model(toks: list[str], k: int, window: int) -> set[int]:
+    import hashlib
+
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hashes = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+              for g in grams]
+    n = len(hashes)
+    return {min(hashes[p:p + window]) for p in range(n - window + 1)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_WIN_TOKEN, max_size=14),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=1, max_value=4))
+@example(["a", "a", "a", "a", "a", "a"], 2, 3)  # constant-hash windows
+@example([], 3, 4)
+@example(["a", "b"], 3, 4)  # shorter than one gram
+def test_winnowing_matches_python_model(spark, toks, k, window):
+    """winnowing_fingerprints (extensions/text.py) equals the pure
+    paper model — hash every k-gram (first 8 md5 hex digits), take the
+    min of every ``window`` consecutive hashes, dedupe — including the
+    documented too-short contract (fewer than k + window - 1 tokens
+    yields NO rows) and all-identical-token documents where every
+    window shares one hash."""
+    from pyspark_etl_project_spark.extensions.text import winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, body string")
+    got = {r["fp"] for r in
+           winnowing_fingerprints(df, "doc_id", "body",
+                                  k=k, window=window).collect()}
+    assert got == _winnow_model(toks, k, window)
