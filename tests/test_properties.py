@@ -969,3 +969,38 @@ def test_winnowing_matches_python_model(spark, toks, k, window):
            winnowing_fingerprints(df, "doc_id", "body",
                                   k=k, window=window).collect()}
     assert got == _winnow_model(toks, k, window)
+
+
+# --- IVF at full probe width equals brute force -----------------------------
+
+
+_VEC = st.lists(st.integers(min_value=-5, max_value=5), min_size=4,
+                max_size=4).filter(lambda v: any(x != 0 for x in v))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_VEC, min_size=2, max_size=12),
+       _VEC,
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=1, max_value=5))
+def test_ivf_full_probe_equals_brute_force(spark, vecs, qvec, n_cents, k):
+    """With nprobe == nlist every IVF cell is probed, so the candidate
+    set is the whole corpus and ivf_topk must return EXACTLY
+    brute_force_topk's rows (same rounding, same id tiebreak) — for any
+    corpus, any query, any centroid choice, any k. This pins that the
+    cell-assignment partition is exhaustive and non-overlapping: a
+    vector falling out of every cell (or into two) would break the
+    equality."""
+    from pyspark_etl_project_spark.extensions.similarity import (
+        brute_force_topk, ivf_topk)
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in qvec]
+    cent_ids = list(range(min(n_cents, len(rows))))
+    exact = [(r["vec_id"], r["cos_sim"])
+             for r in brute_force_topk(emb, q, k=k).collect()]
+    ivf = [(r["vec_id"], r["cos_sim"])
+           for r in ivf_topk(emb, q, cent_ids, k=k,
+                             nprobe=len(cent_ids)).collect()]
+    assert ivf == exact
