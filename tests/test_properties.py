@@ -1004,3 +1004,78 @@ def test_ivf_full_probe_equals_brute_force(spark, vecs, qvec, n_cents, k):
            for r in ivf_topk(emb, q, cent_ids, k=k,
                              nprobe=len(cent_ids)).collect()]
     assert ivf == exact
+
+
+# --- BPE trainer/encoder vs a pure-Python model ------------------------------
+
+
+_BPE_WORD = st.sampled_from(["aa", "ab", "aba", "baa", "b", "abab", "a0a"])
+
+
+def _bpe_fold(sym: list[str], l: str, r: str, m: str) -> list[str]:
+    """Greedy leftmost non-overlapping merge — the engine's array fold."""
+    acc: list[str] = []
+    for x in sym:
+        if acc and acc[-1] == l and x == r:
+            acc[-1] = m
+        else:
+            acc.append(x)
+    return acc
+
+
+def _bpe_model(docs: list[list[str]], n_merges: int):
+    """Pure model of bpe_train + per-word final symbol arrays: count
+    adjacent pairs over the (distinct word, freq) vocabulary, take the
+    (count desc, l asc, r asc) top pair, fold it into every word,
+    repeat."""
+    freq: dict[str, int] = {}
+    for d in docs:
+        for w in d:
+            freq[w] = freq.get(w, 0) + 1
+    syms = {w: list(w) for w in freq}
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) \
+                    + freq[w]
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        m = l + r
+        syms = {w: _bpe_fold(s, l, r, m) for w, s in syms.items()}
+        merges.append((rnd, l, r, m, n))
+    return merges, syms
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(_BPE_WORD, min_size=1, max_size=6),
+                min_size=1, max_size=5),
+       st.integers(min_value=1, max_value=4))
+@example([["aa", "aa", "aaa"]], 3)  # overlapping-run merges, multi-round
+def test_bpe_train_and_encode_match_model(spark, docs, n_merges):
+    """bpe_train's merge table and bpe_encode_stats' n_bpe_tokens equal
+    a pure-Python BPE model (pair counts over the distinct-word
+    vocabulary, total-order tie-break, greedy leftmost non-overlapping
+    fold) — including repeated-symbol runs where the fold must not
+    re-merge the symbol it just created."""
+    from pyspark_etl_project_spark.extensions.text import (
+        bpe_encode_stats, bpe_train)
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+
+    want_merges, want_syms = _bpe_model(docs, n_merges)
+    got_merges = [(r["merge_round"], r["sym_l"], r["sym_r"], r["merged"],
+                   r["pair_count"])
+                  for r in bpe_train(df, "body", n_merges)
+                  .orderBy("merge_round").collect()]
+    assert got_merges == want_merges
+
+    want_tokens = {i: sum(len(want_syms[w]) for w in d)
+                   for i, d in enumerate(docs)}
+    got_tokens = {r["doc_id"]: r["n_bpe_tokens"] for r in
+                  bpe_encode_stats(df, "doc_id", "body",
+                                   n_merges=n_merges).collect()}
+    assert got_tokens == want_tokens
