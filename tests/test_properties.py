@@ -1079,3 +1079,61 @@ def test_bpe_train_and_encode_match_model(spark, docs, n_merges):
                   bpe_encode_stats(df, "doc_id", "body",
                                    n_merges=n_merges).collect()}
     assert got_tokens == want_tokens
+
+
+# --- duplicate-span stats/scrub vs a positional-cover model -----------------
+
+
+def _span_cover_model(docs: list[list[str]], k: int, min_count: int):
+    """Pure model: a position is covered iff some k-window containing a
+    corpus-duplicated gram covers it; merged spans are the contiguous
+    runs of covered positions."""
+    counts: dict[str, int] = {}
+    for d in docs:
+        for i in range(len(d) - k + 1):
+            g = " ".join(d[i:i + k])
+            counts[g] = counts.get(g, 0) + 1
+    out = []
+    for d in docs:
+        covered: set[int] = set()
+        for i in range(len(d) - k + 1):
+            if counts[" ".join(d[i:i + k])] >= min_count:
+                covered.update(range(i, i + k))
+        runs = sum(1 for p in covered if p - 1 not in covered)
+        clean = " ".join(t for p, t in enumerate(d) if p not in covered)
+        out.append((len(d), runs, len(covered), clean))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]),
+                         max_size=10), min_size=1, max_size=4),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=2, max_value=3))
+@example([["a", "b", "a", "b", "a"]], 2, 2)   # overlapping self-duplicate
+@example([["a"], []], 2, 2)                    # shorter than one gram
+def test_duplicate_span_ops_match_cover_model(spark, docs, k, min_count):
+    """duplicate_span_stats and duplicate_span_scrub both equal the
+    positional-cover model: dup_tokens is the size of the union of
+    duplicated k-windows, n_dup_spans the number of contiguous covered
+    runs, and the scrubbed text is exactly the uncovered tokens in
+    order — including within-document self-duplicates (the corpus
+    count is over occurrences, not documents) and docs too short for
+    any gram."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        duplicate_span_scrub, duplicate_span_stats)
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    want = _span_cover_model(docs, k, min_count)
+
+    stats = {r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"],
+                           r["clean_tokens"])
+             for r in duplicate_span_stats(df, "doc_id", "body",
+                                           k=k, min_count=min_count).collect()}
+    scrub = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["kept_tokens"])
+             for r in duplicate_span_scrub(df, "doc_id", "body",
+                                           k=k, min_count=min_count).collect()}
+    for i, (n, runs, cov, clean) in enumerate(want):
+        assert stats[i] == (n, runs, cov, n - cov), f"doc {i}"
+        assert scrub[i] == (clean, n, n - cov), f"doc {i}"
