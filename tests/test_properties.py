@@ -1137,3 +1137,77 @@ def test_duplicate_span_ops_match_cover_model(spark, docs, k, min_count):
     for i, (n, runs, cov, clean) in enumerate(want):
         assert stats[i] == (n, runs, cov, n - cov), f"doc {i}"
         assert scrub[i] == (clean, n, n - cov), f"doc {i}"
+
+
+# --- triangle count vs a pure enumeration model ------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                max_size=14))
+@example([(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (2, 3)])  # K4: 4 triangles
+@example([(0, 1), (1, 0), (0, 0), (1, 2), (2, 0)])  # dup/reverse/self-loop
+def test_triangle_count_matches_enumeration(spark, raw_edges):
+    """triangle_count (degree-ordered node-iterator, extensions/
+    graph.py) equals brute-force enumeration over all id triples for
+    any small graph — with directed duplicates, reverse edges, and
+    self-loops in the input, which symmetrization must absorb."""
+    from itertools import combinations
+
+    from pyspark_etl_project_spark.extensions.graph import triangle_count
+
+    und = {frozenset(e) for e in raw_edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    want = sum(1 for x, y, z in combinations(nodes, 3)
+               if {frozenset((x, y)), frozenset((y, z)),
+                   frozenset((x, z))} <= und)
+    edges = spark.createDataFrame(raw_edges, "src long, dst long") \
+        if raw_edges else spark.createDataFrame([], "src long, dst long")
+    got = triangle_count(edges).collect()[0]["n_triangles"]
+    assert got == want
+
+
+# --- leakage-safe split: no candidate pair ever crosses the wall ------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=1, max_value=8),
+       st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                max_size=8))
+def test_leakage_safe_split_never_splits_a_pair(spark, n_nodes, raw_edges):
+    """leakage_safe_split's contract, verified structurally: every
+    candidate pair's two documents land in the SAME split (the
+    whole point of clustering before bucketing), every document gets
+    exactly one split from the fraction keys, and the assignment is
+    the md5 bucket of the union-find cluster representative — i.e.
+    reproducible from the pure model with no engine state."""
+    import hashlib
+
+    from pyspark_etl_project_spark.extensions.dedup import leakage_safe_split
+
+    fractions = {"train": 80, "val": 10, "test": 10}
+    edges = [(a % n_nodes, b % n_nodes) for a, b in raw_edges]
+    ids = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long") \
+        if edges else spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["doc_id"]: (r["cluster_id"], r["split"])
+           for r in leakage_safe_split(pairs, ids, fractions).collect()}
+
+    labels = _unionfind_min_labels(n_nodes, edges)
+
+    def model_split(cluster: int) -> str:
+        b = int(hashlib.md5(f"split-v1|{cluster}".encode())
+                .hexdigest()[:4], 16) % 100
+        lo = 0
+        for name, pct in fractions.items():
+            if lo <= b < lo + pct:
+                return name
+            lo += pct
+        raise AssertionError("bucket out of range")
+
+    assert set(got) == set(range(n_nodes))
+    for doc, (cluster, split) in got.items():
+        assert cluster == labels[doc]
+        assert split == model_split(cluster)
+    for a, b in edges:
+        assert got[a][1] == got[b][1]
