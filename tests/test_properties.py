@@ -1211,3 +1211,46 @@ def test_leakage_safe_split_never_splits_a_pair(spark, n_nodes, raw_edges):
         assert split == model_split(cluster)
     for a, b in edges:
         assert got[a][1] == got[b][1]
+
+
+# --- integer PageRank vs a pure fixed-point model ----------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=1, max_value=6),
+       st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)),
+                max_size=12),
+       st.integers(min_value=1, max_value=3))
+@example(4, [(0, 1), (0, 1), (1, 2), (2, 0), (3, 0)], 3)  # duplicate edge
+def test_pagerank_integer_matches_fixed_point_model(spark, n_nodes,
+                                                    raw_edges, n_iter):
+    """pagerank_integer's whole iterative computation replays
+    bit-identically in pure Python bigint arithmetic — per-edge
+    contribution score div outdeg, damping as 850*x div 1000, floor at
+    exactly those two points — including duplicate edge rows (each
+    contributes separately, and each raises the out-degree) and nodes
+    with no in-links (base score only)."""
+    from pyspark_etl_project_spark.extensions.graph import pagerank_integer
+
+    scale = 1_000_000
+    edges = [(a % n_nodes, b % n_nodes) for a, b in raw_edges]
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long") \
+        if edges else spark.createDataFrame([], "src long, dst long")
+
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (scale * 150) // 1000
+    score = {i: scale for i in range(n_nodes)}
+    for _ in range(n_iter):
+        incoming = {i: 0 for i in range(n_nodes)}
+        for s, d in edges:
+            incoming[d] += score[s] // outdeg[s]
+        score = {i: base + (850 * incoming[i]) // 1000
+                 for i in range(n_nodes)}
+
+    got = {r["id"]: r["score"]
+           for r in pagerank_integer(nodes, edf, n_iter=n_iter,
+                                     scale=scale).collect()}
+    assert got == score
