@@ -1254,3 +1254,131 @@ def test_pagerank_integer_matches_fixed_point_model(spark, n_nodes,
            for r in pagerank_integer(nodes, edf, n_iter=n_iter,
                                      scale=scale).collect()}
     assert got == score
+
+
+# --- containment pairs vs a set model ----------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(list("abcdefg")),
+                         min_size=1, max_size=5, unique=True),
+                min_size=2, max_size=8),
+       st.integers(min_value=0, max_value=4),
+       st.integers(min_value=1, max_value=4))
+def test_containment_pairs_match_set_model(spark, shingle_sets, num, cap):
+    """containment_pairs equals the pure set model: inter_n counts the
+    shared shingles that survive the doc-frequency cap, size_small is
+    the UNCAPPED smaller set size, the threshold num/4 cuts on exact
+    integer cross-multiplication, and containment_ppm floors
+    inter*1e6/size_small."""
+    from pyspark_etl_project_spark.extensions.dedup import containment_pairs
+
+    rows = [(i, [f"s{c}" for c in ss]) for i, ss in enumerate(shingle_sets)]
+    df = spark.createDataFrame(rows, "doc_id long, sh array<string>")
+    sets = {i: set(ss) for i, (_, ss) in enumerate(rows)}
+
+    freq: dict[str, int] = {}
+    for ss in sets.values():
+        for s in ss:
+            freq[s] = freq.get(s, 0) + 1
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = sum(1 for s in sets[a] & sets[b] if freq[s] <= cap)
+            small = min(len(sets[a]), len(sets[b]))
+            if inter > 0 and inter * 4 >= small * num:
+                want[(a, b)] = (inter, small, inter * 1_000_000 // small)
+
+    got = {(r["id_a"], r["id_b"]): (r["inter_n"], r["size_small"],
+                                    r["containment_ppm"])
+           for r in containment_pairs(df, "doc_id", "sh", num, 4,
+                                      max_doc_freq=cap).collect()}
+    assert got == want
+
+
+# --- temperature mixture sampling vs a pure quota model ----------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 2)),
+                min_size=1, max_size=30, unique_by=lambda t: t[0]),
+       st.integers(min_value=1, max_value=20))
+def test_temperature_mixture_matches_quota_model(spark, rows, budget):
+    """temperature_mixture_sample equals the pure model: per-source
+    weight floor(sqrt(n)*1e6), integer quota max(1, budget*w // total),
+    and each quota filled in (md5(salt|id), id) order — fully
+    deterministic, no engine state."""
+    import hashlib
+    import math
+
+    from pyspark_etl_project_spark.extensions.dedup import (
+        temperature_mixture_sample)
+
+    data = [(i, f"src{s}") for i, s in rows]
+    df = spark.createDataFrame(data, "id long, source string")
+
+    by_src: dict[str, list[int]] = {}
+    for i, s in data:
+        by_src.setdefault(s, []).append(i)
+    w = {s: math.floor(math.sqrt(len(ids)) * 1_000_000)
+         for s, ids in by_src.items()}
+    total = sum(w.values())
+    want = set()
+    for s, ids in by_src.items():
+        quota = max(1, budget * w[s] // total)
+        ordered = sorted(
+            ids, key=lambda i: (hashlib.md5(f"temp-v1|{i}".encode())
+                                .hexdigest(), i))
+        want.update(ordered[:quota])
+
+    got = {r["id"] for r in
+           temperature_mixture_sample(df, "id", "source", budget).collect()}
+    assert got == want
+
+
+# --- majority label propagation vs a pure synchronous model ------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=1, max_value=7),
+       st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                max_size=12),
+       st.integers(min_value=1, max_value=3))
+@example(5, [(0, 0), (0, 1), (1, 2), (2, 3), (3, 4), (4, 0)], 2)  # self-loop
+def test_label_propagation_matches_sync_model(spark, n_nodes, raw_edges,
+                                              n_iter):
+    """label_propagation_majority equals the pure synchronous model:
+    symmetrize, drop self-loops, dedupe; each round every node adopts
+    its neighbors' most frequent label (ties -> smaller), isolated
+    nodes keep their own id."""
+    from collections import Counter
+
+    from pyspark_etl_project_spark.extensions.graph import (
+        label_propagation_majority)
+
+    edges = [(a % n_nodes, b % n_nodes) for a, b in raw_edges]
+    und: dict[int, set[int]] = {i: set() for i in range(n_nodes)}
+    for a, b in edges:
+        if a != b:
+            und[a].add(b)
+            und[b].add(a)
+    label = {i: i for i in range(n_nodes)}
+    for _ in range(n_iter):
+        nxt = {}
+        for i in range(n_nodes):
+            if und[i]:
+                c = Counter(label[j] for j in und[i])
+                nxt[i] = min(c, key=lambda l: (-c[l], l))
+            else:
+                nxt[i] = i
+        label = nxt
+
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long") \
+        if edges else spark.createDataFrame([], "src long, dst long")
+    got = {r["id"]: r["label"]
+           for r in label_propagation_majority(nodes, edf,
+                                               n_iter=n_iter).collect()}
+    assert got == label
