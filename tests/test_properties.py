@@ -1382,3 +1382,82 @@ def test_label_propagation_matches_sync_model(spark, n_nodes, raw_edges,
            for r in label_propagation_majority(nodes, edf,
                                                n_iter=n_iter).collect()}
     assert got == label
+
+
+# --- survivorship merge vs a pure grouping model -----------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["x y", "X  y", " x Y ", "z", "w q"]),
+                          st.integers(0, 2),
+                          st.integers(0, 3)),
+                min_size=1, max_size=12))
+def test_survivorship_merge_matches_model(spark, rows):
+    """survivorship_merge equals the pure model: group by the
+    whitespace/case-normalized md5 fingerprint, keep the highest
+    quality (ties -> lowest id), and merge provenance (copy count,
+    sorted distinct sources CSV, max quality) — with whitespace-variant
+    copies deliberately colliding into one group."""
+    import re as _re
+
+    from pyspark_etl_project_spark.extensions.dedup import survivorship_merge
+
+    data = [(i, t, f"s{src}", q) for i, (t, src, q) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id long, body string, source string, quality long")
+
+    groups: dict[str, list[tuple[int, str, int]]] = {}
+    for i, t, src, q in data:
+        norm = _re.sub(r"\s+", " ", t.lower()).strip()
+        groups.setdefault(norm, []).append((i, src, q))
+    want = set()
+    for members in groups.values():
+        keep = min(members, key=lambda m: (-m[2], m[0]))
+        want.add((keep[0], len(members),
+                  ",".join(sorted({m[1] for m in members})),
+                  max(m[2] for m in members)))
+
+    got = {(r["keep_id"], r["n_copies"], r["sources_csv"], r["max_quality"])
+           for r in survivorship_merge(df, "doc_id", "body", "source",
+                                       "quality").collect()}
+    assert got == want
+
+
+# --- cross-source overlap vs the winnowing set model -------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.lists(st.sampled_from(["a", "b", "c"]),
+                                   max_size=8),
+                          st.integers(0, 2)),
+                min_size=1, max_size=6))
+def test_cross_source_overlap_matches_model(spark, docs):
+    """cross_source_overlap equals the pure model: per-source distinct
+    winnowing fingerprints (k=2, window=2), inner pairs only (a < b,
+    shared > 0), shared counted distinct, ppm floored against the
+    smaller side's total."""
+    from pyspark_etl_project_spark.extensions.dedup import cross_source_overlap
+
+    data = [(i, " ".join(toks), f"s{src}") for i, (toks, src) in
+            enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id long, body string, src string")
+
+    per_src: dict[str, set[int]] = {}
+    for i, (toks, src) in enumerate(docs):
+        per_src.setdefault(f"s{src}", set()).update(
+            _winnow_model(toks, 2, 2))
+    want = {}
+    srcs = sorted(per_src)
+    for x in range(len(srcs)):
+        for y in range(x + 1, len(srcs)):
+            shared = len(per_src[srcs[x]] & per_src[srcs[y]])
+            if shared > 0:
+                small = min(len(per_src[srcs[x]]), len(per_src[srcs[y]]))
+                want[(srcs[x], srcs[y])] = (shared,
+                                            shared * 1_000_000 // small)
+
+    got = {(r["source_a"], r["source_b"]): (r["n_shared_fps"],
+                                            r["containment_ppm"])
+           for r in cross_source_overlap(df, "doc_id", "body", "src",
+                                         k=2, window=2).collect()}
+    assert got == want
