@@ -1461,3 +1461,93 @@ def test_cross_source_overlap_matches_model(spark, docs):
            for r in cross_source_overlap(df, "doc_id", "body", "src",
                                          k=2, window=2).collect()}
     assert got == want
+
+
+# --- quantized top-k vs a pure integer model ----------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_VEC, min_size=2, max_size=10),
+       _VEC,
+       st.integers(min_value=1, max_value=4),
+       st.none() | st.integers(min_value=1, max_value=3))
+def test_quantized_topk_matches_integer_model(spark, vecs, qvec, k, rerank):
+    """quantized_topk equals the pure model: symmetric clamp-floor int
+    codes (127 for the scan, 2^20-1 for the rerank), exact integer dot
+    products, (dot desc, id asc) order, and the two-stage k*rerank
+    candidate cut — bit-identical because every float op (x*levels/
+    scale, floor) runs in the same IEEE order on both sides."""
+    import math
+
+    from pyspark_etl_project_spark.extensions.similarity import (
+        RERANK_LEVELS, quantized_topk)
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in qvec]
+    scale = max(max(abs(min(v[d] for _, v in rows)),
+                    abs(max(v[d] for _, v in rows)))
+                for d in range(4))
+
+    def codes(v, levels):
+        if scale == 0:
+            return [0] * len(v)
+        return [min(int(levels), max(-int(levels),
+                                     math.floor(x * levels / scale)))
+                for x in v]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    q8 = codes(q, 127.0)
+    scored = sorted(((dot(codes(v, 127.0), q8), i) for i, v in rows),
+                    key=lambda t: (-t[0], t[1]))
+    if rerank is None:
+        want = [i for _s, i in scored[:k]]
+    else:
+        cand = [i for _s, i in scored[:k * rerank]]
+        q20 = codes(q, RERANK_LEVELS)
+        byid = dict(rows)
+        want = [i for _s, i in
+                sorted(((dot(codes(byid[i], RERANK_LEVELS), q20), i)
+                        for i in cand), key=lambda t: (-t[0], t[1]))[:k]]
+
+    got = [r["vec_id"] for r in
+           quantized_topk(emb, q, scale, k=k, rerank=rerank).collect()]
+    assert got == want
+
+
+# --- simhash vs a pure bit-vote model -----------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "cc", "d1"]),
+                         min_size=1, max_size=8),
+                min_size=1, max_size=4),
+       st.integers(min_value=1, max_value=16))
+def test_simhash_matches_bit_vote_model(spark, docs, num_bits):
+    """simhash_bits equals the pure model: every token OCCURRENCE votes
+    +1/-1 per position from its md5 hex nibbles' low bits, and the
+    signature bit is 1 iff the vote sum is strictly positive — repeated
+    tokens voting repeatedly is the multiset semantics near-dup
+    detection relies on."""
+    import hashlib
+
+    from pyspark_etl_project_spark.extensions.dedup import simhash_bits
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+
+    want = {}
+    for i, d in enumerate(docs):
+        sums = [0] * num_bits
+        for t in d:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for b in range(num_bits):
+                sums[b] += (int(h[b], 16) % 2) * 2 - 1
+        want[i] = "".join("1" if s > 0 else "0" for s in sums)
+
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash_bits(df, "doc_id", "body",
+                                 num_bits=num_bits).collect()}
+    assert got == want
