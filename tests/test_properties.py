@@ -1551,3 +1551,150 @@ def test_simhash_matches_bit_vote_model(spark, docs, num_bits):
            for r in simhash_bits(df, "doc_id", "body",
                                  num_bits=num_bits).collect()}
     assert got == want
+
+
+# --- exact Jaccard pairs vs the set model (values, not just cap bounds) ------
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(list("abcdef")),
+                         min_size=1, max_size=5, unique=True),
+                min_size=2, max_size=8),
+       st.integers(min_value=0, max_value=4),
+       st.integers(min_value=1, max_value=4))
+def test_jaccard_pairs_match_set_model(spark, shingle_sets, num, cap):
+    """jaccard_pairs equals the documented capped statistic exactly:
+    inter_n counts shared shingles at-or-below the doc-frequency cap,
+    union_n uses the FULL set sizes (a shared stop-shingle is
+    double-counted by design), and the num/4 threshold cuts on integer
+    cross-multiplication."""
+    from pyspark_etl_project_spark.extensions.dedup import jaccard_pairs
+
+    rows = [(i, [f"s{c}" for c in ss]) for i, ss in enumerate(shingle_sets)]
+    df = spark.createDataFrame(rows, "doc_id long, sh array<string>")
+    sets = {i: set(ss) for i, (_, ss) in enumerate(rows)}
+    freq: dict[str, int] = {}
+    for ss in sets.values():
+        for s in ss:
+            freq[s] = freq.get(s, 0) + 1
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = sum(1 for s in sets[a] & sets[b] if freq[s] <= cap)
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter > 0 and inter * 4 >= union * num:
+                want[(a, b)] = (inter, union)
+    got = {(r["id_a"], r["id_b"]): (r["inter_n"], r["union_n"])
+           for r in jaccard_pairs(df, "doc_id", "sh", num, 4,
+                                  max_doc_freq=cap).collect()}
+    assert got == want
+
+
+# --- boilerplate-line scrub vs a pure chunk model -----------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b"]),
+                         min_size=1, max_size=6),
+                min_size=2, max_size=8),
+       st.integers(min_value=1, max_value=2))
+def test_remove_boilerplate_matches_chunk_model(spark, docs, line_tokens):
+    """remove_boilerplate_lines equals the pure model: split each doc
+    into fixed line_tokens-sized chunks (last chunk may be short),
+    drop every chunk whose distinct-document frequency exceeds
+    max(1, int(n_docs * 0.10)), and reassemble survivors in order —
+    with kept/removed counts."""
+    from pyspark_etl_project_spark.extensions.text import (
+        remove_boilerplate_lines)
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    chunks = {i: [" ".join(d[p:p + line_tokens])
+                  for p in range(0, len(d), line_tokens)]
+              for i, d in enumerate(docs)}
+    dfreq: dict[str, int] = {}
+    for cl in chunks.values():
+        for line in set(cl):
+            dfreq[line] = dfreq.get(line, 0) + 1
+    cutoff = max(1, int(len(docs) * 0.10))
+    boiler = {line for line, n in dfreq.items() if n > cutoff}
+    want = {}
+    for i, cl in chunks.items():
+        kept = [line for line in cl if line not in boiler]
+        want[i] = (" ".join(kept), len(kept), len(cl) - len(kept))
+
+    got = {r["doc_id"]: (r["cleaned_text"], r["n_lines_kept"],
+                         r["n_lines_removed"])
+           for r in remove_boilerplate_lines(df, "doc_id", "body",
+                                             line_tokens=line_tokens)
+           .collect()}
+    assert got == want
+
+
+# --- intra-doc line dedup vs first-occurrence model ---------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "cc", ""]), max_size=10))
+def test_dedup_lines_in_doc_first_occurrence(spark, lines):
+    """dedup_lines_in_doc keeps exactly the first occurrence of every
+    line in order (array_distinct order guarantee), including empty
+    lines from consecutive separators. Tested on the default newline
+    separator — the only one the engine uses; ``sep`` is a REGEX on the
+    split side but a literal on the re-join side, so a metachar
+    separator (e.g. r"\\|") re-joins escaped and does not round-trip."""
+    from pyspark_etl_project_spark.extensions.text import dedup_lines_in_doc
+
+    body = "\n".join(lines)
+    df = spark.createDataFrame([(body,)], "body string")
+    got = df.select(dedup_lines_in_doc("body")
+                    .alias("out")).collect()[0]["out"]
+    seen, kept = set(), []
+    for line in body.split("\n"):
+        if line not in seen:
+            seen.add(line)
+            kept.append(line)
+    assert got == "\n".join(kept)
+
+
+# --- Gopher quality flags vs the pure rule model ------------------------------
+
+
+_GOPHER_TOK = st.sampled_from(
+    ["the", "and", "have", "word", "x", "##", "a...b", "12345",
+     "verylongtokenindeed", "...", "#"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_GOPHER_TOK, max_size=10))
+def test_gopher_flags_match_rule_model(spark, toks):
+    """gopher_quality_flags equals the published rules in their
+    integer-exact forms: word count bounds, 3*wc <= chars <= 10*wc,
+    10*symbols <= wc (symbols = '#' count + non-overlapping '...'
+    count), 5*alpha_words >= 4*wc, and >= 2 distinct stopwords —
+    keep is their conjunction."""
+    from pyspark_etl_project_spark.extensions.text import (
+        GOPHER_STOPWORDS, gopher_quality_flags)
+
+    body = " ".join(toks)
+    df = spark.createDataFrame([(body,)], "body string")
+    g = df.select(gopher_quality_flags("body", min_words=2, max_words=8)
+                  .alias("g")).select("g.*").collect()[0]
+
+    wc = len(toks)
+    chars = sum(len(t) for t in toks)
+    symbols = body.count("#") + body.count("...")
+    alpha = sum(1 for t in toks if any(c.isascii() and c.isalpha()
+                                       for c in t))
+    hits = len({w for w in GOPHER_STOPWORDS if w in toks})
+    want = {
+        "words_ok": 2 <= wc <= 8,
+        "word_len_ok": 3 * wc <= chars <= 10 * wc,
+        "symbol_ok": 10 * symbols <= wc,
+        "alpha_ok": 5 * alpha >= 4 * wc,
+        "stop_ok": hits >= 2,
+    }
+    want["keep"] = all(want.values())
+    assert {k: g[k] for k in want} == want
