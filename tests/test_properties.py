@@ -1698,3 +1698,82 @@ def test_gopher_flags_match_rule_model(spark, toks):
     }
     want["keep"] = all(want.values())
     assert {k: g[k] for k in want} == want
+
+
+# --- Levenshtein blocking vs a pure DP model ----------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["ab", "ba", "a", "b"]),
+                         min_size=1, max_size=4),
+                min_size=2, max_size=8),
+       st.integers(min_value=0, max_value=4))
+def test_levenshtein_candidates_match_block_model(spark, token_docs, max_dist):
+    """With the block-size cap disabled, levenshtein_candidates equals
+    the pure model exactly: block on (first char of the normalized
+    prefix, len//4), pair within blocks, keep unit-cost DP edit
+    distance <= max_dist."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        levenshtein_candidates)
+
+    texts = [" ".join(d) for d in token_docs]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, body string")
+    prefixes = {i: t[:6] for i, t in enumerate(texts)}
+    blocks = {i: (p[:1], len(p) // 4) for i, p in prefixes.items()}
+    want = {}
+    for a in prefixes:
+        for b in prefixes:
+            if a >= b or blocks[a] != blocks[b]:
+                continue
+            dist = _lev(prefixes[a], prefixes[b])
+            if dist <= max_dist:
+                want[(a, b)] = dist
+    got = {(r["id_a"], r["id_b"]): r["edit_dist"]
+           for r in levenshtein_candidates(
+               df, "doc_id", "body", prefix_len=6, block_chars=1,
+               length_bucket=4, max_block_size=None,
+               max_dist=max_dist).collect()}
+    assert got == want
+
+
+# --- MinHash LSH: exact duplicates always collide in every band ---------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]),
+                         min_size=3, max_size=6),
+                min_size=1, max_size=4),
+       st.integers(min_value=0, max_value=3))
+def test_minhash_lsh_duplicates_always_candidates(spark, docs, dup_of):
+    """The MinHash signature is a pure function of the shingle array,
+    so an exact duplicate text MUST collide with its original in every
+    band (n_shared_bands == num_bands) — the recall floor banded LSH
+    guarantees; and no pair can share more bands than exist."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        minhash_lsh_candidates)
+
+    texts = [" ".join(d) for d in docs]
+    dup_src = dup_of % len(texts)
+    texts.append(texts[dup_src])  # exact duplicate of one doc
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, body string")
+    got = {(r["id_a"], r["id_b"]): r["n_shared_bands"]
+           for r in minhash_lsh_candidates(df, "doc_id", "body",
+                                           num_hashes=8, num_bands=4,
+                                           shingle_n=3).collect()}
+    dup_id = len(texts) - 1
+    pair = (min(dup_src, dup_id), max(dup_src, dup_id))
+    assert got.get(pair) == 4
+    assert all(1 <= v <= 4 for v in got.values())
