@@ -535,3 +535,58 @@ def test_vacuum_stats_scan_reads_only_end_date(spark, tmp_path):
     assert "END_DATE" in read[0]
     for col in ("payload", "csd_id", "ssi"):
         assert col not in read[0], read[0]
+
+
+def test_cross_source_overlap_hash_join_never_sortmerge(spark):
+    """The fingerprint self-join is hinted shuffle_hash: both sides are
+    large and already keyed on the fingerprint, so the plan must use a
+    ShuffledHashJoin (no sort passes) and broadcast the tiny per-source
+    totals — SortMergeJoin on the fp or a nested loop would resurrect
+    the sort/cartesian cost the operator is shaped to avoid."""
+    from pyspark_etl_project_spark.extensions.dedup import cross_source_overlap
+    from pyspark_etl_project_spark.plans.tables import load
+
+    docs = load(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "source")
+    plan = _formatted_plan(cross_source_overlap(docs, "doc_id", "text",
+                                                "source"))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_never_plans_a_cartesian(spark):
+    """Every join in the degree-ordered triangle count is an equi-join
+    on id keys (wedge build on the source, wedge close on the (v, w)
+    pair) — a CartesianProduct or BroadcastNestedLoopJoin anywhere in
+    the plan means a filter degenerated into a non-equi join and the
+    operator would melt on a real graph."""
+    from pyspark_etl_project_spark.extensions.graph import triangle_count
+
+    edges = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 200).alias("dst"))
+    plan = _formatted_plan(triangle_count(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_for_queries_lsh_arm_is_equi_join(spark):
+    """topk_for_queries with num_bits set must score only same-bucket
+    pairs through an equi-join on the bucket string — the exact arm's
+    BroadcastNestedLoopJoin is the documented |corpus| x |queries| cost
+    the LSH cut exists to avoid, so its appearance in the LSH plan is a
+    regression."""
+    from pyspark_etl_project_spark.extensions.similarity import (
+        topk_for_queries)
+    from pyspark_etl_project_spark.plans.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    corpus = emb.filter("vec_id >= 8")
+    queries = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    plan = _formatted_plan(topk_for_queries(corpus, queries, k=3,
+                                            num_bits=8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
