@@ -590,3 +590,29 @@ def test_topk_for_queries_lsh_arm_is_equi_join(spark):
                                             num_bits=8))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_iterative_graph_ops_plan_only_equi_joins(spark):
+    """Both iterative graph operators (pagerank_integer's contribution
+    join, connected_dedup_clusters' propagation + pointer-doubling
+    joins) must plan every join as an equi-join on an id key — a
+    nested-loop or cartesian anywhere in an ITERATED plan multiplies
+    its cost by the round count, the worst place to degrade."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        connected_dedup_clusters)
+    from pyspark_etl_project_spark.extensions.graph import pagerank_integer
+
+    nodes = spark.range(64).select(F.col("id"))
+    edges = nodes.select(F.col("id").alias("src"),
+                         ((F.col("id") + 1) % 64).alias("dst"))
+    plan = _formatted_plan(pagerank_integer(nodes, edges, n_iter=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    ids = nodes.select(F.col("id").alias("doc_id"))
+    pairs = edges.select(F.col("src").alias("id_a"),
+                         F.col("dst").alias("id_b"))
+    clustered = connected_dedup_clusters(pairs, ids, max_iters=4)
+    plan = _formatted_plan(clustered)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
