@@ -1777,3 +1777,81 @@ def test_minhash_lsh_duplicates_always_candidates(spark, docs, dup_of):
     pair = (min(dup_src, dup_id), max(dup_src, dup_id))
     assert got.get(pair) == 4
     assert all(1 <= v <= 4 for v in got.values())
+
+
+# --- per-doc top-k neighbors vs a pure ranking model --------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5),
+                          st.integers(1, 4), st.integers(4, 8)),
+                max_size=10,
+                unique_by=lambda t: (min(t[0], t[1]), max(t[0], t[1]))),
+       st.integers(min_value=1, max_value=3))
+def test_topk_neighbors_matches_ranking_model(spark, raw_pairs, k):
+    """topk_neighbors equals the pure model: symmetrize each pair both
+    ways, score by floor(inter * 1e6 / union), rank per doc by (score
+    desc, neighbor asc), keep rank <= k."""
+    from pyspark_etl_project_spark.extensions.dedup import topk_neighbors
+
+    pairs = [(min(a, b), max(a, b), i, u) for a, b, i, u in raw_pairs
+             if a != b]
+    # unique (id_a, id_b) guaranteed by the strategy; drop self-pairs.
+    pdf = spark.createDataFrame(pairs,
+                                "id_a long, id_b long, inter_n long, "
+                                "union_n long") \
+        if pairs else spark.createDataFrame(
+            [], "id_a long, id_b long, inter_n long, union_n long")
+
+    sym: dict[int, list[tuple[int, int]]] = {}
+    for a, b, i, u in pairs:
+        ppm = i * 1_000_000 // u
+        sym.setdefault(a, []).append((ppm, b))
+        sym.setdefault(b, []).append((ppm, a))
+    want = set()
+    for doc, lst in sym.items():
+        ranked = sorted(lst, key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (ppm, nb) in enumerate(ranked, 1):
+            want.add((doc, rank, nb, ppm))
+
+    got = {(r["doc_id"], r["rank"], r["neighbor"], r["jaccard_ppm"])
+           for r in topk_neighbors(pdf, k=k).collect()}
+    assert got == want
+
+
+# --- winnowing contamination vs the fingerprint-set model ---------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]), max_size=8),
+                min_size=1, max_size=4),
+       st.lists(st.lists(st.sampled_from(["a", "b", "c"]), max_size=8),
+                min_size=1, max_size=2))
+def test_winnowing_contamination_matches_model(spark, train_docs, hold_docs):
+    """winnowing_contamination equals the pure model built on the
+    already-pinned fingerprint model: one row per train doc sharing
+    >= 1 fingerprint with the holdout, counting distinct shared
+    fingerprints and distinct holdout docs hit."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        winnowing_contamination)
+
+    train = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(train_docs)],
+        "doc_id long, body string")
+    hold = spark.createDataFrame(
+        [(100 + i, " ".join(d)) for i, d in enumerate(hold_docs)],
+        "doc_id long, body string")
+
+    tf = {i: _winnow_model(d, 2, 2) for i, d in enumerate(train_docs)}
+    hf = {100 + i: _winnow_model(d, 2, 2) for i, d in enumerate(hold_docs)}
+    want = {}
+    for i, fps in tf.items():
+        shared = {f for f in fps if any(f in h for h in hf.values())}
+        if shared:
+            ndocs = sum(1 for h in hf.values() if h & fps)
+            want[i] = (len(shared), ndocs)
+
+    got = {r["doc_id"]: (r["n_shared_fps"], r["n_holdout_docs"])
+           for r in winnowing_contamination(train, hold, "doc_id", "body",
+                                            k=2, window=2).collect()}
+    assert got == want
