@@ -1855,3 +1855,75 @@ def test_winnowing_contamination_matches_model(spark, train_docs, hold_docs):
            for r in winnowing_contamination(train, hold, "doc_id", "body",
                                             k=2, window=2).collect()}
     assert got == want
+
+
+# --- weighted Bernoulli sample vs the md5 model --------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10_000),
+                          st.integers(0, 1_000_000)),
+                min_size=1, max_size=25, unique_by=lambda t: t[0]))
+def test_weighted_sample_matches_md5_model(spark, rows):
+    """weighted_sample equals the pure model: keep a row iff
+    int(md5('wsample-v1|id')[:12], 16) % 1e6 < weight_ppm — weight 0
+    never survives, weight 1e6 always does, and the drawn u_ppm is
+    reported verbatim."""
+    import hashlib
+
+    from pyspark_etl_project_spark.extensions.dedup import weighted_sample
+
+    df = spark.createDataFrame(rows, "id long, w long")
+    want = {}
+    for i, wppm in rows:
+        u = int(hashlib.md5(f"wsample-v1|{i}".encode())
+                .hexdigest()[:12], 16) % 1_000_000
+        if u < wppm:
+            want[i] = (wppm, u)
+    got = {r["id"]: (r["weight_ppm"], r["u_ppm"])
+           for r in weighted_sample(df, "id", F.col("w")).collect()}
+    assert got == want
+
+
+# --- contamination check vs the shingle-set model ------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]), max_size=6),
+                min_size=1, max_size=5),
+       st.lists(st.lists(st.sampled_from(["a", "b", "c"]), max_size=6),
+                min_size=1, max_size=2),
+       st.integers(min_value=1, max_value=4))
+def test_contamination_check_matches_model(spark, train_docs, hold_docs, cap):
+    """contamination_check equals the pure model: distinct word
+    2-shingles, train-side doc-frequency cap, one row per holdout doc
+    with >= 1 surviving shared shingle counting distinct train docs
+    and distinct leaked shingles."""
+    from pyspark_etl_project_spark.extensions.dedup import contamination_check
+
+    def sh(d):
+        return {" ".join(d[i:i + 2]) for i in range(len(d) - 1)}
+
+    train = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(train_docs)],
+        "doc_id long, body string")
+    hold = spark.createDataFrame(
+        [(100 + i, " ".join(d)) for i, d in enumerate(hold_docs)],
+        "doc_id long, body string")
+
+    tsh = {i: sh(d) for i, d in enumerate(train_docs)}
+    dfreq: dict[str, int] = {}
+    for s_set in tsh.values():
+        for s in s_set:
+            dfreq[s] = dfreq.get(s, 0) + 1
+    want = {}
+    for j, d in enumerate(hold_docs):
+        shared = {s for s in sh(d) if dfreq.get(s, 0) and dfreq[s] <= cap}
+        if shared:
+            ntrain = sum(1 for s_set in tsh.values() if s_set & shared)
+            want[100 + j] = (ntrain, len(shared))
+
+    got = {r["doc_id"]: (r["n_train_docs"], r["n_shared_ngrams"])
+           for r in contamination_check(train, hold, "doc_id", "body",
+                                        n=2, max_doc_freq=cap).collect()}
+    assert got == want
