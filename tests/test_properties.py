@@ -1927,3 +1927,39 @@ def test_contamination_check_matches_model(spark, train_docs, hold_docs, cap):
            for r in contamination_check(train, hold, "doc_id", "body",
                                         n=2, max_doc_freq=cap).collect()}
     assert got == want
+
+
+# --- z-order Morton value vs a pure bit-interleave model -----------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=1 << 20),
+                         min_size=2, max_size=4),
+                min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=12))
+def test_zorder_value_matches_interleave_model(spark, rows, bits):
+    """zorder_value equals the pure Morton model for ANY dimension
+    count 2-4 and bit width (the existing test pins a handful of known
+    values; this pins the whole function): column d owns bit positions
+    d, d+k, d+2k, ... of the low `bits` bits of each masked coord."""
+    from pyspark_etl_project_spark.extensions.layout import zorder_value
+
+    k = len(rows[0])
+    rows = [r for r in rows if len(r) == k]
+    df = spark.createDataFrame([(i, *r) for i, r in enumerate(rows)],
+                               ", ".join(["i long"]
+                                         + [f"c{d} long" for d in range(k)]))
+
+    def model(coords):
+        z = 0
+        mask = (1 << bits) - 1
+        for d, c in enumerate(coords):
+            x = c & mask
+            for i in range(bits):
+                z |= ((x >> i) & 1) << (i * k + d)
+        return z
+
+    got = {r["i"]: r["z"] for r in
+           df.select("i", zorder_value([f"c{d}" for d in range(k)],
+                                       bits=bits).alias("z")).collect()}
+    assert got == {i: model(r) for i, r in enumerate(rows)}
