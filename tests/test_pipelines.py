@@ -1950,3 +1950,69 @@ def test_vacuum_mart_path_escaped_values_and_empty_refusal(spark, tmp_path):
                          partition_col="SOURCE", key="ssi",
                          num_buckets=4)
     assert read_mart(spark, path).count() == 3  # untouched after refusal
+
+
+def test_vacuum_mart_path_progressive_heal_across_vacuums(spark, tmp_path):
+    """The expiry-pruned vacuum + the type-widening heal COMPOSE: a
+    clean leaf keeps its narrow on-disk vintage (byte-untouched) while
+    a touched leaf heals, leaving a mixed-vintage mart that every
+    vacuum-side pinned read still handles — and a later vacuum whose
+    horizon touches the remaining narrow leaf heals it too, converging
+    the mart to the uniform wide schema with values (incl. one above
+    2^31) intact. This is the documented progressive-heal contract of
+    SCALE.md's round-13 record."""
+    import glob as _glob
+    import os
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        vacuum_mart_path, write_mart)
+
+    def hist(rows, schema):
+        return (spark.createDataFrame(rows, schema)
+                .withColumn("START_DATE",
+                            F.lit("2020-01-01 00:00:00").cast("timestamp"))
+                .withColumn("END_DATE",
+                            F.col("END_DATE").cast("timestamp")))
+
+    path = str(tmp_path / "mart")
+    # Source A: csd_id INT vintage; expired-but-not-yet (END 2024) +
+    # open — CLEAN at the first horizon, TOUCHED at the second.
+    write_mart(hist([(1, "K-1", "A", "2024-06-01 00:00:00"),
+                     (2, "K-1", "A", "2099-12-31 00:00:00")],
+                    "csd_id int, ssi string, SOURCE string, "
+                    "END_DATE string"),
+               path, partition_col="SOURCE", key="ssi", num_buckets=4)
+    # Source B: csd_id LONG vintage with a >2^31 value; one expired
+    # row makes it TOUCHED at the first horizon.
+    write_mart(hist([(2 ** 40, "K-3", "B", "2020-06-01 00:00:00"),
+                     (2 ** 40 + 1, "K-3", "B", "2099-12-31 00:00:00")],
+                    "csd_id long, ssi string, SOURCE string, "
+                    "END_DATE string"),
+               path, partition_col="SOURCE", key="ssi", num_buckets=4)
+
+    def listing(sub):
+        return sorted((p, os.path.getmtime(p)) for p in
+                      _glob.glob(os.path.join(path, sub, "**", "*.parquet"),
+                                 recursive=True))
+
+    a_before = listing("SOURCE=A")
+    # Vacuum 1 (horizon 2023): A clean, B touched -> only B heals.
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col="SOURCE", key="ssi", num_buckets=4)
+    assert listing("SOURCE=A") == a_before          # narrow vintage kept
+    b_healed = spark.read.parquet(os.path.join(path, "SOURCE=B"))
+    assert dict(b_healed.dtypes)["csd_id"] == "bigint"
+    assert [r["csd_id"] for r in b_healed.collect()] == [2 ** 40 + 1]
+
+    # Vacuum 2 (horizon 2025): the mart is now MIXED-vintage (A int,
+    # B bigint) — the pinned read must still widen; A is touched and
+    # heals, B is clean and stays byte-untouched.
+    b_before = listing("SOURCE=B")
+    vacuum_mart_path(spark, path, "2025-01-01 00:00:00",
+                     partition_col="SOURCE", key="ssi", num_buckets=4)
+    assert listing("SOURCE=B") == b_before
+    back = spark.read.parquet(path)                 # plain read: uniform
+    assert dict(back.dtypes)["csd_id"] == "bigint"
+    assert {(r["csd_id"], r["ssi"], r["SOURCE"]) for r in
+            back.select("csd_id", "ssi", "SOURCE").collect()} \
+        == {(2, "K-1", "A"), (2 ** 40 + 1, "K-3", "B")}
