@@ -2016,3 +2016,50 @@ def test_vacuum_mart_path_progressive_heal_across_vacuums(spark, tmp_path):
     assert {(r["csd_id"], r["ssi"], r["SOURCE"]) for r in
             back.select("csd_id", "ssi", "SOURCE").collect()} \
         == {(2, "K-1", "A"), (2 ** 40 + 1, "K-3", "B")}
+
+
+def test_vacuum_mart_path_deletes_dead_bucket_under_alive_source(
+        spark, tmp_path):
+    """The dead-leaf deletion's narrow arm: when a partition value
+    stays alive through OTHER buckets, a fully-expired bucket leaf is
+    deleted alone — the pcol=x parent dir and its clean sibling
+    buckets stay byte-untouched (the whole-subtree arm is tested in
+    test_vacuum_mart_path_prunes_clean_leaves). K-1 hashes to bucket 3
+    and K-2 to bucket 0 under num_buckets=4."""
+    import glob as _glob
+    import os
+
+    from pyspark_etl_project_spark.operators.scd2 import (
+        read_mart, vacuum_mart_path, write_mart)
+
+    def hist(rows):
+        return (spark.createDataFrame(
+            rows, "csd_id long, ssi string, SOURCE string, "
+                  "END_DATE string")
+            .withColumn("START_DATE",
+                        F.lit("2020-01-01 00:00:00").cast("timestamp"))
+            .withColumn("END_DATE", F.col("END_DATE").cast("timestamp")))
+
+    path = str(tmp_path / "mart")
+    write_mart(hist([
+        (1, "K-2", "A", "2020-06-01 00:00:00"),   # (A, bucket 0): all dead
+        (2, "K-2", "A", "2021-06-01 00:00:00"),
+        (3, "K-1", "A", "2099-12-31 00:00:00"),   # (A, bucket 3): clean
+    ]), path, partition_col="SOURCE", key="ssi", num_buckets=4)
+
+    clean_dir = os.path.join(path, "SOURCE=A", "MART_BUCKET=3")
+    clean_before = sorted((p, os.path.getmtime(p)) for p in
+                          _glob.glob(os.path.join(clean_dir, "*.parquet")))
+    assert clean_before
+
+    vacuum_mart_path(spark, path, "2023-01-01 00:00:00",
+                     partition_col="SOURCE", key="ssi", num_buckets=4)
+    assert not os.path.isdir(os.path.join(path, "SOURCE=A",
+                                          "MART_BUCKET=0"))
+    assert os.path.isdir(os.path.join(path, "SOURCE=A"))
+    assert sorted((p, os.path.getmtime(p)) for p in
+                  _glob.glob(os.path.join(clean_dir, "*.parquet"))) \
+        == clean_before
+    assert {(r["csd_id"], r["ssi"]) for r in
+            read_mart(spark, path).select("csd_id", "ssi").collect()} \
+        == {(3, "K-1")}
