@@ -414,7 +414,7 @@ _PART_VALS = st.sampled_from([None, "", "a:b", "0123", "1e2", "a b",
 
 
 @settings(max_examples=6, deadline=None)
-@given(st.lists(st.tuples(_PART_VALS, st.sampled_from([0, 1, 2])),
+@given(st.lists(st.tuples(_PART_VALS, st.sampled_from([0, 1, 2, 3])),
                 min_size=1, max_size=12))
 # Round-12 regression pin (the local hypothesis DB is gitignored, so
 # the found example must ride with the test): a mart whose EVERY dir
@@ -422,6 +422,9 @@ _PART_VALS = st.sampled_from([None, "", "a:b", "0123", "1e2", "a b",
 # under plain discovery, and the rewrite's partitionBy refuses VOID —
 # fixed by the vacuum read's pinned string schema.
 @example(rows=[(None, 1)])
+# NULL-END rows drop like expired ones, and a leaf holding them
+# classifies touched (mixed with a survivor) or dead (alone).
+@example(rows=[("A", 3), ("A", 2), ("B", 3)])
 def test_vacuum_mart_path_matches_filter_model(spark, rows):
     """The DESTRUCTIVE retention pass equals the pure filter model for
     any mix of partition values (Hive escapables, numeric-looking
@@ -440,10 +443,11 @@ def test_vacuum_mart_path_matches_filter_model(spark, rows):
         read_mart, vacuum_mart_path, write_mart)
 
     # The all-expired mart is the documented refusal case, not a vacuum.
-    assume(any(e != 0 for _, e in rows))
+    assume(any(e in (1, 2) for _, e in rows))
     ends = {0: "2020-06-01 00:00:00",   # expired before horizon
             1: "2024-01-01 00:00:00",   # closed after horizon: survives
-            2: "2099-12-31 00:00:00"}   # open: survives
+            2: "2099-12-31 00:00:00",   # open: survives
+            3: None}                    # NULL END: dropped like expired
     data = [(i, f"K-{i}", v, ends[e]) for i, (v, e) in enumerate(rows)]
     mart = spark.createDataFrame(
         data, "csd_id long, ssi string, SOURCE string, END_DATE string") \
@@ -471,7 +475,7 @@ def test_vacuum_mart_path_matches_filter_model(spark, rows):
         finally:
             spark.conf.set(infer, old)
         want = {(i, (None if v in (None, "") else v))
-                for i, (v, e) in enumerate(rows) if e != 0}
+                for i, (v, e) in enumerate(rows) if e in (1, 2)}
         assert got == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
