@@ -982,12 +982,24 @@ _VEC = st.lists(st.integers(min_value=-5, max_value=5), min_size=4,
                 max_size=4).filter(lambda v: any(x != 0 for x in v))
 
 
+@st.composite
+def _ivf_case(draw):
+    """Corpus + a genuinely sampled centroid id set: ANY non-empty
+    subset of the corpus ids (not just a prefix), capped at 4
+    centroids, so non-prefix selections — e.g. only the LAST vector as
+    the sole centroid — exercise the cell assignment too."""
+    vecs = draw(st.lists(_VEC, min_size=2, max_size=12))
+    cent_ids = sorted(draw(st.sets(
+        st.integers(min_value=0, max_value=len(vecs) - 1),
+        min_size=1, max_size=4)))
+    return vecs, cent_ids
+
+
 @settings(max_examples=8, deadline=None)
-@given(st.lists(_VEC, min_size=2, max_size=12),
+@given(_ivf_case(),
        _VEC,
-       st.integers(min_value=1, max_value=4),
        st.integers(min_value=1, max_value=5))
-def test_ivf_full_probe_equals_brute_force(spark, vecs, qvec, n_cents, k):
+def test_ivf_full_probe_equals_brute_force(spark, case, qvec, k):
     """With nprobe == nlist every IVF cell is probed, so the candidate
     set is the whole corpus and ivf_topk must return EXACTLY
     brute_force_topk's rows (same rounding, same id tiebreak) — for any
@@ -998,10 +1010,10 @@ def test_ivf_full_probe_equals_brute_force(spark, vecs, qvec, n_cents, k):
     from pyspark_etl_project_spark.extensions.similarity import (
         brute_force_topk, ivf_topk)
 
+    vecs, cent_ids = case
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = [float(x) for x in qvec]
-    cent_ids = list(range(min(n_cents, len(rows))))
     exact = [(r["vec_id"], r["cos_sim"])
              for r in brute_force_topk(emb, q, k=k).collect()]
     ivf = [(r["vec_id"], r["cos_sim"])
