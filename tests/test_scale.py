@@ -616,3 +616,179 @@ def test_iterative_graph_ops_plan_only_equi_joins(spark):
     plan = _formatted_plan(clustered)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- r8 analytics family: scan pruning, pushdown, and join-shape pins -------
+# The pure-SQL parity/analytics queries (the round-14 drain window's r8
+# cohort) had value-level gates but no plan pins. Each pin below is a
+# 100 TB guarantee: a narrow ReadSchema on a wide table is the
+# difference between reading 2 columns and reading the documents text
+# blob; a pushed key-range filter is the difference between one
+# row-group and a full scan; "never nested-loop" bounds the join cost
+# at any SF.
+
+import re as _re
+
+
+def _nodes(plan: str) -> list[str]:
+    """Physical node names from a formatted explain, exactly once per
+    node (the '(N) NodeName' detail lines — the tree rendering would
+    double-count)."""
+    return _re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
+
+
+def _read_schemas(plan: str) -> list[str]:
+    return _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_analytics_aggs_prune_columns_and_keep_one_shuffle(spark):
+    """Single-pass grouped aggregates must plan exactly ONE shuffle
+    (partial agg -> exchange on the group key -> final agg) and read
+    only the referenced columns. char_length_histogram runs on the
+    documents table — its ReadSchema must NOT include the text blob,
+    which at corpus scale is >99% of the bytes."""
+    from pyspark_etl_project_spark.plans.analytics_plans import QUERIES
+
+    for name, want_cols in [("pricing_summary",
+                             {"l_returnflag", "l_linestatus", "l_quantity",
+                              "l_extendedprice", "l_discount", "l_shipdate"}),
+                            ("percentile_profile",
+                             {"l_returnflag", "l_quantity"}),
+                            ("char_length_histogram",
+                             {"lang", "n_chars"})]:
+        plan = _formatted_plan(QUERIES[name](spark, SF_SMALL))
+        nodes = _nodes(plan)
+        assert nodes.count("Exchange") == 1, (name, nodes)
+        schemas = _read_schemas(plan)
+        assert len(schemas) == 1, (name, schemas)
+        got = {c.split(":")[0] for c in schemas[0].split(",")}
+        assert got == want_cols, (name, got)
+
+
+def test_analytics_key_range_filters_reach_parquet_scan(spark):
+    """The l_orderkey range predicates must appear in PushedFilters —
+    on a sorted/bucketed 100 TB lineitem that's row-group pruning, not
+    a post-scan filter. pipe_syntax_pricing doubles as the proof that
+    Spark 4 pipe syntax compiles to the same pushed-down shape."""
+    from pyspark_etl_project_spark.plans.analytics_plans import QUERIES
+
+    for name, pushed in [
+            ("order_line_revenue_share", "LessThan(l_orderkey,1000)"),
+            ("pipe_syntax_pricing", "LessThan(l_orderkey,1000)"),
+            ("window_value_functions", "LessThan(l_orderkey,300)"),
+            ("pricing_summary", "LessThanOrEqual(l_shipdate,")]:
+        plan = _formatted_plan(QUERIES[name](spark, SF_SMALL))
+        assert pushed in plan, (name, pushed)
+
+
+def test_windowed_analytics_single_shuffle_on_partition_key(spark):
+    """Both window queries (running share, first/last/nth) must plan
+    exactly one Exchange — the window's hash partitioning on its
+    PARTITION BY key — and one Window node; a second shuffle would
+    mean the window ran on a different partitioning than it declared."""
+    from pyspark_etl_project_spark.plans.analytics_plans import QUERIES
+
+    for name in ["order_line_revenue_share", "window_value_functions"]:
+        plan = _formatted_plan(QUERIES[name](spark, SF_SMALL))
+        nodes = _nodes(plan)
+        assert nodes.count("Exchange") == 1, (name, nodes)
+        assert nodes.count("Window") == 1, (name, nodes)
+
+
+def test_semi_anti_joins_push_their_probe_filters(spark):
+    """semi_anti_customers: the EXISTS side's priority filter and the
+    NOT-EXISTS side's date filter must be pushed into the two orders
+    scans (each probe side reads a 2-column projection, never the
+    table), and the joins plan as LeftSemi/LeftAnti hash/merge joins —
+    never a nested loop."""
+    from pyspark_etl_project_spark.plans.analytics_plans import QUERIES
+
+    plan = _formatted_plan(QUERIES["semi_anti_customers"](spark, SF_SMALL))
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for schema in _read_schemas(plan):
+        assert "o_comment" not in schema and "o_totalprice" not in schema
+
+
+def test_revenue_join_tree_shape_with_broadcast_disabled(spark):
+    """revenue_by_nation_year at cluster scale: with size-based
+    broadcasting OFF (simulating fact tables too big to broadcast),
+    the two fact joins must degrade to equi SortMerge/ShuffledHash —
+    never nested-loop — while the nation dim join STAYS a
+    BroadcastHashJoin because the plan requests it explicitly
+    (F.broadcast), not via a size estimate that would flip at SF."""
+    from pyspark_etl_project_spark.plans.analytics_plans import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ["revenue_by_nation_year", "promo_revenue_split"]:
+            plan = _formatted_plan(QUERIES[name](spark, SF_SMALL))
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "CartesianProduct" not in plan, name
+        plan = _formatted_plan(
+            QUERIES["revenue_by_nation_year"](spark, SF_SMALL))
+        nodes = _nodes(plan)
+        assert nodes.count("BroadcastHashJoin") == 1, nodes  # nation only
+        assert nodes.count("SortMergeJoin") \
+            + nodes.count("ShuffledHashJoin") == 2, nodes    # fact joins
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_lateral_topk_decorrelates_to_window_never_per_row(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT per outer row) must
+    decorrelate to a ranked Window + equi join. A per-outer-row
+    execution (nested loop) is O(orders x lineitem) — the plan shape,
+    not the values, is what makes this query survive scale. Holds even
+    with broadcasting disabled."""
+    from pyspark_etl_project_spark.plans.analytics_plans import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted_plan(
+            QUERIES["lateral_topk_per_order"](spark, SF_SMALL))
+        assert "Window" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "LessThan(l_orderkey,100)" in plan  # pushed through the
+        # decorrelation into the lineitem scan, not applied post-join
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_multi_distinct_and_rollup_are_single_scan_expand(spark):
+    """COUNT(DISTINCT x), COUNT(DISTINCT y) + SUM in one agg, and the
+    ROLLUP query, must each compile to ONE scan + an Expand — never
+    one scan per aggregate/grouping-set (k passes over 100 TB)."""
+    from pyspark_etl_project_spark.plans.analytics_plans import (
+        QUERIES as AQ)
+    from pyspark_etl_project_spark.plans.join_plans import QUERIES as JQ
+
+    plan = _formatted_plan(AQ["distinct_counts_per_group"](spark, SF_SMALL))
+    nodes = _nodes(plan)
+    assert "Expand" in nodes
+    assert nodes.count("Scan") == 1, nodes
+    assert nodes.count("Exchange") <= 2, nodes  # two-stage distinct agg
+
+    plan = _formatted_plan(JQ["rollup_flag_status"](spark, SF_SMALL))
+    nodes = _nodes(plan)
+    assert "Expand" in nodes
+    assert nodes.count("Scan") == 1, nodes
+
+
+def test_variant_extract_reads_only_type_and_props(spark):
+    """variant_props_extract on the events table must read exactly
+    (event_type, props) — the VARIANT parse must not force a full-row
+    read."""
+    from pyspark_etl_project_spark.plans.analytics_plans import QUERIES
+
+    plan = _formatted_plan(QUERIES["variant_props_extract"](spark, SF_SMALL))
+    schemas = _read_schemas(plan)
+    assert len(schemas) == 1
+    got = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert got == {"event_type", "props"}
