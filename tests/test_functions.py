@@ -122,3 +122,44 @@ def test_registry_rotation_is_code_change_aware(tmp_path, monkeypatch):
     never_green = [n for n in queries if n not in green]
     for n in never_green:
         assert names.index(n) < names.index(fresh)
+
+
+def test_domain_audit_null_counts_as_violation_unless_rule_allows(spark):
+    """catalog.domain_audit's documented NULL contract: a NULL in the
+    checked column makes the predicate NULL, and the row must count as
+    a VIOLATION (NULL is outside every declared domain) — the
+    when(pred, 0).otherwise(1) form, not when(~pred, 1) which would
+    silently pass NULLs. A rule that wants to accept NULL must opt in
+    with isNull() | pred, and then only the true out-of-domain row
+    counts."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_project_spark.catalog import domain_audit
+
+    df = spark.createDataFrame([("click",), (None,), ("bogus",)],
+                               "event_type string")
+    strict = F.col("event_type").isin("click", "view")
+    lenient = F.col("event_type").isNull() | strict
+    out = {r["rule"]: r["n_violations"] for r in
+           domain_audit(df, [("strict", strict),
+                             ("lenient", lenient)]).collect()}
+    assert out == {"strict": 2, "lenient": 1}
+
+
+def test_documentation_coverage_is_broadcast_only_no_fact_scan(spark):
+    """The governance query runs entirely on seeded metadata frames: a
+    broadcast join, no parquet scan, no sort-merge — it must stay free
+    to run against a catalog of any width."""
+    from pyspark_etl_project_spark.catalog import documentation_coverage
+
+    df = documentation_coverage(spark)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Scan parquet" not in plan
+    rows = {r["table_name"]: (r["n_cols"], r["n_documented"])
+            for r in df.collect()}
+    # events: 6 registered columns, 3 dictionary entries.
+    assert rows["events"] == (6, 3)
