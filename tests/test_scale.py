@@ -792,3 +792,107 @@ def test_variant_extract_reads_only_type_and_props(spark):
     assert len(schemas) == 1
     got = {c.split(":")[0] for c in schemas[0].split(",")}
     assert got == {"event_type", "props"}
+
+
+# --- r9 extension family: shuffle-count and Python-path pins -----------------
+# Same treatment as the r8 analytics pins above, for the training-data
+# extension queries in the same drain cohort. The guarantees here are
+# the ones that decide 100 TB viability: map-only operators must plan
+# ZERO exchanges (pure scan→project, no repartition snuck in), top-k
+# must stay TakeOrderedAndProject (per-partition heaps, k rows to the
+# driver — never a global sort), sessionization must serve all its
+# windows from ONE shuffle on the user key, and every Python-assisted
+# operator must ride the Arrow batch path (MapInPandas /
+# ArrowEvalPython), never row-at-a-time BatchEvalPython.
+
+SF_DOCS = SF_SMALL  # documents/embeddings tables live in the same dir
+
+
+def _entry_queries():
+    import __spark_entry__ as entrymod
+    return entrymod.queries()
+
+
+def test_text_extension_map_only_queries_plan_zero_exchanges(spark):
+    """text_stats, lang_id_heuristic, context_window_chunks,
+    udtf_sentence_split, array_higher_order_stats: per-document column
+    expressions (plus explode/UDTF fan-out) — a single scan, no
+    Exchange anywhere. Any shuffle in a map-only operator is pure
+    waste at corpus scale."""
+    qs = _entry_queries()
+    for name in ["text_stats", "lang_id_heuristic",
+                 "context_window_chunks", "udtf_sentence_split",
+                 "array_higher_order_stats"]:
+        plan = _formatted_plan(qs[name](spark, SF_DOCS))
+        nodes = _nodes(plan)
+        assert nodes.count("Exchange") == 0, (name, nodes)
+        assert nodes.count("Scan") == 1, (name, nodes)
+
+
+def test_text_scans_never_read_unused_document_columns(spark):
+    """The documents table's url column is never referenced by
+    text_stats or context_window_chunks — it must be pruned from the
+    scan (with the text blob, what IS read is already the bulk; an
+    unpruned url column would silently widen every corpus scan)."""
+    qs = _entry_queries()
+    for name in ["text_stats", "context_window_chunks"]:
+        plan = _formatted_plan(qs[name](spark, SF_DOCS))
+        schemas = _read_schemas(plan)
+        assert len(schemas) == 1, (name, schemas)
+        assert "url" not in schemas[0], (name, schemas[0])
+
+
+def test_brute_force_topk_is_take_ordered_no_shuffle(spark):
+    """embedding_cosine_topk: the exact-ANN baseline must compile to
+    TakeOrderedAndProject over the single scan — per-partition heaps
+    and a k-row driver merge, ZERO exchanges. A global sort here is
+    the difference between O(k) and O(corpus) bytes moved."""
+    qs = _entry_queries()
+    plan = _formatted_plan(qs["embedding_cosine_topk"](spark, SF_DOCS))
+    nodes = _nodes(plan)
+    assert "TakeOrderedAndProject" in nodes, nodes
+    assert nodes.count("Exchange") == 0, nodes
+
+
+def test_sessionize_serves_all_windows_from_one_shuffle(spark):
+    """sessionize_events plans TWO Window operators (gap flag, then
+    session id) over ONE Exchange: both windows and the downstream agg
+    reuse the user-key partitioning. A second shuffle would mean the
+    session-id window repartitioned what the gap window had already
+    partitioned. session_window_native (the built-in session_window
+    agg) must likewise hold at one Exchange."""
+    qs = _entry_queries()
+    plan = _formatted_plan(qs["sessionize_events"](spark, SF_DOCS))
+    nodes = _nodes(plan)
+    assert nodes.count("Exchange") == 1, nodes
+    assert nodes.count("Window") == 2, nodes
+
+    plan = _formatted_plan(qs["session_window_native"](spark, SF_DOCS))
+    nodes = _nodes(plan)
+    assert nodes.count("Exchange") == 1, nodes
+
+
+def test_single_shuffle_extension_aggs_and_samplers(spark):
+    """dedup_exact (hash-groupBy dedup), deterministic_split_counts,
+    pack_documents_bins and source_quota_sample (window-ranked
+    samplers): exactly one Exchange each — partial aggregation /
+    ranking happens map-side or inside the single partitioning."""
+    qs = _entry_queries()
+    for name in ["dedup_exact", "deterministic_split_counts",
+                 "pack_documents_bins", "source_quota_sample"]:
+        plan = _formatted_plan(qs[name](spark, SF_DOCS))
+        nodes = _nodes(plan)
+        assert nodes.count("Exchange") == 1, (name, nodes)
+
+
+def test_multimodal_python_stage_is_arrow_batched_map_only(spark):
+    """multimodal_frame_sample's decode stage is Python by necessity —
+    it must ride MapInPandas (Arrow batches) with zero Exchange and
+    never the row-at-a-time BatchEvalPython path (10-100x slower on
+    binary payloads)."""
+    qs = _entry_queries()
+    plan = _formatted_plan(qs["multimodal_frame_sample"](spark, SF_DOCS))
+    nodes = _nodes(plan)
+    assert "MapInPandas" in nodes, nodes
+    assert "BatchEvalPython" not in nodes, nodes
+    assert nodes.count("Exchange") == 0, nodes
