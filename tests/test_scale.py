@@ -896,3 +896,75 @@ def test_multimodal_python_stage_is_arrow_batched_map_only(spark):
     assert "MapInPandas" in nodes, nodes
     assert "BatchEvalPython" not in nodes, nodes
     assert nodes.count("Exchange") == 0, nodes
+
+
+def test_r15_cohort_windows_and_cube_single_shuffle(spark):
+    """The next drain cohort's windowed/grouping-set analytics:
+    cumulative_user_value (running sum) and window_rank_functions
+    (rank+dense_rank sharing a frame) must serve ALL their windows
+    from one user-key Exchange; cube_event_stats compiles to one scan
+    + Expand + one shuffle (never one pass per grouping set); the
+    pivot compiles to the two-phase agg (2 exchanges) over a single
+    scan. All key-range filters reach the scans."""
+    qs = _entry_queries()
+
+    plan = _formatted_plan(qs["cumulative_user_value"](spark, SF_SMALL))
+    nodes = _nodes(plan)
+    assert nodes.count("Exchange") == 1, nodes
+    assert "LessThan(user_id,50)" in plan
+
+    plan = _formatted_plan(qs["window_rank_functions"](spark, SF_SMALL))
+    nodes = _nodes(plan)
+    assert nodes.count("Exchange") == 1, nodes
+    assert nodes.count("Window") == 2, nodes
+    assert "LessThan(user_id,30)" in plan
+
+    plan = _formatted_plan(qs["cube_event_stats"](spark, SF_SMALL))
+    nodes = _nodes(plan)
+    assert "Expand" in nodes
+    assert nodes.count("Scan") == 1, nodes
+    assert nodes.count("Exchange") == 1, nodes
+
+    plan = _formatted_plan(qs["pivot_event_counts"](spark, SF_SMALL))
+    nodes = _nodes(plan)
+    assert nodes.count("Scan") == 1, nodes
+    assert nodes.count("Exchange") <= 2, nodes
+
+
+def test_top_unshipped_orders_pushes_all_three_date_filters(spark):
+    """The TPC-H Q3 shape: segment, order-date, and ship-date
+    predicates must each reach their own scan's PushedFilters, and the
+    top-10 must stay TakeOrderedAndProject — never a global sort of
+    the joined fact."""
+    qs = _entry_queries()
+    plan = _formatted_plan(qs["top_unshipped_orders"](spark, SF_SMALL))
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate," in plan
+    assert "GreaterThan(l_shipdate," in plan
+    nodes = _nodes(plan)
+    assert "TakeOrderedAndProject" in nodes, nodes
+    assert "BroadcastNestedLoopJoin" not in nodes
+    assert "CartesianProduct" not in nodes
+
+
+def test_funnel_and_resample_never_nested_loop(spark):
+    """funnel_user_stages builds its stage frames from per-stage
+    FILTERED scans (each event_type equality pushed down) joined on
+    user_id — never a nested loop. resample_daily_ffill generates each
+    user's calendar with explode(sequence(...)) from that user's own
+    bounds — the naive calendar-times-users cartesian must never
+    appear, and the forward-fill windows add at most two exchanges."""
+    qs = _entry_queries()
+
+    plan = _formatted_plan(qs["funnel_user_stages"](spark, SF_SMALL))
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _formatted_plan(qs["resample_daily_ffill"](spark, SF_SMALL))
+    nodes = _nodes(plan)
+    assert "Generate" in nodes, nodes  # explode(sequence(...)) calendar
+    assert "BroadcastNestedLoopJoin" not in nodes
+    assert "CartesianProduct" not in nodes
+    assert nodes.count("Exchange") <= 2, nodes
