@@ -968,3 +968,82 @@ def test_funnel_and_resample_never_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in nodes
     assert "CartesianProduct" not in nodes
     assert nodes.count("Exchange") <= 2, nodes
+
+
+# --- r10 cohort pins (the drain window two rounds out) -----------------------
+
+
+def test_r10_map_only_quality_gates_plan_zero_exchanges(spark):
+    """intra_doc_line_dedup and gopher_quality_gate are per-document
+    column programs — one scan, no Exchange. These run in front of
+    every downstream curation stage, so an accidental shuffle here
+    taxes the whole pipeline."""
+    qs = _entry_queries()
+    for name in ["intra_doc_line_dedup", "gopher_quality_gate"]:
+        plan = _formatted_plan(qs[name](spark, SF_SMALL))
+        nodes = _nodes(plan)
+        assert nodes.count("Exchange") == 0, (name, nodes)
+        assert nodes.count("Scan") == 1, (name, nodes)
+
+
+def test_all_multimodal_decodes_are_arrow_map_only(spark):
+    """Every codec decode query (JPEG/PNG/WAV/video) plans as scan →
+    MapInPandas with zero Exchange and never row-at-a-time
+    BatchEvalPython — binary payloads make the Arrow-vs-pickle gap
+    widest exactly here."""
+    qs = _entry_queries()
+    for name in ["multimodal_jpeg_decode", "multimodal_png_decode",
+                 "multimodal_wav_decode", "multimodal_video_decode"]:
+        plan = _formatted_plan(qs[name](spark, SF_SMALL))
+        nodes = _nodes(plan)
+        assert "MapInPandas" in nodes, (name, nodes)
+        assert "BatchEvalPython" not in nodes, (name, nodes)
+        assert nodes.count("Exchange") == 0, (name, nodes)
+
+
+def test_r10_single_shuffle_aggs_windows_and_grouping_sets(spark):
+    """One Exchange each: json_props_extract (parse + grouped agg),
+    window_distribution_functions and moving_sum_time_range (one
+    window partitioning), window_dedup_latest_maxby (max_by grouped
+    arm), doc_fingerprint_winnowing (winnow + per-doc collect),
+    embedding_gram_matrix (outer-product partial aggs),
+    manifest_pruned_scan (pruned scan + agg); GROUPING SETS and
+    UNPIVOT stay one scan + Expand + one shuffle."""
+    qs = _entry_queries()
+    for name in ["json_props_extract", "window_distribution_functions",
+                 "moving_sum_time_range", "window_dedup_latest_maxby",
+                 "doc_fingerprint_winnowing", "embedding_gram_matrix",
+                 "manifest_pruned_scan"]:
+        plan = _formatted_plan(qs[name](spark, SF_SMALL))
+        nodes = _nodes(plan)
+        assert nodes.count("Exchange") == 1, (name, nodes)
+    for name in ["grouping_sets_flag_status", "unpivot_lineitem_measures"]:
+        plan = _formatted_plan(qs[name](spark, SF_SMALL))
+        nodes = _nodes(plan)
+        assert "Expand" in nodes, (name, nodes)
+        assert nodes.count("Scan") == 1, (name, nodes)
+        assert nodes.count("Exchange") == 1, (name, nodes)
+
+
+def test_rare_token_score_bnlj_is_only_the_scalar_attach(spark):
+    """rare_token_quality_score joins a 1-ROW global aggregate
+    (n_total, n_vocab) onto the count frame via
+    join(F.broadcast(totals)) — a condition-less broadcast nested loop
+    that is O(n) against exactly one build row (extensions/text.py
+    rare_token_scores). The pin: exactly ONE BroadcastNestedLoopJoin
+    (the scalar attach), no CartesianProduct, and the token join stays
+    an equi join. bpe_pair_counts' top-k cut must stay
+    TakeOrderedAndProject."""
+    qs = _entry_queries()
+    plan = _formatted_plan(qs["rare_token_quality_score"](spark, SF_SMALL))
+    nodes = _nodes(plan)
+    assert nodes.count("BroadcastNestedLoopJoin") == 1, nodes
+    assert "CartesianProduct" not in nodes
+    assert nodes.count("BroadcastHashJoin") \
+        + nodes.count("SortMergeJoin") \
+        + nodes.count("ShuffledHashJoin") >= 1, nodes
+
+    plan = _formatted_plan(qs["bpe_pair_counts"](spark, SF_SMALL))
+    nodes = _nodes(plan)
+    assert "TakeOrderedAndProject" in nodes, nodes
+    assert "CartesianProduct" not in nodes
