@@ -1047,3 +1047,73 @@ def test_rare_token_score_bnlj_is_only_the_scalar_attach(spark):
     nodes = _nodes(plan)
     assert "TakeOrderedAndProject" in nodes, nodes
     assert "CartesianProduct" not in nodes
+
+
+# --- r11 cohort pins ----------------------------------------------------------
+
+
+def test_r11_single_shuffle_corpus_stats(spark):
+    """tokenizer_fertility_by_lang (grouped fertility agg),
+    ngram_novelty_per_source and embedding_degeneracy_stats (explode +
+    two-level agg), minhash_estimator_calibration (pair join feeding
+    one agg): bounded shuffle counts — the corpora-wide statistics
+    this family computes must stay near-map-side."""
+    qs = _entry_queries()
+    plan = _formatted_plan(qs["tokenizer_fertility_by_lang"](spark, SF_SMALL))
+    assert _nodes(plan).count("Exchange") == 1, _nodes(plan)
+    for name, cap in [("ngram_novelty_per_source", 2),
+                      ("embedding_degeneracy_stats", 1),
+                      ("minhash_estimator_calibration", 1)]:
+        plan = _formatted_plan(qs[name](spark, SF_SMALL))
+        nodes = _nodes(plan)
+        assert nodes.count("Exchange") <= cap, (name, nodes)
+        assert "CartesianProduct" not in nodes, name
+        assert "BroadcastNestedLoopJoin" not in nodes, name
+
+
+def test_r11_scalar_attach_queries_have_exactly_one_bnlj(spark):
+    """mad_length_outliers (global median/MAD), curriculum_length_buckets
+    (corpus row count), bigram_surprise_score (total pair count) and
+    retrieval_mrr_by_label each attach ONE global 1-row aggregate via
+    crossJoin(F.broadcast(...)) — the engine-wide scalar-attach
+    convention (O(n) against exactly one build row). The pin: exactly
+    one BroadcastNestedLoopJoin per plan, never a CartesianProduct,
+    and at least one real equi join carrying the data path."""
+    qs = _entry_queries()
+    for name in ["mad_length_outliers", "curriculum_length_buckets",
+                 "bigram_surprise_score", "retrieval_mrr_by_label"]:
+        plan = _formatted_plan(qs[name](spark, SF_SMALL))
+        nodes = _nodes(plan)
+        assert nodes.count("BroadcastNestedLoopJoin") == 1, (name, nodes)
+        assert "CartesianProduct" not in nodes, name
+        assert nodes.count("BroadcastHashJoin") \
+            + nodes.count("SortMergeJoin") \
+            + nodes.count("ShuffledHashJoin") >= 1, (name, nodes)
+
+
+def test_incremental_view_join_is_shuffle_free_equi(spark):
+    """incremental_join_view_orders — the join-view maintenance delta
+    (new orders joined to dims) — plans as pure broadcast equi joins
+    with ZERO exchanges: the incremental batch must never pay a
+    repartition of the base relation it is maintaining."""
+    qs = _entry_queries()
+    plan = _formatted_plan(qs["incremental_join_view_orders"](spark, SF_SMALL))
+    nodes = _nodes(plan)
+    assert nodes.count("Exchange") == 0, nodes
+    assert "BroadcastNestedLoopJoin" not in nodes
+    assert "CartesianProduct" not in nodes
+    assert nodes.count("BroadcastHashJoin") >= 1, nodes
+
+
+def test_blocklist_and_topic_tags_broadcast_the_small_side(spark):
+    """domain_blocklist_filter and keyword_topic_tags join a fact-side
+    corpus against a small curated list — the list side must broadcast
+    (BroadcastHashJoin) and the pattern must never degrade to a
+    sort-merge that shuffles the corpus by the list key."""
+    qs = _entry_queries()
+    for name in ["domain_blocklist_filter", "keyword_topic_tags"]:
+        plan = _formatted_plan(qs[name](spark, SF_SMALL))
+        nodes = _nodes(plan)
+        assert nodes.count("BroadcastHashJoin") >= 1, (name, nodes)
+        assert "SortMergeJoin" not in nodes, (name, nodes)
+        assert "CartesianProduct" not in nodes, name
