@@ -77,5 +77,13 @@ def test_frame_digest_order_insensitive_value_sensitive():
     # int vs equal float in a cell must change the digest (the HUGEINT
     # class of driver mismatch, end-to-end through the hash).
     assert frame_digest(["v"], [(3,)]) != frame_digest(["v"], [(3.0,)])
-    # A column RENAME changes pairing and must change the digest.
+    # Column ORDERING sensitivity, not name sensitivity: the digest
+    # never hashes column names (mirroring the driver, which sorts
+    # columns by name and hashes values — names are the separate
+    # schema_match check). A rename changes the digest ONLY when it
+    # changes the case-insensitive sort position of the column, as
+    # here ('b'→'c' moves past nothing but re-pairs against 'A'):
     assert frame_digest(["A", "c"], rows_a) != frame_digest(cols_a, rows_a)
+    # ...and a sort-position-preserving rename is digest-INVISIBLE by
+    # design (r14 ADVICE: this is deliberate, schema_match catches it):
+    assert frame_digest(["bb", "A"], rows_a) == frame_digest(cols_a, rows_a)

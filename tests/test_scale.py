@@ -633,7 +633,14 @@ import re as _re
 def _nodes(plan: str) -> list[str]:
     """Physical node names from a formatted explain, exactly once per
     node (the '(N) NodeName' detail lines — the tree rendering would
-    double-count)."""
+    double-count).
+
+    Note on `count("Exchange")` pins built on this: ReusedExchange is
+    captured as its own name and therefore deliberately EXCLUDED from
+    exact Exchange counts — a ReusedExchange reads an already-
+    materialized shuffle's files, it does not perform a second shuffle,
+    so "exactly one Exchange" means "exactly one shuffle materialized",
+    which is the 100 TB-relevant invariant (r14 ADVICE)."""
     return _re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
 
 
@@ -725,12 +732,13 @@ def test_revenue_join_tree_shape_with_broadcast_disabled(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        plan = None
         for name in ["revenue_by_nation_year", "promo_revenue_split"]:
-            plan = _formatted_plan(QUERIES[name](spark, SF_SMALL))
-            assert "BroadcastNestedLoopJoin" not in plan, name
-            assert "CartesianProduct" not in plan, name
-        plan = _formatted_plan(
-            QUERIES["revenue_by_nation_year"](spark, SF_SMALL))
+            p = _formatted_plan(QUERIES[name](spark, SF_SMALL))
+            assert "BroadcastNestedLoopJoin" not in p, name
+            assert "CartesianProduct" not in p, name
+            if name == "revenue_by_nation_year":
+                plan = p  # reuse for the node-count pins below
         nodes = _nodes(plan)
         assert nodes.count("BroadcastHashJoin") == 1, nodes  # nation only
         assert nodes.count("SortMergeJoin") \

@@ -35,8 +35,12 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+# argv parsing happens under __main__ (bottom of file): this module is
+# exec'd by tests/test_check_oracle_canonicalizer.py at pytest
+# collection time, where argv[1] is a pytest argument — reading it here
+# would silently make SF_DIR e.g. 'tests/' (r14 ADVICE).
+SF_DIR = "/root/testdata/sf0.01"
+ONLY: set = set()
 
 from pyspark_etl_project_spark.plans.tables import TABLES  # noqa: E402
 # (shared with the Spark load path — a copy here once meant a new table
@@ -189,4 +193,7 @@ def _diff_sample(scols, srows, dcols, drows, n=3):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        SF_DIR = sys.argv[1]
+    ONLY = set(sys.argv[2:])
     main()

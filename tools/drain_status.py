@@ -60,10 +60,10 @@ def main() -> None:
         print(f"  r{eff[n]:>2} {n}")
 
     tail = order[window:]
-    oldest = [n for n in tail if eff[n] == min(eff[n] for n in tail)] \
-        if tail else []
+    oldest_rnd = min((eff[n] for n in tail), default=-1)
+    oldest = [n for n in tail if eff[n] == oldest_rnd]
     print(f"\npost-window tail: {len(tail)} queries; oldest effective "
-          f"round r{min((eff[n] for n in tail), default=-1)} "
+          f"round r{oldest_rnd} "
           f"({len(oldest)} queries):")
     for n in oldest[:20]:
         print(f"  {n}")
