@@ -163,3 +163,54 @@ def test_watched_files_sees_local_imports_and_global_helpers():
     global_ = registry._watched_files(via_global_helper)
     assert any(f.endswith(os.path.join("functions", "hashing.py"))
                for f in global_)
+
+
+def test_order_names_drain_contract(monkeypatch):
+    """The gate-window composition contract that the whole evidence
+    drain rests on (drain_status.py reports it; all_queries() feeds the
+    driver in this order): (1) never-green and fingerprint-stale
+    queries sort FIRST, (2) then ascending latest-green round, (3)
+    registration (insertion) order breaks every tie, (4) a green query
+    with NO ledger entry counts as never-green (evidence without a
+    recorded gate-time fingerprint is not evidence), (5) the order
+    cache is keyed on the NAME SET — same set is served from cache for
+    the process's lifetime, a registration change recomputes."""
+    queries = {n: (lambda n=n: n) for n in
+               ["q_r12", "q_never", "q_stale", "q_r9", "q_r9_later",
+                "q_noledger"]}
+    oracle = {n: f"SELECT '{n}'" for n in queries}
+    green = {"q_r12": 12, "q_stale": 10, "q_r9": 9, "q_r9_later": 9,
+             "q_noledger": 11}
+    ledger = {
+        "q_r12": {"round": 12, "hash": "fp:q_r12"},
+        "q_stale": {"round": 10, "hash": "fp-of-code-since-rewritten"},
+        "q_r9": {"round": 9, "hash": "fp:q_r9"},
+        "q_r9_later": {"round": 9, "hash": "fp:q_r9_later"},
+        # q_noledger: green per the gate files but no ledger entry
+    }
+    monkeypatch.setattr(registry, "_latest_green_round", lambda: green)
+    monkeypatch.setattr(registry, "_load_green_hashes", lambda: ledger)
+    monkeypatch.setattr(registry, "query_fingerprint",
+                        lambda fn, sql: f"fp:{fn()}")
+    monkeypatch.setattr(registry, "_order_cache", None)
+
+    order = registry._order_names(queries, oracle)
+    # Priority -1 cohort in insertion order: q_never (no green),
+    # q_stale (ledger hash mismatch), q_noledger (green, no entry) —
+    # then r9 pair in insertion order, then r12.
+    assert order == ["q_never", "q_stale", "q_noledger",
+                     "q_r9", "q_r9_later", "q_r12"]
+
+    # Same name set -> cached: the exact list object comes back (the
+    # ordering inputs are immutable within a round by design).
+    assert registry._order_names(queries, oracle) is order
+
+    # A changed name set recomputes: the new query joins the
+    # never-green cohort (ahead of everything with a green round),
+    # after its insertion-order peers.
+    queries2 = dict(queries)
+    queries2["q_new"] = lambda: "q_new"
+    order2 = registry._order_names(queries2, oracle)
+    assert order2 is not order
+    assert order2 == ["q_never", "q_stale", "q_noledger", "q_new",
+                      "q_r9", "q_r9_later", "q_r12"]
