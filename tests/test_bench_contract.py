@@ -43,3 +43,19 @@ def test_headline_set_is_exactly_registered_and_oracle_twinned():
     # 106-query set; resize deliberately (update this pin in the same
     # commit), never by drift.
     assert len(headline) == 106
+
+
+def test_every_registered_query_has_an_oracle_twin():
+    """209/209 oracle coverage is a load-bearing property: the driver
+    downgrades twin-less queries to a rows-only check, and the judge
+    sees which. The registry has held 100% twin coverage since r11;
+    a new genuinely non-SQL-expressible op must relax this pin
+    DELIBERATELY (same commit, with the rationale), never by omission."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    untwinned = sorted(set(qs) - set(oracles))
+    assert not untwinned, f"queries without oracle twins: {untwinned}"
+    orphaned = sorted(set(oracles) - set(qs))
+    assert not orphaned, f"oracle entries without queries: {orphaned}"
