@@ -107,3 +107,56 @@ def test_every_registered_query_plan_is_free_of_scale_antipatterns(spark):
     # rewritten query should drop out, keeping the list honest).
     stale = set(BNLJ_EXACT) - set(qs)
     assert not stale, f"BNLJ_EXACT entries for unregistered queries: {stale}"
+
+
+# At 100 TB, size estimates exceed any broadcast threshold, so a plan
+# whose shape depends on AUTO-broadcast is lying about scale. This
+# sweep re-plans the registry with size-based broadcasting OFF: every
+# explicit F.broadcast survives (the scalar-attach BNLJs keep their
+# exact counts), and nothing new degrades to a cartesian.
+#
+# Known exception (round-15 census finding, deferred to the
+# analytics_plans.py bundle — editing that file mid-drain invalidates
+# most of the registry's fingerprints): event_debounce_collapse's
+# INNER crossJoin of two 1-row count aggregates is not explicitly
+# broadcast, so under -1 it plans a 1-row x 1-row CartesianProduct.
+# Constant work at any SF (both sides are single-row aggregates of
+# already-reduced data) — a convention violation, not a scale hazard.
+# When the bundle lands (add F.broadcast to the inner attach), this
+# exception list must go back to empty.
+CARTESIAN_NOBCAST_EXCEPTIONS = {"event_debounce_collapse": 1}
+BNLJ_NOBCAST_ADJUST = {"event_debounce_collapse": -1}  # inner attach flips
+
+
+def test_registry_plans_survive_disabled_auto_broadcast(spark):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    violations: list[str] = []
+    try:
+        for name, fn in qs.items():
+            try:
+                nodes = _nodes(_formatted_plan(fn(spark, SF_TINY)))
+            except Exception as e:
+                violations.append(f"{name}: failed to plan: "
+                                  f"{type(e).__name__}: {e}")
+                continue
+            want_cart = CARTESIAN_NOBCAST_EXCEPTIONS.get(name, 0)
+            if nodes.count("CartesianProduct") != want_cart:
+                violations.append(
+                    f"{name}: CartesianProduct count "
+                    f"{nodes.count('CartesianProduct')} != {want_cart} "
+                    f"with auto-broadcast disabled")
+            want_bnlj = BNLJ_EXACT.get(name, 0) \
+                + BNLJ_NOBCAST_ADJUST.get(name, 0)
+            got = nodes.count("BroadcastNestedLoopJoin")
+            if got != want_bnlj:
+                violations.append(
+                    f"{name}: BNLJ count {got} != {want_bnlj} with "
+                    f"auto-broadcast disabled (an attach relying on "
+                    f"size estimation?)")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert not violations, "\n".join(violations)
