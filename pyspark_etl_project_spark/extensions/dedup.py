@@ -961,8 +961,11 @@ def survivorship_merge(df: DataFrame, id_col: str, text_col: str,
     the drop: a doc found by 5 crawls is evidence of importance, and
     dropping 4 rows silently loses that signal.
 
-    One fingerprint-keyed shuffle serves both the keeper window and
-    the provenance aggregate (same partitioning, reused)."""
+    Two fingerprint-keyed exchanges — one per branch (the keeper
+    window and the provenance aggregate project different columns, so
+    Spark cannot reuse a single exchange) — but both partition on
+    ``_fp``, so the final keeper-provenance join adds NO third
+    shuffle, and the aggregate branch moves only map-side partials."""
     from pyspark_etl_project_spark.extensions.text import (
         normalized_fingerprint)
 

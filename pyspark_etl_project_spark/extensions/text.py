@@ -8,6 +8,8 @@ heuristics, document fingerprinting.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
@@ -372,9 +374,14 @@ def dedup_lines_in_doc(col: Column | str, sep: str = "\n") -> Column:
     first-occurrence order) -> re-join. No shuffle at all — a 100 TB
     corpus pass stays map-only inside whole-stage codegen, which is the
     property that makes per-document cleanup free to fuse into any scan.
+
+    ``sep`` is treated as a LITERAL separator on both sides:
+    ``F.split`` takes a regex, so the pattern is escaped before use —
+    a metachar separator (e.g. ``"|"``) splits and re-joins on the
+    same literal text and round-trips exactly.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_join(F.array_distinct(F.split(c, sep)), sep)
+    return F.array_join(F.array_distinct(F.split(c, re.escape(sep))), sep)
 
 
 # Gopher-style document-quality rules (Rae et al. 2021, "Scaling
@@ -683,11 +690,12 @@ def source_dataset_card(df, source_col: str, text_col: str,
     exact-duplicate rate. Every rate is integer ppm so the card is
     engine-exact.
 
-    One shuffle total: all signals are map-side column expressions
-    (gopher flags, normalized fingerprint, char length) aggregated in a
-    single groupBy(source) with two distinct-aggregates (langs,
-    fingerprints) that Spark plans as Expand + partial aggregation —
-    no joins, no second corpus pass."""
+    One groupBy(source), one corpus pass, no joins: all signals are
+    map-side column expressions (gopher flags, normalized fingerprint,
+    char length); the two distinct-aggregates (langs, fingerprints)
+    make Spark plan it as Expand + two-phase aggregation, which is TWO
+    exchanges on the group key — the second moves only
+    partially-aggregated rows, never the corpus."""
     g = gopher_quality_flags(text_col, min_words=min_words)
     staged = df.select(
         F.col(source_col).alias("source"),

@@ -280,7 +280,9 @@ def top_unshipped_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- pivot (event types to columns) ---------------------------------------
 # Explicit value list (never inferred — inference costs an extra scan);
-# compiles to one grouped conditional aggregation, a single shuffle.
+# compiles to two-phase aggregation — a (user, type) partial then the
+# pivot-by-user final — so the plan has two exchanges, the second
+# carrying only the pre-pivoted per-pair aggregates.
 
 @_q("pivot_event_counts", """
 SELECT user_id,
@@ -2035,7 +2037,8 @@ def event_debounce_collapse_q(spark: SparkSession,
                     | (F.col("prev_type") != F.col("event_type"))
                     | (F.col("gap_us") > 5_000_000))
     totals = (s.agg(F.count(F.lit(1)).alias("_all"))
-              .crossJoin(kept.agg(F.count(F.lit(1)).alias("_kept")))
+              .crossJoin(F.broadcast(kept.agg(F.count(F.lit(1))
+                                              .alias("_kept"))))
               .select((F.col("_all") - F.col("_kept"))
                       .alias("n_dropped_total")))
     return (kept.groupBy("event_type")

@@ -2782,7 +2782,9 @@ def cross_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- per-source dataset card --------------------------------------------------
 # The one-row-per-source summary published next to a curated corpus
 # (extensions/text.py:source_dataset_card): volume, language spread,
-# Gopher keep rate, exact-dup rate — all integer ppm, one shuffle.
+# Gopher keep rate, exact-dup rate — all integer ppm, one corpus pass
+# (the two distinct-aggregates plan as Expand + two-phase aggregation:
+# two exchanges on source, the second carrying only partials).
 
 @_q("source_dataset_card", """
 WITH t AS (

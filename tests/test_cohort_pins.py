@@ -17,31 +17,24 @@ improvement should be accompanied by re-pinning, keeping the ledger
 honest the same way BNLJ_EXACT does.
 
 ReadSchema sets are compared as an order-insensitive multiset of
-column-name sets: scan order within the formatted plan is stable, but
-nothing in the pin should depend on it.
+column-name sets (Counter of frozensets — NOT sorted frozensets, whose
+subset-partial-order __lt__ makes sorting non-canonical; r15 ADVICE):
+scan order within the formatted plan is stable, but nothing in the pin
+should depend on it.
 """
 
 from __future__ import annotations
 
-import re
+from collections import Counter
+
+from conftest import formatted_plan, plan_nodes, read_schema_columns
 
 SF_TINY = "/root/testdata/sf0.001"
 
 
-def _formatted_plan(df) -> str:
-    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode \
-        .fromString("formatted")
-    return df._jdf.queryExecution().explainString(mode)
-
-
-def _facts(df) -> tuple[int, list[str]]:
-    plan = _formatted_plan(df)
-    nodes = re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
-    schemas = [
-        ",".join(c.split(":")[0] for c in s.split(",") if ":" in c)
-        for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    ]
-    return nodes.count("Exchange"), schemas
+def _facts(df) -> tuple[int, list[frozenset[str]]]:
+    plan = formatted_plan(df)
+    return plan_nodes(plan).count("Exchange"), read_schema_columns(plan)
 
 
 def _check(spark, pins) -> list[str]:
@@ -51,16 +44,17 @@ def _check(spark, pins) -> list[str]:
     bad = []
     for name, (want_ex, want_schemas) in pins.items():
         try:
-            got_ex, got_schemas = _facts(qs[name](spark, SF_TINY))
+            got_ex, got_sets = _facts(qs[name](spark, SF_TINY))
         except Exception as e:
             bad.append(f"{name}: failed to plan: {type(e).__name__}: {e}")
             continue
         if got_ex != want_ex:
             bad.append(f"{name}: Exchange count {got_ex} != {want_ex}")
-        if sorted(map(frozenset, (s.split(",") for s in got_schemas))) != \
-                sorted(map(frozenset, (s.split(",") for s in want_schemas))):
-            bad.append(f"{name}: ReadSchema sets {got_schemas} != "
-                       f"{want_schemas}")
+        want_sets = [frozenset(s.split(",")) for s in want_schemas]
+        if Counter(got_sets) != Counter(want_sets):
+            bad.append(f"{name}: ReadSchema sets "
+                       f"{sorted(sorted(s) for s in got_sets)} != "
+                       f"{sorted(sorted(s) for s in want_sets)}")
     return bad
 
 

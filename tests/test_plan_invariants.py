@@ -31,8 +31,6 @@ work tiny at this SF. Budget ~3 min for the full registry.
 
 from __future__ import annotations
 
-import re
-
 SF_TINY = "/root/testdata/sf0.001"
 
 # The scalar-attach allowlist: query -> exact BroadcastNestedLoopJoin
@@ -67,16 +65,9 @@ BNLJ_EXACT = {
 }
 
 
-def _formatted_plan(df) -> str:
-    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode \
-        .fromString("formatted")
-    return df._jdf.queryExecution().explainString(mode)
-
-
-def _nodes(plan: str) -> list[str]:
-    # Exactly-once node names from the '(N) NodeName' detail lines;
-    # ReusedExchange et al. render as their own full names.
-    return re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
+# Shared plan primitives live in conftest (r15 ADVICE: one copy).
+from conftest import formatted_plan as _formatted_plan  # noqa: E402
+from conftest import plan_nodes as _nodes  # noqa: E402
 
 
 def test_every_registered_query_plan_is_free_of_scale_antipatterns(spark):
@@ -115,17 +106,12 @@ def test_every_registered_query_plan_is_free_of_scale_antipatterns(spark):
 # explicit F.broadcast survives (the scalar-attach BNLJs keep their
 # exact counts), and nothing new degrades to a cartesian.
 #
-# Known exception (round-15 census finding, deferred to the
-# analytics_plans.py bundle — editing that file mid-drain invalidates
-# most of the registry's fingerprints): event_debounce_collapse's
-# INNER crossJoin of two 1-row count aggregates is not explicitly
-# broadcast, so under -1 it plans a 1-row x 1-row CartesianProduct.
-# Constant work at any SF (both sides are single-row aggregates of
-# already-reduced data) — a convention violation, not a scale hazard.
-# When the bundle lands (add F.broadcast to the inner attach), this
-# exception list must go back to empty.
-CARTESIAN_NOBCAST_EXCEPTIONS = {"event_debounce_collapse": 1}
-BNLJ_NOBCAST_ADJUST = {"event_debounce_collapse": -1}  # inner attach flips
+# These exception lists exist to make any future violation LOUD: a
+# query may only appear here with a written adjudication (see the
+# round-15 event_debounce_collapse precedent, fixed in round 16), and
+# the standing goal is that both stay empty.
+CARTESIAN_NOBCAST_EXCEPTIONS: dict[str, int] = {}
+BNLJ_NOBCAST_ADJUST: dict[str, int] = {}
 
 
 def test_registry_plans_survive_disabled_auto_broadcast(spark):

@@ -1653,26 +1653,27 @@ def test_remove_boilerplate_matches_chunk_model(spark, docs, line_tokens):
 
 
 @settings(max_examples=8, deadline=None)
-@given(st.lists(st.sampled_from(["a", "b", "cc", ""]), max_size=10))
-def test_dedup_lines_in_doc_first_occurrence(spark, lines):
+@given(st.lists(st.sampled_from(["a", "b", "cc", ""]), max_size=10),
+       st.sampled_from(["\n", "|", ".", "||"]))
+def test_dedup_lines_in_doc_first_occurrence(spark, lines, sep):
     """dedup_lines_in_doc keeps exactly the first occurrence of every
     line in order (array_distinct order guarantee), including empty
-    lines from consecutive separators. Tested on the default newline
-    separator — the only one the engine uses; ``sep`` is a REGEX on the
-    split side but a literal on the re-join side, so a metachar
-    separator (e.g. r"\\|") re-joins escaped and does not round-trip."""
+    lines from consecutive separators — for the default newline AND
+    for regex-metachar separators: ``sep`` is escaped on the split
+    side (F.split takes a regex) and literal on the re-join side, so
+    any separator round-trips exactly."""
     from pyspark_etl_project_spark.extensions.text import dedup_lines_in_doc
 
-    body = "\n".join(lines)
+    body = sep.join(lines)
     df = spark.createDataFrame([(body,)], "body string")
-    got = df.select(dedup_lines_in_doc("body")
+    got = df.select(dedup_lines_in_doc("body", sep=sep)
                     .alias("out")).collect()[0]["out"]
     seen, kept = set(), []
-    for line in body.split("\n"):
+    for line in body.split(sep):
         if line not in seen:
             seen.add(line)
             kept.append(line)
-    assert got == "\n".join(kept)
+    assert got == sep.join(kept)
 
 
 # --- Gopher quality flags vs the pure rule model ------------------------------

@@ -15,10 +15,8 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _formatted_plan(df) -> str:
-    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode \
-        .fromString("formatted")
-    return df._jdf.queryExecution().explainString(mode)
+# Shared plan primitives live in conftest (r15 ADVICE: one copy).
+from conftest import formatted_plan as _formatted_plan  # noqa: E402
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
@@ -627,25 +625,8 @@ def test_iterative_graph_ops_plan_only_equi_joins(spark):
 # row-group and a full scan; "never nested-loop" bounds the join cost
 # at any SF.
 
-import re as _re
-
-
-def _nodes(plan: str) -> list[str]:
-    """Physical node names from a formatted explain, exactly once per
-    node (the '(N) NodeName' detail lines — the tree rendering would
-    double-count).
-
-    Note on `count("Exchange")` pins built on this: ReusedExchange is
-    captured as its own name and therefore deliberately EXCLUDED from
-    exact Exchange counts — a ReusedExchange reads an already-
-    materialized shuffle's files, it does not perform a second shuffle,
-    so "exactly one Exchange" means "exactly one shuffle materialized",
-    which is the 100 TB-relevant invariant (r14 ADVICE)."""
-    return _re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
-
-
-def _read_schemas(plan: str) -> list[str]:
-    return _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+from conftest import plan_nodes as _nodes  # noqa: E402
+from conftest import read_schema_columns as _read_schemas  # noqa: E402
 
 
 def test_analytics_aggs_prune_columns_and_keep_one_shuffle(spark):
@@ -668,7 +649,7 @@ def test_analytics_aggs_prune_columns_and_keep_one_shuffle(spark):
         assert nodes.count("Exchange") == 1, (name, nodes)
         schemas = _read_schemas(plan)
         assert len(schemas) == 1, (name, schemas)
-        got = {c.split(":")[0] for c in schemas[0].split(",")}
+        got = set(schemas[0])
         assert got == want_cols, (name, got)
 
 
@@ -798,7 +779,7 @@ def test_variant_extract_reads_only_type_and_props(spark):
     plan = _formatted_plan(QUERIES["variant_props_extract"](spark, SF_SMALL))
     schemas = _read_schemas(plan)
     assert len(schemas) == 1
-    got = {c.split(":")[0] for c in schemas[0].split(",")}
+    got = set(schemas[0])
     assert got == {"event_type", "props"}
 
 
