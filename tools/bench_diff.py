@@ -1,0 +1,74 @@
+"""Per-query bench comparison — the robust round-over-round statistic.
+
+The r15 verdict's reporting rule: raw totals and even the
+floor-normalized scalar swing ±18-25% on a byte-identical engine, so
+lead with the per-query ratio DISTRIBUTION (median ratio, count of
+regressions >1.25x, count of improvements <0.8x) over the shared query
+set, and only then the totals.
+
+Usage:
+    python tools/bench_diff.py NEW_DETAIL.json OLD_DETAIL.json
+    python tools/bench_diff.py BENCH_DETAIL.json <git-ref>   # old side
+        read from `git show REF:BENCH_DETAIL.json`
+
+Prints one human block plus a final single-line JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import subprocess
+import sys
+
+
+def _load(arg: str) -> dict:
+    try:
+        with open(arg) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        out = subprocess.run(
+            ["git", "show", f"{arg}:BENCH_DETAIL.json"],
+            capture_output=True, text=True, check=True)
+        return json.loads(out.stdout)
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    new, old = _load(sys.argv[1]), _load(sys.argv[2])
+    nq, oq = new["queries"], old["queries"]
+    shared = sorted(set(nq) & set(oq))
+    ratios = {q: nq[q] / oq[q] for q in shared if oq[q] > 0}
+    regress = {q: r for q, r in ratios.items() if r > 1.25}
+    improve = {q: r for q, r in ratios.items() if r < 0.8}
+    med = statistics.median(ratios.values()) if ratios else float("nan")
+
+    print(f"shared queries: {len(shared)} "
+          f"(new-only: {sorted(set(nq) - set(oq))}, "
+          f"old-only: {sorted(set(oq) - set(nq))})")
+    print(f"median ratio (new/old): {med:.3f}")
+    print(f"regressions >1.25x: {len(regress)}")
+    for q, r in sorted(regress.items(), key=lambda kv: -kv[1]):
+        print(f"  {q}: {oq[q]:.3f}s -> {nq[q]:.3f}s ({r:.2f}x)")
+    print(f"improvements <0.8x: {len(improve)}")
+    for q, r in sorted(improve.items(), key=lambda kv: kv[1]):
+        print(f"  {q}: {oq[q]:.3f}s -> {nq[q]:.3f}s ({r:.2f}x)")
+    nf_new, nf_old = new.get("noise_floor", {}), old.get("noise_floor", {})
+    print(f"noise floor new {nf_new} old {nf_old}")
+    sum_new = sum(nq[q] for q in shared)
+    sum_old = sum(oq[q] for q in shared)
+    print(f"shared-set totals: new {sum_new:.1f}s old {sum_old:.1f}s "
+          f"({sum_new / sum_old:.2f}x)")
+    print(json.dumps({
+        "shared": len(shared), "median_ratio": round(med, 3),
+        "regressions_gt_1_25": sorted(regress),
+        "improvements_lt_0_8": sorted(improve),
+        "total_ratio": round(sum_new / sum_old, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
