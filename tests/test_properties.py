@@ -377,22 +377,25 @@ def test_partial_column_stats_merge_equals_direct(spark, vals, n_parts, k):
               st.integers(0, 3),       # ord1 (ties likely)
               st.integers(0, 1000),    # ord2 (tiebreaker, may still tie)
               st.integers(0, 9)),      # payload
-    min_size=1, max_size=30))
-def test_keep_latest_arms_agree(spark, rows):
+    min_size=1, max_size=30),
+    st.booleans())
+def test_keep_latest_arms_agree(spark, rows, descending):
     """The window arm and the max_by arm of keep-latest dedup are two
     physical plans of ONE operator (reference E1): for any input whose
     (key, ordering) is unique per survivor they must pick identical
     rows, and when the full ordering ties the survivor sets must still
-    agree on the ordering columns (both arms pick SOME maximal row).
+    agree on the ordering columns (both arms pick SOME extremal row).
+    Covers BOTH directions — descending=False is the keep-earliest arm
+    (window asc vs min_by), which no registered query exercises.
     Guards the skew arm against drifting from the gate-verified window
     arm between rounds."""
     from pyspark_etl_project_spark.operators.dedup import keep_latest
 
     df = spark.createDataFrame(rows, "k int, o1 int, o2 int, v int")
     win = keep_latest(df, keys="k", order_by=["o1", "o2"],
-                      descending=True).collect()
+                      descending=descending).collect()
     mb = keep_latest(df, keys="k", order_by=["o1", "o2"],
-                     descending=True, use_max_by=True).collect()
+                     descending=descending, use_max_by=True).collect()
     assert len(win) == len(mb)
     win_by_k = {r["k"]: r for r in win}
     mb_by_k = {r["k"]: r for r in mb}
