@@ -155,3 +155,63 @@ def test_quality_score_explicit_default_stopwords_match(spark):
         quality_score("text", stopwords=["zzz", "qqq"])
         .alias("q")).collect()[0]["q"]
     assert missed < default
+
+
+def test_salted_agg_result_invariant_to_num_salts(spark):
+    """The salt is physical-plan routing only: any num_salts must
+    produce identical merged aggregates (the content-derived salt
+    guards retry determinism, not values)."""
+    from pyspark_etl_project_spark.operators.joins import salted_agg
+
+    rows = [("hot", i % 7, i) for i in range(500)] + \
+           [("cold", 1, 99), ("cold", 2, 1)]
+    df = spark.createDataFrame(rows, "k string, a int, b int")
+    aggs = [("a", "sum", "sum_a"), ("b", "max", "max_b"),
+            ("a", "count", "n"), ("b", "min", "min_b")]
+    cols = ["k", "sum_a", "max_b", "n", "min_b"]
+    want = _rows(salted_agg(df, "k", aggs), cols)
+    for num_salts in (1, 3, 64):
+        got = _rows(salted_agg(df, "k", aggs, num_salts=num_salts), cols)
+        assert got == want, num_salts
+
+
+def test_deterministic_shuffle_optional_arms(spark):
+    """num_partitions must not change the permutation (the order is
+    defined by the md5 key, not the layout), and key_col must expose
+    exactly the shuffle key the default arm sorted by."""
+    from pyspark_etl_project_spark.extensions.layout import (
+        deterministic_shuffle, shuffle_key)
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "id int")
+    base = {r["id"]: r["pos"]
+            for r in deterministic_shuffle(df, "id", seed=7).collect()}
+    repart = {r["id"]: r["pos"]
+              for r in deterministic_shuffle(df, "id", seed=7,
+                                             num_partitions=3).collect()}
+    assert repart == base
+    keyed = deterministic_shuffle(df, "id", seed=7, key_col="mykey")
+    rows = keyed.collect()
+    assert {r["id"]: r["pos"] for r in rows} == base
+    want_keys = {r["id"]: r["k"]
+                 for r in df.select("id",
+                                    shuffle_key("id", 7).alias("k"))
+                 .collect()}
+    assert {r["id"]: r["mykey"] for r in rows} == want_keys
+
+
+def test_connected_clusters_deep_chain_converges_in_default_budget(spark):
+    """A 300-link path graph is the worst case plain propagation cannot
+    finish in 20 rounds (it moves labels one hop per round); the
+    pointer-doubling claim in connected_dedup_clusters' docstring is
+    exactly that such chains converge in O(log diameter). Pin it: every
+    node must reach cluster_id 0 within the DEFAULT max_iters."""
+    from pyspark_etl_project_spark.extensions.dedup import (
+        connected_dedup_clusters)
+
+    n = 300
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    out = connected_dedup_clusters(pairs, ids).collect()
+    assert len(out) == n
+    assert {r["cluster_id"] for r in out} == {0}
