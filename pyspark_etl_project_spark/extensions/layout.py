@@ -108,8 +108,11 @@ def deterministic_shuffle(df: DataFrame, id_col: str, seed: int,
     expose the md5 permutation key under that name (callers that want
     the key itself, e.g. to persist the ordering); by default the
     internal key column is dropped."""
+    from pyspark_etl_project_spark.functions.reserved import (
+        require_free_columns)
     from pyspark_etl_project_spark.operators.scd2 import dense_row_number
 
+    require_free_columns(df, ["_shuffle_key"], "deterministic_shuffle")
     keyed = df.withColumn("_shuffle_key", shuffle_key(id_col, seed))
     numbered = dense_row_number(keyed, ["_shuffle_key", id_col], out_col,
                                 num_partitions=num_partitions)

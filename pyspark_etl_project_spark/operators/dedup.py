@@ -50,6 +50,10 @@ def keep_latest(df: DataFrame,
         out = df.groupBy(*keys).agg(picked.alias("_row"))
         return out.select("_row.*")
 
+    from pyspark_etl_project_spark.functions.reserved import (
+        require_free_columns)
+
+    require_free_columns(df, ["_rn"], "keep_latest")
     ordering = [F.col(c).desc() if descending else F.col(c).asc() for c in order_by]
     w = Window.partitionBy(*keys).orderBy(*ordering)
     return (df.withColumn("_rn", F.row_number().over(w))

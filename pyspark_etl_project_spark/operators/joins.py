@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_etl_project_spark.functions.reserved import require_free_columns
+
 
 def asof_join(left: DataFrame, right: DataFrame,
               on: str, left_ts: str, right_ts: str,
@@ -44,6 +46,9 @@ def asof_join(left: DataFrame, right: DataFrame,
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    require_free_columns(
+        left, ["_ts", "_side", "_m", *[f"_r_{c}" for c in right_cols]],
+        "asof_join")
 
     lt, rt = F.col(left_ts), F.col(right_ts)
     l_tagged = left.withColumn("_ts", lt.cast("timestamp")) \
@@ -103,6 +108,8 @@ def range_join(left: DataFrame, intervals: DataFrame,
     if how != "inner":
         raise ValueError("range_join supports inner joins; outer variants "
                          "need null-preserving residual handling")
+    require_free_columns(left, ["_bucket"], "range_join")
+    require_free_columns(intervals, ["_bucket"], "range_join")
     p, s, e = F.col(point), F.col(start), F.col(end)
     # Integral `div`, not floor(x / w): float division silently loses
     # precision past 2^53 — real ids/timestamps at corpus scale exceed
@@ -177,6 +184,8 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left")
+    require_free_columns(big, ["_salt"], "salted_join")
+    require_free_columns(small, ["_salt"], "salted_join")
     # Deterministic content-derived salt — see salted_agg for why a
     # retry-unstable salt silently duplicates/drops rows post-shuffle.
     salted_big = big.withColumn(

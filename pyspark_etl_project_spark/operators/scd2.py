@@ -412,6 +412,11 @@ def dense_row_number(df: DataFrame, order_cols: list[str], out_col: str,
     """
     from pyspark.storagelevel import StorageLevel
 
+    from pyspark_etl_project_spark.functions.reserved import (
+        require_free_columns)
+
+    require_free_columns(df, ["_dense_pid", "_dense_off"],
+                         "dense_row_number")
     sort_cols = [F.col(c) for c in order_cols]
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism

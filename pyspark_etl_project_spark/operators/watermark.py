@@ -26,6 +26,10 @@ def latest_version_per_key(df: DataFrame,
                            watermark_col: str | None = None) -> DataFrame:
     """Rows newer than the watermark, keeping only the max-version row per
     key (re-delivered records collapse to the latest archived copy)."""
+    from pyspark_etl_project_spark.functions.reserved import (
+        require_free_columns)
+
+    require_free_columns(df, ["_rn"], "latest_version_per_key")
     out = df
     if watermark is not None:
         out = out.filter(F.col(watermark_col or key) > F.lit(watermark))
