@@ -50,7 +50,11 @@ def _check(spark, pins) -> list[str]:
             continue
         if got_ex != want_ex:
             bad.append(f"{name}: Exchange count {got_ex} != {want_ex}")
-        want_sets = [frozenset(s.split(",")) for s in want_schemas]
+        # '' pins the EMPTY column set (a count-only `ReadSchema:
+        # struct<>` scan) — ''.split(',') would yield {''}, which no
+        # real scan produces, so map it explicitly (r16 ADVICE).
+        want_sets = [frozenset(s.split(",")) if s else frozenset()
+                     for s in want_schemas]
         if Counter(got_sets) != Counter(want_sets):
             bad.append(f"{name}: ReadSchema sets "
                        f"{sorted(sorted(s) for s in got_sets)} != "

@@ -27,9 +27,15 @@ def _load(arg: str) -> dict:
         with open(arg) as f:
             return json.load(f)
     except FileNotFoundError:
-        out = subprocess.run(
-            ["git", "show", f"{arg}:BENCH_DETAIL.json"],
-            capture_output=True, text=True, check=True)
+        try:
+            out = subprocess.run(
+                ["git", "show", f"{arg}:BENCH_DETAIL.json"],
+                capture_output=True, text=True, check=True)
+        except subprocess.CalledProcessError as e:
+            raise SystemExit(
+                f"bench_diff: {arg!r} is neither a readable JSON file nor "
+                f"a git ref with a committed BENCH_DETAIL.json "
+                f"(git show: {e.stderr.strip()})")
         return json.loads(out.stdout)
 
 
@@ -40,6 +46,7 @@ def main() -> int:
     new, old = _load(sys.argv[1]), _load(sys.argv[2])
     nq, oq = new["queries"], old["queries"]
     shared = sorted(set(nq) & set(oq))
+    zero_old = sorted(q for q in shared if oq[q] <= 0)
     ratios = {q: nq[q] / oq[q] for q in shared if oq[q] > 0}
     regress = {q: r for q, r in ratios.items() if r > 1.25}
     improve = {q: r for q, r in ratios.items() if r < 0.8}
@@ -48,6 +55,9 @@ def main() -> int:
     print(f"shared queries: {len(shared)} "
           f"(new-only: {sorted(set(nq) - set(oq))}, "
           f"old-only: {sorted(set(oq) - set(nq))})")
+    if zero_old:
+        print(f"excluded from ratio stats (old time <= 0, still in "
+              f"totals): {zero_old}")
     print(f"median ratio (new/old): {med:.3f}")
     print(f"regressions >1.25x: {len(regress)}")
     for q, r in sorted(regress.items(), key=lambda kv: -kv[1]):
@@ -59,13 +69,15 @@ def main() -> int:
     print(f"noise floor new {nf_new} old {nf_old}")
     sum_new = sum(nq[q] for q in shared)
     sum_old = sum(oq[q] for q in shared)
+    total_ratio = (sum_new / sum_old) if sum_old > 0 else float("nan")
     print(f"shared-set totals: new {sum_new:.1f}s old {sum_old:.1f}s "
-          f"({sum_new / sum_old:.2f}x)")
+          f"({total_ratio:.2f}x)")
     print(json.dumps({
         "shared": len(shared), "median_ratio": round(med, 3),
+        "zero_old_excluded": zero_old,
         "regressions_gt_1_25": sorted(regress),
         "improvements_lt_0_8": sorted(improve),
-        "total_ratio": round(sum_new / sum_old, 3),
+        "total_ratio": round(total_ratio, 3),
     }))
     return 0
 
