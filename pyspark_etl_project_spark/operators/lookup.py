@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_etl_project_spark.functions.reserved import require_free_columns
+
 
 def prepare_dimension(dim: DataFrame,
                       key_col: str,
@@ -29,6 +31,7 @@ def prepare_dimension(dim: DataFrame,
                       order_col: str = "START_DATE") -> DataFrame:
     """Active rows, optional source filter, newest-START_DATE winner per
     key — yields a unique (key -> id) mapping ready to broadcast."""
+    require_free_columns(dim, ["_rn"], "prepare_dimension")
     d = dim.filter(F.col("ACTIVE_FLAG") == 1)
     if source_id is not None:
         d = d.filter(F.col("SOURCE_ID") == source_id)
@@ -45,7 +48,14 @@ def lookup_join(fact: DataFrame,
                 id_col: str,
                 out_col: str) -> DataFrame:
     """Left broadcast join mapping fact_key -> id; miss -> null (feeds the
-    IS_VALID_DATA flag downstream, same as a failed UDF lookup)."""
+    IS_VALID_DATA flag downstream, same as a failed UDF lookup).
+
+    ``_lk`` is reserved on BOTH sides: the final name-based
+    ``drop("_lk")`` removes every column of that name, so a fact-side
+    ``_lk`` would be silently destroyed (r16 ADVICE — confirmed live),
+    and a dim-side one would duplicate under the rename."""
+    require_free_columns(fact, ["_lk"], "lookup_join")
+    require_free_columns(dim_prepared, ["_lk"], "lookup_join")
     d = dim_prepared.withColumnRenamed(dim_key, "_lk").withColumnRenamed(id_col, out_col)
     out = fact.join(F.broadcast(d), fact[fact_key] == d["_lk"], "left").drop("_lk")
     return out

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_etl_project_spark.functions.reserved import require_free_columns
 from pyspark_etl_project_spark.schemas import XML_RECORD_FIELDS
 
 _XML_SCHEMA_DDL = ", ".join(f"{f} STRING" for f in XML_RECORD_FIELDS)
@@ -20,7 +21,12 @@ _XML_SCHEMA_DDL = ", ".join(f"{f} STRING" for f in XML_RECORD_FIELDS)
 def parse_xml_records(df: DataFrame, xml_col: str = "STREAMING_DATA",
                       keep_cols: list[str] | None = None) -> DataFrame:
     """Parse <RECORD> XML strings into 14 string columns (typed later by
-    the pipeline's casts, same as the reference)."""
+    the pipeline's casts, same as the reference).
+
+    ``_rec`` is reserved: non-xml caller columns pass through to the
+    output, so a caller's own ``_rec`` would be silently replaced by
+    the parse struct (r17 audit — confirmed live)."""
+    require_free_columns(df, ["_rec"], "parse_xml_records")
     parsed = df.withColumn("_rec", _from_xml(F.col(xml_col)))
     keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != xml_col]
     return parsed.select(*keep, "_rec.*")
@@ -36,6 +42,7 @@ def parse_xml_records_quarantined(df: DataFrame,
     """Split (good, quarantine): records from_xml cannot parse into any
     field keep their raw payload for the reject table instead of
     flowing on as all-null rows."""
+    require_free_columns(df, ["_rec"], "parse_xml_records_quarantined")
     parsed = df.withColumn("_rec", _from_xml(F.col(xml_col)))
     # A malformed record parses to a struct of all-null fields — detect
     # by every child being null (a valid RECORD always carries at least

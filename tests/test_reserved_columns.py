@@ -96,3 +96,145 @@ def test_guard_is_plan_build_time_and_noop_for_clean_frames(spark):
                                "k int, o int, v string")
     out = keep_latest(df, keys="k", order_by="o").collect()
     assert [(r["k"], r["o"], r["v"]) for r in out] == [(1, 2, "b")]
+
+
+# --- Round 17 (r16 ADVICE): case-insensitive matching + coverage ---
+
+def test_guard_catches_case_variant_collisions(spark):
+    """Under the default spark.sql.caseSensitive=false, withColumn
+    REPLACES columns case-insensitively, so a caller's ``_RN`` is
+    destroyed by staging ``_rn`` exactly like a lower-case one — the
+    guard must compare the same way (r16 ADVICE, confirmed live:
+    before the fix keep_latest silently emitted ['k','v'])."""
+    from pyspark_etl_project_spark.operators.dedup import keep_latest
+
+    df = spark.createDataFrame([(1, 2, "x")], "k int, _RN int, v string")
+    _raises_reserved(lambda: keep_latest(df, keys="k", order_by="v"))
+
+
+def test_guard_exact_match_under_case_sensitive_resolution(spark):
+    """With caseSensitive=true a case-variant name is a genuinely
+    distinct column: the staged ``_rn`` is added and dropped separately
+    and the caller's ``_RN`` passes through untouched — so the guard
+    must NOT reject it (rejecting would break a working input)."""
+    from pyspark_etl_project_spark.operators.dedup import keep_latest
+
+    df = spark.createDataFrame([(1, 2, "x")], "k int, _RN int, v string")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        out = keep_latest(df, keys="k", order_by="v").collect()
+        assert [r["_RN"] for r in out] == [2]
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", "false")
+
+
+def test_lookup_join_rejects_lk_collision_both_sides(spark):
+    """lookup_join passes ALL fact columns through and ends with a
+    name-based drop("_lk") that removes EVERY column of that name — a
+    fact-side ``_lk`` (any case) was silently destroyed before the r17
+    guard; a dim-side one duplicates under the rename."""
+    from pyspark_etl_project_spark.operators.lookup import lookup_join
+
+    dim = spark.createDataFrame([(1, 100)], "dk int, id int")
+    for bad_type in ("_lk string", "_LK string"):
+        fact = spark.createDataFrame([(1, "keepme")], f"k int, {bad_type}")
+        _raises_reserved(lambda fact=fact: lookup_join(
+            fact, dim, "k", "dk", "id", "mapped_id"))
+    fact_clean = spark.createDataFrame([(1,)], "k int")
+    dim_bad = spark.createDataFrame([(1, 100, "x")],
+                                    "dk int, id int, _lk string")
+    _raises_reserved(lambda: lookup_join(
+        fact_clean, dim_bad, "k", "dk", "id", "mapped_id"))
+
+
+def test_prepare_dimension_rejects_rn_collision(spark):
+    from pyspark_etl_project_spark.operators.lookup import prepare_dimension
+
+    dim = spark.createDataFrame(
+        [("a", 1, 1, "2024-01-01", 9)],
+        "key string, id int, ACTIVE_FLAG int, START_DATE string, _rn int")
+    _raises_reserved(lambda: prepare_dimension(dim, "key", "id"))
+
+
+def test_parse_xml_records_rejects_rec_collision(spark):
+    """Non-xml caller columns pass through parse_xml_records, so a
+    caller ``_rec`` would be replaced by the parse struct and emitted
+    under the caller's name."""
+    from pyspark_etl_project_spark.sources.xml_source import (
+        parse_xml_records, parse_xml_records_quarantined)
+
+    df = spark.createDataFrame([("<RECORD></RECORD>", 7)],
+                               "STREAMING_DATA string, _rec int")
+    _raises_reserved(lambda: parse_xml_records(df))
+    _raises_reserved(lambda: parse_xml_records_quarantined(df))
+
+
+# --- Projection-benign staging sites: collision value-equivalence ---
+# These operators stage underscore helpers on frames the engine
+# PROJECTS first, so caller columns never reach the staging frame or
+# the output — a colliding input is consumed, never corrupted. Pinned
+# by running each op with and without colliding junk columns and
+# asserting identical results (functions/reserved.py module docstring).
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_survivorship_merge_ignores_colliding_caller_columns(spark):
+    from pyspark_etl_project_spark.extensions.dedup import survivorship_merge
+
+    base = spark.createDataFrame(
+        [(1, "hello world", "a", 5), (2, "hello  WORLD", "b", 9),
+         (3, "other text", "a", 1)],
+        "doc_id int, text string, src string, q int")
+    noisy = base.withColumn("_fp", F.lit("junk")) \
+                .withColumn("_rn", F.lit(99))
+    assert (_rows(survivorship_merge(noisy, "doc_id", "text", "src", "q"))
+            == _rows(survivorship_merge(base, "doc_id", "text", "src", "q")))
+
+
+def test_column_stats_partials_ignore_colliding_caller_columns(spark):
+    from pyspark_etl_project_spark.operators.stats import (
+        column_stats_partials)
+
+    base = spark.createDataFrame([(1, 10), (1, 20), (2, 30)],
+                                 "p int, v int")
+    noisy = base.withColumn("_rn", F.lit(7))
+    s0, h0 = column_stats_partials(base, F.col("p"), F.col("v"), k=4)
+    s1, h1 = column_stats_partials(noisy, F.col("p"), F.col("v"), k=4)
+    assert _rows(s1) == _rows(s0)
+    assert _rows(h1) == _rows(h0)
+
+
+def test_topk_for_queries_ignores_colliding_caller_columns(spark):
+    from pyspark_etl_project_spark.extensions.similarity import (
+        topk_for_queries)
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id int, embedding array<double>")
+    queries = spark.createDataFrame([(10, [1.0, 0.1])],
+                                    "query_id int, query_vec array<double>")
+    noisy_c = corpus.withColumn("_b", F.lit("junk")) \
+                    .withColumn("_rn", F.lit(1)) \
+                    .withColumn("_cv", F.lit(0))
+    noisy_q = queries.withColumn("_b", F.lit("junk")) \
+                     .withColumn("_qv", F.lit(0))
+    for nb in (None, 2):
+        assert (_rows(topk_for_queries(noisy_c, noisy_q, k=2, num_bits=nb))
+                == _rows(topk_for_queries(corpus, queries, k=2,
+                                          num_bits=nb)))
+
+
+def test_remove_boilerplate_ignores_colliding_caller_columns(spark):
+    from pyspark_etl_project_spark.extensions.text import (
+        remove_boilerplate_lines)
+
+    rows = [(i, "cookie banner unique text %d here" % i)
+            for i in range(6)]
+    base = spark.createDataFrame(rows, "doc_id int, text string")
+    noisy = base.withColumn("_keep", F.lit(False)) \
+                .withColumn("_boiler", F.lit(True)) \
+                .withColumn("_line", F.lit("x"))
+    assert (_rows(remove_boilerplate_lines(noisy, "doc_id", "text"))
+            == _rows(remove_boilerplate_lines(base, "doc_id", "text")))
