@@ -1,6 +1,7 @@
-"""Per-query plan-shape pins for the r12/r13/r14 gate cohorts — the
-queries whose drain rounds are still ahead (r16: r12 evidence, r17:
-r13, r18: r14) and that had no dedicated shape pin in test_scale.py.
+"""Per-query plan-shape pins — since round 17, for EVERY registered
+query (PINS_R12/R13/R14 hold the original r15 census of the r12-r14
+gate cohorts; PINS_REST covers the remainder, and a coverage test
+keeps the union in lockstep with the registry).
 Complements tests/test_plan_invariants.py (global anti-pattern sweep):
 these pin each query's EXACT materialized-shuffle count and its EXACT
 parquet ReadSchema column sets, so a regression that adds a shuffle or
@@ -179,3 +180,160 @@ PINS_R14 = {
 def test_r14_cohort_plan_shapes(spark):
     bad = _check(spark, PINS_R14)
     assert not bad, "\n".join(bad)
+
+
+# Every remaining registered query — the r15/r16 gate cohorts plus
+# earlier queries that only had the global anti-pattern sweep. Pinned
+# so the byte-stable endgame rounds (r18-r20) catch ANY plan drift —
+# a shuffle added, a scan widened — the moment it lands, not at the
+# query's next gate round. Generated by tools/pin_census.py on the
+# round-17 HEAD (same config as this suite: sf0.001,
+# shuffle_partitions=4), the same day the full registry was
+# triple-SF oracle-verified (0 failures at sf0.001/0.01/0.1).
+PINS_REST = {
+    "abc_part_classification": (2, []),
+    "ann_recall_calibration": (4, ['embedding,vec_id', 'embedding,vec_id']),
+    "array_higher_order_stats": (0, ['embedding,vec_id']),
+    "bigram_surprise_score": (3, []),
+    "bloom_pruned_lineitem_join": (2, ['l_orderkey,l_quantity,l_returnflag', 'o_orderkey,o_orderpriority,o_totalprice']),
+    "bpe_encode_token_counts": (1, []),
+    "bpe_pair_counts": (2, ['text']),
+    "bpe_train_merges": (0, []),
+    "cdc_router": (0, ['o_orderkey,o_orderpriority,o_orderstatus', 'o_orderkey,o_orderpriority,o_orderstatus']),
+    "char_length_histogram": (1, ['lang,n_chars']),
+    "cms_heavy_hitters_tokens": (2, []),
+    "cohort_retention_weekly": (3, ['ts,user_id', 'ts,user_id']),
+    "collocations_topk": (3, ['text', 'text']),
+    "containment_neardup_pairs": (3, []),
+    "context_window_chunks": (0, ['doc_id,text']),
+    "conversion_latency_deciles": (3, ['event_type,ts,user_id', 'event_type,ts,user_id']),
+    "cross_source_overlap": (5, []),
+    "cube_event_stats": (1, ['event_type,user_id,value']),
+    "cumulative_user_value": (1, ['event_id,ts,user_id,value']),
+    "curated_corpus_roundtrip": (1, ['doc_id,n_tokens', 'lang,n_docs,split,total_tokens', 'lang,n_docs,split,total_tokens']),
+    "curriculum_length_buckets": (6, ['doc_id,text', '']),
+    "dedup_cluster_size_histogram": (2, []),
+    "dedup_exact": (1, ['doc_id,text']),
+    "dedup_survivorship_merge": (2, ['doc_id,text', 'source,text']),
+    "deterministic_split_counts": (1, ['doc_id']),
+    "dictionary_encode_roundtrip": (2, ['event_type']),
+    "dim_prep_lookup": (1, ['c_custkey,c_name', 'o_custkey,o_orderdate,o_orderkey,o_orderstatus', 'c_acctbal,c_custkey']),
+    "distinct_counts_per_group": (2, ['event_type,user_id,value']),
+    "doc_fingerprint_winnowing": (1, ['doc_id,text']),
+    "doc_length_quantiles": (4, ['doc_id,text']),
+    "domain_blocklist_filter": (3, ['doc_id']),
+    "dup_span_scrub_text": (3, ['doc_id,text', 'doc_id,text']),
+    "dup_span_stats": (2, []),
+    "embedding_cosine_topk": (0, ['embedding,vec_id']),
+    "embedding_degeneracy_stats": (1, ['embedding,label']),
+    "embedding_gram_matrix": (1, ['embedding']),
+    "event_debounce_collapse": (3, []),
+    "event_gap_detection": (1, ['event_id,ts,user_id']),
+    "funnel_user_stages": (5, ['event_type,ts,user_id', 'event_type,ts,user_id', 'event_type,ts,user_id', 'event_type,ts,user_id', 'event_type,ts,user_id', 'event_type,ts,user_id']),
+    "global_sort": (1, ['n_name,n_nationkey,n_regionkey']),
+    "gopher_quality_gate": (0, ['doc_id,text']),
+    "grouping_sets_flag_status": (1, ['l_linestatus,l_quantity,l_returnflag']),
+    "hard_negative_mining": (1, ['embedding,label,vec_id', 'embedding,label,vec_id']),
+    "hard_negative_mining_ann": (5, ['embedding,label,vec_id', 'embedding,label,vec_id', 'embedding,label,vec_id']),
+    "incremental_agg_merge": (3, ['event_id,event_type,value', 'event_id,event_type,value', 'event_id,event_type,value']),
+    "incremental_join_view_orders": (0, ['o_custkey,o_orderkey,o_totalprice', 'c_custkey,c_name,c_nationkey', 'o_custkey,o_orderkey,o_totalprice', 'c_custkey,c_name,c_nationkey']),
+    "incremental_neardup_new_batch": (8, ['doc_id', 'doc_id', 'doc_id,text', 'doc_id,text', 'doc_id,text', 'doc_id,text', 'doc_id,text', 'doc_id,text', 'doc_id,text', 'doc_id,text', 'doc_id,text', 'doc_id,text', 'doc_id,text', 'doc_id,text', 'doc_id,text']),
+    "intra_doc_line_dedup": (0, ['doc_id,text']),
+    "join_dim_broadcast": (1, ['l_discount,l_extendedprice,l_suppkey', 's_nationkey,s_suppkey', 'n_nationkey,n_regionkey', 'r_name,r_regionkey']),
+    "join_skew_report": (12, []),
+    "json_props_extract": (1, ['event_type,props']),
+    "jsonl_sink_roundtrip": (1, ['doc_id,source,text']),
+    "keyword_topic_tags": (2, ['doc_id,text']),
+    "kmv_distinct_sketch_trigrams": (4, ['source,text', 'source,text']),
+    "lang_id_heuristic": (0, ['doc_id,lang,text']),
+    "largest_remainder_allocation": (2, []),
+    "lateral_topk_per_order": (2, ['o_orderkey', 'l_extendedprice,l_linenumber,l_orderkey']),
+    "latest_version_per_key": (2, ['event_id,event_type,user_id,value', 'event_id']),
+    "leakage_safe_split_counts": (2, []),
+    "length_drift_deciles": (4, ['n_chars,source', 'n_chars,source']),
+    "load_audit_metrics": (1, ['o_orderstatus,o_totalprice']),
+    "mad_length_outliers": (4, []),
+    "manifest_pruned_scan": (1, ['doc_id,n_chars,source']),
+    "minhash_estimator_calibration": (1, []),
+    "minhash_vs_jaccard_eval": (7, []),
+    "moving_sum_time_range": (1, ['event_id,ts,user_id,value']),
+    "multimodal_frame_sample": (0, ['doc_id,text']),
+    "multimodal_jpeg_decode": (0, ['doc_id']),
+    "multimodal_png_decode": (0, ['doc_id']),
+    "multimodal_video_decode": (0, ['doc_id']),
+    "multimodal_wav_decode": (0, ['doc_id']),
+    "neardup_topk_neighbors": (4, []),
+    "next_token_conditional_topk": (2, ['text']),
+    "ngram_novelty_per_source": (2, ['source,text']),
+    "order_line_revenue_share": (1, ['l_extendedprice,l_linenumber,l_orderkey']),
+    "pack_documents_bins": (1, ['doc_id,lang,text']),
+    "pagerank_doc_links": (0, []),
+    "partial_stats_merge": (16, ['l_extendedprice,l_orderkey', 'l_extendedprice,l_orderkey', 'l_extendedprice', 'l_extendedprice', 'l_orderkey,l_returnflag', 'l_orderkey,l_returnflag', 'l_returnflag', 'l_returnflag']),
+    "percentile_profile": (1, ['l_quantity,l_returnflag']),
+    "pipe_syntax_pricing": (1, ['l_orderkey,l_quantity,l_returnflag']),
+    "pivot_event_counts": (2, ['event_type,user_id']),
+    "pricing_summary": (1, ['l_discount,l_extendedprice,l_linestatus,l_quantity,l_returnflag,l_shipdate']),
+    "promo_revenue_split": (1, ['l_discount,l_extendedprice,l_partkey,l_shipdate', 'p_partkey,p_type']),
+    "rare_token_quality_score": (4, []),
+    "resample_daily_ffill": (2, ['ts,user_id', 'event_id,ts,user_id,value']),
+    "retrieval_mrr_by_label": (1, ['embedding,vec_id', 'label,vec_id']),
+    "revenue_by_nation_year": (1, ['c_custkey,c_nationkey', 'o_custkey,o_orderdate,o_orderkey', 'l_discount,l_extendedprice,l_orderkey', 'n_name,n_nationkey']),
+    "rollup_flag_status": (1, ['l_linestatus,l_quantity,l_returnflag']),
+    "scan_filter_project": (0, ['l_extendedprice,l_linenumber,l_orderkey,l_quantity,l_shipdate']),
+    "scd2_merge": (6, ['c_custkey,c_mktsegment,c_name', 'c_custkey,c_mktsegment,c_name', 'c_custkey,c_mktsegment,c_name', 'c_custkey,c_mktsegment,c_name']),
+    "semi_anti_customers": (0, ['c_custkey,c_name', 'o_custkey,o_orderpriority', 'c_custkey,c_name', 'o_custkey,o_orderdate']),
+    "session_basket_lift": (7, []),
+    "session_window_native": (1, ['ts,user_id']),
+    "sessionize_events": (1, ['event_id,ts,user_id']),
+    "set_ops_user_activity": (9, ['event_id,user_id', 'event_id,user_id', 'event_id,user_id', 'event_id,user_id', 'event_id,user_id', 'event_id,user_id']),
+    "source_dataset_card": (2, ['lang,source,text']),
+    "source_quota_sample": (1, ['doc_id,lang,source']),
+    "stratified_sample_deterministic": (0, ['doc_id,lang']),
+    "streaming_band_index_dedup": (5, ['band_hash,band_id,doc_id', 'doc_id,text', 'band_hash,band_id,doc_id', 'band_hash,band_id,doc_id']),
+    "streaming_kmv_store_compacted": (3, ['doc_id,text', 'h']),
+    "streaming_kmv_trigram_sketch": (3, ['doc_id,text', 'h']),
+    "table_column_stats": (8, ['l_quantity', 'l_returnflag', 'l_shipdate', 'l_extendedprice']),
+    "temperature_mixture_sample": (4, ['doc_id,source', 'source', 'source']),
+    "text_stats": (0, ['doc_id,text']),
+    "tokenizer_fertility_by_lang": (1, ['text']),
+    "top_unshipped_orders": (1, ['c_custkey,c_mktsegment', 'o_custkey,o_orderdate,o_orderkey,o_orderpriority', 'l_discount,l_extendedprice,l_orderkey,l_shipdate']),
+    "topk_limit": (0, ['p_name,p_partkey,p_retailprice,p_size']),
+    "udtf_sentence_split": (0, ['doc_id,text']),
+    "unpivot_lineitem_measures": (1, ['l_discount,l_extendedprice,l_orderkey,l_quantity']),
+    "url_canonical_dedup": (2, ['doc_id']),
+    "user_event_type_sets": (2, ['event_type,user_id']),
+    "validity_flag": (0, ['l_linenumber,l_linestatus,l_orderkey,l_quantity,l_returnflag']),
+    "variant_props_extract": (1, ['event_type,props']),
+    "weighted_quality_sample": (0, ['doc_id,source,text']),
+    "window_dedup_latest": (1, ['event_id,event_type,ts,user_id']),
+    "window_dedup_latest_maxby": (1, ['event_id,event_type,props,ts,user_id,value']),
+    "window_distribution_functions": (1, ['l_linenumber,l_orderkey,l_quantity']),
+    "window_rank_functions": (1, ['event_id,event_type,user_id,value']),
+    "window_value_functions": (1, ['l_linenumber,l_orderkey,l_quantity']),
+    "winnowing_contamination": (4, ['doc_id,text', 'doc_id,text', 'doc_id,text']),
+}
+
+
+def test_rest_plan_shapes(spark):
+    bad = _check(spark, PINS_REST)
+    assert not bad, "\n".join(bad)
+
+
+def test_pin_suites_cover_entire_registry():
+    """The four pin dicts together must cover every registered query
+    exactly once — a new query must be pinned (or deliberately added
+    here) and a de-registered one must drop its pin, keeping the
+    plan-shape ledger in lockstep with the registry."""
+    import __spark_entry__ as entrymod
+
+    pinned = {}
+    for d in (PINS_R12, PINS_R13, PINS_R14, PINS_REST):
+        for name in d:
+            pinned[name] = pinned.get(name, 0) + 1
+    dupes = sorted(n for n, c in pinned.items() if c > 1)
+    assert not dupes, f"queries pinned twice: {dupes}"
+    registry = set(entrymod.queries())
+    missing = sorted(registry - set(pinned))
+    extra = sorted(set(pinned) - registry)
+    assert not missing, f"registered but unpinned: {missing}"
+    assert not extra, f"pinned but not registered: {extra}"

@@ -238,3 +238,32 @@ def test_remove_boilerplate_ignores_colliding_caller_columns(spark):
                 .withColumn("_line", F.lit("x"))
     assert (_rows(remove_boilerplate_lines(noisy, "doc_id", "text"))
             == _rows(remove_boilerplate_lines(base, "doc_id", "text")))
+
+
+def test_guarded_inventory_matches_code():
+    """functions/reserved.py's module docstring names the guaranteed-
+    guarded entry points; this keeps that inventory honest code-side:
+    every listed function must actually invoke the guard, so the doc
+    cannot silently rot if a refactor drops a call."""
+    import inspect
+
+    from pyspark_etl_project_spark.extensions.layout import (
+        deterministic_shuffle)
+    from pyspark_etl_project_spark.operators.dedup import keep_latest
+    from pyspark_etl_project_spark.operators.joins import (
+        asof_join, range_join, salted_join)
+    from pyspark_etl_project_spark.operators.lookup import (
+        lookup_join, prepare_dimension)
+    from pyspark_etl_project_spark.operators.scd2 import dense_row_number
+    from pyspark_etl_project_spark.operators.watermark import (
+        latest_version_per_key)
+    from pyspark_etl_project_spark.sources.xml_source import (
+        parse_xml_records, parse_xml_records_quarantined)
+
+    inventory = [keep_latest, latest_version_per_key, asof_join,
+                 range_join, salted_join, dense_row_number, lookup_join,
+                 prepare_dimension, parse_xml_records,
+                 parse_xml_records_quarantined, deterministic_shuffle]
+    unguarded = [fn.__name__ for fn in inventory
+                 if "require_free_columns" not in inspect.getsource(fn)]
+    assert not unguarded, unguarded
