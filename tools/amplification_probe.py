@@ -963,6 +963,44 @@ def probe_leakage_safe_split(spark: SparkSession, n: int) -> None:
                                     {"train": 90, "val": 5, "test": 5}))
 
 
+def _one_hot_key_feed(spark: SparkSession, n: int) -> DataFrame:
+    """The pathological repeated-key feed from SCALE.md's sizing note:
+    HALF of all rows carry ONE natural key (a feed stuck re-sending a
+    single record), the other half unique keys. At 100× of the 100k
+    base the hot key holds 5M rows — the worst case for any plan that
+    must co-locate a key's duplicates."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+         .otherwise(F.concat(F.lit("k"), F.col("id"))).alias("nat_key"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 97).alias("payload"))
+
+
+def probe_keep_latest_window_hot_key(spark: SparkSession, n: int) -> None:
+    """keep_latest DEFAULT arm (window row_number) under the one-hot-key
+    feed. Every duplicate of the hot key is shuffled to one reducer and
+    sorted there — the straggler shape the max_by escape hatch exists
+    for. Measured, not assumed: this probe quantifies how bad the
+    default gets so the sizing-note advice rests on a number."""
+    from pyspark_etl_project_spark.operators.dedup import keep_latest
+
+    _materialize(keep_latest(_one_hot_key_feed(spark, n),
+                             "nat_key", "seq"))
+
+
+def probe_keep_latest_maxby_hot_key(spark: SparkSession, n: int) -> None:
+    """keep_latest(use_max_by=True) on the same feed: groupBy + max_by
+    partial-aggregates map-side, so each map partition emits ONE row
+    for the hot key and the reducer sees ~n_partitions rows instead of
+    n/2. Expected at-or-below linear with a better constant than the
+    window arm; value-equivalence of the arms is pinned separately by
+    the gate query window_dedup_latest_maxby."""
+    from pyspark_etl_project_spark.operators.dedup import keep_latest
+
+    _materialize(keep_latest(_one_hot_key_feed(spark, n),
+                             "nat_key", "seq", use_max_by=True))
+
+
 PROBES = {
     # name: (fn, base_n)  — 100× runs at base_n * AMP
     "boilerplate_scrub_30pct_hot_line": (probe_boilerplate, 10_000),
@@ -1014,6 +1052,11 @@ PROBES = {
     "pagerank_3iter_ring_1pct_hub": (probe_pagerank_hub, 100_000),
     "tfidf_pairs_universal_term": (probe_tfidf_pairs_universal_term,
                                    10_000),
+    # round-17: the sizing-note hot-key scenario, both keep_latest arms
+    "keep_latest_window_one_hot_key": (probe_keep_latest_window_hot_key,
+                                       100_000),
+    "keep_latest_maxby_one_hot_key": (probe_keep_latest_maxby_hot_key,
+                                      100_000),
 }
 
 
