@@ -72,6 +72,38 @@ def test_clean_compare_unchanged(tmp_path):
     assert summary["total_ratio"] == 1.25
 
 
+def test_floor_normalized_line_and_warmup_note(tmp_path):
+    p_new = tmp_path / "new.json"
+    p_new.write_text(json.dumps({
+        "queries": {"scd2_merge": 1.6, "b": 1.0},
+        "noise_floor": {"min": 0.2}}))
+    p_old = tmp_path / "old.json"
+    p_old.write_text(json.dumps({
+        "queries": {"scd2_merge": 0.8, "b": 1.0},
+        "noise_floor": {"min": 0.1}}))
+    r = _run(str(p_new), str(p_old))
+    assert r.returncode == 0, r.stderr
+    assert "CPU-floor drift: 2.00x" in r.stdout
+    assert "warmup-sensitive" in r.stdout
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["floor_ratio"] == 2.0
+    # totals 2.6/1.8 = 1.444..; net of the 2x floor drift = 0.722
+    assert summary["total_ratio_net_of_floor"] == 0.722
+    assert summary["warmup_sensitive_regressions"] == ["scd2_merge"]
+
+
+def test_no_floor_fields_when_floor_absent(tmp_path):
+    new = _write(tmp_path, "new.json", {"a": 1.0})
+    old = _write(tmp_path, "old.json", {"a": 1.0})
+    r = _run(new, old)
+    assert r.returncode == 0, r.stderr
+    assert "CPU-floor drift" not in r.stdout
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["floor_ratio"] is None
+    assert summary["total_ratio_net_of_floor"] is None
+    assert summary["warmup_sensitive_regressions"] == []
+
+
 def test_module_importable_for_coverage():
     spec = importlib.util.spec_from_file_location("bench_diff", _TOOL)
     mod = importlib.util.module_from_spec(spec)

@@ -21,6 +21,16 @@ import statistics
 import subprocess
 import sys
 
+# Queries whose min-of-5 sits on a long per-JVM warmup curve (SCALE.md
+# round 17 convergence census): their cross-round ratio carries a
+# ~±2x sampling band on identical bytes — never flag one in isolation.
+WARMUP_SENSITIVE = {
+    "scd2_merge",
+    "streaming_band_index_dedup",
+    "streaming_window_agg",
+    "hard_negative_mining_ann",
+}
+
 
 def _load(arg: str) -> dict:
     try:
@@ -72,12 +82,28 @@ def main() -> int:
     total_ratio = (sum_new / sum_old) if sum_old > 0 else float("nan")
     print(f"shared-set totals: new {sum_new:.1f}s old {sum_old:.1f}s "
           f"({total_ratio:.2f}x)")
+    floor_ratio = net_ratio = None
+    fn, fo = nf_new.get("min"), nf_old.get("min")
+    if fn and fo and total_ratio == total_ratio:  # floors present, not NaN
+        floor_ratio = fn / fo
+        net_ratio = total_ratio / floor_ratio
+        print(f"CPU-floor drift: {floor_ratio:.2f}x; totals net of floor "
+              f"drift: {net_ratio:.2f}x (floor does NOT capture I/O-side "
+              f"co-tenancy — see SCALE.md round 17 ambient band)")
+    warm = sorted(set(regress) & WARMUP_SENSITIVE)
+    if warm:
+        print(f"note: warmup-sensitive min-of-5 among regressions "
+              f"(~2x sampling band on identical bytes): {warm}")
     print(json.dumps({
         "shared": len(shared), "median_ratio": round(med, 3),
         "zero_old_excluded": zero_old,
         "regressions_gt_1_25": sorted(regress),
         "improvements_lt_0_8": sorted(improve),
         "total_ratio": round(total_ratio, 3),
+        "floor_ratio": round(floor_ratio, 3) if floor_ratio else None,
+        "total_ratio_net_of_floor":
+            round(net_ratio, 3) if net_ratio else None,
+        "warmup_sensitive_regressions": warm,
     }))
     return 0
 
