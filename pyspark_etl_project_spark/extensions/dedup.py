@@ -351,7 +351,12 @@ def connected_dedup_clusters(pairs: DataFrame, ids: DataFrame,
         row = df.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).first()
         return row["s"]
 
-    prev_sum = label_sum(labels)
+    # prev_sum starts unknown rather than paying a dedicated job to sum
+    # the initial labels: round 1 then never breaks early, which only
+    # costs anything on an edgeless (already-converged) input — one
+    # spare round there buys one fewer full upstream scan on EVERY real
+    # input (the initial sum scanned the whole ids lineage; guide §1.2).
+    prev_sum = None
     for it in range(max_iters):
         neighbor = (edges.join(labels, edges["dst"] == labels["node"])
                     .groupBy("src").agg(F.min("label").alias("nlabel")))

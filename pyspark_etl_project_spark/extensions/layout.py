@@ -145,12 +145,15 @@ def compact_small_files(spark, src_path: str, dst_path: str,
     (df.repartitionByRange(parts, F.col(order_col))
        .sortWithinPartitions(order_col)
        .write.mode("overwrite").parquet(dst_path))
-    # Count written files through Spark's _metadata column, NOT
-    # os.listdir: the destination can be any Hadoop-supported
-    # filesystem (s3a/gs/abfs), where a local listdir would raise
-    # after the write already succeeded. Same pattern as
-    # skipping.py's manifest build.
-    files = (spark.read.parquet(dst_path)
-             .select(F.col("_metadata.file_path"))
-             .distinct().count())
+    # Count written files through the Hadoop FileSystem API (works on
+    # any supported filesystem — s3a/gs/abfs — where a local os.listdir
+    # would raise): one driver-side metadata listing, where the former
+    # `_metadata.file_path` distinct-count launched a whole Spark job
+    # that re-read every footer just to count files.
+    from pyspark_etl_project_spark.operators.fs import hadoop_fs
+
+    _, fs, jpath = hadoop_fs(spark, dst_path)
+    files = sum(1 for s in fs.listStatus(jpath)
+                if s.isFile()
+                and not s.getPath().getName().startswith(("_", ".")))
     return n, files

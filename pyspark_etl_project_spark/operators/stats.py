@@ -24,18 +24,30 @@ def exact_quantiles(df: DataFrame, value_col: str, tiebreak_col: str,
 
     Scale shape: one range exchange for the global rank (dense_row_number
     keeps the sort distributed; its side plan is one row per partition),
-    one `.count()` scan for n (columnar, cheap), then a len(qs)-row
-    broadcast join picks the quantile rows — no window over a single
-    partition anywhere. Returns (q, value) with q from ``qs``.
+    then a len(qs)-row broadcast join picks the quantile rows — no
+    window over a single partition anywhere. n comes from MAX(_rn) over
+    the ranked frame INSIDE the plan (the rank is dense and 1-based, so
+    max(_rn) == count), not a separate driver-side `.count()` action:
+    the whole quantile is one lazy pipeline and the ranked frame —
+    persisted by dense_row_number — is scanned once for the n-row and
+    once for the pick, instead of paying an extra eager upstream scan
+    per call (guide §1.2 "don't compute things twice").
+    Returns (q, value) with q from ``qs``.
     """
     from pyspark_etl_project_spark.operators.scd2 import dense_row_number
 
-    n = df.count()
     spark = df.sparkSession
-    positions = [(int(q), (max(n - 1, 0) * int(q)) // 100 + 1) for q in qs]
-    pos_df = F.broadcast(spark.createDataFrame(positions, "q long, _pos long"))
+    qdf = spark.createDataFrame([(int(q),) for q in qs], "q long")
     ranked = dense_row_number(df.select(value_col, tiebreak_col),
                               [value_col, tiebreak_col], "_rn")
+    # max(_rn) is NULL on an empty frame -> pos 1 -> joins nothing,
+    # matching the old n=0 behaviour exactly.
+    nrow = ranked.agg(F.max("_rn").alias("_n"))
+    pos_df = F.broadcast(
+        qdf.crossJoin(nrow)
+           .select("q",
+                   (F.expr("(greatest(coalesce(_n, 0) - 1, 0) * q)"
+                           " div 100") + F.lit(1)).alias("_pos")))
     out = ranked.join(pos_df, ranked["_rn"] == pos_df["_pos"])
     return out.select("q", F.col(value_col).alias("value"))
 
@@ -129,10 +141,18 @@ def column_stats_partials(df: DataFrame, part: F.Column, value: F.Column,
                     .cast("long").alias("n_nulls"),
                    F.min("v").alias("min_v"),
                    F.max("v").alias("max_v")))
+    # Hash BEFORE the distinct: one (part, h) exchange carrying 8-byte
+    # hashes replaces the former distinct-on-string -> hash ->
+    # distinct-on-hash chain (two exchanges, the first shuffling full
+    # value strings). The set is identical — distinct values map to
+    # the same hash set, and hash collisions collapse either way (the
+    # KMV contract dedupes on the HASH) — but the md5 now runs
+    # map-side and only (part, h) partials cross the wire
+    # (guide §2.3 "shuffle fewer bytes" / §2.4 "remove shuffles").
     hashed = (base.filter(F.col("v").isNotNull())
-              .select("part", F.col("v").cast("string").alias("s"))
-              .distinct()
-              .select("part", kmv_value_hash(F.col("s"), salt).alias("h"))
+              .select("part",
+                      kmv_value_hash(F.col("v").cast("string"), salt)
+                       .alias("h"))
               .distinct())
     w = Window.partitionBy("part").orderBy("h")
     hashes = (hashed.withColumn("_rn", F.row_number().over(w))
@@ -178,9 +198,12 @@ def column_stats_direct(df: DataFrame, value: F.Column, k: int = 64,
                  F.min("v").alias("min_v"),
                  F.max("v").alias("max_v"),
                  F.countDistinct("v").cast("long").alias("exact_ndv"))
+    # Same single-exchange shape as column_stats_partials: hash
+    # map-side, distinct once on the 8-byte hash (identical set — the
+    # estimator dedupes on the hash anyway).
     hashed = (base.filter(F.col("v").isNotNull())
-              .select(F.col("v").cast("string").alias("s")).distinct()
-              .select(kmv_value_hash(F.col("s"), salt).alias("h"))
+              .select(kmv_value_hash(F.col("v").cast("string"), salt)
+                       .alias("h"))
               .distinct())
     km = (hashed.orderBy("h").limit(k)
           .agg(F.count(F.lit(1)).alias("_cnt"),

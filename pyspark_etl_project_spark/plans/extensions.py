@@ -4064,9 +4064,14 @@ def compaction_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "n_chars"))
     work = tempfile.mkdtemp(prefix="compact_rt_")
     frag = os.path.join(work, "frag")
-    for i in range(8):
-        (docs.filter(F.col("doc_id") % 8 == i)
-             .repartition(8).write.mode("append").parquet(frag))
+    # Fragmented-source setup in ONE write job: hash-repartitioning the
+    # 400 rows 64 ways lays down the same many-tiny-files shape the old
+    # 8x append loop produced (8 commits, each rescanning + refiltering
+    # the parquet — 8 jobs of setup for one query). The compaction pass
+    # under test is unchanged and its output is byte-identical:
+    # compact_small_files re-sorts by doc_id into ceil(n/target) files
+    # regardless of source layout.
+    docs.repartition(64, F.col("doc_id")).write.mode("overwrite").parquet(frag)
     dst = os.path.join(work, "compact")
     n, files = compact_small_files(spark, frag, dst, "doc_id",
                                    target_rows_per_file=100)

@@ -220,7 +220,7 @@ PINS_REST = {
     "dim_prep_lookup": (1, ['c_custkey,c_name', 'o_custkey,o_orderdate,o_orderkey,o_orderstatus', 'c_acctbal,c_custkey']),
     "distinct_counts_per_group": (2, ['event_type,user_id,value']),
     "doc_fingerprint_winnowing": (1, ['doc_id,text']),
-    "doc_length_quantiles": (4, ['doc_id,text']),
+    "doc_length_quantiles": (8, ['doc_id,text']),
     "domain_blocklist_filter": (3, ['doc_id']),
     "dup_span_scrub_text": (3, ['doc_id,text', 'doc_id,text']),
     "dup_span_stats": (2, []),
@@ -252,7 +252,7 @@ PINS_REST = {
     "leakage_safe_split_counts": (2, []),
     "length_drift_deciles": (4, ['n_chars,source', 'n_chars,source']),
     "load_audit_metrics": (1, ['o_orderstatus,o_totalprice']),
-    "mad_length_outliers": (4, []),
+    "mad_length_outliers": (8, []),
     "manifest_pruned_scan": (1, ['doc_id,n_chars,source']),
     "minhash_estimator_calibration": (1, []),
     "minhash_vs_jaccard_eval": (7, []),
