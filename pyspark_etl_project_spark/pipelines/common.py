@@ -38,8 +38,23 @@ STAGED_COLS = [
 
 def empty_mart(spark: SparkSession) -> DataFrame:
     """Schema-typed empty mart (A5 semantics,
-    reference ETL/CSV_Batch_Processing.py:34-43)."""
-    return spark.createDataFrame([], MART_SCHEMA)
+    reference ETL/CSV_Batch_Processing.py:34-43).
+
+    Built as a provably-empty LocalRelation (one-row projection behind
+    a literal-false filter) instead of ``createDataFrame([], schema)``:
+    the latter is a LogicalRDD whose emptiness Catalyst cannot see, so
+    a first load into a fresh mart paid the FULL merge machinery —
+    keys-distinct + broadcast, anti/semi joins, three union branches —
+    over provably zero rows. With a LocalRelation,
+    PropagateEmptyRelation collapses all of it at optimization time and
+    the first load plans as exactly the arrival branch (guide §2.4:
+    remove shuffles the data cannot need). Schema (incl. nullability)
+    is identical to MART_SCHEMA; the idiomatic emptyRDD-with-schema
+    construction itself stays exercised by scan_filter_project's A5
+    seed."""
+    cols = [F.lit(None).cast(f.dataType).alias(f.name)
+            for f in MART_SCHEMA.fields]
+    return spark.range(1).select(*cols).filter(F.lit(False))
 
 
 def attach_dimension_ids(df: DataFrame, dims: dict[str, DataFrame],

@@ -628,41 +628,36 @@ def stream_documents(spark: SparkSession, sf_dir: str,
             .filter(F.col("doc_id") >= min_doc_id)
             .select("doc_id", "text"))
     watch_dir = tempfile.mkdtemp(prefix="docs_stream_")
-    lo = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    if lo[0] is not None:
-        # ONE write job lays down every chunk: a chunk-id column +
-        # partitionBy replaces the former per-chunk coalesce(1) loop
-        # (``files`` serial jobs, each re-reading + re-filtering the
-        # parquet). Hash-repartitioning on the chunk id keeps all rows
-        # of a chunk in one task, so each chunk dir still gets exactly
-        # ONE file — the maxFilesPerTrigger=1 multi-batch contract.
-        # The explicit readStream schema below omits the partition
-        # column, so the streamed rows stay (doc_id, text).
-        span = (lo[1] - lo[0] + files) // files
-        chunk = F.floor((F.col("doc_id") - F.lit(lo[0])) / F.lit(span))
-        (docs.withColumn("chunk", chunk.cast("int"))
-         .repartition(files, F.col("chunk"))
-         .write.mode("overwrite").partitionBy("chunk").parquet(watch_dir))
-        # A chunk whose doc_id range is EMPTY (gapped/sparse ids)
-        # produces no dir in the partitioned write — but the contract
-        # is exactly ``files`` parquet files (= micro-batches under
-        # maxFilesPerTrigger=1); split-invariance tests compare
-        # run(1) vs run(N) and need the requested split to actually
-        # happen. Backfill the missing chunks with empty single-file
-        # writes (a no-op on the dense gate data).
-        for i in range(files):
-            cdir = os.path.join(watch_dir, f"chunk={i}")
-            if not os.path.isdir(cdir):
-                (docs.filter(F.lit(False)).coalesce(1)
-                 .write.mode("overwrite").parquet(cdir))
-    else:
-        # Empty filtered slice: a zero-row partitioned write creates NO
-        # chunk dirs and the source glob would match nothing — write
-        # `files` empty chunk dirs the long way so the drain still
-        # produces a (deterministically empty) stream.
-        for i in range(files):
-            docs.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(watch_dir, f"chunk={i}"))
+    # ONE write job lays down every chunk: a chunk-id column +
+    # partitionBy replaces the former per-chunk coalesce(1) loop
+    # (``files`` serial jobs, each re-reading + re-filtering the
+    # parquet). Hash-repartitioning on the chunk id keeps all rows
+    # of a chunk in one task, so each chunk dir still gets exactly
+    # ONE file — the maxFilesPerTrigger=1 multi-batch contract.
+    # The explicit readStream schema below omits the partition
+    # column, so the streamed rows stay (doc_id, text).
+    # The chunk id is pmod(doc_id, files) rather than a doc_id-range
+    # split: membership of a chunk is not contractual (every consumer
+    # is batch-split-invariant by contract and their oracles rebuild
+    # from the whole slice), and the former range split needed a
+    # min/max aggregation job over the slice BEFORE the write — a
+    # whole extra pass of setup per drain (guide §1.2).
+    (docs.withColumn("chunk",
+                     F.pmod(F.col("doc_id"), F.lit(files)).cast("int"))
+     .repartition(files, F.col("chunk"))
+     .write.mode("overwrite").partitionBy("chunk").parquet(watch_dir))
+    # A chunk with no rows (sparse/gapped ids, or an entirely empty
+    # slice) produces no dir in the partitioned write — but the
+    # contract is exactly ``files`` parquet files (= micro-batches
+    # under maxFilesPerTrigger=1); split-invariance tests compare
+    # run(1) vs run(N) and need the requested split to actually
+    # happen. Backfill the missing chunks with empty single-file
+    # writes (a no-op on the dense gate data).
+    for i in range(files):
+        cdir = os.path.join(watch_dir, f"chunk={i}")
+        if not os.path.isdir(cdir):
+            (docs.filter(F.lit(False)).coalesce(1)
+             .write.mode("overwrite").parquet(cdir))
     schema = T.StructType([T.StructField("doc_id", T.LongType(), True),
                            T.StructField("text", T.StringType(), True)])
     stream = (spark.readStream.schema(schema)

@@ -116,10 +116,10 @@ PINS_R13 = {
     "embedding_quantized_rerank_topk": (0, ['vec_id,embedding']),
     "embedding_quantized_topk": (0, ['vec_id,embedding']),
     "embedding_topk_batched": (1, ['vec_id,embedding', 'vec_id,embedding']),
-    "etl_csv_pipeline_full": (10, ['o_orderkey,o_orderstatus,o_orderdate,o_orderpriority']),
-    "etl_csv_two_load_incremental": (10, ['o_orderkey,o_orderstatus,o_orderdate,o_orderpriority']),
-    "etl_json_pipeline_full": (10, ['o_orderkey,o_orderstatus,o_orderdate,o_orderpriority', 'o_orderkey,o_orderstatus,o_orderdate,o_orderpriority']),
-    "etl_xml_pipeline_full": (10, ['o_orderkey,o_orderstatus,o_orderdate,o_orderpriority', 'o_orderkey,o_orderstatus,o_orderdate,o_orderpriority']),
+    "etl_csv_pipeline_full": (5, ['o_orderkey,o_orderstatus,o_orderdate,o_orderpriority']),
+    "etl_csv_two_load_incremental": (8, ['o_orderkey,o_orderstatus,o_orderdate,o_orderpriority']),
+    "etl_json_pipeline_full": (5, ['o_orderkey,o_orderstatus,o_orderdate,o_orderpriority', 'o_orderkey,o_orderstatus,o_orderdate,o_orderpriority']),
+    "etl_xml_pipeline_full": (5, ['o_orderkey,o_orderstatus,o_orderdate,o_orderpriority', 'o_orderkey,o_orderstatus,o_orderdate,o_orderpriority']),
     "group_minmax_normalize": (1, ['event_id,event_type,value']),
     "multimodal_feature_extract": (0, ['doc_id,text']),
     "pii_redaction_scan": (0, ['event_id,props']),
@@ -127,8 +127,8 @@ PINS_R13 = {
     "retention_latest_per_group": (1, ['event_id,event_type']),
     "salted_join_supplier_agg": (1, ['l_suppkey,l_quantity', 's_suppkey,s_nationkey']),
     "salted_skew_agg": (2, ['l_quantity,l_extendedprice,l_returnflag']),
-    "scd2_asof_snapshot": (10, ['o_orderkey,o_orderstatus,o_orderdate,o_orderpriority']),
-    "scd2_vacuum_expired": (9, ['o_orderkey,o_orderstatus,o_orderdate,o_orderpriority']),
+    "scd2_asof_snapshot": (8, ['o_orderkey,o_orderstatus,o_orderdate,o_orderpriority']),
+    "scd2_vacuum_expired": (6, ['o_orderkey,o_orderstatus,o_orderdate,o_orderpriority']),
     "scd2_vacuum_roundtrip": (0, ['csd_id,ssi,c_mktsegment,active_flag,START_DATE,END_DATE']),
     "scd2_vacuum_type_widened": (0, ['csd_id,ssi,END_DATE']),
     "streaming_band_index_compacted": (5, ['doc_id,band_id,band_hash', 'doc_id,text', 'doc_id,band_id,band_hash', 'doc_id,band_id,band_hash']),
@@ -217,10 +217,10 @@ PINS_REST = {
     "dedup_survivorship_merge": (2, ['doc_id,text', 'source,text']),
     "deterministic_split_counts": (1, ['doc_id']),
     "dictionary_encode_roundtrip": (2, ['event_type']),
-    "dim_prep_lookup": (1, ['c_custkey,c_name', 'o_custkey,o_orderdate,o_orderkey,o_orderstatus', 'c_acctbal,c_custkey']),
+    "dim_prep_lookup": (0, ['c_custkey,c_name', 'o_custkey,o_orderdate,o_orderkey,o_orderstatus', 'c_acctbal,c_custkey']),
     "distinct_counts_per_group": (2, ['event_type,user_id,value']),
     "doc_fingerprint_winnowing": (1, ['doc_id,text']),
-    "doc_length_quantiles": (8, ['doc_id,text']),
+    "doc_length_quantiles": (4, ['doc_id,text']),
     "domain_blocklist_filter": (3, ['doc_id']),
     "dup_span_scrub_text": (3, ['doc_id,text', 'doc_id,text']),
     "dup_span_stats": (2, []),
@@ -252,7 +252,7 @@ PINS_REST = {
     "leakage_safe_split_counts": (2, []),
     "length_drift_deciles": (4, ['n_chars,source', 'n_chars,source']),
     "load_audit_metrics": (1, ['o_orderstatus,o_totalprice']),
-    "mad_length_outliers": (8, []),
+    "mad_length_outliers": (4, []),
     "manifest_pruned_scan": (1, ['doc_id,n_chars,source']),
     "minhash_estimator_calibration": (1, []),
     "minhash_vs_jaccard_eval": (7, []),
