@@ -369,7 +369,14 @@ def _band_index_verdicts(spark: SparkSession, sf_dir: str,
             .groupBy("doc_id")
             .agg(F.count("_m").alias("n_corpus_hits")))
     a, b = bands.alias("a"), bands.alias("b")
-    prior = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+    # shuffle_hash: the repo-wide join posture for large?large banded
+    # joins (same as cross_source_overlap's overlap join) — per-band-key
+    # groups are bounded by bucket occupancy, so the hash build side is
+    # small per partition and the sort-merge sort passes are pure
+    # overhead. This was the ONLY SortMergeJoin left in the whole
+    # headline set (guide §3.1: pick the strategy deliberately).
+    prior = (a.join(b.hint("shuffle_hash"),
+                    (F.col("a.band_id") == F.col("b.band_id"))
                     & (F.col("a.band_hash") == F.col("b.band_hash"))
                     & (F.col("b.doc_id") < F.col("a.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_id"))

@@ -219,7 +219,7 @@ PINS_REST = {
     "dictionary_encode_roundtrip": (2, ['event_type']),
     "dim_prep_lookup": (0, ['c_custkey,c_name', 'o_custkey,o_orderdate,o_orderkey,o_orderstatus', 'c_acctbal,c_custkey']),
     "distinct_counts_per_group": (2, ['event_type,user_id,value']),
-    "doc_fingerprint_winnowing": (1, ['doc_id,text']),
+    "doc_fingerprint_winnowing": (0, ['doc_id,text']),
     "doc_length_quantiles": (4, ['doc_id,text']),
     "domain_blocklist_filter": (3, ['doc_id']),
     "dup_span_scrub_text": (3, ['doc_id,text', 'doc_id,text']),
@@ -310,7 +310,7 @@ PINS_REST = {
     "window_distribution_functions": (1, ['l_linenumber,l_orderkey,l_quantity']),
     "window_rank_functions": (1, ['event_id,event_type,user_id,value']),
     "window_value_functions": (1, ['l_linenumber,l_orderkey,l_quantity']),
-    "winnowing_contamination": (4, ['doc_id,text', 'doc_id,text', 'doc_id,text']),
+    "winnowing_contamination": (2, ['doc_id,text', 'doc_id,text', 'doc_id,text']),
 }
 
 
