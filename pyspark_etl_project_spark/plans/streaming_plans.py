@@ -369,19 +369,22 @@ def _band_index_verdicts(spark: SparkSession, sf_dir: str,
             .groupBy("doc_id")
             .agg(F.count("_m").alias("n_corpus_hits")))
     a, b = bands.alias("a"), bands.alias("b")
-    # shuffle_hash: the repo-wide join posture for large?large banded
-    # joins (same as cross_source_overlap's overlap join) — per-band-key
-    # groups are bounded by bucket occupancy, so the hash build side is
-    # small per partition and the sort-merge sort passes are pure
-    # overhead. This was the ONLY SortMergeJoin left in the whole
-    # headline set (guide §3.1: pick the strategy deliberately).
-    prior = (a.join(b.hint("shuffle_hash"),
+    # Deliberately UNhinted (guide §3.1, measured): at gate scale the
+    # planner auto-broadcasts the b side (strictly best); a shuffle_hash
+    # hint here was tried and FORCED two extra exchanges at every scale
+    # where the broadcast fits. At index sizes past the broadcast
+    # threshold the planner degrades to sort-merge, which AQE can still
+    # rewrite to shuffled-hash at runtime via
+    # spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold.
+    prior = (a.join(b,
                     (F.col("a.band_id") == F.col("b.band_id"))
                     & (F.col("a.band_hash") == F.col("b.band_hash"))
                     & (F.col("b.doc_id") < F.col("a.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_id"))
              .agg(F.countDistinct("b.doc_id").alias("n_prior_partners")))
-    return (hits.join(prior, "doc_id", "left")
+    # shuffle_hash here too: both sides are one-row-per-doc aggregates
+    # already shuffled on doc_id; the merge's sort passes buy nothing.
+    return (hits.join(prior.hint("shuffle_hash"), "doc_id", "left")
             .select("doc_id",
                     F.col("n_corpus_hits").cast("int")
                      .alias("n_corpus_hits"),
