@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_etl_project_spark.functions.seedframe import seed_df
+
 from pyspark_etl_project_spark.schemas import MART_COLUMNS
 
 EVENT_TYPES_EXPECTED = ["click", "view", "purchase", "signup"]
@@ -41,7 +43,7 @@ TABLE_COLUMNS: dict[str, list[str]] = {
 
 def seed_table_names(spark: SparkSession) -> DataFrame:
     rows = [(i + 1, t) for i, t in enumerate(sorted(TABLE_COLUMNS))]
-    return spark.createDataFrame(rows, "table_id int, table_name string")
+    return seed_df(spark, rows, "table_id int, table_name string")
 
 
 def seed_table_columns(spark: SparkSession) -> DataFrame:
@@ -49,15 +51,15 @@ def seed_table_columns(spark: SparkSession) -> DataFrame:
     for t in sorted(TABLE_COLUMNS):
         for pos, c in enumerate(TABLE_COLUMNS[t], start=1):
             rows.append((t, c, pos))
-    return spark.createDataFrame(
-        rows, "table_name string, column_name string, ordinal int")
+    return seed_df(
+        spark, rows, "table_name string, column_name string, ordinal int")
 
 
 def seed_data_dictionary(spark: SparkSession) -> DataFrame:
     rows = [(t, c, d, ",".join(av) if av else None)
             for t, c, d, av in DATA_DICTIONARY]
-    return spark.createDataFrame(
-        rows,
+    return seed_df(
+        spark, rows,
         "table_name string, column_name string, description string, "
         "allowed_values string")
 

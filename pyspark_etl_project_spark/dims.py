@@ -79,11 +79,17 @@ def seed_customer_types(spark: SparkSession) -> DataFrame:
 
 def _with_scd(spark: SparkSession, rows: list, schema) -> DataFrame:
     ts_cols = {"START_DATE", "END_DATE"}
-    plain = spark.createDataFrame(
-        [tuple(r) for r in rows],
-        schema="" + ", ".join(
-            f"{f.name} {'string' if f.name in ts_cols else f.dataType.simpleString()}"
-            for f in schema.fields))
+    ddl = ", ".join(
+        f"{f.name} {'string' if f.name in ts_cols else f.dataType.simpleString()}"
+        for f in schema.fields)
+    # ONE slice, explicitly: the plain createDataFrame parallelizes a
+    # 15-row seed into defaultParallelism (32) Python-RDD partitions,
+    # and every scan of the dimension then pays 32 Python-worker
+    # evaluations — measured at multiple SECONDS when a downstream
+    # coalesce(1) serializes them into one task. A seed dimension is
+    # one partition of driver-local rows by definition.
+    from pyspark_etl_project_spark.functions.seedframe import seed_df
+    plain = seed_df(spark, [tuple(r) for r in rows], ddl)
     for c in ts_cols:
         plain = plain.withColumn(c, F.col(c).cast("timestamp"))
     return plain

@@ -604,8 +604,9 @@ def bpe_train(df, text_col: str, n_merges: int = 6):
     words = (df.select(F.explode(alnum_tokens(text_col)).alias("w"))
                .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
     merges, _ = _bpe_rounds(words, n_merges)
-    return spark.createDataFrame(
-        merges,
+    from pyspark_etl_project_spark.functions.seedframe import seed_df
+    return seed_df(
+        spark, merges,
         "merge_round int, sym_l string, sym_r string, "
         "merged string, pair_count long")
 
@@ -747,8 +748,9 @@ def keyword_topic_tags(df, id_col: str, text_col: str,
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    kw = F.broadcast(spark.createDataFrame(
-        [(w, t) for t, ws in sorted(topics.items()) for w in ws],
+    from pyspark_etl_project_spark.functions.seedframe import seed_df
+    kw = F.broadcast(seed_df(
+        spark, [(w, t) for t, ws in sorted(topics.items()) for w in ws],
         "token string, topic string"))
     tok = df.select(F.col(id_col),
                     F.explode(alnum_tokens(text_col)).alias("token"))

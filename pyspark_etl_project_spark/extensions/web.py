@@ -131,8 +131,9 @@ def blocklist_verdicts(df: DataFrame, id_col: str, url_col: str,
     36.4 s — and unlike the nested loop its cost does not multiply
     with blocklist size."""
     spark = df.sparkSession
+    from pyspark_etl_project_spark.functions.seedframe import seed_df
     bl = F.broadcast(
-        spark.createDataFrame([(d,) for d in blocklist], "domain string"))
+        seed_df(spark, [(d,) for d in blocklist], "domain string"))
     hosts = df.select(F.col(id_col), url_host(url_col).alias("host"))
     parts = F.split(F.col("host"), r"\.")
     suffixes = F.transform(

@@ -355,7 +355,8 @@ def bloom_pruned_join(big: DataFrame, small: DataFrame, key: str,
         raise ValueError("bloom_pruned_join supports inner/left_semi")
     words = build_bloom(small.select(key), key, num_bits, num_hashes)
     spark = big.sparkSession
-    bloom_df = spark.createDataFrame([(words,)], "_bloom array<long>")
+    from pyspark_etl_project_spark.functions.seedframe import seed_df
+    bloom_df = seed_df(spark, [(words,)], "_bloom array<long>")
     pruned = (big.join(F.broadcast(bloom_df))
               .filter(_bloom_test_on_col(F.col(key), F.col("_bloom"),
                                          num_bits, num_hashes))

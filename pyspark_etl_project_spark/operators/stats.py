@@ -39,7 +39,8 @@ def exact_quantiles(df: DataFrame, value_col: str, tiebreak_col: str,
     n = df.count()
     spark = df.sparkSession
     positions = [(int(q), (max(n - 1, 0) * int(q)) // 100 + 1) for q in qs]
-    pos_df = F.broadcast(spark.createDataFrame(positions, "q long, _pos long"))
+    from pyspark_etl_project_spark.functions.seedframe import seed_df
+    pos_df = F.broadcast(seed_df(spark, positions, "q long, _pos long"))
     ranked = dense_row_number(df.select(value_col, tiebreak_col),
                               [value_col, tiebreak_col], "_rn")
     out = ranked.join(pos_df, ranked["_rn"] == pos_df["_pos"])

@@ -56,8 +56,8 @@ def save_watermark(spark, path: str, source: str, value: int) -> None:
     updates = {**legacy, source: value}
     if legacy:
         _delete_path(spark, path)  # one-time layout migration
-    df = spark.createDataFrame(
-        sorted(updates.items()), "source string, wm long")
+    from pyspark_etl_project_spark.functions.seedframe import seed_df
+    df = seed_df(spark, sorted(updates.items()), "source string, wm long")
     (df.coalesce(1).write.mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")
        .partitionBy("source")
@@ -97,7 +97,8 @@ def read_watermarks(spark, path: str) -> DataFrame:
                 .select(F.col("source").cast("string").alias("source"),
                         F.col("wm").cast("long").alias("wm")))
     except Exception:
-        return spark.createDataFrame([], "source string, wm long")
+        from pyspark_etl_project_spark.functions.seedframe import seed_df
+        return seed_df(spark, [], "source string, wm long")
 
 
 def read_watermark(spark, path: str, source: str) -> int | None:

@@ -55,7 +55,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     # A5: idiomatic emptyRDD-with-schema seed — createDataFrame([], ddl).
-    seed = spark.createDataFrame(
+    from pyspark_etl_project_spark.functions.seedframe import seed_df
+    seed = seed_df(
+        spark,
         [], "l_orderkey bigint, l_linenumber int, l_quantity double, "
             "l_extendedprice double")
     scanned = (li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))

@@ -613,9 +613,10 @@ def observed_load_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
-        [(m["n_rows"], m["n_high_qty"], m["price_cents"])],
-        "n_rows long, n_high_qty long, price_cents long")
+    from pyspark_etl_project_spark.functions.seedframe import seed_df
+    return seed_df(spark,
+                   [(m["n_rows"], m["n_high_qty"], m["price_cents"])],
+                   "n_rows long, n_high_qty long, price_cents long")
 
 
 # --- SCD2 time travel: AS OF between the two loads ---------------------------

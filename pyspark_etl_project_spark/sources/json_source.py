@@ -27,7 +27,8 @@ def json_records_df(spark: SparkSession, records: list[dict],
                     watermark: int | None = None) -> DataFrame:
     """Build the same frame from already-fetched KV records (test path —
     mirrors the reference's list-of-dicts createDataFrame)."""
-    df = spark.createDataFrame(records, JSON_INTERACTIONS_SCHEMA)
+    from pyspark_etl_project_spark.functions.seedframe import seed_df
+    df = seed_df(spark, records, JSON_INTERACTIONS_SCHEMA)
     return _flatten(df, watermark)
 
 
