@@ -337,10 +337,16 @@ def connected_dedup_clusters(pairs: DataFrame, ids: DataFrame,
     No driver-side graph, no GraphX/RDDs; `localCheckpoint` per round
     truncates the lineage so plan depth stays constant at scale.
     """
+    # The symmetrized edge list is read by EVERY round's neighbor join;
+    # without the checkpoint each round re-ran the whole upstream pair
+    # generation (LSH banding + candidate join + distinct) from scratch
+    # — rounds x the most expensive part of the query (pagerank_integer
+    # already pinned its edge frame this way; this loop had not).
     edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
              .unionByName(pairs.select(F.col(b_col).alias("src"),
                                        F.col(a_col).alias("dst")))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=False))
     labels = ids.select(F.col(id_col).alias("node"),
                         F.col(id_col).alias("label"))
 
