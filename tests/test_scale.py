@@ -994,18 +994,23 @@ def test_r10_single_shuffle_aggs_windows_and_grouping_sets(spark):
     """One Exchange each: json_props_extract (parse + grouped agg),
     window_distribution_functions and moving_sum_time_range (one
     window partitioning), window_dedup_latest_maxby (max_by grouped
-    arm), doc_fingerprint_winnowing (winnow + per-doc collect),
-    embedding_gram_matrix (outer-product partial aggs),
+    arm), embedding_gram_matrix (outer-product partial aggs),
     manifest_pruned_scan (pruned scan + agg); GROUPING SETS and
-    UNPIVOT stay one scan + Expand + one shuffle."""
+    UNPIVOT stay one scan + Expand + one shuffle.
+    doc_fingerprint_winnowing dropped to ZERO exchanges in the r17
+    optimization round (the winnow selection now runs inside each
+    document's row — map-only scan + Generate) and is pinned there."""
     qs = _entry_queries()
     for name in ["json_props_extract", "window_distribution_functions",
                  "moving_sum_time_range", "window_dedup_latest_maxby",
-                 "doc_fingerprint_winnowing", "embedding_gram_matrix",
+                 "embedding_gram_matrix",
                  "manifest_pruned_scan"]:
         plan = _formatted_plan(qs[name](spark, SF_SMALL))
         nodes = _nodes(plan)
         assert nodes.count("Exchange") == 1, (name, nodes)
+    plan = _formatted_plan(qs["doc_fingerprint_winnowing"](spark, SF_SMALL))
+    nodes = _nodes(plan)
+    assert nodes.count("Exchange") == 0, ("doc_fingerprint_winnowing", nodes)
     for name in ["grouping_sets_flag_status", "unpivot_lineitem_measures"]:
         plan = _formatted_plan(qs[name](spark, SF_SMALL))
         nodes = _nodes(plan)
