@@ -274,12 +274,20 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     # BENCH_DETAIL.json is the COMMITTED official record SCALE.md cites
-    # (sf0.1, median of 5). A smoke run at another sf or rep count must
-    # not clobber it — those write a suffixed sidecar instead, and the
-    # summary line's "detail" field names whichever file was written.
-    official = sf_val == 0.1 and reps == 5
-    detail_name = ("BENCH_DETAIL.json" if official
-                   else f"BENCH_DETAIL_sf{sf_val}_r{reps}.json")
+    # (sf0.1, median of 5, 32 cores). A run at another sf, rep count or
+    # CORE COUNT must not clobber it — those write a suffixed sidecar
+    # instead, and the summary line's "detail" field names whichever
+    # file was written. The cpus suffix is the r17 PERF fix: the
+    # driver's 8-core scaling re-run used to overwrite the 32-core
+    # detail at the same path, leaving its per_query/scaling blocks
+    # with nothing to read. SPARK_GRAFT_BENCH_DETAIL overrides the
+    # path outright (absolute, or relative to this script's dir).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    official = sf_val == 0.1 and reps == 5 and cpus == "32"
+    detail_name = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        "BENCH_DETAIL.json" if official
+        else f"BENCH_DETAIL_sf{sf_val}_r{reps}_c{cpus}.json")
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                detail_name)
     detail = {
@@ -288,6 +296,7 @@ def main() -> None:
         "errors": errors,
         "sf": sf_val,
         "reps": reps,
+        "cpus": cpus,
         "stat": "median",
         "rep_order": "interleaved",
     }
@@ -329,6 +338,7 @@ def main() -> None:
         "sum_of_mins": round(sum(st["min"] for st in stats.values()), 3),
         "sf": sf_val,
         "reps": reps,
+        "cpus": cpus,
         "stat": "median",
         "detail": os.path.basename(detail_path),
     }
