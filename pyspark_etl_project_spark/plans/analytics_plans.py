@@ -1252,12 +1252,25 @@ def partial_stats_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         column_stats_direct, column_stats_merge, column_stats_partials)
 
     li = load(spark, sf_dir, "lineitem")
-    part = F.col("l_orderkey") % 8
+    # One lazy materialization of the (part, value, value) projection
+    # feeds every branch below. The partials and the direct side still
+    # compute INDEPENDENTLY (no derived state — hash sets, bounds,
+    # counts — is shared, so merged==direct stays a real calibration);
+    # what they share is the INPUT scan, which used to run 8 times
+    # (scalar partials, hash partials, direct agg, direct hashes — ×2
+    # columns) over the same parquet bytes (guide §2.4/§6).
+    base = (li.select((F.col("l_orderkey") % 8).alias("part"),
+                      F.floor(F.col("l_extendedprice") * 100).cast("long")
+                       .alias("v_cents"),
+                      F.col("l_returnflag").alias("v_flag"))
+            .localCheckpoint(eager=False))
 
-    def one(name: str, value) -> DataFrame:
-        scalar, hashes = column_stats_partials(li, part, value)
+    def one(name: str, value_col: str) -> DataFrame:
+        sub = base.select("part", F.col(value_col).alias("v"))
+        scalar, hashes = column_stats_partials(sub, F.col("part"),
+                                               F.col("v"))
         merged = column_stats_merge(scalar, hashes)
-        direct = column_stats_direct(li, value)
+        direct = column_stats_direct(sub, F.col("v"))
         d = direct.select(F.col("n_rows").alias("d_n_rows"),
                           F.col("n_nulls").alias("d_n_nulls"),
                           F.col("min_v").alias("d_min_v"),
@@ -1277,9 +1290,8 @@ def partial_stats_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "est_ndv", "exact_ndv",
                         agree.cast("int").alias("merged_eq_direct")))
 
-    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
-    return (one("l_extendedprice_cents", cents)
-            .unionByName(one("l_returnflag", F.col("l_returnflag"))))
+    return (one("l_extendedprice_cents", "v_cents")
+            .unionByName(one("l_returnflag", "v_flag")))
 
 
 # --- full-outer reconciliation report --------------------------------------

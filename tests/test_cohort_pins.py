@@ -268,7 +268,10 @@ PINS_REST = {
     "order_line_revenue_share": (1, ['l_extendedprice,l_linenumber,l_orderkey']),
     "pack_documents_bins": (1, ['doc_id,lang,text']),
     "pagerank_doc_links": (0, []),
-    "partial_stats_merge": (16, ['l_extendedprice,l_orderkey', 'l_extendedprice,l_orderkey', 'l_extendedprice', 'l_extendedprice', 'l_orderkey,l_returnflag', 'l_orderkey,l_returnflag', 'l_returnflag', 'l_returnflag']),
+    # r18: one shared lazy localCheckpoint of the (part, cents, flag)
+    # projection feeds partials AND direct — the 8 per-branch parquet
+    # scans became ExistingRDD reads (no ReadSchema), parquet read once.
+    "partial_stats_merge": (16, []),
     "percentile_profile": (1, ['l_quantity,l_returnflag']),
     "pipe_syntax_pricing": (1, ['l_orderkey,l_quantity,l_returnflag']),
     "pivot_event_counts": (2, ['event_type,user_id']),
