@@ -27,6 +27,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def const_double_array(values: list[float]) -> Column:
+    """array<double> literal built with ONE parsed expression instead of
+    one py4j round trip per element. ``F.array(*[F.lit(x) ...])`` costs
+    ~1 ms of driver->JVM latency per element — for plans that embed many
+    constant vectors (ivf_cell's nlist x dims literals, the PCA
+    component matrix) that construction overhead dominated the whole
+    plan build (guide §1.2: driver-side planning latency). repr()
+    round-trips a double exactly and Spark's `1.5E-3D` literal parse is
+    correctly rounded, so the resulting literals are bit-identical to
+    the per-element form; non-finite values fall back to F.lit."""
+    vals = [float(v) for v in values]
+    if vals and all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in double precision (deterministic
     summation order — reproducible across runs and engines)."""
@@ -62,7 +78,7 @@ def brute_force_topk(embeddings: DataFrame, query_vec: list[float],
                      round_digits: int = 6) -> DataFrame:
     """Exact cosine top-k vs one query vector. Scores rounded for
     cross-engine comparability; ties broken by id."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = const_double_array(query_vec)
     scored = embeddings.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), round_digits).alias("cos_sim"))
@@ -78,7 +94,7 @@ def lsh_bucketed_topk(embeddings: DataFrame, query_vec: list[float],
     At scale the bucket filter prunes ~2^-num_bits of the corpus before
     any distance math; misses are the recall trade-off."""
     qbits = "".join("1" if v >= 0 else "0" for v in query_vec[:num_bits])
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = const_double_array(query_vec)
     candidates = embeddings.filter(sign_bucket(F.col(vec_col), num_bits) == qbits)
     scored = candidates.select(
         F.col(id_col),
@@ -148,7 +164,24 @@ def centroid_affinity(vec_col: Column, cent_arr: Column) -> Column:
     return dot(vec_col, cent_arr) / l2_norm(cent_arr)
 
 
-def ivf_cell(vec_col: Column, centroids: list[tuple[int, list[float]]],
+def _affinity_sql(vec_sql: str, ce: list[float], round_digits: int) -> str:
+    """SQL text of round(centroid_affinity(vec, <const array>), digits) —
+    the exact parse-equivalent of the Column-building form (same lambda
+    bodies, same 0.0D seed, same fold order), emitted as a string so a
+    whole nlist-centroid scores array costs ONE driver->JVM parse
+    instead of ~15 py4j expression-construction calls per centroid."""
+    arr = "array(" + ",".join(f"{float(x)!r}D" for x in ce) + ")"
+    dotp = (f"aggregate(zip_with({vec_sql}, {arr}, (x, y) ->"
+            " cast(x as double) * cast(y as double)),"
+            " 0.0D, (acc, v) -> acc + v)")
+    norm = (f"sqrt(aggregate(transform({arr}, x ->"
+            " cast(x as double) * cast(x as double)),"
+            " 0.0D, (acc, v) -> acc + v))")
+    return f"round({dotp} / {norm}, {round_digits})"
+
+
+def ivf_cell(vec_col: Column | str,
+             centroids: list[tuple[int, list[float]]],
              round_digits: int = 6) -> Column:
     """IVF coarse-quantizer cell id for each vector: the centroid with the
     highest affinity (ties -> smallest centroid id).
@@ -158,16 +191,31 @@ def ivf_cell(vec_col: Column, centroids: list[tuple[int, list[float]]],
     NO shuffle and NO join. At 100 TB the corpus would be written
     ``partitionBy("ivf_cell")`` once at index-build time, turning every
     probe into static partition pruning at the parquet scan.
+
+    Pass ``vec_col`` as a column NAME to build the whole nlist-way
+    expression in one parsed SQL string (driver plan-build drops from
+    ~0.5 s to ~ms for 16x64 centroids); a Column falls back to the
+    per-centroid construction.
     """
     cents = sorted(centroids, key=lambda c: c[0])
-    scores = F.array(*[
-        F.round(centroid_affinity(
-            vec_col, F.array(*[F.lit(float(x)) for x in ce])), round_digits)
-        for _cid, ce in cents])
-    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
     # array_position picks the FIRST max — centroids are cid-ascending, so
     # ties resolve to the smallest centroid id, matching the SQL twin's
     # ORDER BY score DESC, cid ASC.
+    if isinstance(vec_col, str):
+        vec_sql = f"`{vec_col}`"
+        scores_sql = "array(" + ",".join(
+            _affinity_sql(vec_sql, ce, round_digits)
+            for _cid, ce in cents) + ")"
+        cid_sql = "array(" + ",".join(str(int(cid))
+                                      for cid, _ in cents) + ")"
+        return F.expr(
+            f"element_at({cid_sql}, cast(array_position({scores_sql},"
+            f" array_max({scores_sql})) as int))")
+    scores = F.array(*[
+        F.round(centroid_affinity(
+            vec_col, const_double_array(ce)), round_digits)
+        for _cid, ce in cents])
+    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
     return F.element_at(
         cid_arr, F.array_position(scores, F.array_max(scores)).cast("int"))
 
@@ -191,7 +239,7 @@ def kmeans_refine(embeddings: DataFrame,
     for _ in range(iters):
         cur = sorted(cents.items())
         assigned = embeddings.withColumn(
-            "_cell", ivf_cell(F.col(vec_col),
+            "_cell", ivf_cell(vec_col,
                               [(c, v) for c, v in cur], round_digits))
         means = (assigned
                  .select("_cell", F.posexplode(F.col(vec_col))
@@ -218,7 +266,7 @@ def ivf_write_index(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
     never read from storage. This is the 100 TB serving layout the
     in-memory ``ivf_topk`` only simulates with a filter."""
     assigned = corpus.withColumn(
-        "ivf_cell", ivf_cell(F.col(vec_col), centroids, round_digits))
+        "ivf_cell", ivf_cell(vec_col, centroids, round_digits))
     assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
 
 
@@ -269,7 +317,9 @@ def ivf_probe_index(spark, path: str, query_vec: list[float],
 def ivf_topk(embeddings: DataFrame, query_vec: list[float],
              centroid_ids: list[int], k: int = 10, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             round_digits: int = 6) -> DataFrame:
+             round_digits: int = 6,
+             centroid_scores: list[tuple[int, list[float], float]]
+             | None = None) -> DataFrame:
     """IVF-style ANN: deterministic coarse centroids (corpus vectors with
     the given ids), nearest-centroid cell assignment, then exact cosine
     top-k over only the ``nprobe`` cells nearest the query.
@@ -279,22 +329,33 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float],
     are never read at all. Centroid selection here is deterministic (ids)
     so the DuckDB oracle can replay it; swap in k-means||-trained
     centroids for production recall.
+
+    ``centroid_scores``: optional pre-fetched (cid, vector, probe score)
+    rows — pass them when the caller already collected the centroids
+    (e.g. fused with the query-vector fetch in ONE action), so this
+    function submits zero driver jobs. Scores must come from the same
+    engine expression (round(centroid_affinity(q, c), round_digits))
+    for oracle parity.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    # One driver job fetches the centroid vectors AND their probe scores
-    # (the same engine expression as the corpus scoring — rounding
-    # parity with the oracle).
-    cent_rows = (embeddings.filter(F.col(id_col).isin(centroid_ids))
-                 .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"),
-                         F.round(centroid_affinity(q, F.col(vec_col)),
-                                 round_digits).alias("cs"))
-                 .collect())
-    centroids = [(r["cid"], list(r["ce"])) for r in cent_rows]
-    probe = [r["cid"] for r in
-             sorted(cent_rows, key=lambda r: (-r["cs"], r["cid"]))[:nprobe]]
+    q = const_double_array(query_vec)
+    if centroid_scores is None:
+        # One driver job fetches the centroid vectors AND their probe
+        # scores (the same engine expression as the corpus scoring —
+        # rounding parity with the oracle).
+        cent_rows = (embeddings.filter(F.col(id_col).isin(centroid_ids))
+                     .select(F.col(id_col).alias("cid"),
+                             F.col(vec_col).alias("ce"),
+                             F.round(centroid_affinity(q, F.col(vec_col)),
+                                     round_digits).alias("cs"))
+                     .collect())
+        centroid_scores = [(r["cid"], list(r["ce"]), r["cs"])
+                           for r in cent_rows]
+    centroids = [(cid, list(ce)) for cid, ce, _cs in centroid_scores]
+    probe = [cid for cid, _ce, cs in
+             sorted(centroid_scores, key=lambda t: (-t[2], t[0]))[:nprobe]]
 
     cand = embeddings.filter(
-        ivf_cell(F.col(vec_col), centroids, round_digits).isin(probe))
+        ivf_cell(vec_col, centroids, round_digits).isin(probe))
     scored = cand.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), round_digits).alias("cos_sim"))
@@ -516,7 +577,7 @@ def pca_project(embeddings: DataFrame, vec_col: str = "embedding",
                     lambda v: v.cast("double"))
     coords = []
     for j in range(k):
-        comp = F.array(*[F.lit(float(comps[i, j])) for i in range(dims)])
+        comp = const_double_array([comps[i, j] for i in range(dims)])
         offset = float(m @ comps[:, j])
         coords.append(F.aggregate(
             F.zip_with(x, comp, lambda a, b: a * b),
@@ -616,7 +677,7 @@ def hard_negative_candidates(corpus: DataFrame, queries: DataFrame,
             raise ValueError("prefilter='ivf' requires centroids")
         cents = sorted(centroids, key=lambda t: t[0])
         cc = c.withColumn("_cell",
-                          ivf_cell(F.col("_cv"), cents, round_digits))
+                          ivf_cell("_cv", cents, round_digits))
         # Per-query probe cells as a pure column expression: struct
         # array (-affinity, cid) sorted ascending = affinity desc with
         # cid tiebreak — the exact ordering ivf_topk's driver-side
@@ -625,7 +686,7 @@ def hard_negative_candidates(corpus: DataFrame, queries: DataFrame,
             F.struct(
                 (-F.round(centroid_affinity(
                     F.col("_qv"),
-                    F.array(*[F.lit(float(x)) for x in ce])),
+                    const_double_array(ce)),
                     round_digits)).alias("s"),
                 F.lit(int(cid)).alias("c"))
             for cid, ce in cents])

@@ -625,10 +625,31 @@ SELECT vec_id, cos_sim FROM (
   FROM scored) WHERE rn <= 10
 """)
 def embedding_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_project_spark.extensions.similarity import (
+        centroid_affinity)
+
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qvec),
-                    centroid_ids=list(range(1, 17)), k=10, nprobe=4)
+    # ONE driver action fetches the query vector AND the scored
+    # centroids (r17 profile: the separate first() + collect() pair was
+    # most of the build time). The probe scoring stays the engine
+    # expression — round(centroid_affinity) — for oracle parity; the
+    # query row rides along on a 1-row broadcast.
+    qrow = (emb.filter(F.col("vec_id") == 0)
+            .select(F.col("embedding").alias("qe")))
+    cent_rows = (emb.filter(F.col("vec_id").between(1, 16))
+                 .select(F.col("vec_id").alias("cid"),
+                         F.col("embedding").alias("ce"))
+                 .crossJoin(F.broadcast(qrow))
+                 .select("cid", "ce", "qe",
+                         F.round(centroid_affinity(F.col("qe"),
+                                                   F.col("ce")), 6)
+                          .alias("cs"))
+                 .collect())
+    qvec = list(cent_rows[0]["qe"])
+    scores = [(r["cid"], list(r["ce"]), r["cs"]) for r in cent_rows]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), qvec,
+                    centroid_ids=list(range(1, 17)), k=10, nprobe=4,
+                    centroid_scores=scores)
 
 
 # --- IVF over a MATERIALIZED index (real partition pruning) ----------------
@@ -649,16 +670,21 @@ def embedding_ivf_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding")
-                .first()["embedding"])
-    q = F.array(*[F.lit(float(v)) for v in qvec])
-    # Engine-side probe scoring (round parity with the oracle), one tiny job.
+    # Same fused single-action fetch as embedding_ivf_topk_q: query
+    # vector + engine-scored centroids in one collect (round parity
+    # with the oracle preserved — scoring stays in-engine).
+    qrow = (emb.filter(F.col("vec_id") == 0)
+            .select(F.col("embedding").alias("qe")))
     cent_rows = (emb.filter(F.col("vec_id").between(1, 16))
                  .select(F.col("vec_id").alias("cid"),
-                         F.col("embedding").alias("ce"),
-                         F.round(centroid_affinity(q, F.col("embedding")), 6)
+                         F.col("embedding").alias("ce"))
+                 .crossJoin(F.broadcast(qrow))
+                 .select("cid", "ce", "qe",
+                         F.round(centroid_affinity(F.col("qe"),
+                                                   F.col("ce")), 6)
                           .alias("cs"))
                  .collect())
+    qvec = list(cent_rows[0]["qe"])
     centroids = [(r["cid"], list(r["ce"])) for r in cent_rows]
     probe = [r["cid"] for r in
              sorted(cent_rows, key=lambda r: (-r["cs"], r["cid"]))[:4]]
@@ -719,7 +745,7 @@ def kmeans_refine_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .select(F.col("vec_id").alias("cid"),
                                  F.col("embedding").alias("ce")).collect()]
     refined = kmeans_refine(emb, seeds, iters=1)
-    assigned = emb.withColumn("cell", ivf_cell(F.col("embedding"), refined))
+    assigned = emb.withColumn("cell", ivf_cell("embedding", refined))
     return (assigned.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.sum("vec_id").cast("long").alias("id_sum"))
