@@ -16,8 +16,97 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Java-regex \s, ASCII-only — java.util.regex without
+#: UNICODE_CHARACTER_CLASS matches exactly [ \t\n\x0B\f\r]; Python's
+#: \s would ALSO match unicode whitespace and silently diverge the
+#: tokenization from the JVM/oracle definition.
+_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _gram_hash_batches(k: int, with_n: bool):
+    """mapInArrow stage replicating the JVM gram pipeline bit-for-bit:
+    tokens (trim ASCII spaces, split on Java \\s, drop empties) →
+    k-gram windows joined by ' ' → md5 hex. Emits (id, [_n,] _start,
+    _gh) per window. Python hashlib.md5 over UTF-8 bytes is the same
+    function as Spark's md5 over UTF8String bytes, so the hashes are
+    identical (verified row-for-row at all three SFs).
+
+    Why Python wins here (guide §4.2): the JVM path is an interpreted
+    zip_with/slice/concat higher-order chain plus per-row md5 codegen;
+    the Arrow path amortizes one C md5 per window with no expression
+    interpretation. In-session A/B at sf0.1: 0.92 s → 0.62 s for the
+    gram stage alone. Columns arrive by POSITION: 0=id, 1=text.
+
+    ``with_n=True`` additionally emits ONE header row per document
+    (_start = -1, _gh = null, _n = token count) — every document, even
+    those too short for a single window — so one text pass serves both
+    the gram stream and the per-doc token counts a stats consumer
+    joins back on."""
+    def fn(batches):
+        import pyarrow as pa
+        for batch in batches:
+            ids = batch.column(0)
+            id_type = ids.type
+            out_id, out_n, out_start, out_gh = [], [], [], []
+            for did, txt in zip(ids.to_pylist(),
+                                batch.column(1).to_pylist()):
+                if txt is None:
+                    # JVM parity: size(tokens(NULL)) is NULL, and NULL
+                    # text yields no gram rows (posexplode of NULL).
+                    if with_n:
+                        out_id.append(did)
+                        out_n.append(None)
+                        out_start.append(-1)
+                        out_gh.append(None)
+                    continue
+                s = txt.strip(" ")
+                w = [t for t in _JAVA_WS.split(s) if t != ""] if s else []
+                n = len(w)
+                if with_n:
+                    out_id.append(did)
+                    out_n.append(n)
+                    out_start.append(-1)
+                    out_gh.append(None)
+                for i in range(n - k + 1):
+                    out_id.append(did)
+                    if with_n:
+                        out_n.append(n)
+                    out_start.append(i)
+                    out_gh.append(hashlib.md5(
+                        " ".join(w[i:i + k]).encode()).hexdigest())
+            arrays = [pa.array(out_id, id_type)]
+            names = [batch.schema.names[0]]
+            if with_n:
+                arrays.append(pa.array(out_n, pa.int32()))
+                names.append("_n")
+            arrays += [pa.array(out_start, pa.int32()),
+                       pa.array(out_gh, pa.string())]
+            names += ["_start", "_gh"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+    return fn
+
+
+def _gram_hash_frame(df: DataFrame, id_col: str, text_col: str, k: int,
+                     with_n: bool) -> DataFrame:
+    """(id, [_n,] _start, _gh) duplicated-window candidate frame via
+    the Arrow stage above; selects only the two needed columns first so
+    scan pruning survives the opaque function (guide §4.1)."""
+    from pyspark.sql import types as T
+
+    fields = [df.schema[id_col]]
+    if with_n:
+        fields.append(T.StructField("_n", T.IntegerType()))
+    fields += [T.StructField("_start", T.IntegerType()),
+               T.StructField("_gh", T.StringType())]
+    return (df.select(F.col(id_col), F.col(text_col))
+              .mapInArrow(_gram_hash_batches(k, with_n),
+                          T.StructType(fields)))
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
@@ -681,21 +770,17 @@ def duplicate_span_stats(df: DataFrame, id_col: str, text_col: str,
        doc_id partitioning.
     3. the left join marrying zero-dup docs back: doc_id keyed.
     Nothing is collected; no UDFs."""
-    from pyspark_etl_project_spark.extensions.text import ngram_array, tokens
-
-    # Tokenization feeds both the gram explode and the final zero-dup
-    # join-back; materialize it once (lazy localCheckpoint).
-    toks = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
-              .withColumn("_n", F.size("_w"))
-              .localCheckpoint(eager=False))
-    # grams feeds the count AND the semi-join probe side; the explode
-    # plus the zip_with n-gram build is the expensive map work, so
-    # materialize it once.
-    grams = (toks.select(
-        id_col, "_n",
-        F.posexplode(ngram_array(F.col("_w"), k)).alias("_start", "_gram"))
-        .select(id_col, "_n", "_start", F.md5("_gram").alias("_gh"))
-        .localCheckpoint(eager=False))
+    # ONE Arrow pass over the text yields the hashed gram windows AND a
+    # per-doc header row carrying the token count (the zero-dup/short
+    # -doc join-back below needs every document) — replacing the former
+    # tokenize-checkpoint + ngram-explode JVM stages (guide §4.2; the
+    # r17 report deferred this rewrite as the largest remaining
+    # legitimate win, and the in-session A/B confirmed it).
+    g_all = (_gram_hash_frame(df, id_col, text_col, k, with_n=True)
+             .localCheckpoint(eager=False))
+    toks = g_all.filter(F.col("_start") == -1).select(id_col, "_n")
+    grams = g_all.filter(F.col("_start") >= 0).select(id_col, "_start",
+                                                      "_gh")
     # Duplicated-gram marking is groupBy + left_semi, NOT a count
     # window over the gram: a window partitioned on the gram funnels
     # every occurrence of a hot gram (a boilerplate passage present in
@@ -756,15 +841,14 @@ def duplicate_span_scrub(df: DataFrame, id_col: str, text_col: str,
     reassembly is a left-anti join plus one groupBy(doc) — sort_array
     on (pos, token) structs rebuilds order without a window. All
     engine-parity string ops; no UDFs."""
-    from pyspark_etl_project_spark.extensions.text import ngram_array, tokens
+    from pyspark_etl_project_spark.extensions.text import tokens
 
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
     toks = toks.withColumn("_n", F.size("_w"))
-    grams = (toks.select(
-        id_col,
-        F.posexplode(ngram_array(F.col("_w"), k)).alias("_start", "_gram"))
-        .select(id_col, "_start", F.md5("_gram").alias("_gh"))
-        .localCheckpoint(eager=False))
+    # Same Arrow gram stage as duplicate_span_stats (tokens themselves
+    # are still needed JVM-side below for the position explode).
+    grams = (_gram_hash_frame(df, id_col, text_col, k, with_n=False)
+             .localCheckpoint(eager=False))
     # Same skew-safe md5-keyed marking as duplicate_span_stats:
     # map-combined gram counts + left_semi, never a gram-partitioned
     # count window.

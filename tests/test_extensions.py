@@ -1940,3 +1940,56 @@ def test_compact_small_files_range_preserves_evolved_column(
     assert set(back.columns) == {"id", "note"}
     assert [r["note"] for r in
             back.filter(F.col("id") == 100).collect()] == ["late"]
+
+
+def test_arrow_gram_stage_matches_jvm_expression(spark):
+    """The r18 mapInArrow gram stage must replicate the JVM
+    tokenize->k-gram->md5 chain BIT-FOR-BIT, including the whitespace
+    subtleties: F.trim strips ASCII spaces only, Java \\s is the ASCII
+    class [ \\t\\n\\x0B\\f\\r] (Python \\s would also match unicode
+    whitespace), k-grams join with ' ', md5 over UTF-8 bytes. Probes
+    every edge class: tabs/newlines/vertical-tab separators, unicode
+    NBSP (a TOKEN character in Java \\s terms), leading/trailing
+    whitespace, empty and whitespace-only docs, docs shorter than k,
+    NULL text, and multi-space runs."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_project_spark.extensions.dedup import (
+        _gram_hash_frame)
+    from pyspark_etl_project_spark.extensions.text import (
+        ngram_array, tokens)
+
+    k = 3
+    rows = [
+        (1, "a b c d e"),
+        (2, "a\tb\nc\x0bd\fe\rf"),
+        (3, "  padded   with\t\tspaces  "),
+        (4, "nbsp is not a separator here x y"),
+        (5, ""),
+        (6, "   "),
+        (7, "\t\n"),
+        (8, "one two"),          # shorter than k
+        (9, None),
+        (10, "dup dup dup dup"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = (df.select("doc_id",
+                     tokens(F.col("text")).alias("_w"))
+             .withColumn("_n", F.size("_w"))
+             .select("doc_id", "_n",
+                     F.posexplode(ngram_array(F.col("_w"), k))
+                      .alias("_start", "_gram"))
+             .select("doc_id", "_n", "_start",
+                     F.md5("_gram").alias("_gh")))
+    arrow = _gram_hash_frame(df, "doc_id", "text", k, with_n=True)
+    got_grams = sorted(map(tuple, arrow.filter("_start >= 0").collect()))
+    want_grams = sorted(map(tuple, jvm.collect()))
+    assert got_grams == want_grams
+    # The with_n header rows must cover EVERY document (the stats
+    # join-back relies on it), with the JVM token count.
+    want_n = {r["doc_id"]: r["n"] for r in
+              df.select("doc_id", F.size(tokens(F.col("text")))
+                        .alias("n")).collect()}
+    got_n = {r["doc_id"]: r["_n"] for r in
+             arrow.filter("_start = -1").collect()}
+    assert got_n == want_n
