@@ -777,17 +777,10 @@ def ngram_novelty(df, text_col: str, group_col: str, n: int = 3):
 
     Scale: one explode then a two-level aggregate; Spark plans the
     COUNT DISTINCT as partial-agg on (group, gram) before the final
-    group shuffle, so the wide key never reaches one reducer.
-
-    The n-gram array is staged in its own projection so the tokenize
-    (split/trim/filter) runs once per row — inlined into the Generate
-    it was evaluated five times inside the zip_with/slice expression
-    (no subexpression elimination there; measured 1.74 -> 1.47 s at
-    sf0.1, guide §1.2 per-task work)."""
+    group shuffle, so the wide key never reaches one reducer."""
     c = F.col(group_col)
-    g = (df.select(c.alias("grp"),
-                   ngram_array(tokens(F.col(text_col)), n).alias("_g"))
-           .select("grp", F.explode(F.col("_g")).alias("gram")))
+    g = df.select(c.alias("grp"),
+                  F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
     return (g.groupBy(F.col("grp").alias(group_col))
              .agg(F.count(F.lit(1)).alias("total_ngrams"),
                   F.countDistinct("gram").alias("distinct_ngrams"))
