@@ -152,8 +152,13 @@ def compact_small_files(spark, src_path: str, dst_path: str,
     # that re-read every footer just to count files.
     from pyspark_etl_project_spark.operators.fs import hadoop_fs
 
+    # Count only parquet DATA files (part-*.parquet), not merely
+    # non-hidden names: a committer artifact or stray visible file
+    # would otherwise inflate the count, and the pinned oracle value
+    # (files_written) is about data files specifically (r17 ADVICE).
     _, fs, jpath = hadoop_fs(spark, dst_path)
     files = sum(1 for s in fs.listStatus(jpath)
                 if s.isFile()
-                and not s.getPath().getName().startswith(("_", ".")))
+                and s.getPath().getName().startswith("part-")
+                and s.getPath().getName().endswith(".parquet"))
     return n, files

@@ -28,23 +28,30 @@ def prepare_dimension(dim: DataFrame,
                       key_col: str,
                       id_col: str,
                       source_id: int | None = None,
-                      order_col: str = "START_DATE") -> DataFrame:
+                      order_col: str = "START_DATE",
+                      single_partition: bool = True) -> DataFrame:
     """Active rows, optional source filter, newest-START_DATE winner per
     key — yields a unique (key -> id) mapping ready to broadcast.
 
-    The frame is coalesced to one partition BEFORE the dedup window:
-    a single partition satisfies the window's clustering requirement,
-    so no Exchange is planned for it (guide §2.4). That is sound at
-    exactly the scale this operator promises — the result is ALWAYS
-    broadcast by lookup_join, so the whole dimension must fit on one
-    executor anyway; prepping it on one task costs the same bytes the
-    broadcast collect pays a moment later, and saves a shuffle stage
-    per dimension per load."""
+    ``single_partition=True`` (the tiny-seed default) coalesces the
+    frame to one partition BEFORE the dedup window: a single partition
+    satisfies the window's clustering requirement, so no Exchange is
+    planned for it (guide §2.4). That is sound at exactly the scale
+    the seeded dimensions promise (thousands of rows — the result is
+    ALWAYS broadcast by lookup_join, so the dimension must fit on one
+    executor anyway), but it bounds only the deduped OUTPUT, not the
+    input: coalesce propagates upstream, so a FACT-scale pre-dedup
+    input would scan, filter and window-sort in ONE task (r17 ADVICE —
+    single-task sort with spill/OOM risk at 100 TB). Callers preparing
+    a large input pass ``single_partition=False`` to keep the hash
+    exchange on ``key_col`` so the dedup parallelizes; only the
+    already-deduped one-row-per-key result then feeds the broadcast."""
     require_free_columns(dim, ["_rn"], "prepare_dimension")
     d = dim.filter(F.col("ACTIVE_FLAG") == 1)
     if source_id is not None:
         d = d.filter(F.col("SOURCE_ID") == source_id)
-    d = d.coalesce(1)
+    if single_partition:
+        d = d.coalesce(1)
     w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc(), F.col(id_col).desc())
     return (d.withColumn("_rn", F.row_number().over(w))
              .filter(F.col("_rn") == 1)

