@@ -784,7 +784,7 @@ def band_index_batch(batch: DataFrame, bands_path: str,
     from pyspark.storagelevel import StorageLevel
 
     from pyspark_etl_project_spark.extensions.dedup import (
-        _rows_per_band, lsh_bands, minhash_signature, word_shingles)
+        _rows_per_band, banded_frame)
     from pyspark_etl_project_spark.operators.scd2 import mart_bucket
 
     if rows_per_band is None:
@@ -807,18 +807,9 @@ def band_index_batch(batch: DataFrame, bands_path: str,
     # Same deterministic bucketing construction as the mart — shared,
     # not re-derived, so the two cannot drift.
     doc_bucket = mart_bucket("doc_id", num_buckets)
-    banded = (batch
-              .select("doc_id",
-                      word_shingles("text", shingle_n).alias("_sh"))
-              .filter(F.size("_sh") > 0)
-              .select("doc_id",
-                      minhash_signature(F.col("_sh"), num_hashes)
-                      .alias("_sig"))
-              .select("doc_id", F.explode(
-                  lsh_bands(F.col("_sig"), num_bands, rows_per_band))
-                  .alias("b"))
-              .select("doc_id", F.col("b.band_id").alias("band_id"),
-                      F.col("b.band_hash").alias("band_hash"),
+    banded = (banded_frame(batch, "doc_id", "text", num_hashes,
+                           num_bands, shingle_n, rows_per_band)
+              .select("doc_id", "band_id", "band_hash",
                       doc_bucket.alias(DOC_BUCKET_COL)))
     # NB: a NULL doc_id does NOT hash to a null bucket —
     # xxhash64(NULL) returns the seed, so mart_bucket lands NULLs in a

@@ -1993,3 +1993,55 @@ def test_arrow_gram_stage_matches_jvm_expression(spark):
     got_n = {r["doc_id"]: r["_n"] for r in
              arrow.filter("_start = -1").collect()}
     assert got_n == want_n
+
+def test_arrow_banded_frame_matches_jvm_expression(spark):
+    """The r18 mapInArrow banding stage must replicate the JVM
+    word_shingles->minhash_signature->explode(lsh_bands) chain
+    BIT-FOR-BIT: distinct 3-gram shingles, per-seed min over
+    md5('k|'||shingle) hex (string min == UTF8String binary compare on
+    ASCII hex), band hash = md5 of the '|'-joined signature slice, and
+    the size(_sh) > 0 admission filter (NULL/short/empty docs emit
+    nothing). Probes the same whitespace edge classes as the gram-stage
+    parity test plus duplicate shingles (array_distinct semantics) and
+    a doc with exactly shingle_n tokens (single shingle)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_project_spark.extensions.dedup import (
+        _rows_per_band, banded_frame, lsh_bands, minhash_signature,
+        word_shingles)
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a\tb\nc\x0bd\fe\rf"),
+        (3, "  padded   with\t\tspaces  "),
+        (4, "nbsp is not a separator here x y"),
+        (5, ""),
+        (6, "   "),
+        (7, "\t\n"),
+        (8, "one two"),            # shorter than shingle_n: no bands
+        (9, None),                 # NULL text: no bands
+        (10, "dup dup dup dup"),   # duplicate shingles collapse
+        (11, "x y z"),             # exactly one shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    num_hashes, num_bands, shingle_n = 8, 4, 3
+    rpb = _rows_per_band(num_hashes, num_bands)
+    jvm = (df.select("doc_id",
+                     word_shingles("text", shingle_n).alias("_sh"))
+             .filter(F.size("_sh") > 0)
+             .select("doc_id",
+                     minhash_signature(F.col("_sh"), num_hashes)
+                     .alias("_sig"))
+             .select("doc_id",
+                     F.explode(lsh_bands(F.col("_sig"), num_bands, rpb))
+                     .alias("b"))
+             .select("doc_id", F.col("b.band_id").alias("band_id"),
+                     F.col("b.band_hash").alias("band_hash")))
+    arrow = banded_frame(df, "doc_id", "text", num_hashes, num_bands,
+                         shingle_n)
+    assert arrow.schema == jvm.schema
+    got = sorted(map(tuple, arrow.collect()))
+    want = sorted(map(tuple, jvm.collect()))
+    assert got == want
+    # The admission filter must have kept the short/NULL/empty docs out.
+    assert {t[0] for t in got} == {1, 2, 3, 4, 10, 11}
