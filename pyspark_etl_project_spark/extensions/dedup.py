@@ -764,25 +764,35 @@ def cross_source_overlap(df, id_col: str, text_col: str, source_col: str,
 
     fps = winnowing_fingerprints(df.select(id_col, text_col),
                                  id_col, text_col, k=k, window=window)
-    # The (src, fp) set feeds three consumers (totals + both self-join
-    # sides); a lazy localCheckpoint materializes the winnowing pass
-    # once instead of replaying it per consumer.
-    src_fps = (fps.join(df.select(id_col, F.col(source_col).alias("_src")),
+    # ONE exchange on the fingerprint collapses each fp to its distinct
+    # source set (collect_set dedupes, so the former separate distinct
+    # exchange on (src, fp) is free), and every downstream fact — the
+    # per-source totals AND the pair overlaps — derives from that tiny
+    # per-fp frame. The former shape shuffled the (src, fp) set three
+    # more times (distinct + both shuffle_hash self-join sides) and
+    # paid a countDistinct aggregate whose input was already unique.
+    # Per-fp group state is bounded by the NUMBER OF SOURCES, so the
+    # collect_set can never blow up the way a doc-level one could
+    # (guide §2.2: shuffle fewer bytes, §2.4: remove shuffles).
+    # The lazy localCheckpoint materializes the winnow+agg pass once
+    # for its two consumers.
+    grouped = (fps.join(df.select(id_col, F.col(source_col).alias("_src")),
                         id_col)
-                  .select("_src", "fp").distinct()
+                  .groupBy("fp")
+                  .agg(F.sort_array(F.collect_set("_src")).alias("_srcs"))
                   .localCheckpoint(eager=False))
-    totals = (src_fps.groupBy("_src")
+    totals = (grouped.select(F.explode("_srcs").alias("_src"))
+              .groupBy("_src")
               .agg(F.count(F.lit(1)).alias("n_fps")))
-    a, b = src_fps.alias("a"), src_fps.alias("b")
-    # shuffle_hash: both sides are large and already keyed on fp; a
-    # hash join avoids the sort-merge sort passes (the repo-wide join
-    # posture — banding keys bound the per-key group size).
-    pairs = (a.join(b.hint("shuffle_hash"),
-                    (F.col("a.fp") == F.col("b.fp"))
-                    & (F.col("a._src") < F.col("b._src")))
-              .groupBy(F.col("a._src").alias("source_a"),
-                       F.col("b._src").alias("source_b"))
-              .agg(F.countDistinct("a.fp").alias("n_shared_fps")))
+    # Unordered source pairs per fp: each shared fp contributes exactly
+    # one (sa < sb) row per pair, so count(*) == the former
+    # countDistinct(fp) — the join input was already (src, fp)-unique.
+    pairs = (grouped
+             .select(F.explode("_srcs").alias("source_a"), "_srcs")
+             .select("source_a", F.explode("_srcs").alias("source_b"))
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("n_shared_fps")))
     ta = F.broadcast(totals.select(F.col("_src").alias("source_a"),
                                    F.col("n_fps").alias("_na")))
     tb = F.broadcast(totals.select(F.col("_src").alias("source_b"),

@@ -207,7 +207,8 @@ PINS_REST = {
     "containment_neardup_pairs": (3, []),
     "context_window_chunks": (0, ['doc_id,text']),
     "conversion_latency_deciles": (3, ['event_type,ts,user_id', 'event_type,ts,user_id']),
-    "cross_source_overlap": (5, []),
+    # r18: per-fp collect_set shape — distinct + self-join exchanges gone
+    "cross_source_overlap": (3, []),
     "cube_event_stats": (1, ['event_type,user_id,value']),
     "cumulative_user_value": (1, ['event_id,ts,user_id,value']),
     "curated_corpus_roundtrip": (1, ['doc_id,n_tokens', 'lang,n_docs,split,total_tokens', 'lang,n_docs,split,total_tokens']),
