@@ -726,6 +726,16 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 3,
         label_col=label_col, round_digits=round_digits,
         prefilter=prefilter, num_bits=num_bits,
         probe_hamming=probe_hamming, centroids=centroids, nprobe=nprobe)
+    return negatives_topk_cut(scored, k)
+
+
+def negatives_topk_cut(scored: DataFrame, k: int) -> DataFrame:
+    """The per-query top-k cut of ``hard_negatives``, split out so a
+    caller that already holds the scored candidate frame (e.g. a
+    calibration query that reports BOTH the candidate counts and the
+    cut) applies the cut without re-building the candidate expression
+    tree — the LSH probe expansion is ~300 driver-side column calls,
+    measurably slow to construct twice (guide §1.2)."""
     from pyspark.sql import Window
     w = (Window.partitionBy("query_id")
                .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()))

@@ -3713,16 +3713,18 @@ LEFT JOIN ov ON q.query_id = ov.query_id
 def hard_negative_mining_ann_q(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     from pyspark_etl_project_spark.extensions.similarity import (
-        hard_negative_candidates, hard_negatives)
+        hard_negative_candidates, hard_negatives, negatives_topk_cut)
 
     emb = load(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 8)
                   .localCheckpoint(eager=False))
     corpus = emb.filter(F.col("vec_id") >= 8)
+    # ONE candidate expression tree serves both the candidate counts
+    # and the ANN cut (identical arguments — building it twice paid
+    # the ~300-call LSH probe construction twice, ~0.3 s driver-side).
     cand = hard_negative_candidates(corpus, queries, prefilter="lsh",
                                     num_bits=8, probe_hamming=1)
-    ann = hard_negatives(corpus, queries, k=3, prefilter="lsh",
-                         num_bits=8, probe_hamming=1)
+    ann = negatives_topk_cut(cand, k=3)
     # exact feeds BOTH the n_exact denominator and the overlap join —
     # pin it so the brute-force corpus scoring (the expensive pass
     # this query exists to calibrate away) runs once, not twice.
