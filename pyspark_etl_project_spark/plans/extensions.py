@@ -1635,25 +1635,30 @@ def curation_pipeline_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_etl_project_spark.extensions.dedup import deterministic_split
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    surv = (docs.withColumn("fingerprint", X.normalized_fingerprint("text"))
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1))
-    # Stage the arrays as named columns so each is computed once per row
-    # (CollapseProject keeps non-cheap multiply-referenced expressions
-    # staged); a fused X.dup_ngram_bp("text") rebuilds its gram array 3x
-    # per row and re-splits the text each time.
-    staged = surv.select(
+    # Features are computed MAP-SIDE, before the dedup window, so the
+    # fingerprint exchange moves four small columns instead of the text
+    # blob (guide §2.2: shuffle fewer bytes — the text is ~30x the
+    # feature width; the extra feature CPU spent on rows the window
+    # then drops is bounded by the dup fraction). The arrays are staged
+    # as named columns so each is computed once per row (CollapseProject
+    # keeps non-cheap multiply-referenced expressions staged); a fused
+    # X.dup_ngram_bp("text") rebuilds its gram array 3x per row and
+    # re-splits the text each time.
+    staged = docs.select(
         "doc_id",
+        X.normalized_fingerprint("text").alias("fingerprint"),
         X.tokens("text").alias("_w"),
         X.tokens(F.lower(F.col("text"))).alias("_lw"),
         X.word_ngrams("text", 2).alias("_g"))
     feat = staged.select(
-        "doc_id",
+        "doc_id", "fingerprint",
         F.size("_w").alias("n_tokens"),
         X.lang_id_from_tokens("_lw").alias("glang"),
         X.dup_bp_from_ngrams("_g").alias("dup_bp"))
-    gated = feat.filter((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 10000)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    surv = (feat.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1))
+    gated = surv.filter((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 10000)
                         & (F.col("glang") != "und") & (F.col("dup_bp") < 4000))
     assigned = deterministic_split(gated, "doc_id",
                                    {"train": 90, "val": 5, "test": 5})
