@@ -284,7 +284,10 @@ PINS_REST = {
     "resample_daily_ffill": (2, ['ts,user_id', 'event_id,ts,user_id,value']),
     "retrieval_mrr_by_label": (1, ['embedding,vec_id', 'label,vec_id']),
     "revenue_by_nation_year": (1, ['c_custkey,c_nationkey', 'o_custkey,o_orderdate,o_orderkey', 'l_discount,l_extendedprice,l_orderkey', 'n_name,n_nationkey']),
-    "rollup_flag_status": (1, ['l_linestatus,l_quantity,l_returnflag']),
+    # r18: Expand-free rollup — finest-level agg localCheckpoint (scan
+    # happens once into the ExistingRDD, hence no ReadSchema) + three
+    # tiny re-agg exchanges over the 6-row intermediate.
+    "rollup_flag_status": (3, []),
     "scan_filter_project": (0, ['l_extendedprice,l_linenumber,l_orderkey,l_quantity,l_shipdate']),
     "scd2_merge": (6, ['c_custkey,c_mktsegment,c_name', 'c_custkey,c_mktsegment,c_name', 'c_custkey,c_mktsegment,c_name', 'c_custkey,c_mktsegment,c_name']),
     "semi_anti_customers": (0, ['c_custkey,c_name', 'o_custkey,o_orderpriority', 'c_custkey,c_name', 'o_custkey,o_orderdate']),

@@ -764,10 +764,21 @@ def test_multi_distinct_and_rollup_are_single_scan_expand(spark):
     assert nodes.count("Scan") == 1, nodes
     assert nodes.count("Exchange") <= 2, nodes  # two-stage distinct agg
 
+    # r18: the ROLLUP query no longer uses the native Expand (which
+    # triples every fact row before the partial agg) — the fact is
+    # scanned ONCE into a finest-level-agg localCheckpoint and the
+    # grouping levels re-aggregate the tiny intermediate. The original
+    # guarantee (never one fact pass per grouping set) still holds,
+    # strengthened: the final plan contains NO fact scan at all, only
+    # ExistingRDD reads of the 6-row partial frame.
     plan = _formatted_plan(JQ["rollup_flag_status"](spark, SF_SMALL))
     nodes = _nodes(plan)
-    assert "Expand" in nodes
-    assert nodes.count("Scan") == 1, nodes
+    assert "Expand" not in nodes, nodes
+    assert "Scan parquet" not in plan, plan
+    assert all(n in ("Scan", "HashAggregate", "Exchange", "Union",
+                     "Project", "AdaptiveSparkPlan", "ResultQueryStage",
+                     "ShuffleQueryStage", "AQEShuffleRead")
+               for n in nodes), nodes
 
 
 def test_variant_extract_reads_only_type_and_props(spark):
