@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 
 def exact_quantiles(df: DataFrame, value_col: str, tiebreak_col: str,
-                    qs: list[int]) -> DataFrame:
+                    qs: list[int], n: int | None = None) -> DataFrame:
     """Exact discrete quantiles (nearest-rank, 1-based position
     floor((n-1)*q/100)+1) of ``value_col``, ordered with
     ``tiebreak_col`` so the selected row is unique.
@@ -33,10 +33,15 @@ def exact_quantiles(df: DataFrame, value_col: str, tiebreak_col: str,
     needs a 1-row crossJoin attach, which breaks the registry-wide
     EMPTY cartesian/BNLJ allowlists under the disabled-auto-broadcast
     sweep — reverted; the count() stays.)
+
+    ``n`` lets a caller that already KNOWS the row count (e.g. MAD's
+    second pass — the deviation frame has exactly the value frame's
+    count) skip the count() job; it must equal df's true count.
     """
     from pyspark_etl_project_spark.operators.scd2 import dense_row_number
 
-    n = df.count()
+    if n is None:
+        n = df.count()
     spark = df.sparkSession
     positions = [(int(q), (max(n - 1, 0) * int(q)) // 100 + 1) for q in qs]
     from pyspark_etl_project_spark.functions.seedframe import seed_df
@@ -69,14 +74,20 @@ def mad_length_outliers(df: DataFrame, id_col: str, value_col: str,
     vals = (df.select(F.col(id_col), F.col(value_col).cast("bigint")
                       .alias(value_col))
             .localCheckpoint(eager=False))
-    med = (exact_quantiles(vals, value_col, id_col, [50])
+    # ONE count serves both quantile passes: the deviation frame has
+    # exactly vals' row count (a broadcast inner join against the
+    # 1-row median multiplies nothing), so the second pass's count()
+    # job is skipped (guide §1.2: don't re-run jobs for facts you
+    # already hold).
+    n = vals.count()
+    med = (exact_quantiles(vals, value_col, id_col, [50], n=n)
            .select(F.col("value").alias("_med")))
     dev = (vals.join(F.broadcast(med))
            .withColumn("abs_dev",
                        F.abs(F.col(value_col) - F.col("_med")))
            .localCheckpoint(eager=False))
     mad = (exact_quantiles(dev.select(id_col, "abs_dev"), "abs_dev",
-                           id_col, [50])
+                           id_col, [50], n=n)
            .select(F.col("value").alias("_mad")))
     return (dev.join(F.broadcast(mad))
             .select(id_col, value_col, "abs_dev",

@@ -866,6 +866,12 @@ def test_exact_quantiles_match_sorted_positions(spark):
     n = len(vals)
     for q in (0, 50, 100):
         assert got[q] == s[((n - 1) * q) // 100], (q, got[q])
+    # The caller-supplied n fast path (r18: MAD reuses one count for
+    # both quantile passes) must select the identical rows.
+    got_n = {r["q"]: r["value"] for r in
+             exact_quantiles(df, "v", "doc_id", [0, 50, 100],
+                             n=n).collect()}
+    assert got_n == got
 
 
 def test_leakage_safe_split_never_splits_a_cluster(spark):
